@@ -1,0 +1,380 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Conform, DateDim, DedupLatest}
+
+/** Core relational query inventory (SURVEY.md §2 re-expressed over the driver
+  * testdata star schema), each paired with a DuckDB oracle in
+  * [[QueriesCore.oracles]].
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB):
+  *  - money aggregates go through DECIMAL(18,2) (all money columns carry
+  *    exactly 2dp, so the cast is lossless) and the exact decimal result is
+  *    cast to DOUBLE at the end — bit-identical in both engines regardless of
+  *    aggregation order;
+  *  - counts are BIGINT on both sides (DuckDB SUM/COUNT hugeint is cast);
+  *  - quantities are integral doubles (exact under summation);
+  *  - every query ends in a deterministic ORDER BY over unique keys.
+  */
+object QueriesCore {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** exact-decimal sum of a 2dp money column, surfaced as double */
+  private def moneySum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- queries
+
+  /** A3/P9/P10 — pricing summary (grouped SUM over flags). */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        moneySum("l_extendedprice").as("revenue"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("disc_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A4/F5 — orders per status per month. */
+  def aggStatusMonth(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("total_orders"))
+      .orderBy("month", "status")
+
+  /** A5 — average ticket per order (exact decimal sum / count). */
+  def aggAvgTicket(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        (moneySum("l_extendedprice") /
+          count(lit(1)).cast("double")).as("avg_ticket"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+
+  /** J4/A3/O1/O2 — revenue top-10 customers (3-way star join + sort-limit).
+    * Dimension sides are broadcast: at any scale factor customer/orders keys
+    * stay orders of magnitude smaller than lineitem, and the explicit
+    * broadcast keeps the big fact from ever shuffling.
+    */
+  def topkRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      .agg(moneySum("l_extendedprice").as("revenue"))
+      .orderBy(desc("revenue"), col("custkey"))
+      .limit(10)
+
+  /** P13/F6 — rolling 90-day window relative to the data's max date
+    * (the reference uses current_date()-90; testdata is historical, so the
+    * anchor is MAX(o_orderdate) — same rolling-window capability).
+    */
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val cutoff = orders
+      .agg((max(col("o_orderdate")) - expr("INTERVAL 90 DAY")).as("__cut"))
+    t(spark, dir, "lineitem")
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("__cut"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(moneySum("l_extendedprice").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("custkey")
+  }
+
+  /** W1/D1 — latest-record dedup: most recent order per customer with a
+    * deterministic tiebreak (SURVEY.md §7.3 improvement).
+    */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    DedupLatest(t(spark, dir, "orders"), Seq("o_custkey"), "o_orderdate",
+      extraTiebreak = Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** J1/P7 — left-join FK existence probe with null-key -> -1 patch. */
+  def joinLeftProbe(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    t(spark, dir, "orders")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        when(col("c_custkey").isNull, lit(-1L))
+          .otherwise(col("o_custkey")).as("cust_fk"))
+      .orderBy("orderkey")
+  }
+
+  /** J2 — inner equi-join keeps only matched rows. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("status")
+
+  /** J3 — anti join: lineitems whose part is NOT a small part. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = t(spark, dir, "part")
+      .filter(col("p_size") <= 10).select("p_partkey")
+    t(spark, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"),
+        "left_anti")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+  }
+
+  /** left_semi — customers with at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** U2/U3/A2 — positional union + distinct (SQL UNION). */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").cast("string").as("d"))
+      .union(t(spark, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").cast("string").as("d")))
+      .distinct()
+      .orderBy("d")
+
+  /** U1/D9 — union-by-name with the conformed UNKNOWN member. */
+  def unknownMember(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    Conform.withUnknownMember(dim, "custkey", unknownKey = -1L)
+      .orderBy("custkey")
+  }
+
+  /** D10/F1-F4 — derived calendar dimension over order dates. The `date`
+    * column is surfaced as a string for comparer-agnostic oracle matching
+    * (python date objects vs datetime64 disagree under naive comparison).
+    */
+  def dateDim(spark: SparkSession, dir: String): DataFrame =
+    DateDim.fromDateColumns(Seq((t(spark, dir, "orders"), "o_orderdate")))
+      .withColumn("date", col("date").cast("string"))
+
+  /** D2/D3/D4/A6 — the DQ rate checks as one single-pass row. */
+  def dqRates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val (nullRate, dupRate) = graft.dq.Checks.keyRates(orders, "o_orderkey")
+    val nullCust = graft.dq.Checks.nullRate(orders, "o_custkey")
+    val orphan = graft.dq.Checks.orphanRate(li, "l_orderkey", orders, "o_orderkey")
+    Seq((nullCust, dupRate, orphan))
+      .toDF("null_rate_custkey", "dup_rate_orderkey", "orphan_rate_lineitem")
+  }
+
+  /** P2/P7/P8/P11/P12/F7 + string functions — scalar projection gallery. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 10).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        when(col("p_size").isin(1, 5, 10), lit("small"))
+          .otherwise(lit("big")).as("size_class"),
+        coalesce(col("p_retailprice"), lit(0.0)).as("price"),
+        (col("p_retailprice").cast("decimal(18,2)") * lit(2))
+          .cast("double").as("double_price"),
+        (-col("p_size")).as("neg_size"))
+      .orderBy("p_partkey")
+
+  /** Analytic windows — rank / lag / running decimal sum per customer. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        rank().over(w).cast("long").as("order_rank"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_total"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("custkey", "orderkey")
+  }
+
+  /** ROLLUP grouping sets over status x priority. */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy("status", "priority")
+
+  /** Top-k per group — top 3 parts by price within each brand. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(spark, dir, "part")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> aggPricing _,
+    "q02_agg_status_month" -> aggStatusMonth _,
+    "q03_agg_avg_ticket" -> aggAvgTicket _,
+    "q04_topk_revenue" -> topkRevenue _,
+    "q05_rolling_window" -> rollingWindow _,
+    "q06_dedup_latest" -> dedupLatest _,
+    "q07_join_left_probe" -> joinLeftProbe _,
+    "q08_join_inner" -> joinInner _,
+    "q09_join_anti" -> joinAnti _,
+    "q10_join_semi" -> joinSemi _,
+    "q11_union_distinct" -> unionDistinct _,
+    "q12_unknown_member" -> unknownMember _,
+    "q13_date_dim" -> dateDim _,
+    "q14_dq_rates" -> dqRates _,
+    "q15_scalar_funcs" -> scalarFuncs _,
+    "q16_window_analytics" -> windowAnalytics _,
+    "q17_rollup" -> rollupCounts _,
+    "q18_topk_per_group" -> topkPerGroup _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | SUM(l_quantity) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS disc_revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_agg_status_month" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        | o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS total_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY month, status""".stripMargin,
+    "q03_agg_avg_ticket" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_ticket,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q04_topk_revenue" ->
+      """SELECT c.c_custkey AS custkey, c.c_name AS name,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, custkey LIMIT 10""".stripMargin,
+    "q05_rolling_window" ->
+      """SELECT o.o_custkey AS custkey,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "q06_dedup_latest" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders) WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q07_join_left_probe" ->
+      """SELECT o.o_orderkey AS orderkey,
+        | CASE WHEN c.c_custkey IS NULL THEN -1 ELSE o.o_custkey END AS cust_fk
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY orderkey""".stripMargin,
+    "q08_join_inner" ->
+      """SELECT o.o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    "q09_join_anti" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |  WHERE p.p_partkey = l.l_partkey AND p.p_size <= 10)
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+    "q10_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT DISTINCT d FROM (
+        | SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders
+        | UNION ALL
+        | SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS d FROM lineitem)
+        |ORDER BY d""".stripMargin,
+    "q12_unknown_member" ->
+      """SELECT * FROM (
+        | SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+        | FROM customer
+        | UNION ALL SELECT -1, 'UNKNOWN', 'UNKNOWN')
+        |ORDER BY custkey""".stripMargin,
+    "q13_date_dim" ->
+      """SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+        | CAST(d AS VARCHAR) AS date,
+        | CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+        | monthname(d) AS month_name, CAST(day(d) AS INT) AS day,
+        | strftime(d, '%a') AS day_of_week,
+        | dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY d""".stripMargin,
+    "q14_dq_rates" ->
+      """SELECT
+        | CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS DOUBLE)
+        |   / (SELECT COUNT(*) FROM orders) AS null_rate_custkey,
+        | CAST((SELECT COUNT(*) FROM orders)
+        |   - (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS DOUBLE)
+        |   / (SELECT COUNT(*) FROM orders) AS dup_rate_orderkey,
+        | CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE)
+        |   / (SELECT COUNT(*) FROM lineitem) AS orphan_rate_lineitem""".stripMargin,
+    "q15_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        | substr(p_name, 1, 10) AS name_prefix,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | CASE WHEN p_size IN (1, 5, 10) THEN 'small' ELSE 'big' END AS size_class,
+        | coalesce(p_retailprice, 0.0) AS price,
+        | CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price,
+        | -p_size AS neg_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_window_analytics" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        | CAST(rank() OVER w AS BIGINT) AS order_rank,
+        | lag(o_totalprice, 1) OVER w AS prev_total,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY custkey, orderkey""".stripMargin,
+    "q17_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q18_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice, row_number() OVER (
+        |   PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        | FROM part) WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin)
+}

@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sessionize, Similarity}
+
+/** LLM-data-pipeline extension inventory (SURVEY.md §7.4): dedup family,
+  * text analysis, event sessionization / streaming batch-parity, similarity
+  * search. Queries with exact cross-engine semantics carry DuckDB oracles;
+  * hash/LSH-based operators (engine-specific hash functions) are registered
+  * as rows-only checks and verified by ScalaTest instead.
+  */
+object QueriesExt {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table ships with parquet TIMESTAMP(NANOS), which Spark does
+    * not read natively: sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and this loader rebuilds a microsecond timestamp (every value in the
+    * data is microsecond-aligned, so the conversion is exact; DuckDB reads
+    * the same column as its native TIMESTAMP in microseconds).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  /** Exact dedup (hash-groupBy): surviving doc ids. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Normalized (case/whitespace-insensitive) dedup survivors. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Dedup.normalized(t(spark, dir, "documents"), "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** MinHash-LSH near-dup candidate pairs (rows-only: xxhash64-based). */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(spark, dir, "documents"), "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash near-dedup survivors (rows-only). */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(t(spark, dir, "documents"), "text", "doc_id",
+      threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** SimHash near-dedup survivors (rows-only). */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDedup(t(spark, dir, "documents"), "text", "doc_id",
+      maxHamming = 3, bands = 4)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------- text
+
+  /** Token/char counts + portable MD5 fingerprint per document. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.charCount(col("text")).cast("long").as("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.avgWordLength(col("text")).as("avg_word_len"),
+        TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Quality heuristics per document (ratios of integer counts — exact). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+        TextFunctions.stopwordRatio(col("text"),
+          TextFunctions.EnglishStopwords).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Marker-based language-ID scores + argmax prediction. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col("text")))
+    def hits(words: Seq[String]) = {
+      val sw = array(words.map(lit): _*)
+      size(filter(toks, tk => array_contains(sw, tk))).cast("long")
+    }
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        hits(TextFunctions.LangMarkers("en")).as("s_en"),
+        hits(TextFunctions.LangMarkers("de")).as("s_de"),
+        hits(TextFunctions.LangMarkers("es")).as("s_es"),
+        hits(TextFunctions.LangMarkers("fr")).as("s_fr"),
+        hits(TextFunctions.LangMarkers("pt")).as("s_pt"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------------- events
+
+  /** Tumbling-window batch parity: hourly counts/sums per event type
+    * (streaming counterpart: [[graft.streaming.Streams.hourlyCounts]]).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gaps-and-islands sessionization (30-minute gap). */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.aggregate(events(spark, dir), gapSeconds = 1800L)
+      .orderBy("user_id", "session_seq")
+
+  /** First-event-per-(user,type) dedup (W1 family, ascending order). */
+  def eventsFirstPerType(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  private def knnQueries(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").filter(col("vec_id") < 20)
+
+  /** Brute-force exact top-5 cosine neighbors for 20 query vectors
+    * (rows-only: float-sum association differs across engines).
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5)
+      .orderBy("query_id", "rank")
+
+  /** LSH-bucketed approximate top-5 neighbors (rows-only). */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, nPlanes = 6, dim = 64)
+      .orderBy("query_id", "rank")
+
+  /** Embedding-cosine near-duplicate pairs (rows-only). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4,
+      nPlanes = 8, dim = 64)
+      .orderBy("id_a", "id_b")
+
+  // --------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> dedupExact _,
+    "x02_dedup_normalized" -> dedupNormalized _,
+    "x03_minhash_pairs" -> minhashPairs _,
+    "x04_minhash_dedup" -> minhashDedup _,
+    "x05_simhash_dedup" -> simhashDedup _,
+    "x06_text_stats" -> textStats _,
+    "x07_text_quality" -> textQuality _,
+    "x08_text_lang_id" -> textLangId _,
+    "x09_events_hourly" -> eventsHourly _,
+    "x10_events_sessionize" -> eventsSessionize _,
+    "x11_events_first_per_type" -> eventsFirstPerType _,
+    "x12_knn_brute" -> knnBrute _,
+    "x13_knn_lsh" -> knnLsh _,
+    "x14_embed_neardup" -> embedNearDup _)
+
+  /** DuckDB oracles for the exactly-reproducible subset. */
+  val oracles: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+    "x02_dedup_normalized" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+    "x06_text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0)) AS BIGINT) AS n_tokens,
+        | CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0)) > 0
+        |  THEN CAST(list_sum(list_transform(
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      tk -> length(tk) > 0), tk -> length(tk))) AS DOUBLE)
+        |   / len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      tk -> length(tk) > 0))
+        |  ELSE 0.0 END AS avg_word_len,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x07_text_quality" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0) AS toks
+        | FROM documents
+        |), stats AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_chars > 0 THEN
+        |    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars
+        |   ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN n_chars > 0 THEN
+        |    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / n_chars
+        |   ELSE 0.0 END AS alpha_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(len(list_filter(toks, tk -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was',
+        |       'it','that','this','for','on','with','as','at','by','be'],
+        |      lower(tk)))) AS DOUBLE) / len(toks)
+        |   ELSE 0.0 END AS stopword_ratio,
+        |  len(toks) AS n_toks,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) / len(toks)
+        |   ELSE 0.0 END AS awl
+        | FROM base)
+        |SELECT doc_id, punct_ratio, alpha_ratio, stopword_ratio,
+        | (least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) * 0.5
+        |  + (CASE WHEN awl >= 2.5 AND awl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |  + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+        | ) AS quality
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    "x08_text_lang_id" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> length(tk) > 0) AS tk
+        | FROM documents
+        |), scores AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> list_contains(
+        |    ['the','and','of','to','is','that','with','for'], x))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(tk, x -> list_contains(
+        |    ['der','die','und','das','ist','nicht','mit','ein'], x))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(tk, x -> list_contains(
+        |    ['el','los','las','es','una','por','como','pero'], x))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(tk, x -> list_contains(
+        |    ['le','les','des','est','une','dans','pour','que'], x))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(tk, x -> list_contains(
+        |    ['o','os','um','uma','nao','em','do','da'], x))) AS BIGINT) AS s_pt
+        | FROM toks)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_pt,
+        | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_pt) = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'de'
+        |  WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'es'
+        |  WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'fr'
+        |  ELSE 'pt' END AS lang_pred
+        |FROM scores ORDER BY doc_id""".stripMargin,
+    "x09_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "x10_events_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        | SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "x11_events_first_per_type" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+}

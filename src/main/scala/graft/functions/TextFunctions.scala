@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (string ops + higher-order functions) — no UDFs, so whole-stage codegen
+  * spans stay intact and each function is a pure projection: zero shuffles,
+  * embarrassingly parallel at 100 TB.
+  *
+  * The reference exercises no string functions at all (SURVEY.md §2.8); this
+  * module is part of the LLM-data-pipeline extension tier (SURVEY.md §7.4).
+  */
+object TextFunctions {
+
+  /** Whitespace-collapse + trim + lowercase normalization. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** 64-bit document fingerprint over normalized text (xxhash64 — the same
+    * hash family Spark uses for shuffle hashing; stable across runs).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  /** Hex MD5 content fingerprint (portable across engines, e.g. for oracle
+    * comparison and cross-system dedup ledgers).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Whitespace tokens (empty input -> empty array, not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex splitting on letter runs, digit
+    * runs, and individual punctuation — an upper-bound proxy for tokenizer
+    * cost accounting when the real tokenizer can't run engine-side.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])" +
+        "|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      t => length(trim(t)) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  def avgWordLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      aggregate(tokens(text), lit(0).cast("double"),
+        (acc, t) => acc + length(t)) / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters that are ASCII letters or space. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
+        length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens that appear in `stopwords` (signal of natural prose
+    * vs. boilerplate/code; standard quality heuristic in web-scale corpus
+    * cleaning, cf. C4/Gopher rules).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val n = tokenCount(text)
+    when(n > 0,
+      size(filter(tokens(text), t => array_contains(sw, lower(t))))
+        .cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Composite document-quality score in [0,1]: rewards prose-like length,
+    * moderate word length, low punctuation noise. Deterministic, tunable.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore =
+      least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val wordLenOk = {
+      val awl = avgWordLength(text)
+      when(awl >= 2.5 && awl <= 12.0, 1.0).otherwise(0.3)
+    }
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.4)
+    ((lenScore * 0.5) + (wordLenOk * 0.3) + (punctOk * 0.2)).cast("double")
+  }
+
+  /** Language-marker profiles: top frequent function words per language.
+    * Used by [[langId]]; markers chosen to be mutually exclusive across
+    * the profiled languages.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "como", "pero"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "que"),
+    "pt" -> Seq("o", "os", "um", "uma", "nao", "em", "do", "da"))
+
+  /** N-gram/function-word language ID heuristic: score = fraction of tokens
+    * matching each language's marker set; returns the argmax language or
+    * "und" (undetermined) when no marker hits. Pure column expression —
+    * distributable with zero shuffle.
+    */
+  def langId(text: Column,
+      markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val toks = tokens(lower(text))
+    val scored: Seq[(String, Column)] = markers.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        val sw = array(words.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(sw, t)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // fold in reverse so the alphabetically-first language reaching the max
+    // wins the tie — deterministic across engines and runs
+    scored.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for training-data pipelines
+  * (extension tier, SURVEY.md §7.4; the reference's only dedup is the
+  * latest-record window, [[DedupLatest]]).
+  *
+  * Shared scale design: every operator reduces to hash-partitioned
+  * `groupBy`/join on a derived key (content hash, fingerprint, LSH band
+  * bucket), so the shuffle volume is O(rows), never O(rows^2); candidate
+  * pair generation is confined to within-bucket joins.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per identical `textCol`.
+    * The shuffle key is a 64-bit content hash, not the full text — at 100 TB
+    * the shuffle carries 8-byte keys + ids, and the winner row is recovered
+    * by a self-semi-join on id. `min_by` gives map-side partial aggregation.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val winners = df
+      .select(col(idCol), h.as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Normalized exact dedup: same, over whitespace/case-normalized text. */
+  def normalized(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = TextFunctions.fingerprint64(col(textCol))
+    val winners = df
+      .select(col(idCol), h.as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Word shingles (k-grams) of a text column as `array<string>`. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** 64-bit hashes of the shingle set (deduplicated). */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** MinHash signature of a shingle-hash array: `numHashes` independent hash
+    * functions realized as seed-mixed xxhash64 re-hashes of each shingle
+    * hash, taking the min per function (Broder 1997). Seeded re-hashing
+    * avoids multiply-add wraparound, which ANSI mode (Spark 4 default)
+    * rejects as long overflow. Pure column expression, codegen'd hash.
+    */
+  def minhashSignature(shingleHashesCol: Column, numHashes: Int,
+      seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val seeds = Seq.fill(numHashes)(rng.nextLong())
+    val sigs = seeds.map { s =>
+      array_min(transform(shingleHashesCol, x => xxhash64(lit(s), x)))
+    }
+    array(sigs: _*)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH banding: the signature is
+    * split into `bands` bands of `rowsPerBand` values; documents sharing any
+    * band hash become candidates (within-bucket join), then candidates are
+    * verified with exact Jaccard over shingle sets. Returns
+    * `(idCol_a, idCol_b, jaccard)` with idCol_a < idCol_b and
+    * jaccard >= `threshold`.
+    *
+    * Scale: explode factor is `bands` per doc; the bucket join is an
+    * equi-join on (band, bandHash) so it shuffles once on the bucket key.
+    * `maxBucketSize` caps pathological buckets (boilerplate collisions) —
+    * a standard guard: a bucket of b docs yields b^2 pairs, so unbounded
+    * buckets are the one place LSH can go quadratic.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val withSets = df
+      .select(col(idCol), col(textCol))
+      .withColumn("__sh", shingleHashes(col(textCol), shingleK))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+
+    val banded = withSets
+      .select(col(idCol), col("__sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        ).as(Seq("__band", "__bandhash")))
+
+    // guard: drop degenerate buckets before the self-join goes quadratic
+    val bucketSizes = banded
+      .groupBy("__band", "__bandhash")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+    val inBuckets = banded.join(bucketSizes, Seq("__band", "__bandhash"))
+
+    val a = inBuckets.select(col("__band"), col("__bandhash"),
+      col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = inBuckets.select(col("__band"), col("__bandhash"),
+      col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+
+    val pairs = a
+      .join(b, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sh_a", "__sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
+    val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
+    pairs
+      .withColumn("jaccard",
+        when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Near-dedup: remove every doc that is a near-duplicate (jaccard >=
+    * threshold) of a doc with a smaller id. Greedy min-id survivor rule —
+    * one pass, no iterative connected components; at threshold ~0.8+ dup
+    * clusters are near-cliques and the greedy rule matches CC for them.
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val losers = minhashCandidates(df, textCol, idCol, shingleK, numHashes,
+      bands, threshold, seed = seed)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** N-gram Jaccard similarity between two text columns (exact, for
+    * verification and small candidate sets).
+    */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
+    val sa = shingleHashes(a, k)
+    val sb = shingleHashes(b, k)
+    val inter = size(array_intersect(sa, sb))
+    val union = size(sa) + size(sb) - inter
+    when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
+
+  /** 64-bit SimHash of a document (Charikar 2002): per bit position, sum +1/-1
+    * votes of each token hash's bit; the sign of the sum is the output bit.
+    * Near-identical documents differ in few bits (compare with
+    * [[hammingDist]]). Pure column expression over HOFs.
+    */
+  def simhash64(text: Column): Column = {
+    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val votes = aggregate(
+      tokenHashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
+    // fold bits where vote > 0 into a long (statically unrolled: shift
+    // amounts must be Scala constants for functions.shiftleft)
+    (0 until 64)
+      .map(i => when(element_at(votes, i + 1) > 0, lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private def bitVotes(h: Column): Column =
+    array((0 until 64).map(i =>
+      when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
+        .otherwise(lit(-1))): _*)
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on bit-bands of the simhash (split
+    * into `bands` chunks; near-identical docs share at least one chunk when
+    * their hamming distance < bands), verify with exact hamming distance.
+    */
+  def simhashDedup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bitsPerBand = 64 / bands
+    val withSim = df.select(col(idCol), simhash64(col(textCol)).as("__simhash"))
+    val chunks = array((0 until bands).map(b =>
+      shiftright(col("__simhash"), b * bitsPerBand)
+        .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)
+    val banded = withSim.select(col(idCol), col("__simhash"),
+      posexplode(chunks).as(Seq("__band", "__chunk")))
+    val a = banded.select(col("__band"), col("__chunk"),
+      col(idCol).as("id_a"), col("__simhash").as("__sim_a"))
+    val b = banded.select(col("__band"), col("__chunk"),
+      col(idCol).as("id_b"), col("__simhash").as("__sim_b"))
+    val losers = a
+      .join(b, Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hammingDist(col("__sim_a"), col("__sim_b")) <= maxHamming)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

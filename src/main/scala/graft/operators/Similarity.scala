@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.functions.expr.CosineSimilarityExpr.cosineSim
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`array<float>`) — LLM-pipeline extension tier (SURVEY.md §7.4).
+  *
+  * Scale design:
+  *  - Brute force is the correctness baseline: `corpus x broadcast(queries)`
+  *    — the corpus never shuffles, queries are broadcast, scoring is a
+  *    projection (native [[CosineSimilarityExpr]] tight loop), and top-k is a
+  *    per-query window over a pre-filtered candidate set. Cost is O(N*Q):
+  *    right answer when Q is small, regardless of N.
+  *  - LSH buckets (random hyperplanes) is the scale path: corpus and queries
+  *    hash to sign-pattern buckets; only same-bucket (or multiprobe-adjacent)
+  *    pairs are scored. Bucketing is one shuffle on an 8-byte key; recall is
+  *    tuned by `nPlanes` (selectivity) x `nProbes` (bit-flip multiprobe).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (queryIdCol, neighbor id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdOut: String = "query_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as(queryIdOut),
+      col(vecCol).as("__qvec")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col(queryIdOut))
+      .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH with multiprobe.
+    *
+    * Corpus rows are bucketed once; each query probes its own bucket plus
+    * every bucket at hamming distance 1 in sign-pattern space
+    * (`nProbes = nPlanes` single-bit flips), then exact cosine re-ranks the
+    * candidates. Candidate volume ~ N * (nProbes+1) / 2^nPlanes per query.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdOut: String = "query_id"): DataFrame = {
+    val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
+    val bucket = VectorFunctions.hyperplaneBucket(col(vecCol), planes)
+
+    val bucketedCorpus = corpus
+      .select(col(idCol), col(vecCol), bucket.as("__bucket"))
+
+    // query probes: own bucket + all single-bit flips (multiprobe LSH)
+    val probes = array(
+      (lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val bucketedQueries = queries
+      .select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"),
+        bucket.as("__qbucket"))
+      .withColumn("__bucket",
+        explode(transform(probes, m => col("__qbucket").bitwiseXOR(m))))
+      .drop("__qbucket")
+
+    val candidates = bucketedCorpus
+      .join(broadcast(bucketedQueries), Seq("__bucket"))
+      .filter(col(idCol) =!= col(queryIdOut))
+      .dropDuplicates(queryIdOut, idCol)
+      .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket the
+    * corpus against itself, score within buckets, keep pairs with
+    * cosine >= `threshold`. Used for embedding-based near-dedup.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 10, dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table sources.
+  *
+  * The reference ingests exactly one format: header CSV read with every column
+  * as string (`/root/reference/src/pipeline.py:40-42` — no inferSchema). That
+  * "bronze mode" is reproduced here, alongside schema-checked CSV and the
+  * parquet scans used for the driver testdata. Parquet is the scale path:
+  * column pruning and predicate pushdown reach the file footers, which is what
+  * makes a 2-column projection over a 100 TB table read 2 columns, not 100 TB.
+  */
+object CsvSource {
+
+  /** Bronze-mode scan: header CSV, all columns StringType (reference parity). */
+  def bronze(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** Schema-checked scan: explicit StructType, no inference pass over the data
+    * (inferSchema is a full extra read — never acceptable at scale).
+    */
+  def typed(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}
+
+object ParquetSource {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Convenience loader for the driver testdata star schema (TESTDATA.md). */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extension: Seq[String] = Seq("events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    ParquetSource.table(spark, dir, name)
+}

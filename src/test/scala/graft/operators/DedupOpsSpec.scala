@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a small corpus with exact dupes, near-dupes, and distinct docs
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup = base.replace("today", "tonight")
+  private val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, nearDup), // near dup of 0 (1 token changed)
+    (3L, "completely different content about spark query engines and scale"),
+    (4L, "  The   quick brown fox jumps over the lazy dog near the river bank today  ") // normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val ids = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("normalized dedup also removes case/whitespace variants") {
+    val ids = Dedup.normalized(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 2L, 3L))
+  }
+
+  test("shingleHashes produces k-gram sets") {
+    val n = docs.filter($"doc_id" === 0)
+      .select(org.apache.spark.sql.functions.size(
+        Dedup.shingleHashes($"text", 3)).as("n")).head().getInt(0)
+    // 14 tokens -> 12 trigrams, "the quick/lazy/river" distinct -> 12 unique
+    assert(n == 12)
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, distinct low") {
+    val df = docs.as("a").crossJoin(docs.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.ngramJaccard($"a.text", $"b.text", 3).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(df((0L, 1L)) == 1.0)
+    assert(df((0L, 2L)) > 0.5 && df((0L, 2L)) < 1.0)
+    assert(df((0L, 3L)) == 0.0)
+  }
+
+  test("minhash candidates find the near-dup pair and skip distinct docs") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always caught
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // distinct doc
+  }
+
+  test("minhash dedup keeps min-id survivor per near-dup cluster") {
+    val ids = Dedup.minhashDedup(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && ids.contains(3L))
+    assert(!ids.contains(1L))
+  }
+
+  test("simhash: identical texts hash equal, near-dups are close in hamming") {
+    val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sims(0L) == sims(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(2L)) < 16)
+    assert(ham(sims(0L), sims(3L)) > 16)
+  }
+
+  test("simhash dedup removes exact dup via banding") {
+    val ids = Dedup.simhashDedup(docs, "text", "doc_id",
+      maxHamming = 3, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L))
+    assert(ids.contains(0L) && ids.contains(3L))
+  }
+}

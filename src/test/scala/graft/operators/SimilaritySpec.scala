@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.functions.expr.CosineSimilarityExpr.cosineSim
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.0f)) // close to 0 and 1
+  ).toDF("vec_id", "embedding")
+
+  test("native cosine expression matches HOF formulation") {
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        cosineSim($"a.embedding", $"b.embedding").as("native"),
+        VectorFunctions.cosine($"a.embedding", $"b.embedding").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("cosine endpoints: self=1, orthogonal=0, opposite=-1") {
+    val m = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        cosineSim($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(m((0L, 0L)) - 1.0) < 1e-9)
+    assert(math.abs(m((0L, 2L))) < 1e-9)
+    assert(math.abs(m((0L, 3L)) + 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns nearest neighbors in rank order") {
+    val out = Similarity.bruteForceTopK(vecs,
+      vecs.filter($"vec_id" === 0L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.length == 2)
+    assert(out.head._1 == 1L) // rank 1: closest
+    assert(out(1)._1 == 4L) // rank 2
+  }
+
+  test("LSH top-k recalls planted near-duplicate neighbors") {
+    // LSH recall is only meaningful when similar pairs exist: plant queries
+    // that are slightly perturbed copies of corpus vectors (cosine ~ 1), and
+    // require LSH to find the original as the nearest neighbor.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.lshTopK(emb, queries, k = 1,
+      nPlanes = 8, dim = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"planted-neighbor recall $recall too low")
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val norms = vecs.select(
+      VectorFunctions.norm(VectorFunctions.l2Normalize($"embedding")).as("n"))
+      .as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9))
+  }
+}
