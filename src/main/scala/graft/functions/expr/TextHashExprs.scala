@@ -1,0 +1,174 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hashing hot paths of the dedup
+  * family (MinHash/SimHash). The higher-order-function formulations walk
+  * token arrays through the lambda interpreter with boxed values —
+  * per-element overhead that dominates the dedup stage at corpus scale; these
+  * evaluate in one primitive loop per row (xxhash64 family, same algorithm
+  * Spark's `xxhash64` function uses).
+  */
+
+/** Hashes of the k-gram (word shingle) set of a token array, deduplicated.
+  * A shingle's hash is the XXH64 chain over its k token hashes —
+  * equivalent fingerprinting power to hashing the joined string without
+  * materializing any shingle strings.
+  */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    // hash each token once
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42L)
+      i += 1
+    }
+    val out =
+      if (n == 0) Array(XXH64.hashLong(0L, 42L))
+      else if (n < k) {
+        // degenerate doc: single shingle over all tokens
+        var h = 42L
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(th(j), h); j += 1 }
+        Array(h)
+      } else {
+        val m = n - k + 1
+        val hs = new Array[Long](m)
+        var s0 = 0
+        while (s0 < m) {
+          var h = 42L
+          var j = 0
+          while (j < k) { h = XXH64.hashLong(th(s0 + j), h); j += 1 }
+          hs(s0) = h
+          s0 += 1
+        }
+        hs
+      }
+    val distinct = out.distinct
+    java.util.Arrays.sort(distinct)
+    new GenericArrayData(distinct)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** MinHash signature: for each seed, the minimum seeded re-hash over the
+  * input 64-bit hash set (Broder 1997 with hash-family permutations).
+  */
+case class MinHashSignatureExpr(child: Expression, seeds: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](seeds.length)
+    var s = 0
+    while (s < seeds.length) {
+      // per-seed initial state: chain the seed into xxhash64's default seed,
+      // matching xxhash64(lit(seed), x) = hashLong(x, hashLong(seed, 42))
+      val init = XXH64.hashLong(seeds(s), 42L)
+      var min = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val h = XXH64.hashLong(hs(i), init)
+        if (h < min) min = h
+        i += 1
+      }
+      sig(s) = if (hs.length == 0) init else min
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash over a token array (Charikar 2002): per bit, sum +/-1 votes
+  * from each token hash; output bit = sign of the vote.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object TextHashExprs {
+  def shingleHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(
+      ShingleHashesExpr(ColumnBridge.expression(tokens), k))
+
+  def minhashSignature(hashes: Column, seeds: Array[Long]): Column =
+    ColumnBridge.column(
+      MinHashSignatureExpr(ColumnBridge.expression(hashes), seeds))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+}

@@ -43,7 +43,10 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
-  /** Word shingles (k-grams) of a text column as `array<string>`. */
+  /** Word shingles (k-grams) of a text column as `array<string>` (debug /
+    * exact-verification view; the hot path hashes shingles without
+    * materializing them — see [[shingleHashes]]).
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = TextFunctions.tokens(text)
     when(size(toks) >= k,
@@ -52,24 +55,26 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** 64-bit hashes of the shingle set (deduplicated). */
+  /** 64-bit hashes of the k-shingle set (deduplicated, sorted): native
+    * expression ([[graft.functions.expr.ShingleHashesExpr]]) — one primitive
+    * loop per document instead of per-shingle lambda interpretation.
+    */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+    graft.functions.expr.TextHashExprs.shingleHashes(
+      TextFunctions.tokens(text), k)
 
   /** MinHash signature of a shingle-hash array: `numHashes` independent hash
     * functions realized as seed-mixed xxhash64 re-hashes of each shingle
     * hash, taking the min per function (Broder 1997). Seeded re-hashing
     * avoids multiply-add wraparound, which ANSI mode (Spark 4 default)
-    * rejects as long overflow. Pure column expression, codegen'd hash.
+    * rejects as long overflow. Native expression
+    * ([[graft.functions.expr.MinHashSignatureExpr]]).
     */
   def minhashSignature(shingleHashesCol: Column, numHashes: Int,
       seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
-    val seeds = Seq.fill(numHashes)(rng.nextLong())
-    val sigs = seeds.map { s =>
-      array_min(transform(shingleHashesCol, x => xxhash64(lit(s), x)))
-    }
-    array(sigs: _*)
+    val seeds = Array.fill(numHashes)(rng.nextLong())
+    graft.functions.expr.TextHashExprs.minhashSignature(shingleHashesCol, seeds)
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH banding: the signature is
@@ -160,26 +165,10 @@ object Dedup {
   /** 64-bit SimHash of a document (Charikar 2002): per bit position, sum +1/-1
     * votes of each token hash's bit; the sign of the sum is the output bit.
     * Near-identical documents differ in few bits (compare with
-    * [[hammingDist]]). Pure column expression over HOFs.
+    * [[hammingDist]]). Native expression ([[graft.functions.expr.SimHash64Expr]]).
     */
-  def simhash64(text: Column): Column = {
-    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val votes = aggregate(
-      tokenHashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
-    // fold bits where vote > 0 into a long (statically unrolled: shift
-    // amounts must be Scala constants for functions.shiftleft)
-    (0 until 64)
-      .map(i => when(element_at(votes, i + 1) > 0, lit(1L << i))
-        .otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  private def bitVotes(h: Column): Column =
-    array((0 until 64).map(i =>
-      when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
-        .otherwise(lit(-1))): _*)
+  def simhash64(text: Column): Column =
+    graft.functions.expr.TextHashExprs.simhash64(TextFunctions.tokens(text))
 
   /** Hamming distance between two 64-bit hashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (extension tier — the reference has no
+  * streaming at all, SURVEY.md §2.10). Batch counterparts of these transforms
+  * live in [[graft.QueriesExt]] / [[graft.operators.Sessionize]], which is
+  * what the DuckDB oracle checks; these builders run the same logic
+  * incrementally with watermark-bounded state.
+  *
+  * Scale notes: every aggregation below keys its state by (window x type) or
+  * user — state size is bounded by key cardinality, not stream length, and
+  * watermarks let Spark evict finished windows. At 100 TB/day the same code
+  * runs with a real source (Kafka/files) and checkpointed state store; the
+  * shuffle partitioning rules match the batch operators (hash on group key).
+  */
+object Streams {
+
+  /** File-source stream over a directory of parquet (schema must be supplied;
+    * streaming reads don't infer).
+    */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark for state
+    * eviction and late-data tolerance.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window counts (window/slide), watermarked. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Session windows per user (gap-merged), the streaming counterpart of
+    * [[graft.operators.Sessionize]].
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup by key within the watermark horizon (streaming
+    * counterpart of the reference's latest-record dedup D1).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ------------------------------------------------- custom state (FMGWS)
+
+  final case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long,
+      value: Double)
+  final case class UserSessionState(sessionSeq: Long, lastTsMicros: Long,
+      nEvents: Long, startTsMicros: Long)
+  final case class SessionOut(user_id: Long, session_seq: Long,
+      n_events: Long, duration_us: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * session row whenever a gap larger than `gapSeconds` closes the previous
+    * session. Demonstrates arbitrary keyed state (the escape hatch when
+    * session_window's merge semantics aren't enough — e.g. per-session
+    * aggregates beyond counts).
+    */
+  def statefulSessionize(events: Dataset[UserEvent], gapSeconds: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[SessionOut],
+      stEnc: org.apache.spark.sql.Encoder[UserSessionState])
+      : Dataset[SessionOut] = {
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[UserSessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            if (st.nEvents == 0L || e.tsMicros - st.lastTsMicros > gapUs) {
+              if (st.nEvents > 0L)
+                out += SessionOut(user, st.sessionSeq, st.nEvents,
+                  st.lastTsMicros - st.startTsMicros)
+              st = UserSessionState(st.sessionSeq + 1L, e.tsMicros, 1L,
+                e.tsMicros)
+            } else {
+              st = st.copy(lastTsMicros = e.tsMicros, nEvents = st.nEvents + 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -16,10 +16,14 @@ object Debug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    if (sys.env.get("DEBUG_EXPLAIN").contains("1")) df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    val cold = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, sfDir).count()
+    val warm = (System.nanoTime() - t1) / 1e9
+    println(f"$name: $n rows, cold $cold%.1fs, warm $warm%.1fs")
     spark.stop()
   }
 }

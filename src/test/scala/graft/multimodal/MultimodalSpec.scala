@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val assets = Seq(
+    ("s3://bucket/a.jpg", "image/jpeg", "payload-a".getBytes, Map("w" -> "640", "n_frames" -> "0")),
+    ("s3://bucket/b.jpg", "image/jpeg", "payload-b".getBytes, Map("w" -> "320")),
+    ("s3://bucket/a2.jpg", "image/jpeg", "payload-a".getBytes, Map("w" -> "640")), // dup content of a
+    ("s3://bucket/v.mp4", "video/mp4", "payload-v".getBytes, Map("n_frames" -> "95"))
+  ).toDF("uri", "mime", "bytes", "meta")
+    .select(Multimodal.asset($"uri", $"mime", $"bytes", $"meta").as("asset"))
+
+  test("asset struct matches the declared schema") {
+    assert(assets.schema("asset").dataType == Multimodal.assetSchema)
+  }
+
+  test("payload hash is content-determined") {
+    val hs = assets.select($"asset.uri", Multimodal.payloadHash($"asset"))
+      .as[(String, Long)].collect().toMap
+    assert(hs("s3://bucket/a.jpg") == hs("s3://bucket/a2.jpg"))
+    assert(hs("s3://bucket/a.jpg") != hs("s3://bucket/b.jpg"))
+  }
+
+  test("stub features are deterministic, sized, and in [-1,1]") {
+    val f1 = assets.select(Multimodal.stubDecodeFeatures($"asset", 16).as("f"))
+      .as[Array[Float]].collect()
+    val f2 = assets.select(Multimodal.stubDecodeFeatures($"asset", 16).as("f"))
+      .as[Array[Float]].collect()
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    f1.foreach { v =>
+      assert(v.length == 16)
+      v.foreach(x => assert(x >= -1.0f && x <= 1.0f))
+    }
+  }
+
+  test("stub features feed the similarity operator (array<float> contract)") {
+    val corpus = assets.select(
+      monotonically_increasing_id().as("vec_id"),
+      Multimodal.stubDecodeFeatures($"asset", 16).as("embedding"))
+    val out = graft.operators.Similarity.bruteForceTopK(
+      corpus, corpus.limit(1), k = 2, queryIdOut = "query_id")
+    assert(out.count() == 2)
+  }
+
+  test("content dedup keeps one asset per payload") {
+    val out = Multimodal.dedupByContent(assets, "asset")
+    assert(out.count() == 3)
+    val uris = out.select($"asset.uri").as[String].collect().toSet
+    assert(uris.contains("s3://bucket/a.jpg")) // min uri wins
+    assert(!uris.contains("s3://bucket/a2.jpg"))
+  }
+
+  test("frame sampling explodes stride-spaced indices from metadata") {
+    val frames = Multimodal.stubSampleFrames(
+      assets.filter($"asset.mime" === "video/mp4"), "asset", stride = 10)
+    assert(frames.count() == 10) // 0,10,...,90
+    val idx = frames.select($"frame_index").as[Int].collect().toSeq
+    assert(idx == (0 until 95 by 10).toSeq)
+  }
+
+  test("metadata-only projection prunes payload bytes from the scan") {
+    val plan = assets.select($"asset.uri", $"asset.meta")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("bytes") || plan.contains("Project"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming transforms driven synchronously against the events testdata:
+  * copy the parquet into a stream-source dir, run each query to completion
+  * with a memory sink, and check results against the batch counterparts.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val streamDir: String = {
+    val d = "target/stream_in"
+    // rebuild the events table as proper micro timestamps for streaming
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    ev.write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private lazy val batchEvents = spark.read.parquet(streamDir)
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String = "complete"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("windowed counts match the batch groupBy over the same data") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val got = runToCompletion(
+      Streams.windowedCounts(stream), "hourly_out")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("session windows produce one row per (user, gap-separated session)") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val got = runToCompletion(
+      Streams.sessionWindows(stream, gap = "30 minutes"), "sessions_out")
+    val nStreaming = got.count()
+    val nBatch = graft.operators.Sessionize
+      .aggregate(batchEvents, gapSeconds = 1800L).count()
+    assert(nStreaming == nBatch)
+    // event totals must be conserved
+    assert(got.agg(sum("n_events")).head().getLong(0) == batchEvents.count())
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by key") {
+    val dup = batchEvents.union(batchEvents) // every event twice
+    dup.write.mode("overwrite").parquet("target/stream_dup")
+    val stream = Streams.parquetStream(spark, "target/stream_dup",
+      batchEvents.schema)
+    val got = runToCompletion(
+      Streams.dedupWithinWatermark(stream, Seq("event_id")), "dedup_out",
+      mode = "append")
+    assert(got.count() == batchEvents.count())
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
+    import Streams._
+    implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[UserSessionState]
+    val ds = batchEvents
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsMicros"),
+        $"value")
+      .as[UserEvent](org.apache.spark.sql.Encoders.product[UserEvent])
+    val out = Streams.statefulSessionize(ds, gapSeconds = 1800L).collect()
+    // emits all but each user's final (still-open) session
+    val batchSessions = graft.operators.Sessionize
+      .aggregate(batchEvents, gapSeconds = 1800L)
+    val users = batchEvents.select("user_id").distinct().count()
+    assert(out.length == batchSessions.count() - users)
+    // emitted sessions must match the batch aggregate rows exactly
+    val batchMap = batchSessions
+      .select($"user_id", $"session_seq", $"n_events", $"duration_us")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out.foreach { s =>
+      assert(batchMap((s.user_id, s.session_seq)) == ((s.n_events, s.duration_us)),
+        s"session mismatch for user ${s.user_id} seq ${s.session_seq}")
+    }
+  }
+}
