@@ -239,6 +239,41 @@ object QueriesCore {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** PIVOT — orders count by status x priority as a wide table. */
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, Priorities)
+      .orderBy("status")
+
+  /** Exact order statistics per group: median (linear interpolation — exact
+    * on integral quantities), min/max, distinct count.
+    */
+  def groupStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        countDistinct("l_partkey").as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** INTERSECT / EXCEPT — dates in both fact tables vs orders-only dates. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").cast("string").as("d"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_shipdate").cast("date").cast("string").as("d"))
+    o.intersect(l).withColumn("op", lit("both"))
+      .union(o.except(l).withColumn("op", lit("orders_only")))
+      .orderBy("d", "op")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -259,7 +294,10 @@ object QueriesCore {
     "q15_scalar_funcs" -> scalarFuncs _,
     "q16_window_analytics" -> windowAnalytics _,
     "q17_rollup" -> rollupCounts _,
-    "q18_topk_per_group" -> topkPerGroup _)
+    "q18_topk_per_group" -> topkPerGroup _,
+    "q19_pivot" -> pivotCounts _,
+    "q20_group_stats" -> groupStats _,
+    "q21_setops" -> setOps _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -376,5 +414,30 @@ object QueriesCore {
       """SELECT p_brand, p_partkey, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_retailprice, row_number() OVER (
         |   PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
-        | FROM part) WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin)
+        | FROM part) WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin,
+    "q19_pivot" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "q20_group_stats" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q21_setops" ->
+      """SELECT d, 'both' AS op FROM (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders
+        |  INTERSECT
+        |  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem)
+        |UNION ALL
+        |SELECT d, 'orders_only' AS op FROM (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders
+        |  EXCEPT
+        |  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem)
+        |ORDER BY d, op""".stripMargin)
 }

@@ -143,6 +143,27 @@ object QueriesExt {
       .orderBy("user_id", "event_type")
   }
 
+  /** Backward as-of join: each purchase event picks up the user's most
+    * recent view event at-or-before it ([[graft.operators.AsOfJoin]];
+    * oracle uses DuckDB's native ASOF LEFT JOIN).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    graft.operators.AsOfJoin.backward(
+      purchases, views, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts",
+      payload = Seq("view_event_id", "view_ts"),
+      rightTiebreak = Some("view_event_id"))
+      .select(col("event_id"), col("user_id"), col("view_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------- similarity
 
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
@@ -184,7 +205,8 @@ object QueriesExt {
     "x11_events_first_per_type" -> eventsFirstPerType _,
     "x12_knn_brute" -> knnBrute _,
     "x13_knn_lsh" -> knnLsh _,
-    "x14_embed_neardup" -> embedNearDup _)
+    "x14_embed_neardup" -> embedNearDup _,
+    "x15_asof_join" -> asofJoin _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -295,5 +317,12 @@ object QueriesExt {
       """SELECT user_id, event_type, event_id, ts FROM (
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-        | FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        | FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "x15_asof_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+        | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin)
 }

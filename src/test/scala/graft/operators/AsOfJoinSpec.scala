@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val trades = Seq(
+    ("AAPL", ts("2024-01-01 10:00:05"), 1L),
+    ("AAPL", ts("2024-01-01 10:00:00"), 2L), // exactly at a quote time
+    ("AAPL", ts("2024-01-01 09:00:00"), 3L), // before any quote
+    ("MSFT", ts("2024-01-01 10:00:10"), 4L)
+  ).toDF("sym", "t_ts", "trade_id")
+
+  private val quotes = Seq(
+    ("AAPL", ts("2024-01-01 10:00:00"), 100.0),
+    ("AAPL", ts("2024-01-01 10:00:03"), 101.0),
+    ("MSFT", ts("2024-01-01 10:00:00"), 200.0)
+  ).toDF("sym", "q_ts", "px")
+
+  private def run(inclusive: Boolean) =
+    AsOfJoin.backward(trades, quotes, keys = Seq("sym"),
+      leftTs = "t_ts", rightTs = "q_ts", payload = Seq("px"),
+      inclusive = inclusive)
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+
+  test("inclusive backward as-of picks latest quote at or before each trade") {
+    val m = run(inclusive = true)
+    assert(m(1L).contains(101.0))
+    assert(m(2L).contains(100.0)) // equal-ts quote visible when inclusive
+    assert(m(3L).isEmpty) // no earlier quote -> null
+    assert(m(4L).contains(200.0))
+  }
+
+  test("exclusive backward as-of ignores equal-timestamp right rows") {
+    val m = run(inclusive = false)
+    assert(m(2L).isEmpty) // the 10:00:00 quote is no longer visible
+    assert(m(1L).contains(101.0))
+  }
+
+  test("every left row survives (left-join semantics)") {
+    assert(run(inclusive = true).size == trades.count())
+  }
+}
