@@ -274,6 +274,22 @@ object QueriesCore {
       .orderBy("d", "op")
   }
 
+  /** SQL entry point (S4): temp-view registration + spark.sql text — the
+    * same metric-2-shaped query the reference runs through its SQL surface
+    * (`/root/reference/src/pipeline.py:279-318`).
+    */
+  def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')
+        |         AS month,
+        |       o_orderstatus AS status,
+        |       count(*) AS total_orders
+        |FROM orders_v
+        |GROUP BY 1, 2
+        |ORDER BY month, status""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -297,7 +313,8 @@ object QueriesCore {
     "q18_topk_per_group" -> topkPerGroup _,
     "q19_pivot" -> pivotCounts _,
     "q20_group_stats" -> groupStats _,
-    "q21_setops" -> setOps _)
+    "q21_setops" -> setOps _,
+    "q22_sql_entry" -> sqlEntry _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -439,5 +456,9 @@ object QueriesCore {
         |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders
         |  EXCEPT
         |  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem)
-        |ORDER BY d, op""".stripMargin)
+        |ORDER BY d, op""".stripMargin,
+    "q22_sql_entry" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        | o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS total_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY month, status""".stripMargin)
 }

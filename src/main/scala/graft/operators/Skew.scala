@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed.
+  *
+  * AQE's skew-join splitting (on in every [[graft.engine.SparkEnv]] session)
+  * handles sort-merge skew transparently; explicit salting remains the tool
+  * when (a) the skewed side must hash-join against a mid-sized build side
+  * that cannot broadcast, or (b) a `groupBy` on the hot key itself is the
+  * bottleneck. Standard technique: replicate the build side `saltFactor`
+  * ways and scatter the probe side uniformly across the replicas, so one hot
+  * key spreads over `saltFactor` tasks.
+  */
+object Skew {
+
+  /** Salted inner equi-join: `big ⋈ small` on `key`, with the small side
+    * replicated `saltFactor` times. Correct for any key distribution;
+    * costs `saltFactor`x the small side (which is why the small side must be
+    * small — for broadcastable sides just use `broadcast()` instead).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedBig
+      .join(saltedSmall, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial aggregate on (key, salt), then
+    * final aggregate on key. Use when a single group dominates and must not
+    * land on one reducer. `partials` maps each aggregation to its
+    * (partial expression, final combiner) pair — e.g. sum/sum, count/sum.
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int = 16): DataFrame =
+    df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pn")).as("n"))
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+    Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Layout.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+    // disable broadcast so the exchange-free plan can only come from
+    // co-bucketing, not from a broadcast join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(joined.count() ==
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in bucketed join plan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("date-partitioned layout prunes partitions on read") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Layout.writeDatePartitioned(ev, "target/events_parted", "ts")
+    val jan2 = Layout.readPartitioned(spark, "target/events_parted")
+      .filter(col("event_date") === "2024-01-02")
+    val plan = jan2.queryExecution.executedPlan.toString
+    // partition filter must reach the file index, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), s"no partition pruning in:\n$plan")
+    val expected = ev.filter(col("ts").cast("date") === "2024-01-02").count()
+    assert(jan2.count() == expected)
+  }
+
+  test("salted join matches plain join results") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("s"))
+    val plain = li.join(dim, Seq("k")).count()
+    val salted = graft.operators.Skew.saltedJoin(li, dim, "k", saltFactor = 4)
+      .count()
+    assert(salted == plain)
+  }
+
+  test("salted aggregation matches plain aggregation") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("v"))
+    val plain = li.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = graft.operators.Skew.saltedSum(li, "k", "v", saltFactor = 8)
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == plain) // integral quantities: double sums exact
+  }
+}
