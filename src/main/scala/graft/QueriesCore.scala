@@ -173,16 +173,34 @@ object QueriesCore {
     DateDim.fromDateColumns(Seq((t(spark, dir, "orders"), "o_orderdate")))
       .withColumn("date", col("date").cast("string"))
 
-  /** D2/D3/D4/A6 — the DQ rate checks as one single-pass row. */
+  /** D2/D3/D4/A6 — the DQ rate checks as one fully-distributed plan: a
+    * single-pass aggregate over orders (null + dup rates) cross-joined with
+    * a key-only anti-join count over lineitem (orphan rate). No driver-side
+    * collect anywhere — the rates materialize as one job when the sink runs
+    * (the reference runs 6+ sequential count jobs for the same answers).
+    */
   def dqRates(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val orders = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
-    val (nullRate, dupRate) = graft.dq.Checks.keyRates(orders, "o_orderkey")
-    val nullCust = graft.dq.Checks.nullRate(orders, "o_custkey")
-    val orphan = graft.dq.Checks.orphanRate(li, "l_orderkey", orders, "o_orderkey")
-    Seq((nullCust, dupRate, orphan))
-      .toDF("null_rate_custkey", "dup_rate_orderkey", "orphan_rate_lineitem")
+    val orderAgg = orders.agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("__nulls"),
+      countDistinct(col("o_orderkey")).as("__uniq"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("__knulls"))
+    val orphanAgg = li
+      .select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("__orphans"))
+    val liCount = li.agg(count(lit(1)).as("__li_n"))
+    orderAgg.crossJoin(orphanAgg).crossJoin(liCount)
+      .select(
+        (col("__nulls").cast("double") / col("__n"))
+          .as("null_rate_custkey"),
+        ((col("__n") - col("__knulls") - col("__uniq")).cast("double") /
+          col("__n")).as("dup_rate_orderkey"),
+        (col("__orphans").cast("double") / col("__li_n"))
+          .as("orphan_rate_lineitem"))
   }
 
   /** P2/P7/P8/P11/P12/F7 + string functions — scalar projection gallery. */

@@ -183,6 +183,12 @@ object QueriesExt {
       knnQueries(spark, dir), k = 5, nPlanes = 6, dim = 64)
       .orderBy("query_id", "rank")
 
+  /** IVF (k-means inverted file) approximate top-5 neighbors (rows-only). */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+
   /** Embedding-cosine near-duplicate pairs (rows-only). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4,
@@ -206,7 +212,8 @@ object QueriesExt {
     "x12_knn_brute" -> knnBrute _,
     "x13_knn_lsh" -> knnLsh _,
     "x14_embed_neardup" -> embedNearDup _,
-    "x15_asof_join" -> asofJoin _)
+    "x15_asof_join" -> asofJoin _,
+    "x16_knn_ivf" -> knnIvf _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -85,6 +85,69 @@ object Similarity {
       .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Approximate top-k via IVF (inverted-file) coarse quantization: k-means
+    * centroids partition the corpus into `nList` cells; each query scores
+    * only the cells of its `nProbe` nearest centroids, then exact cosine
+    * re-ranks. The standard ANN scale path when the corpus has cluster
+    * structure (IVF-Flat); centroids train on a bounded sample so training
+    * cost is independent of corpus size, and cell assignment is one narrow
+    * pass.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nList: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdOut: String = "query_id", trainSample: Int = 10000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val spark = corpus.sparkSession
+    val train = corpus.select(col(vecCol)).limit(trainSample)
+      .withColumn("features",
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
+
+    // centroid table, broadcast for cell assignment by native cosine/L2
+    val centroids: Seq[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) =>
+        (i, c.toArray)
+      }.toSeq
+    import spark.implicits._
+    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+
+    def assign(df: DataFrame, n: Int, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__dist").asc,
+        col("cell").asc)
+      df.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(centDf)
+        .withColumn("__dist",
+          -cosineSim(col(vecCol), col("centroid")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("__dist", "__rk", "centroid", "__rid")
+        .withColumnRenamed("cell", outCol)
+    }
+
+    val cells = assign(corpus.select(col(idCol), col(vecCol)), 1, "__cell")
+    val probes = assign(
+      queries.select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"))
+        .withColumnRenamed("__qvec", vecCol), nProbe, "__cell")
+      .withColumnRenamed(vecCol, "__qvec")
+
+    val candidates = cells
+      .join(broadcast(probes), Seq("__cell"))
+      .filter(col(idCol) =!= col(queryIdOut))
+      .dropDuplicates(queryIdOut, idCol)
+      .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket the
     * corpus against itself, score within buckets, keep pairs with
     * cosine >= `threshold`. Used for embedding-based near-dedup.

@@ -18,13 +18,23 @@ object Layout {
     * difference between a network-bound and a local join.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a fresh catalog (e.g. in-memory metastore) doesn't know about a
+    // leftover managed location from a previous process — drop both the
+    // table and any orphaned directory so Overwrite is truly idempotent
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Write date-partitioned parquet: directory layout `dateCol=YYYY-MM-DD/`.
     * Readers filtering on the partition column scan only matching

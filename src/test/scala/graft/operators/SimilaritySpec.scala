@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-neighbor recall $recall too low")
   }
 
+  test("IVF top-k recalls planted near-duplicate neighbors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.ivfTopK(emb, queries, k = 1,
+      nList = 8, nProbe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"planted-neighbor IVF recall $recall too low")
+  }
+
   test("l2Normalize produces unit vectors") {
     val norms = vecs.select(
       VectorFunctions.norm(VectorFunctions.l2Normalize($"embedding")).as("n"))
