@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expr._
+
+/** SparkSessionExtensions hook: registers the graft native expressions as
+  * SQL functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works for
+  * SQL-surface users, not just the Column API.
+  *
+  * Usage:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.engine.GraftExtensions
+  * }}}
+  *
+  * This is the (c)-tier Catalyst integration point (SURVEY.md §7.4); no
+  * custom LogicalPlan/Strategy is needed for the engine's surface — every
+  * whole-operator semantic (as-of join, LSH dedup, sessionization) is
+  * expressible as compositions whose physical plans Catalyst already picks
+  * well, so the extension tier stops at expressions + function registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0",
+      "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens, k) - sorted distinct hashes of word k-grams"),
+      (args: Seq[Expression]) => {
+        val k = args(1).eval().asInstanceOf[Int]
+        ShingleHashesExpr(args.head, k)
+      }))
+  }
+}

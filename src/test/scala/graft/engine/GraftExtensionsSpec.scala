@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface access to the native expressions via SparkSessionExtensions.
+  * Needs its own session (extensions bind at session build), created against
+  * the shared context and closed after.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // extensions bind only at session CREATION: getOrCreate would silently
+    // reuse the suite-shared session, so detach it first (the SparkContext
+    // is reused; only the session state is new)
+    val shared = graft.SparkSpec.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    s
+  }
+
+  test("cosine_sim is callable from SQL") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+        " cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o")
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("simhash64 and shingle_hashes are callable from SQL") {
+    val r = spark.sql(
+      "SELECT simhash64(array('a','b','c')) AS s1," +
+        " simhash64(array('a','b','c')) AS s2," +
+        " size(shingle_hashes(array('a','b','c','d'), 2)) AS n")
+      .head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getInt(2) == 3) // ab, bc, cd
+  }
+}
