@@ -72,6 +72,23 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** foreachBatch sink: apply `transform` to each micro-batch and append it
+    * to a parquet path with exactly-once tracking via the checkpoint. This
+    * is the incremental-pipeline seam — with a transactional table format
+    * (Delta/Iceberg) the body becomes a MERGE; with plain parquet it is an
+    * idempotent append keyed by batch id.
+    */
+  def foreachBatchParquet(stream: DataFrame, path: String,
+      checkpoint: String)(
+      transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        transform(batch.toDF())
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   // ------------------------------------------------- custom state (FMGWS)
 
   final case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long,

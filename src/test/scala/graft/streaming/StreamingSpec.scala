@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == batchEvents.count())
   }
 
+  test("foreachBatch appends transformed micro-batches to parquet") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val outDir = "target/stream_fb_out"
+    val ckDir = "target/stream_fb_ck"
+    Seq(outDir, ckDir).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+    }
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val q = Streams.foreachBatchParquet(stream, outDir, ckDir) { b =>
+      b.filter(col("event_type") === "purchase")
+        .withColumn("value_decimal", col("value").cast("decimal(18,2)"))
+    }
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() ==
+      batchEvents.filter(col("event_type") === "purchase").count())
+    assert(got.columns.contains("value_decimal"))
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
