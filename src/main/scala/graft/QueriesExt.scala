@@ -164,6 +164,19 @@ object QueriesExt {
       .orderBy("event_id")
   }
 
+  /** Deterministic modulo train/test split with per-side stats (portable
+    * oracle; the hash-based variant is [[graft.operators.Sampling.deterministicSplit]]).
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = graft.operators.Sampling.moduloSplit(
+      t(spark, dir, "documents"), "doc_id", modulus = 10, testResidue = 0)
+    val a = train.agg(count(lit(1)).as("n"),
+      sum(col("n_chars")).as("chars")).withColumn("split", lit("train"))
+    val b = test.agg(count(lit(1)).as("n"),
+      sum(col("n_chars")).as("chars")).withColumn("split", lit("test"))
+    a.unionByName(b).select("split", "n", "chars").orderBy("split")
+  }
+
   // ------------------------------------------------------------- similarity
 
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
@@ -213,7 +226,8 @@ object QueriesExt {
     "x13_knn_lsh" -> knnLsh _,
     "x14_embed_neardup" -> embedNearDup _,
     "x15_asof_join" -> asofJoin _,
-    "x16_knn_ivf" -> knnIvf _)
+    "x16_knn_ivf" -> knnIvf _,
+    "x17_train_test_split" -> trainTestSplit _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -325,6 +339,15 @@ object QueriesExt {
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "x17_train_test_split" ->
+      """SELECT split, CAST(n AS BIGINT) AS n, CAST(chars AS BIGINT) AS chars
+        |FROM (
+        | SELECT 'train' AS split, COUNT(*) AS n, SUM(n_chars) AS chars
+        | FROM documents WHERE doc_id % 10 != 0
+        | UNION ALL
+        | SELECT 'test', COUNT(*), SUM(n_chars)
+        | FROM documents WHERE doc_id % 10 = 0)
+        |ORDER BY split""".stripMargin,
     "x15_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
         | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
