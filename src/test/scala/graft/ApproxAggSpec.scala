@@ -21,6 +21,22 @@ class ApproxAggSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("approx_tight") - exact) / exact < 0.02)
   }
 
+  test("HLL sketches built per-partition union to the global estimate") {
+    // the incremental-distinct pattern: sketch each day/partition once,
+    // store the binary sketch, and union sketches instead of re-scanning
+    // history — O(sketch) merge instead of O(data) recount at 100 TB
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val perGroup = li
+      .groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sketch"))
+    val merged = perGroup
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("est"))
+      .head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact")
+  }
+
   test("approx percentile brackets the exact median") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val row = li.agg(
