@@ -308,6 +308,41 @@ object QueriesCore {
         |ORDER BY month, status""".stripMargin)
   }
 
+  /** Scalar subquery — orders above the average total, compared in exact
+    * integer/decimal space (`price * n > sum` avoids cross-engine AVG
+    * rounding differences). Runs through spark.sql to exercise subquery
+    * planning.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_ssq")
+    spark.sql(
+      """SELECT o_orderkey FROM orders_ssq
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders_ssq) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_ssq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** RANGE-frame window — rolling 7-day order total per customer over a
+    * day-number ordering (numeric range frames behave identically across
+    * engines; decimal sums keep it exact).
+    */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1992-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("day_num", dayNum)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        col("day_num"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("rolling_7d_total"))
+      .orderBy("custkey", "orderkey")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -332,7 +367,9 @@ object QueriesCore {
     "q19_pivot" -> pivotCounts _,
     "q20_group_stats" -> groupStats _,
     "q21_setops" -> setOps _,
-    "q22_sql_entry" -> sqlEntry _)
+    "q22_sql_entry" -> sqlEntry _,
+    "q23_scalar_subquery" -> scalarSubquery _,
+    "q24_range_window" -> rangeWindow _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -478,5 +515,21 @@ object QueriesCore {
     "q22_sql_entry" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
         | o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS total_orders
-        |FROM orders GROUP BY 1, 2 ORDER BY month, status""".stripMargin)
+        |FROM orders GROUP BY 1, 2 ORDER BY month, status""".stripMargin,
+    "q23_scalar_subquery" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q24_range_window" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        | CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |   AS day_num,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS rolling_7d_total
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin)
 }
