@@ -111,6 +111,28 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
+  /** JSON property extraction (`props` carries `{"k": N}`) aggregated per
+    * event type — the semi-structured column surface.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** Generator surface: explode whitespace tokens into a frequency table
+    * (top 50, deterministic tiebreak).
+    */
+  def tokenFreq(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(50)
+
   // ----------------------------------------------------------------- events
 
   /** Tumbling-window batch parity: hourly counts/sums per event type
@@ -227,7 +249,9 @@ object QueriesExt {
     "x14_embed_neardup" -> embedNearDup _,
     "x15_asof_join" -> asofJoin _,
     "x16_knn_ivf" -> knnIvf _,
-    "x17_train_test_split" -> trainTestSplit _)
+    "x17_train_test_split" -> trainTestSplit _,
+    "x18_json_extract" -> jsonExtract _,
+    "x19_token_freq" -> tokenFreq _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -348,6 +372,17 @@ object QueriesExt {
         | SELECT 'test', COUNT(*), SUM(n_chars)
         | FROM documents WHERE doc_id % 10 = 0)
         |ORDER BY split""".stripMargin,
+    "x18_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "x19_token_freq" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents)
+        |WHERE length(tok) > 0 GROUP BY 1
+        |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
     "x15_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
         | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
