@@ -23,11 +23,13 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        // repartition(1), not coalesce(1): coalesce would collapse the whole
-        // upstream plan into a single task; repartition keeps computation
-        // parallel and only funnels the (small) result for a one-file dump.
-        fn(spark, sfDir).repartition(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // write natural partitions: a final repartition(1) would shuffle and
+        // destroy each query's ORDER BY row order, and coalesce(1) would
+        // collapse the whole upstream plan into one task. Range-partitioned
+        // sorted output lands as part-00000..N in global order, and readers
+        // (pandas/duckdb/pyarrow) concatenate files in name order, so the
+        // dumped row order matches the oracle's ORDER BY.
+        fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>

@@ -51,7 +51,17 @@ def main(sf_dir, out_dir):
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"[PASS] {name}: {len(g)} rows")
+            # also flag row-ORDER divergence (a comparer that doesn't sort
+            # rows would fail there even when the sorted sets match)
+            gu = got[sorted(got.columns)].reset_index(drop=True)
+            wu = want[sorted(want.columns)].reset_index(drop=True)
+            try:
+                pd.testing.assert_frame_equal(gu, wu, check_dtype=False,
+                                              check_exact=True)
+                order = ""
+            except AssertionError:
+                order = "  [WARN row order differs]"
+            print(f"[PASS] {name}: {len(g)} rows{order}")
             n_pass += 1
         except AssertionError as e:
             print(f"[FAIL] {name}: value mismatch\n{str(e)[:800]}")
