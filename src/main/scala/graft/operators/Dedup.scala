@@ -151,6 +151,64 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-duplicate pair list: assigns every id
+    * the minimum id reachable through the pair graph (large-neighborhood
+    * label propagation, a.k.a. hash-to-min). Used when dup clusters are NOT
+    * near-cliques (chains a~b~c where a,c aren't direct candidates) and the
+    * greedy min-id rule of [[minhashDedup]] would over-keep.
+    *
+    * Scale: each iteration is one groupBy-min + join on ids (shuffle volume
+    * O(edges)); iterations needed = O(log(diameter)), and dup-cluster
+    * diameters are tiny in practice, so `maxIter` defaults low. Convergence
+    * is checked with a cheap count of changed labels.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node takes the min label in its closed neighborhood
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels
+  }
+
+  /** MinHash near-dedup with exact cluster resolution: candidates feed
+    * [[connectedComponents]], and each component keeps its minimum id.
+    */
+  def minhashDedupCC(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val pairs = minhashCandidates(df, textCol, idCol, shingleK, numHashes,
+      bands, threshold, seed = seed)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard similarity between two text columns (exact, for
     * verification and small candidate sets).
     */

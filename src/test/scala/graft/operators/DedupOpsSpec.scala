@@ -64,6 +64,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!ids.contains(1L))
   }
 
+  test("connected components resolve chained near-dup clusters") {
+    // chain: 1-2, 2-3 (1 and 3 never directly paired) + isolated pair 7-9
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(7L) == 7L && comps(9L) == 7L)
+  }
+
+  test("minhashDedupCC keeps one survivor per connected cluster") {
+    val ids = Dedup.minhashDedupCC(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0,1,4-ish cluster; 3 isolated; survivor set keeps min ids
+    assert(ids.contains(0L) && ids.contains(3L))
+    assert(!ids.contains(1L))
+  }
+
   test("simhash: identical texts hash equal, near-dups are close in hamming") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
