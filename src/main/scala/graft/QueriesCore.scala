@@ -343,6 +343,39 @@ object QueriesCore {
       .orderBy("custkey", "orderkey")
   }
 
+  /** Date-function family beyond the reference's F1-F6: month arithmetic
+    * with end-of-month clamping, last_day, day offsets, ISO week, quarter.
+    */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("d")
+    t(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(
+        d.cast("string").as("d"),
+        add_months(d, 3).cast("string").as("plus_3m"),
+        last_day(d).cast("string").as("month_end"),
+        date_add(d, 7).cast("string").as("plus_7d"),
+        weekofyear(d).as("week"),
+        quarter(d).as("quarter"),
+        date_trunc("quarter", d).cast("date").cast("string")
+          .as("quarter_start"))
+      .orderBy("d")
+  }
+
+  /** Conditional / boolean / collection aggregates: count_if, bool_and,
+    * bool_or, and a deterministic string aggregation (sorted collect_set).
+    */
+  def condAggs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"))
+      .orderBy("status")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -369,7 +402,9 @@ object QueriesCore {
     "q21_setops" -> setOps _,
     "q22_sql_entry" -> sqlEntry _,
     "q23_scalar_subquery" -> scalarSubquery _,
-    "q24_range_window" -> rangeWindow _)
+    "q24_range_window" -> rangeWindow _,
+    "q25_date_functions" -> dateFunctions _,
+    "q26_cond_aggs" -> condAggs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -531,5 +566,23 @@ object QueriesCore {
         |   ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS rolling_7d_total
-        |FROM orders ORDER BY custkey, orderkey""".stripMargin)
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+    "q25_date_functions" ->
+      """SELECT CAST(d AS VARCHAR) AS d,
+        | CAST(CAST(d + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+        | CAST(last_day(d) AS VARCHAR) AS month_end,
+        | CAST(d + 7 AS VARCHAR) AS plus_7d,
+        | CAST(weekofyear(d) AS INT) AS week,
+        | CAST(quarter(d) AS INT) AS quarter,
+        | CAST(CAST(date_trunc('quarter', d) AS DATE) AS VARCHAR) AS quarter_start
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |ORDER BY d""".stripMargin,
+    "q26_cond_aggs" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        | bool_and(o_totalprice > 0) AS all_positive,
+        | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |   AS priorities
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)
 }

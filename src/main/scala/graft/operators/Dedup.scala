@@ -192,6 +192,7 @@ object Dedup {
       converged = changed == 0L
       i += 1
     }
+    edges.unpersist()
     labels
   }
 
