@@ -376,6 +376,17 @@ object QueriesCore {
           .as("priorities"))
       .orderBy("status")
 
+  /** Regex family: group extraction, boolean match, global replace. */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_type"),
+        col("p_name").rlike("\\d").as("has_digit"),
+        regexp_replace(col("p_brand"), "#", "-").as("brand_dashed"))
+      .orderBy("p_partkey")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -404,7 +415,8 @@ object QueriesCore {
     "q23_scalar_subquery" -> scalarSubquery _,
     "q24_range_window" -> rangeWindow _,
     "q25_date_functions" -> dateFunctions _,
-    "q26_cond_aggs" -> condAggs _)
+    "q26_cond_aggs" -> condAggs _,
+    "q27_regex" -> regexFuncs _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -584,5 +596,12 @@ object QueriesCore {
         | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
         | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
         |   AS priorities
-        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "q27_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        | regexp_extract(p_type, '(\w+)$', 1) AS last_type,
+        | regexp_matches(p_name, '\d') AS has_digit,
+        | regexp_replace(p_brand, '#', '-', 'g') AS brand_dashed
+        |FROM part ORDER BY p_partkey""".stripMargin)
 }

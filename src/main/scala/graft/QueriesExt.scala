@@ -224,6 +224,19 @@ object QueriesExt {
       knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
       .orderBy("query_id", "rank")
 
+  /** Array-column surface over embeddings: size, element access, max —
+    * pure selections so float values pass through bit-exactly.
+    */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        element_at(col("embedding"), 1).as("e1"),
+        array_max(col("embedding")).as("emax"),
+        array_min(col("embedding")).as("emin"))
+      .orderBy("vec_id")
+
   /** Embedding-cosine near-duplicate pairs (rows-only). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4,
@@ -251,7 +264,8 @@ object QueriesExt {
     "x16_knn_ivf" -> knnIvf _,
     "x17_train_test_split" -> trainTestSplit _,
     "x18_json_extract" -> jsonExtract _,
-    "x19_token_freq" -> tokenFreq _)
+    "x19_token_freq" -> tokenFreq _,
+    "x20_array_ops" -> arrayOps _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -372,6 +386,11 @@ object QueriesExt {
         | SELECT 'test', COUNT(*), SUM(n_chars)
         | FROM documents WHERE doc_id % 10 = 0)
         |ORDER BY split""".stripMargin,
+    "x20_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        | embedding[1] AS e1,
+        | list_max(embedding) AS emax, list_min(embedding) AS emin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "x18_json_extract" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
