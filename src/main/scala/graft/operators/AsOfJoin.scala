@@ -32,8 +32,11 @@ object AsOfJoin {
       inclusive: Boolean = true): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    require(!leftCols.exists(c => payload.contains(s"${c}")),
+    require(!leftCols.exists(payload.contains),
       "payload column names must not collide with left columns")
+    val reserved = Seq("__ts", "__side", "__tb")
+    require(!(leftCols ++ payload).exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by AsOfJoin")
 
     val rightSide = right.select(
       (keys.map(col) :+

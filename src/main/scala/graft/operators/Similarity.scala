@@ -105,7 +105,9 @@ object Similarity {
     val train = corpus.select(col(vecCol)).limit(trainSample)
       .withColumn("features",
         array_to_vector(transform(col(vecCol), x => x.cast("double"))))
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(10)
+    // coarse quantization only needs rough centroids: few iterations,
+    // bounded sample — training cost stays independent of corpus size
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
 
     // centroid table, broadcast for cell assignment by native cosine/L2

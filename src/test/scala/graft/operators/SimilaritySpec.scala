@@ -80,6 +80,14 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-neighbor IVF recall $recall too low")
   }
 
+  test("zero-norm vectors yield cosine 0, not NaN") {
+    val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
+      .select(cosineSim($"embedding", $"other").as("c"))
+      .head().getDouble(0)
+    assert(c == 0.0)
+  }
+
   test("l2Normalize produces unit vectors") {
     val norms = vecs.select(
       VectorFunctions.norm(VectorFunctions.l2Normalize($"embedding")).as("n"))
