@@ -387,6 +387,59 @@ object QueriesCore {
         regexp_replace(col("p_brand"), "#", "-").as("brand_dashed"))
       .orderBy("p_partkey")
 
+  /** TPC-H Q3-shaped shipping-priority query: segment-filtered 3-way join,
+    * discounted-revenue aggregation, top-10. Filters push to the scans;
+    * customer probe broadcasts.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val disc = sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-01-01"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("orderdate"),
+        col("o_orderpriority").as("priority"))
+      .agg(disc.as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier-volume query: 6-way star join through
+    * region/nation with customer-supplier nation co-location.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val disc = sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+    val nation = broadcast(t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(disc.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,7 +469,9 @@ object QueriesCore {
     "q24_range_window" -> rangeWindow _,
     "q25_date_functions" -> dateFunctions _,
     "q26_cond_aggs" -> condAggs _,
-    "q27_regex" -> regexFuncs _)
+    "q27_regex" -> regexFuncs _,
+    "q28_shipping_priority" -> shippingPriority _,
+    "q29_local_supplier_volume" -> localSupplierVolume _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -603,5 +658,34 @@ object QueriesCore {
         | regexp_extract(p_type, '(\w+)$', 1) AS last_type,
         | regexp_matches(p_name, '\d') AS has_digit,
         | regexp_replace(p_brand, '#', '-', 'g') AS brand_dashed
-        |FROM part ORDER BY p_partkey""".stripMargin)
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q28_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        | CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+        | o.o_orderpriority AS priority,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q29_local_supplier_volume" ->
+      """SELECT n.n_name,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |   AS DOUBLE) AS revenue,
+        | CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)
 }
