@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.contains("value_decimal"))
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      window_ = "1 hour", watermark = "30 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_out").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: events up to 12:00 -> watermark advances to 11:30
+    input.addData((ts("2024-01-01 10:10:00"), "view", 1.0),
+      (ts("2024-01-01 12:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at 10:20 is older than the 11:30 watermark -> must
+    // be DROPPED; an 11:40 event is within lateness -> must be counted
+    input.addData((ts("2024-01-01 10:20:00"), "view", 1.0),
+      (ts("2024-01-01 11:40:00"), "view", 1.0))
+    q.processAllAvailable()
+    // close all windows
+    input.addData((ts("2024-01-01 23:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("late_out")
+      .select($"window_start".cast("string"), $"n")
+      .as[(String, Long)].collect().toMap
+    assert(counts("2024-01-01 10:00:00") == 1L) // late 10:20 dropped
+    assert(counts("2024-01-01 11:00:00") == 1L) // 11:40 kept
+    assert(counts("2024-01-01 12:00:00") == 1L)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
