@@ -204,12 +204,16 @@ object QueriesExt {
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings").filter(col("vec_id") < 20)
 
-  /** Brute-force exact top-5 cosine neighbors for 20 query vectors
-    * (rows-only: float-sum association differs across engines).
+  /** Brute-force exact top-5 cosine neighbors for 20 query vectors.
+    * The output carries ids and ranks only: neighbor ORDER is stable across
+    * engines (cosine gaps dwarf float-association noise, verified at sf0.01
+    * and sf0.1), while raw cosine VALUES would differ in final ulps — so
+    * dropping the score column turns this into an exact oracle query.
     */
   def knnBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
       knnQueries(spark, dir), k = 5)
+      .select("query_id", "vec_id", "rank")
       .orderBy("query_id", "rank")
 
   /** LSH-bucketed approximate top-5 neighbors (rows-only). */
@@ -386,6 +390,15 @@ object QueriesExt {
         | SELECT 'test', COUNT(*), SUM(n_chars)
         | FROM documents WHERE doc_id % 10 = 0)
         |ORDER BY split""".stripMargin,
+    "x12_knn_brute" ->
+      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |    c.vec_id) AS rank
+        | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+        | WHERE c.vec_id != q.vec_id) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "x20_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         | embedding[1] AS e1,
