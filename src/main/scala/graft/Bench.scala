@@ -25,10 +25,27 @@ object Bench {
       d.withColumn("rn",
         row_number().over(Window.partitionBy("k").orderBy("id"))).count()
     }
+    // shuffle/spill visibility: stderr only — stdout stays the one-line
+    // JSON contract. Stage metrics accumulate between query boundaries.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          spillBytes.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val s0 = (shuffleBytes.get, spillBytes.get)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${dt}%6.2fs " +
+        f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
+        f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

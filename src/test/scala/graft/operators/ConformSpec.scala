@@ -52,6 +52,16 @@ class ConformSpec extends SparkSpec {
     assert(out.select("fact_id").as[String].collect().toSet == Set("f1", "f2"))
   }
 
+  test("non-broadcast conform path produces identical results") {
+    val a = Conform.fact(facts, "cust_fk", dim, "cust_id",
+      OrphanPolicy.MapToUnknown("-1"), broadcastDim = true)
+      .collect().map(_.toSeq).toSet
+    val b = Conform.fact(facts, "cust_fk", dim, "cust_id",
+      OrphanPolicy.MapToUnknown("-1"), broadcastDim = false)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("withUnknownMember appends typed UNKNOWN row") {
     val d = Seq((1L, "x")).toDF("k", "v")
     val out = Conform.withUnknownMember(d, "k", unknownKey = -1L)
