@@ -51,4 +51,17 @@ object Layout {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write range-sorted parquet: rows are range-partitioned then sorted
+    * within partitions on `key`, so each output file covers a disjoint key
+    * range. Parquet row-group/page statistics then let any reader skip
+    * whole files for range predicates on `key` — the single-dimension
+    * ordering counterpart of clustering/z-ordering in table formats.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, key: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
 }

@@ -46,6 +46,21 @@ class LayoutSpec extends SparkSpec {
     assert(jan2.count() == expected)
   }
 
+  test("range-sorted layout produces files with disjoint key ranges") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Layout.writeRangeSorted(li, "target/li_rangesorted", "l_orderkey", 4)
+    val ranges = spark.read.parquet("target/li_rangesorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .orderBy("lo")
+      .as[(String, Long, Long)].collect()
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"overlapping file ranges: $a vs $b")
+    }
+    assert(spark.read.parquet("target/li_rangesorted").count() == li.count())
+  }
+
   test("salted join matches plain join results") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
