@@ -185,8 +185,7 @@ object QueriesCore {
     val orderAgg = orders.agg(
       count(lit(1)).as("__n"),
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("__nulls"),
-      countDistinct(col("o_orderkey")).as("__uniq"),
-      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("__knulls"))
+      countDistinct(col("o_orderkey")).as("__uniq"))
     val orphanAgg = li
       .select(col("l_orderkey"))
       .join(orders.select(col("o_orderkey")).distinct(),
@@ -197,7 +196,11 @@ object QueriesCore {
       .select(
         (col("__nulls").cast("double") / col("__n"))
           .as("null_rate_custkey"),
-        ((col("__n") - col("__knulls") - col("__uniq")).cast("double") /
+        // (count - countDistinct)/count, countDistinct excluding nulls —
+        // the exact formula of both the reference and the DuckDB oracle
+        // (null keys therefore inflate this rate; they are reported
+        // separately by the null-rate check)
+        ((col("__n") - col("__uniq")).cast("double") /
           col("__n")).as("dup_rate_orderkey"),
         (col("__orphans").cast("double") / col("__li_n"))
           .as("orphan_rate_lineitem"))

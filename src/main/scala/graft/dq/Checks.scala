@@ -42,9 +42,13 @@ object Checks {
     else {
       val nulls = Option(row.getAs[Long]("nulls")).getOrElse(0L)
       val uniq = row.getAs[Long]("uniq")
-      // duplicate rate counts non-null surplus copies, matching the
-      // reference's (count - countDistinct)/count (pipeline.py:214-216)
-      (nulls.toDouble / n, (n - nulls - uniq).toDouble / n)
+      // reference formula (pipeline.py:214-216) is
+      // (count - select(key).distinct().count()) / count, and DataFrame
+      // distinct() counts NULL as ONE distinct value — unlike the
+      // COUNT(DISTINCT) aggregate, which excludes nulls entirely. countDistinct
+      // here excludes nulls, so add the null group back when present.
+      val uniqWithNull = uniq + (if (nulls > 0L) 1L else 0L)
+      (nulls.toDouble / n, (n - uniqWithNull).toDouble / n)
     }
   }
 

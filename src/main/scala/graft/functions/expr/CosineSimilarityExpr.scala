@@ -45,7 +45,10 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // dimension mismatch is a data bug — surface it as NULL, never as a
+    // plausible-looking score from a silently truncated dot product
+    if (n != b.numElements()) return null
     val aF = elemIsFloat(left)
     val bF = elemIsFloat(right)
     var dot = 0.0
@@ -53,6 +56,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // null elements poison the whole similarity (result NULL) rather than
+      // being skipped — skipping would misalign the remaining dimensions
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

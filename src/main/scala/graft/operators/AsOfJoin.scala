@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Backward as-of join: for each left row, attach the latest right row whose
   * timestamp is <= (or <, if not inclusive) the left timestamp, per key —
@@ -11,8 +12,11 @@ import org.apache.spark.sql.functions._
   * formulation, preference (a) in the extension guide).
   *
   * Implementation: tag both sides, union on the common layout, and take a
-  * per-key running `last(payload, ignoreNulls)` over rows ordered by
-  * (ts, side) — right rows populate the payload, left rows read it. One hash
+  * per-key running `last(struct(payload...), ignoreNulls)` over rows ordered
+  * by (ts, side) — right rows populate the payload struct, left rows read it.
+  * The payload travels as ONE struct so every output field comes from the same
+  * (latest) right row even when some of its fields are null — per-column
+  * `last(ignoreNulls)` would stitch fields from different right rows. One hash
   * shuffle on the key + a per-key sort; no range-explosion, no per-row probe,
   * so cost is O((|L|+|R|) log) per key group regardless of time span — the
   * shape that survives 100 TB (a broadcast-range or theta-join formulation
@@ -34,17 +38,24 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payload.contains),
       "payload column names must not collide with left columns")
-    val reserved = Seq("__ts", "__side", "__tb")
+    val reserved = Seq("__ts", "__side", "__tb", "__p")
     require(!(leftCols ++ payload).exists(reserved.contains),
       s"column names ${reserved.mkString("/")} are reserved by AsOfJoin")
+
+    // the whole payload rides in one struct: null for left rows (so
+    // last(ignoreNulls) skips them), non-null for every right row — even one
+    // whose payload fields are all null, which correctly "wins" as-of
+    val payloadType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
 
     val rightSide = right.select(
       (keys.map(col) :+
         col(rightTs).as("__ts") :+
         lit(0).as("__side") :+
         coalesce(rightTiebreak.map(col).getOrElse(lit(0L)).cast("long"),
-          lit(0L)).as("__tb")) ++
-        payload.map(c => col(c).as(s"__p_$c")) ++
+          lit(0L)).as("__tb") :+
+        struct(payload.map(c => col(c).as(c)): _*).cast(payloadType)
+          .as("__p")) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
@@ -52,8 +63,8 @@ object AsOfJoin {
       (keys.map(col) :+
         col(leftTs).cast(right.schema(rightTs).dataType).as("__ts") :+
         lit(1).as("__side") :+
-        lit(0L).as("__tb")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+        lit(0L).as("__tb") :+
+        lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
     val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
@@ -65,11 +76,11 @@ object AsOfJoin {
     val filled = rightSide.unionByName(leftSide)
       .select(
         (keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) :+
-          col("__side") :+ col("__ts")) ++
-          payload.map(c =>
-            last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+          col("__side") :+ col("__ts") :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p")): _*)
 
-    filled.filter(col("__side") === 1).drop("__side", "__ts")
-      .select((leftCols ++ payload).map(col): _*)
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 }

@@ -83,14 +83,25 @@ object Conform {
 
   /** Append the conformed UNKNOWN member to a dimension (reference D9/U1,
     * `/root/reference/src/pipeline.py:98-105`): key column gets `unknownKey`,
-    * every other column the string "UNKNOWN" (cast to the column's type).
+    * every string column the `filler` sentinel, and every non-string column a
+    * typed NULL — casting the string "UNKNOWN" to a numeric/date column would
+    * throw under Spark 4's default ANSI mode (and silently turn into NULL with
+    * ANSI off), so the sentinel is reserved for columns that can hold it.
+    * The reference's dimensions are all-string, where this reduces to its
+    * exact behavior.
     */
   def withUnknownMember(dim: DataFrame, keyCol: String,
       unknownKey: Any = -1, filler: String = "UNKNOWN"): DataFrame = {
+    import org.apache.spark.sql.types.StringType
     val one = dim.sparkSession.range(1)
     val row = one.select(dim.schema.fields.map { f =>
-      val v: Column = if (f.name == keyCol) lit(unknownKey) else lit(filler)
-      v.cast(f.dataType).as(f.name)
+      val v: Column =
+        if (f.name == keyCol) lit(unknownKey).cast(f.dataType)
+        else f.dataType match {
+          case StringType => lit(filler)
+          case dt => lit(null).cast(dt)
+        }
+      v.as(f.name)
     }.toSeq: _*)
     dim.unionByName(row)
   }

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * `road_map.md:53-61`).
   *
   * Improvements over the reference (SURVEY.md §7.3):
-  *  - deterministic tiebreak: the key columns are appended to the window
-  *    ORDER BY, so equal timestamps always resolve the same way (the reference
-  *    orders by one column only and is nondeterministic on ties);
-  *  - callers may pass extra tiebreak columns for full determinism when the
-  *    key itself is the dedup key (e.g. a monotone surrogate id).
+  *  - deterministic tiebreak: after `orderCol` (and any caller-supplied
+  *    `extraTiebreak` columns), every remaining orderable non-key column is
+  *    appended to the window ORDER BY descending — the same lexicographic
+  *    order [[DedupLatest.viaAggregate]] gets from its max-struct — so equal
+  *    timestamps always resolve to the same row (the reference orders by one
+  *    column only and is nondeterministic on ties);
+  *  - callers may pass extra tiebreak columns to pin the priority order
+  *    explicitly (e.g. a monotone surrogate id).
   *
   * Scale: one hash shuffle on the key columns; `row_number` needs no global
   * sort, only a per-key local sort. Skewed keys are handled by AQE; for
@@ -24,8 +27,18 @@ object DedupLatest {
 
   def apply(df: DataFrame, keys: Seq[String], orderCol: String,
       extraTiebreak: Seq[String] = Nil): DataFrame = {
+    // tiebreak on the remaining payload columns, not the partition keys
+    // (those are constant within a partition and break no ties); skip
+    // unorderable types (maps) — they can't appear in a window ORDER BY
+    val keySet = keys.toSet
+    val explicit = (orderCol +: extraTiebreak).toSet
+    val rest = df.schema.fields.toSeq
+      .filter(f => !keySet.contains(f.name) && !explicit.contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(_.name)
     val ordering: Seq[Column] =
-      col(orderCol).desc +: (extraTiebreak ++ keys).map(col(_).desc)
+      (orderCol +: (extraTiebreak ++ rest)).map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
