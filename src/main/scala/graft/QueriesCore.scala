@@ -443,6 +443,116 @@ object QueriesCore {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** CUBE grouping sets with grouping() indicators (beyond q17's ROLLUP). */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        // grouping() must resolve against the Aggregate node itself — in a
+        // later projection it has no grouping-set context and fails analysis
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"))
+      .orderBy("status", "priority", "g_status", "g_priority")
+
+  /** Correlated EXISTS subquery (TPC-H Q4 shape): orders having at least one
+    * bulk lineitem, counted per priority. Runs through spark.sql to exercise
+    * subquery decorrelation (rewritten to a left-semi join on o_orderkey).
+    */
+  def existsCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_ec")
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_ec")
+    spark.sql(
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders
+        |FROM orders_ec o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_ec l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 45)
+        |GROUP BY 1 ORDER BY priority""".stripMargin)
+  }
+
+  /** Analytic window family: ntile / percent_rank / cume_dist /
+    * first_value / last_value over a tie-free per-status ordering (unique
+    * (o_totalprice, o_orderkey) makes every rank function deterministic and
+    * the rank ratios exact integer-over-integer doubles).
+    */
+  def windowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderstatus").as("status"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        first_value(col("o_orderkey")).over(wFull).as("cheapest_key"),
+        last_value(col("o_orderkey")).over(wFull).as("priciest_key"))
+      .orderBy("orderkey")
+  }
+
+  /** FULL OUTER join of two per-date aggregates (order dates vs ship dates),
+    * null-coalesced on both key and measures.
+    */
+  def fullOuterDates(spark: SparkSession, dir: String): DataFrame = {
+    val od = t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").cast("string").as("od"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ld = t(spark, dir, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").cast("string").as("ld"))
+      .agg(count(lit(1)).as("n_shipped"))
+    od.join(ld, col("od") === col("ld"), "full")
+      .select(
+        coalesce(col("od"), col("ld")).as("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .orderBy("d")
+  }
+
+  /** Cross join (small x small): every nation-region combination. */
+  def crossJoinSmall(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").select(col("n_name"))
+      .crossJoin(t(spark, dir, "region").select(col("r_name")))
+      .orderBy("n_name", "r_name")
+
+  /** Map-typed column surface: per status, build priority->count map
+    * (map_from_entries over a sorted entry list), then read it back with
+    * element_at / size / sorted keys — outputs are scalars so the oracle
+    * stays engine-portable.
+    */
+  def mapOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("status"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("priority"), col("cnt"))))).as("m"))
+      .select(
+        col("status"),
+        element_at(col("m"), "1-URGENT").as("n_urgent"),
+        size(col("m")).cast("int").as("n_priorities"),
+        array_join(map_keys(col("m")), ",").as("priorities"))
+      .orderBy("status")
+
+  /** IN subquery + HAVING: orders of customers with >= 15 orders (the
+    * testdata's per-customer order counts top out around 18-25, so this
+    * selects a real, non-empty slice at every scale factor).
+    */
+  def inSubqueryHaving(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_in")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey FROM orders_in
+        |WHERE o_custkey IN (SELECT o_custkey FROM orders_in
+        |                    GROUP BY o_custkey HAVING count(*) >= 15)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,7 +584,14 @@ object QueriesCore {
     "q26_cond_aggs" -> condAggs _,
     "q27_regex" -> regexFuncs _,
     "q28_shipping_priority" -> shippingPriority _,
-    "q29_local_supplier_volume" -> localSupplierVolume _)
+    "q29_local_supplier_volume" -> localSupplierVolume _,
+    "q30_cube" -> cubeCounts _,
+    "q31_exists_correlated" -> existsCorrelated _,
+    "q32_window_family" -> windowFamily _,
+    "q33_full_outer" -> fullOuterDates _,
+    "q34_cross_join" -> crossJoinSmall _,
+    "q35_map_ops" -> mapOps _,
+    "q36_in_subquery" -> inSubqueryHaving _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -690,5 +807,61 @@ object QueriesCore {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q30_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority, g_status, g_priority""".stripMargin,
+    "q31_exists_correlated" ->
+      """SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 45)
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
+    "q32_window_family" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cum_dist,
+        | first_value(o_orderkey) OVER wf AS cheapest_key,
+        | last_value(o_orderkey) OVER wf AS priciest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey),
+        | wf AS (PARTITION BY o_orderstatus
+        |        ORDER BY o_totalprice, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY orderkey""".stripMargin,
+    "q33_full_outer" ->
+      """SELECT coalesce(od.d, ld.d) AS d,
+        | CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders,
+        | CAST(coalesce(ld.n_shipped, 0) AS BIGINT) AS n_shipped
+        |FROM (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |        COUNT(*) AS n_orders FROM orders GROUP BY 1) od
+        |FULL OUTER JOIN
+        |     (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS d,
+        |        COUNT(*) AS n_shipped FROM lineitem GROUP BY 1) ld
+        |ON od.d = ld.d
+        |ORDER BY d""".stripMargin,
+    "q34_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+    "q35_map_ops" ->
+      """SELECT o_orderstatus AS status,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |   AS BIGINT) AS n_urgent,
+        | CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |   AS priorities
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "q36_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT o_custkey FROM orders
+        |                    GROUP BY o_custkey HAVING count(*) >= 15)
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -84,8 +84,11 @@ object Dedup {
     * `(idCol_a, idCol_b, jaccard)` with idCol_a < idCol_b and
     * jaccard >= `threshold`.
     *
-    * Scale: explode factor is `bands` per doc; the bucket join is an
-    * equi-join on (band, bandHash) so it shuffles once on the bucket key.
+    * Scale: explode factor is `bands` per doc, but the banded/joined stream
+    * carries ONLY (band, bandHash, id) — 24 bytes a row — never the shingle
+    * arrays; arrays are fetched by two id-equi-joins only for the surviving
+    * deduplicated candidate pairs, so shuffle volume is
+    * O(bands*rows*24B + pairs + shingleData), not O(bands*shingleData).
     * `maxBucketSize` caps pathological buckets (boilerplate collisions) —
     * a standard guard: a bucket of b docs yields b^2 pairs, so unbounded
     * buckets are the one place LSH can go quadratic.
@@ -100,10 +103,10 @@ object Dedup {
     val withSets = df
       .select(col(idCol), col(textCol))
       .withColumn("__sh", shingleHashes(col(textCol), shingleK))
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
 
     val banded = withSets
-      .select(col(idCol), col("__sh"),
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+      .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -116,16 +119,21 @@ object Dedup {
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
     val inBuckets = banded.join(bucketSizes, Seq("__band", "__bandhash"))
 
+    // id-only band self-join; shingle arrays join in afterwards, once per
+    // unique surviving pair
     val a = inBuckets.select(col("__band"), col("__bandhash"),
-      col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+      col(idCol).as("id_a"))
     val b = inBuckets.select(col("__band"), col("__bandhash"),
-      col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-
-    val pairs = a
+      col(idCol).as("id_b"))
+    val pairIds = a
       .join(b, Seq("__band", "__bandhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sh_a", "__sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+
+    val shA = withSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val shB = withSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    val pairs = pairIds.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
 
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
     val union = size(col("__sh_a")) + size(col("__sh_b")) - inter

@@ -101,7 +101,6 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
-    val spark = corpus.sparkSession
     val train = corpus.select(col(vecCol)).limit(trainSample)
       .withColumn("features",
         array_to_vector(transform(col(vecCol), x => x.cast("double"))))
@@ -110,32 +109,34 @@ object Similarity {
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
 
-    // centroid table, broadcast for cell assignment by native cosine/L2
-    val centroids: Seq[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) =>
-        (i, c.toArray)
-      }.toSeq
-    import spark.implicits._
-    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+    // centroids as an array<array<double>> literal: per-row cosine scores are
+    // a projection (transform + native cosine), so corpus cell assignment is
+    // shuffle-free — argmax by array_position picks the first/lowest cell on
+    // ties, same order the old windowed form used
+    val centArr = array(model.clusterCenters.map { c: Vector =>
+      array(c.toArray.map(lit(_)): _*)
+    }.toSeq: _*)
+    val scores = transform(centArr, c => cosineSim(col(vecCol), c))
 
-    def assign(df: DataFrame, n: Int, outCol: String): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(col("__dist").asc,
-        col("cell").asc)
-      df.withColumn("__rid", monotonically_increasing_id())
-        .crossJoin(centDf)
-        .withColumn("__dist",
-          -cosineSim(col(vecCol), col("centroid")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .drop("__dist", "__rk", "centroid", "__rid")
-        .withColumnRenamed("cell", outCol)
-    }
+    val cells = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__scores", scores)
+      .withColumn("__cell",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1)
+          .cast("int"))
+      .drop("__scores")
 
-    val cells = assign(corpus.select(col(idCol), col(vecCol)), 1, "__cell")
-    val probes = assign(
-      queries.select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"))
-        .withColumnRenamed("__qvec", vecCol), nProbe, "__cell")
-      .withColumnRenamed(vecCol, "__qvec")
+    // queries: nProbe nearest cells each — tiny side, a window keyed by the
+    // query id itself (no synthetic row ids)
+    val qw = Window.partitionBy(queryIdOut)
+      .orderBy(col("__score").desc, col("__cell").asc)
+    val probes = queries
+      .select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"))
+      .select(col(queryIdOut), col("__qvec"),
+        posexplode(transform(centArr,
+          c => cosineSim(col("__qvec"), c))).as(Seq("__cell", "__score")))
+      .withColumn("__rk", row_number().over(qw))
+      .filter(col("__rk") <= nProbe)
+      .select(col(queryIdOut), col("__qvec"), col("__cell"))
 
     val candidates = cells
       .join(broadcast(probes), Seq("__cell"))
