@@ -228,6 +228,14 @@ object QueriesExt {
       knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ approximate top-5 neighbors: product-quantized candidate scan +
+    * exact re-rank (rows-only; the scale path for 100 TB corpora).
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+
   /** Array-column surface over embeddings: size, element access, max —
     * pure selections so float values pass through bit-exactly.
     */
@@ -269,7 +277,8 @@ object QueriesExt {
     "x17_train_test_split" -> trainTestSplit _,
     "x18_json_extract" -> jsonExtract _,
     "x19_token_freq" -> tokenFreq _,
-    "x20_array_ops" -> arrayOps _)
+    "x20_array_ops" -> arrayOps _,
+    "x21_knn_ivfpq" -> knnIvfPq _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

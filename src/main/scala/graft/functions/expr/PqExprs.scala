@@ -1,0 +1,187 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for IVF-PQ (inverted file + product
+  * quantization) approximate nearest-neighbor search — the memory/IO scale
+  * path for similarity over 100 TB embedding corpora: the candidate scan
+  * reads `m`-byte PQ codes instead of `4*dim`-byte float vectors (32x less
+  * I/O at dim=64, m=8), and exact re-ranking touches full vectors only for
+  * the few `refine` survivors per query.
+  *
+  * Model arrays (coarse centroids, per-subspace codebooks) are driver-trained
+  * (bounded sample) and bound into the expressions as literals — plan-stable,
+  * no broadcast machinery, serialized once with the task binary.
+  */
+
+private[expr] object PqMath {
+  /** dot(a[off..off+n), b[0..n)) for primitive double arrays. */
+  @inline def subDot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+    s
+  }
+
+  def toDoubles(v: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    out
+  }
+
+  def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def vecTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+}
+
+/** `pq_encode(vec, cell)` -> `array<int>` of `m` codebook indices.
+  *
+  * Encodes the residual `vec - coarse(cell)`: for each of the `m` subspaces,
+  * the index of the codebook entry nearest (L2) to the residual subvector.
+  * One primitive loop per row; cost m * k * subDim multiplies at encode time
+  * (build-side, once per corpus row).
+  */
+case class PqEncodeExpr(left: Expression, right: Expression,
+    coarse: Array[Array[Double]], codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(left.dataType) && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects (array<float|double>, int), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val vec = PqMath.toDoubles(v.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(left))
+    val cell = c.asInstanceOf[Int]
+    if (vec.length != m * subDim || cell < 0 || cell >= coarse.length)
+      return null
+    val cent = coarse(cell)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val e = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val r = vec(off + i) - cent(off + i) - e(i)
+          d += r * r
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_encode"
+}
+
+/** `ivfpq_adc_score(qvec, cell, codes)` -> double approximate dot product.
+  *
+  * Asymmetric distance computation for inner product: with the corpus vector
+  * approximated as `coarse(cell) + concat_s(codebook_s(code_s))`,
+  * `dot(q, x) ~ dot(q, coarse(cell)) + sum_s dot(q_s, codebook_s(code_s))`.
+  * On L2-normalized inputs this approximates cosine. The scan side touches
+  * only (cell, codes) — never the corpus vector.
+  */
+case class IvfPqAdcScoreExpr(first: Expression, second: Expression,
+    third: Expression, coarse: Array[Array[Double]],
+    codebooks: Array[Array[Array[Double]]])
+    extends TernaryExpression with CodegenFallback {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(first.dataType) && second.dataType == IntegerType &&
+      (third.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ivfpq_adc_score expects (array<float|double>, int, array<int>), got " +
+        s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+        s"${third.dataType.catalogString}")
+
+  override def nullSafeEval(q: Any, c: Any, cd: Any): Any = {
+    val qv = PqMath.toDoubles(q.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(first))
+    val cell = c.asInstanceOf[Int]
+    val codes = cd.asInstanceOf[ArrayData]
+    if (qv.length != m * subDim || cell < 0 || cell >= coarse.length ||
+      codes.numElements() != m) return null
+    var score = PqMath.subDot(qv, 0, coarse(cell))
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      val cb = codebooks(s)
+      if (code < 0 || code >= cb.length) return null
+      score += PqMath.subDot(qv, s * subDim, cb(code))
+      s += 1
+    }
+    score
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sE: Expression, t: Expression): Expression =
+    copy(first = f, second = sE, third = t)
+
+  override def prettyName: String = "ivfpq_adc_score"
+}
+
+object PqExprs {
+  def pqEncode(vec: Column, cell: Column, coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), coarse, codebooks))
+
+  def adcScore(qvec: Column, cell: Column, codes: Column,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(IvfPqAdcScoreExpr(ColumnBridge.expression(qvec),
+      ColumnBridge.expression(cell), ColumnBridge.expression(codes),
+      coarse, codebooks))
+}

@@ -151,6 +151,89 @@ object Similarity {
       .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Approximate top-k via IVF-PQ: coarse cells + product-quantized residual
+    * codes with exact re-ranking (Jegou et al. 2011).
+    *
+    * The 100 TB shape: the candidate scan touches only `(id, cell, m codes)`
+    * — ~4m bytes a row instead of 4*dim-byte vectors (8x less at dim=64/m=8,
+    * and the full-vector column stays column-pruned OUT of the scan) — and
+    * full vectors are fetched by id-join only for the `refine` ADC survivors
+    * per query. Training is driver-side on a bounded sample
+    * ([[Pq.train]]), independent of corpus size; model arrays ride into
+    * native expressions as literals. All scoring is dot-product on
+    * L2-normalized vectors (== cosine), so the ADC decomposition
+    * `dot(q,x) ~ dot(q, coarse(cell)) + sum_s dot(q_s, cb_s(code_s))` holds.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nList: Int = 16, nProbe: Int = 4, m: Int = 8, codebookSize: Int = 32,
+      refine: Int = 50, trainSample: Int = 2000, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdOut: String = "query_id"): DataFrame = {
+    import graft.functions.expr.PqExprs
+
+    // --- driver-side training on a bounded normalized sample
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+      .map(Pq.normalize)
+    val model = Pq.train(sample, nList, m, codebookSize, seed = seed)
+
+    val centArr = array(model.coarse.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    def normVec(c: org.apache.spark.sql.Column) =
+      VectorFunctions.l2Normalize(c)
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      val scores = transform(centArr, c => cosineSim(v, c))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    // --- index build: one shuffle-free projection per corpus row
+    val index = corpus.select(col(idCol), normVec(col(vecCol)).as("__nvec"))
+      .withColumn("__cell", cellOf(col("__nvec")))
+      .withColumn("__codes",
+        PqExprs.pqEncode(col("__nvec"), col("__cell"),
+          model.coarse, model.codebooks))
+      .select(col(idCol), col("__cell"), col("__codes"))
+
+    // --- query probes: nProbe nearest cells each (tiny side)
+    val qw = Window.partitionBy(queryIdOut)
+      .orderBy(col("__score").desc, col("__cell").asc)
+    val probes = queries
+      .select(col(idCol).as(queryIdOut), normVec(col(vecCol)).as("__qvec"))
+      .select(col(queryIdOut), col("__qvec"),
+        posexplode(transform(centArr,
+          c => cosineSim(col("__qvec"), c))).as(Seq("__cell", "__score")))
+      .withColumn("__rk", row_number().over(qw))
+      .filter(col("__rk") <= nProbe)
+      .select(col(queryIdOut), col("__qvec"), col("__cell"))
+
+    // --- ADC scan over codes only; top-`refine` per query
+    val aw = Window.partitionBy(queryIdOut)
+      .orderBy(col("__adc").desc, col(idCol).asc)
+    val shortlist = index
+      .join(broadcast(probes), Seq("__cell"))
+      .filter(col(idCol) =!= col(queryIdOut))
+      .withColumn("__adc",
+        PqExprs.adcScore(col("__qvec"), col("__cell"), col("__codes"),
+          model.coarse, model.codebooks))
+      .withColumn("__rk", row_number().over(aw))
+      .filter(col("__rk") <= refine)
+      .select(col(queryIdOut), col(idCol), col("__qvec"))
+
+    // --- exact re-rank: fetch full vectors for survivors only
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    shortlist
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket the
     * corpus against itself, score within buckets, keep pairs with
     * cosine >= `threshold`. Used for embedding-based near-dedup.

