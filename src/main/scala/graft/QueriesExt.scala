@@ -111,6 +111,16 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
+  /** Trigram-profile language ID (rows-only: engine-specific profiles);
+    * scored against the marker-word variant's predictions in
+    * `TextFunctionsSpec` instead of a cross-engine oracle.
+    */
+  def textLangTrigram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.langIdTrigram(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
   /** JSON property extraction (`props` carries `{"k": N}`) aggregated per
     * event type — the semi-structured column surface.
     */
@@ -278,7 +288,8 @@ object QueriesExt {
     "x18_json_extract" -> jsonExtract _,
     "x19_token_freq" -> tokenFreq _,
     "x20_array_ops" -> arrayOps _,
-    "x21_knn_ivfpq" -> knnIvfPq _)
+    "x21_knn_ivfpq" -> knnIvfPq _,
+    "x22_lang_trigram" -> textLangTrigram _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

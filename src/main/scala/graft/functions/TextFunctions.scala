@@ -132,4 +132,15 @@ object TextFunctions {
       when(score > 0 && score === best, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Character-trigram-profile language ID (native expression,
+    * [[graft.functions.expr.TrigramLangIdExpr]]): no tokenization, catches
+    * morphology ("-ung", "-ção", "-ción") rather than only function words,
+    * one primitive pass per document. Prefer this over [[langId]] for noisy
+    * web text where closed-class markers may be absent.
+    */
+  def langIdTrigram(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expr.TrigramLangIdExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
 }

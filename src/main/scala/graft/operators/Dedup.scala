@@ -77,6 +77,32 @@ object Dedup {
     graft.functions.expr.TextHashExprs.minhashSignature(shingleHashesCol, seeds)
   }
 
+  /** Top-`topN` most document-frequent shingle hashes of a corpus —
+    * boilerplate detection (shared headers/footers/licenses). Computed as a
+    * distributed explode + groupBy (shingleHashes is per-doc deduplicated, so
+    * the count IS document frequency), then collected bounded: boilerplate is
+    * by nature a small set of very frequent shingles, so `topN` stays tiny
+    * regardless of corpus size.
+    *
+    * Feeding the result into [[minhashCandidates]]'s `bannedShingles` is the
+    * df-weighting defence for highly-templated corpora: shared boilerplate
+    * otherwise floods LSH buckets with false candidates (and `maxBucketSize`
+    * would start dropping real ones).
+    */
+  def frequentShingleHashes(df: DataFrame, textCol: String,
+      shingleK: Int = 3, topN: Int = 100,
+      minDocFrac: Double = 0.1): Array[Long] = {
+    val total = df.count()
+    val minDocs = math.max(2L, (total * minDocFrac).toLong)
+    df.select(explode(shingleHashes(col(textCol), shingleK)).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .orderBy(desc("__df"), col("__h"))
+      .limit(topN)
+      .select("__h")
+      .collect().map(_.getLong(0))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH banding: the signature is
     * split into `bands` bands of `rowsPerBand` values; documents sharing any
     * band hash become candidates (within-bucket join), then candidates are
@@ -96,13 +122,24 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 1000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, bannedShingles: Array[Long] = Array.empty): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
+    // boilerplate suppression: drop banned (document-frequent) shingles
+    // before signatures/verification; a doc that is ALL boilerplate keeps
+    // its original shingles (empty sets have no meaningful signature)
+    val rawSh = shingleHashes(col(textCol), shingleK)
+    val shCol =
+      if (bannedShingles.isEmpty) rawSh
+      else {
+        val filtered = array_except(rawSh,
+          typedLit(bannedShingles.toSeq))
+        when(size(filtered) > 0, filtered).otherwise(rawSh)
+      }
     val withSets = df
       .select(col(idCol), col(textCol))
-      .withColumn("__sh", shingleHashes(col(textCol), shingleK))
+      .withColumn("__sh", shCol)
 
     val banded = withSets
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))

@@ -89,6 +89,33 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream interval join: each left event picks up all right events
+    * with the same key whose timestamp falls in `[left.ts - horizon,
+    * left.ts]` — the attribution-window join (purchase <- recent views).
+    *
+    * Both sides carry watermarks and the join condition bounds event time on
+    * both sides, so Spark can evict right-side state once
+    * `right.ts < watermark - horizon`: state is O(rate x horizon) per key
+    * range, never unbounded — the only stream-stream join shape that
+    * survives an always-on pipeline. (The batch as-of counterpart is
+    * [[graft.operators.AsOfJoin]]; streaming cannot do "latest only" without
+    * arbitrary state, so the interval form emits all matches and a
+    * downstream aggregation picks winners if needed.)
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      horizon: String = "1 hour", watermark: String = "2 hours",
+      rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c")
+    }
+    val r = r0.withWatermark(s"${rightPrefix}ts", watermark)
+    l.join(r,
+      col(key) === col(s"$rightPrefix$key") &&
+        col(s"${rightPrefix}ts") >= col("ts") - expr(s"INTERVAL $horizon") &&
+        col(s"${rightPrefix}ts") <= col("ts"))
+  }
+
   // ------------------------------------------------- custom state (FMGWS)
 
   final case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long,

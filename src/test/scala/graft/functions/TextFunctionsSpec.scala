@@ -54,6 +54,23 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("trigram langId identifies sentences even without marker words") {
+    val cases = Seq(
+      // no "the/and/of" markers — morphology only
+      ("something wonderful happened yesterday evening", "en"),
+      // no der/die/und markers — -ung/sch/cht morphology
+      ("geschwindigkeitsbegrenzung gilt innerhalb geschlossener ortschaften",
+        "de"),
+      ("la organización está preparando una celebración", "es"),
+      ("le gouvernement prépare une réponse européenne", "fr"),
+      ("a organização está preparando uma celebração", "pt"),
+      ("zzz qqq kkk", "und"))
+    cases.foreach { case (text, want) =>
+      assert(one(text, TextFunctions.langIdTrigram($"t")) == want,
+        s"text=$text")
+    }
+  }
+
   test("subwordCount splits letter runs, digits, punctuation") {
     // hello | , | world | 42 | ! (whitespace pieces dropped)
     assert(one("hello, world42!", TextFunctions.subwordCount($"t")) == 5)

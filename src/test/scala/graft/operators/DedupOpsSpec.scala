@@ -56,6 +56,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // distinct doc
   }
 
+  test("df-banned boilerplate shingles stop false candidates") {
+    val boiler = "copyright acme corp all rights reserved published under license"
+    val docs = Seq(
+      (0L, s"$boiler the quick brown fox jumps over the lazy dog today"),
+      (1L, s"$boiler completely different content about cooking pasta dishes"),
+      (2L, s"$boiler yet another unrelated text discussing quantum physics"),
+      (3L, s"$boiler the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val banned = Dedup.frequentShingleHashes(docs, "text",
+      shingleK = 3, topN = 50, minDocFrac = 0.9)
+    assert(banned.nonEmpty, "shared boilerplate shingles must be detected")
+    // threshold 0 surfaces every raw candidate pair the banding emits
+    val without = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val withBan = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.0,
+      bannedShingles = banned)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // boilerplate floods everything into candidacy without the ban
+    assert(without.size > withBan.size)
+    // the true near-dup pair (0,3) survives the ban
+    assert(withBan.contains((0L, 3L)))
+    // boilerplate-only pairs are gone
+    assert(!withBan.contains((1L, 2L)))
+  }
+
   test("minhash dedup keeps min-id survivor per near-dup cluster") {
     val ids = Dedup.minhashDedup(docs, "text", "doc_id",
       shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)

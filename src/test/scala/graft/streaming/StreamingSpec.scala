@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.contains("value_decimal"))
   }
 
+  test("stream-stream interval join matches batch attribution join") {
+    val ev = batchEvents
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.filter($"event_type" === "view")
+      .select("user_id", "event_id", "ts")
+    purchases.write.mode("overwrite").parquet("target/stream_p")
+    views.write.mode("overwrite").parquet("target/stream_v")
+
+    val got = runToCompletion(
+      Streams.intervalJoin(
+        Streams.parquetStream(spark, "target/stream_p", purchases.schema),
+        Streams.parquetStream(spark, "target/stream_v", views.schema),
+        key = "user_id", horizon = "1 hour"),
+      "ij_out", mode = "append")
+      .select($"event_id", $"r_event_id")
+      .as[(Long, Long)].collect().toSet
+
+    val want = purchases.as("p")
+      .join(views.as("v"),
+        $"p.user_id" === $"v.user_id" &&
+          $"v.ts" >= $"p.ts" - expr("INTERVAL 1 HOUR") &&
+          $"v.ts" <= $"p.ts")
+      .select($"p.event_id", $"v.event_id")
+      .as[(Long, Long)].collect().toSet
+
+    assert(got == want)
+    assert(want.nonEmpty) // the testdata must actually exercise the join
+  }
+
   test("watermark drops events later than the allowed lateness") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
