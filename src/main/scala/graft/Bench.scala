@@ -12,7 +12,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // JVM (not ICU) case mappings for UTF8_BINARY lower/upper:
+      // CollationAwareUTF8String's static init otherwise title-cases every
+      // Unicode code point through ICU BreakIterators -- observed wedging a
+      // whole executor for 400+ CPU-seconds on first non-ASCII lower()
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // testdata files are single-digit-MB parquet: with the 128MB default
+      // split size every scan is ONE task no matter how many cores exist.
+      // 2MB splits give the small files real scan parallelism; on a cluster
+      // against TB-scale inputs the default is correct and this knob is
+      // env-overridable.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "2097152"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

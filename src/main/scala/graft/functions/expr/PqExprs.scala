@@ -51,6 +51,101 @@ private[expr] object PqMath {
   }
 }
 
+/** `l2_normalize(vec)` -> `array<double>` unit vector (zero vectors pass
+  * through). Native single-pass replacement for the HOF formulation
+  * ([[graft.functions.VectorFunctions.l2Normalize]]), which walks the array
+  * through the lambda interpreter three times and — worse — can be inlined
+  * by projection collapse into every consumer lambda, multiplying its cost
+  * by the consumer's iteration count.
+  */
+case class L2NormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize expects array<float|double>, got " +
+        child.dataType.catalogString)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = PqMath.toDoubles(v.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(child))
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    if (s > 0.0) {
+      val n = math.sqrt(s)
+      i = 0
+      while (i < a.length) { a(i) /= n; i += 1 }
+    }
+    new GenericArrayData(a)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "l2_normalize"
+}
+
+/** `centroid_cosines(vec)` -> `array<double>` of cosine(vec, centroid_i) for
+  * a literal centroid table, in ONE pass: the vector's norm is computed once
+  * and every centroid dot shares the same tight loop — versus per-centroid
+  * `cosine_sim` lambdas that re-walk (and with projection collapse,
+  * re-normalize) the input for each centroid.
+  */
+case class CentroidCosinesExpr(child: Expression,
+    centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  private val norms: Array[Double] = centroids.map { c =>
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"centroid_cosines expects array<float|double>, got " +
+        child.dataType.catalogString)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = PqMath.toDoubles(v.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(child))
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    val an = math.sqrt(s)
+    val out = new Array[Double](centroids.length)
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      if (a.length == c.length && an > 0.0 && norms(j) > 0.0) {
+        var d = 0.0
+        i = 0
+        while (i < c.length) { d += a(i) * c(i); i += 1 }
+        out(j) = d / (an * norms(j))
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "centroid_cosines"
+}
+
 /** `pq_encode(vec, cell)` -> `array<int>` of `m` codebook indices.
   *
   * Encodes the residual `vec - coarse(cell)`: for each of the `m` subspaces,
@@ -173,6 +268,13 @@ case class IvfPqAdcScoreExpr(first: Expression, second: Expression,
 }
 
 object PqExprs {
+  def l2normalize(vec: Column): Column =
+    ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
+
+  def centroidCosines(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      CentroidCosinesExpr(ColumnBridge.expression(vec), centroids))
+
   def pqEncode(vec: Column, cell: Column, coarse: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec),

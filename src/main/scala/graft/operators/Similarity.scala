@@ -97,29 +97,28 @@ object Similarity {
       nList: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdOut: String = "query_id", trainSample: Int = 10000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
+    // coarse quantization only needs rough centroids: few seeded Lloyd
+    // iterations over a bounded driver-collected sample ([[Pq.lloyd]]) —
+    // training cost independent of corpus size, ONE collect job instead of
+    // an ML-pipeline's dozens of small jobs per fit
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
 
-    val train = corpus.select(col(vecCol)).limit(trainSample)
-      .withColumn("features",
-        array_to_vector(transform(col(vecCol), x => x.cast("double"))))
-    // coarse quantization only needs rough centroids: few iterations,
-    // bounded sample — training cost stays independent of corpus size
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features").fit(train)
-
-    // centroids as an array<array<double>> literal: per-row cosine scores are
-    // a projection (transform + native cosine), so corpus cell assignment is
-    // shuffle-free — argmax by array_position picks the first/lowest cell on
+    // per-row cosine-vs-every-centroid scores in ONE native pass
+    // (CentroidCosinesExpr: vector norm computed once, centroids baked in as
+    // expression state) — corpus cell assignment is a shuffle-free
+    // projection; argmax by array_position picks the first/lowest cell on
     // ties, same order the old windowed form used
-    val centArr = array(model.clusterCenters.map { c: Vector =>
-      array(c.toArray.map(lit(_)): _*)
-    }.toSeq: _*)
-    val scores = transform(centArr, c => cosineSim(col(vecCol), c))
+    def scores(v: org.apache.spark.sql.Column) =
+      graft.functions.expr.PqExprs.centroidCosines(v, centroids)
 
     val cells = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__scores", scores)
+      .withColumn("__scores", scores(col(vecCol)))
       .withColumn("__cell",
         (array_position(col("__scores"), array_max(col("__scores"))) - 1)
           .cast("int"))
@@ -132,8 +131,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"))
       .select(col(queryIdOut), col("__qvec"),
-        posexplode(transform(centArr,
-          c => cosineSim(col("__qvec"), c))).as(Seq("__cell", "__score")))
+        posexplode(scores(col("__qvec"))).as(Seq("__cell", "__score")))
       .withColumn("__rk", row_number().over(qw))
       .filter(col("__rk") <= nProbe)
       .select(col(queryIdOut), col("__qvec"), col("__cell"))
@@ -181,13 +179,14 @@ object Similarity {
       .map(Pq.normalize)
     val model = Pq.train(sample, nList, m, codebookSize, seed = seed)
 
-    val centArr = array(model.coarse.map(c =>
-      array(c.map(lit(_)): _*)): _*)
-    def normVec(c: org.apache.spark.sql.Column) =
-      VectorFunctions.l2Normalize(c)
+    // all-native per-row kernels: single-pass normalize, one-pass
+    // cosine-vs-every-centroid (norm computed once, no per-centroid lambdas)
+    def normVec(c: org.apache.spark.sql.Column) = PqExprs.l2normalize(c)
+    def scores(v: org.apache.spark.sql.Column) =
+      PqExprs.centroidCosines(v, model.coarse)
     def cellOf(v: org.apache.spark.sql.Column) = {
-      val scores = transform(centArr, c => cosineSim(v, c))
-      (array_position(scores, array_max(scores)) - 1).cast("int")
+      val s = scores(v)
+      (array_position(s, array_max(s)) - 1).cast("int")
     }
 
     // --- index build: one shuffle-free projection per corpus row
@@ -204,8 +203,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as(queryIdOut), normVec(col(vecCol)).as("__qvec"))
       .select(col(queryIdOut), col("__qvec"),
-        posexplode(transform(centArr,
-          c => cosineSim(col("__qvec"), c))).as(Seq("__cell", "__score")))
+        posexplode(scores(col("__qvec"))).as(Seq("__cell", "__score")))
       .withColumn("__rk", row_number().over(qw))
       .filter(col("__rk") <= nProbe)
       .select(col(queryIdOut), col("__qvec"), col("__cell"))

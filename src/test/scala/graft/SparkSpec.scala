@@ -14,6 +14,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JVM (not ICU) case mappings for UTF8_BINARY lower/upper:
+      // CollationAwareUTF8String's static init otherwise title-cases every
+      // Unicode code point through ICU BreakIterators -- observed wedging a
+      // whole executor for 400+ CPU-seconds on first non-ASCII lower()
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
