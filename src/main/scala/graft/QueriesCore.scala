@@ -553,6 +553,18 @@ object QueriesCore {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Skew-safe two-phase aggregation ([[graft.operators.Skew.saltedSum]]):
+    * partial aggregate on (key, salt) then final on key, so one hot key
+    * spreads over saltFactor reducers. The oracle is the PLAIN group-by —
+    * salting must be invisible in the result (sums of integral quantities
+    * stay exact under any partial-aggregation order).
+    */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSum(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_quantity",
+      saltFactor = 16)
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -591,7 +603,8 @@ object QueriesCore {
     "q33_full_outer" -> fullOuterDates _,
     "q34_cross_join" -> crossJoinSmall _,
     "q35_map_ops" -> mapOps _,
-    "q36_in_subquery" -> inSubqueryHaving _)
+    "q36_in_subquery" -> inSubqueryHaving _,
+    "q37_skew_salted_agg" -> skewSaltedAgg _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -863,5 +876,9 @@ object QueriesCore {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT o_custkey FROM orders
         |                    GROUP BY o_custkey HAVING count(*) >= 15)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q37_skew_salted_agg" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
 }

@@ -121,6 +121,18 @@ object QueriesExt {
         TextFunctions.langIdTrigram(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition quality signals per document (exact integer
+    * ratios — oracle-portable).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.dupWordFraction(col("text")).as("dup_word_frac"),
+        TextFunctions.topWordFraction(col("text")).as("top_word_frac"),
+        TextFunctions.dupBigramFraction(col("text")).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+
   /** JSON property extraction (`props` carries `{"k": N}`) aggregated per
     * event type — the semi-structured column surface.
     */
@@ -289,7 +301,8 @@ object QueriesExt {
     "x19_token_freq" -> tokenFreq _,
     "x20_array_ops" -> arrayOps _,
     "x21_knn_ivfpq" -> knnIvfPq _,
-    "x22_lang_trigram" -> textLangTrigram _)
+    "x22_lang_trigram" -> textLangTrigram _,
+    "x23_repetition" -> textRepetition _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -435,6 +448,26 @@ object QueriesExt {
         | FROM documents)
         |WHERE length(tok) > 0 GROUP BY 1
         |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "x23_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0) AS tk
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN len(tk) > 0
+        |  THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+        |  ELSE 0.0 END AS dup_word_frac,
+        | CASE WHEN len(tk) > 0
+        |  THEN CAST(list_max(list_transform(list_distinct(tk),
+        |    d -> len(list_filter(tk, t -> t = d)))) AS DOUBLE) / len(tk)
+        |  ELSE 0.0 END AS top_word_frac,
+        | CASE WHEN len(tk) > 1
+        |  THEN 1.0 - CAST(len(list_distinct(list_transform(
+        |    range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
+        |    / (len(tk) - 1)
+        |  ELSE 0.0 END AS dup_2gram_frac
+        |FROM toks ORDER BY doc_id""".stripMargin,
     "x15_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
         | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us

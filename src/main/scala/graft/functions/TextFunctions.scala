@@ -133,6 +133,46 @@ object TextFunctions {
     }
   }
 
+  /** Repetition signals (Gopher-style quality heuristics — Rae et al. 2021
+    * §A1.1): fraction of repeated words / repeated word bigrams, and the
+    * mass of the single most frequent word. High values flag boilerplate,
+    * keyword stuffing, and degenerate generations. All are exact
+    * integer-ratio doubles, so a SQL oracle reproduces them bit-for-bit.
+    */
+  def dupWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Count of the most frequent word over total words. O(distinct * n) per
+    * doc via HOFs — fine for document-sized inputs; single consumer, so no
+    * projection-collapse blowup.
+    */
+  def topWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = transform(array_distinct(toks),
+      d => size(filter(toks, t => t === d)))
+    when(size(toks) > 0,
+      array_max(counts).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Repeated word-bigram fraction: 1 - distinct bigrams / total bigrams
+    * (distinct counted via the native 64-bit shingle-hash set).
+    */
+  def dupBigramFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val nBigrams = size(toks) - 1
+    when(nBigrams > 0,
+      lit(1.0) -
+        size(graft.functions.expr.TextHashExprs.shingleHashes(toks, 2))
+          .cast("double") / nBigrams.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Character-trigram-profile language ID (native expression,
     * [[graft.functions.expr.TrigramLangIdExpr]]): no tokenization, catches
     * morphology ("-ung", "-ção", "-ción") rather than only function words,

@@ -48,6 +48,60 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("xxhash64"), p.take(2000))
   }
 
+  test("IVF-PQ index build is a shuffle-free projection over the scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val df = graft.operators.Similarity.ivfPqTopK(emb, queries, k = 3,
+      nList = 4, nProbe = 2, m = 8, codebookSize = 8, trainSample = 200)
+    val p = plan(df)
+    // the corpus side must reach the probes join without an Exchange: codes
+    // are computed in the scan's projection, and the join side broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("pq_encode"), p.take(3000))
+  }
+
+  test("q28 pushes both date filters into their parquet scans") {
+    val p = plan(QueriesCore.shippingPriority(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,")
+      || p.contains("GreaterThan(l_shipdate,"), p.take(3000))
+    assert(p.contains("LessThan(o_orderdate,"), p.take(3000))
+  }
+
+  test("q37 salted aggregation partial-aggregates on (key, salt) before the exchange") {
+    val p = plan(QueriesCore.skewSaltedAgg(spark, sfDir))
+    val exchange = p.indexOf("Exchange")
+    assert(exchange >= 0, p.take(2000))
+    // partial HashAggregate below the first exchange keyed by the salt
+    val below = p.substring(exchange)
+    assert(below.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("__salt") || p.contains("pmod"), p.take(3000))
+  }
+
+  test("minhash band-bucket shuffles carry ids, never shingle arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec, hiding the
+    // exchanges from collect() until execution — use the static plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bandExchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__band") => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(bandExchanges.nonEmpty, "expected band-keyed exchanges in plan")
+    // the banding exchanges must ship only (band, bandhash, id [, count]) —
+    // the shingle array column joins in AFTER pair dedup, by id
+    bandExchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.exists(_.startsWith("__sh")),
+        s"band exchange ships shingle arrays: $cols")
+    }
+  }
+
   test("whole-stage codegen covers the scan-project-filter spine of q15") {
     // under AQE the pre-execution plan hides codegen stages; disable it for
     // this one assertion so the static physical plan shows the codegen spans
