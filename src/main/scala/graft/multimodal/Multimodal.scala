@@ -70,6 +70,63 @@ object Multimodal {
       explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
   }
 
+  /** STUB resize: returns an asset struct with target dimensions recorded in
+    * meta (width/height) and the payload passed through; a real kernel would
+    * re-encode the bytes with this exact struct-in/struct-out signature, so
+    * downstream schema and pruning behavior are already final.
+    */
+  def stubResize(assetCol: Column, width: Int, height: Int): Column =
+    struct(
+      assetCol("uri").as("uri"),
+      assetCol("mime").as("mime"),
+      assetCol("bytes").as("bytes"),
+      map_concat(
+        coalesce(assetCol("meta"),
+          map().cast(MapType(StringType, StringType))),
+        map(lit("width"), lit(width.toString),
+          lit("height"), lit(height.toString))).as("meta"))
+
+  /** Batched per-partition decode seam: the shape a real codec/model kernel
+    * needs — per-PARTITION initialization (codec context, ONNX session)
+    * amortized across rows, rows processed in `batchSize` groups (the batch
+    * shape vectorized kernels want), one narrow stage with no shuffle.
+    * The kernel here is the deterministic stub; swapping in a real decoder
+    * changes only the function body passed to `mapPartitions`.
+    */
+  def decodeBatchedStub(df: DataFrame, assetCol: String, dim: Int = 16,
+      batchSize: Int = 64, outCol: String = "features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, false))
+    val enc = Encoders.row(outSchema)
+    val assetIdx = df.schema.fieldIndex(assetCol)
+    val bytesIdx = df.schema(assetCol).dataType.asInstanceOf[StructType]
+      .fieldIndex("bytes")
+    df.mapPartitions { it =>
+      // per-partition init happens here ONCE (real impl: load codec/model)
+      it.grouped(batchSize).flatMap { batch =>
+        // real impl: one vectorized kernel call per batch
+        batch.map { row =>
+          val asset = row.getStruct(assetIdx)
+          val bytes =
+            if (asset == null || asset.isNullAt(bytesIdx)) Array.empty[Byte]
+            else asset.getAs[Array[Byte]](bytesIdx)
+          Row.fromSeq(row.toSeq :+ stubKernel(bytes, dim))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic stand-in kernel: dim floats in [-1, 1] from the payload
+    * bytes (MurmurHash3-seeded) — stable across partitionings and reruns.
+    */
+  private[multimodal] def stubKernel(bytes: Array[Byte], dim: Int): Seq[Float] = {
+    val base = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+    (0 until dim).map { k =>
+      val h = scala.util.hashing.MurmurHash3.productHash((base, k))
+      (h.toDouble / Int.MaxValue.toDouble).toFloat
+    }
+  }
+
   /** Exact payload dedup across assets: keep the first uri per content hash. */
   def dedupByContent(df: DataFrame, assetCol: String): DataFrame = {
     val withHash = df.withColumn("__ph", payloadHash(col(assetCol)))

@@ -47,6 +47,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("stubResize records target dims in meta, payload/mime untouched") {
+    val r = assets.select(
+      Multimodal.stubResize($"asset", 224, 224).as("asset"))
+    val row = r.select($"asset.mime", $"asset.meta", $"asset.bytes")
+      .where($"asset.uri" === "s3://bucket/b.jpg")
+      .as[(String, Map[String, String], Array[Byte])].head()
+    assert(row._1 == "image/jpeg")
+    assert(row._2("width") == "224" && row._2("height") == "224")
+    assert(row._2("w") == "320") // original metadata preserved
+    assert(new String(row._3) == "payload-b")
+  }
+
+  test("batched mapPartitions decode: deterministic, batch-shape invariant") {
+    val a = Multimodal.decodeBatchedStub(assets, "asset", dim = 8,
+      batchSize = 2)
+      .select($"asset.uri", $"features")
+      .as[(String, Seq[Float])].collect().toMap
+    // batch size and partitioning must not change results
+    val b = Multimodal.decodeBatchedStub(assets.repartition(3), "asset",
+      dim = 8, batchSize = 64)
+      .select($"asset.uri", $"features")
+      .as[(String, Seq[Float])].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 8))
+    // content-determined: identical payloads get identical features
+    assert(a("s3://bucket/a.jpg") == a("s3://bucket/a2.jpg"))
+    assert(a("s3://bucket/a.jpg") != a("s3://bucket/b.jpg"))
+  }
+
   test("content dedup keeps one asset per payload") {
     val out = Multimodal.dedupByContent(assets, "asset")
     assert(out.count() == 3)
