@@ -553,6 +553,60 @@ object QueriesCore {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Extended string-function gallery: translate / pad / repeat / reverse /
+    * position / substring-by-side / edit distance — every function here has
+    * identical semantics in DuckDB, making the whole projection
+    * hash-comparable.
+    */
+  def stringGallery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        translate(col("p_brand"), "#", "_").as("brand_t"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "*").as("brand_rpad"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        expr("left(p_name, 5)").as("left5"),
+        expr("right(p_name, 5)").as("right5"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("edit_dist"),
+        ascii(col("p_brand")).cast("int").as("first_code"))
+      .orderBy("p_partkey")
+
+  /** Null-handling gallery: nullif / nvl / nvl2 / coalesce chains /
+    * null-safe equality, over a column made nullable via nullif.
+    */
+  def nullGallery(spark: SparkSession, dir: String): DataFrame = {
+    val maybeNull = nullif(col("o_orderpriority"), lit("3-MEDIUM"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        maybeNull.as("prio_or_null"),
+        coalesce(maybeNull, lit("DEFAULTED")).as("prio_filled"),
+        when(maybeNull.isNull, lit(0L)).otherwise(lit(1L)).as("has_prio"),
+        (maybeNull <=> lit("1-URGENT")).as("urgent_nullsafe"),
+        greatest(col("o_totalprice"), lit(0.0)).as("price_floor"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Timestamp/date conversion gallery: epoch seconds round-trip, make_date,
+    * date_part extraction, day-difference arithmetic.
+    */
+  def timestampGallery(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        unix_date(d).cast("long").as("epoch_days"),
+        date_part(lit("year"), d).cast("long").as("y"),
+        date_part(lit("doy"), d).cast("long").as("day_of_year"),
+        make_date(lit(2024), month(d), lit(1)).cast("string").as("anchor_month"),
+        datediff(lit("1998-12-31").cast("date"), d).cast("long")
+          .as("days_to_end"))
+      .orderBy("o_orderkey")
+  }
+
   /** Skew-safe two-phase aggregation ([[graft.operators.Skew.saltedSum]]):
     * partial aggregate on (key, salt) then final on key, so one hot key
     * spreads over saltFactor reducers. The oracle is the PLAIN group-by —
@@ -604,7 +658,10 @@ object QueriesCore {
     "q34_cross_join" -> crossJoinSmall _,
     "q35_map_ops" -> mapOps _,
     "q36_in_subquery" -> inSubqueryHaving _,
-    "q37_skew_salted_agg" -> skewSaltedAgg _)
+    "q37_skew_salted_agg" -> skewSaltedAgg _,
+    "q38_string_gallery" -> stringGallery _,
+    "q39_null_gallery" -> nullGallery _,
+    "q40_timestamp_gallery" -> timestampGallery _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -880,5 +937,41 @@ object QueriesCore {
     "q37_skew_salted_agg" ->
       """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity,
         | CAST(COUNT(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q38_string_gallery" ->
+      """SELECT p_partkey,
+        | translate(p_brand, '#', '_') AS brand_t,
+        | lpad(p_brand, 12, '*') AS brand_lpad,
+        | rpad(p_brand, 12, '*') AS brand_rpad,
+        | repeat(p_brand, 2) AS brand_x2,
+        | reverse(p_brand) AS brand_rev,
+        | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        | left(p_name, 5) AS left5,
+        | right(p_name, 5) AS right5,
+        | CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist,
+        | CAST(ascii(p_brand) AS INT) AS first_code
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q39_null_gallery" ->
+      """SELECT o_orderkey,
+        | nullif(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+        | coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'DEFAULTED')
+        |   AS prio_filled,
+        | CASE WHEN nullif(o_orderpriority, '3-MEDIUM') IS NULL
+        |   THEN 0 ELSE 1 END AS has_prio,
+        | nullif(o_orderpriority, '3-MEDIUM') IS NOT DISTINCT FROM '1-URGENT'
+        |   AS urgent_nullsafe,
+        | greatest(o_totalprice, 0.0) AS price_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q40_timestamp_gallery" ->
+      """SELECT o_orderkey,
+        | CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   AS BIGINT) AS epoch_days,
+        | CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        | CAST(date_part('doy', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |   AS day_of_year,
+        | CAST(make_date(2024, CAST(month(CAST(o_orderdate AS DATE)) AS INT), 1)
+        |   AS VARCHAR) AS anchor_month,
+        | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |   AS BIGINT) AS days_to_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }

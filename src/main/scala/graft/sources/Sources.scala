@@ -30,6 +30,30 @@ object ParquetSource {
     spark.read.parquet(s"$dir/$name.parquet")
 }
 
+/** Newline-delimited JSON source. Like CSV, schema inference costs a full
+  * extra pass — always pass the schema at scale; the inferring variant
+  * exists for exploration only.
+  */
+object JsonSource {
+  def typed(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def inferring(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}
+
+/** ORC source/sink — the other columnar format Spark reads natively with
+  * pushdown + pruning (relevant when upstream systems emit ORC; parquet
+  * remains this engine's default).
+  */
+object OrcSource {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+}
+
 /** Convenience loader for the driver testdata star schema (TESTDATA.md). */
 object Tables {
   val tpch: Seq[String] =
