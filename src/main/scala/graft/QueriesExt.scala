@@ -208,6 +208,27 @@ object QueriesExt {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: each view event picks up the user's FIRST purchase
+    * at-or-after it (next-conversion lookup; DuckDB ASOF with >= as oracle).
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"))
+    graft.operators.AsOfJoin.forward(
+      views, purchases, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts",
+      payload = Seq("purchase_event_id", "purchase_ts"),
+      rightTiebreak = Some("purchase_event_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_event_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Deterministic modulo train/test split with per-side stats (portable
     * oracle; the hash-based variant is [[graft.operators.Sampling.deterministicSplit]]).
     */
@@ -302,7 +323,8 @@ object QueriesExt {
     "x20_array_ops" -> arrayOps _,
     "x21_knn_ivfpq" -> knnIvfPq _,
     "x22_lang_trigram" -> textLangTrigram _,
-    "x23_repetition" -> textRepetition _)
+    "x23_repetition" -> textRepetition _,
+    "x24_asof_forward" -> asofForward _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -474,5 +496,12 @@ object QueriesExt {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         | ON p.user_id = v.user_id AND v.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "x24_asof_forward" ->
+      """SELECT v.event_id, v.user_id, p.event_id AS purchase_event_id,
+        | epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON v.user_id = p.user_id AND p.ts >= v.ts
+        |ORDER BY v.event_id""".stripMargin)
 }

@@ -50,5 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = args(1).eval().asInstanceOf[Int]
         ShingleHashesExpr(args.head, k)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      info("l2_normalize",
+        "l2_normalize(vec) - unit-normalize a float/double array"),
+      (args: Seq[Expression]) => L2NormalizeExpr(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("lang_id_trigram"),
+      info("lang_id_trigram",
+        "lang_id_trigram(text) - trigram-profile language code or 'und'"),
+      (args: Seq[Expression]) => TrigramLangIdExpr(args.head)))
   }
 }

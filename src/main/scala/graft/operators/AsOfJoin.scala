@@ -83,4 +83,68 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payload.map(c => col(s"__p.$c").as(c)): _*)
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * whose timestamp is >= (or >, if not inclusive) the left timestamp, per
+    * key — the "next event after" lookup (e.g. first purchase after a view).
+    *
+    * Same union + running-window shape as [[backward]], with the scan
+    * direction reversed (timestamps ordered descending, so the running
+    * `last(ignoreNulls)` carries the earliest-at-or-after right row). Among
+    * right rows tied on (key, ts), the SMALLEST `rightTiebreak` wins.
+    */
+  def forward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[String], rightTiebreak: Option[String] = None,
+      inclusive: Boolean = true): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      "payload column names must not collide with left columns")
+    val reserved = Seq("__ts", "__side", "__tb", "__p")
+    require(!(leftCols ++ payload).exists(reserved.contains),
+      s"column names ${reserved.mkString("/")} are reserved by AsOfJoin")
+
+    val payloadType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+
+    val rightSide = right.select(
+      (keys.map(col) :+
+        col(rightTs).as("__ts") :+
+        lit(0).as("__side") :+
+        coalesce(rightTiebreak.map(col).getOrElse(lit(0L)).cast("long"),
+          lit(0L)).as("__tb") :+
+        struct(payload.map(c => col(c).as(c)): _*).cast(payloadType)
+          .as("__p")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val leftSide = left.select(
+      (keys.map(col) :+
+        col(leftTs).cast(right.schema(rightTs).dataType).as("__ts") :+
+        lit(1).as("__side") :+
+        lit(0L).as("__tb") :+
+        lit(null).cast(payloadType).as("__p")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    // descending scan: at each left row, the last non-null payload seen is
+    // the right row with the smallest ts >= left ts (ties: smallest __tb,
+    // since __tb descends and last() takes the latest in frame order)
+    val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, sideOrder, col("__tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = rightSide.unionByName(leftSide)
+      .select(
+        (keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) :+
+          col("__side") :+ col("__ts") :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p")): _*)
+
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p.$c").as(c)): _*)
+  }
 }

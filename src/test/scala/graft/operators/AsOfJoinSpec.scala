@@ -46,4 +46,42 @@ class AsOfJoinSpec extends SparkSpec {
   test("every left row survives (left-join semantics)") {
     assert(run(inclusive = true).size == trades.count())
   }
+
+  private def runFwd(inclusive: Boolean) =
+    AsOfJoin.forward(trades, quotes, keys = Seq("sym"),
+      leftTs = "t_ts", rightTs = "q_ts", payload = Seq("px"),
+      inclusive = inclusive)
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+
+  test("inclusive forward as-of picks earliest quote at or after each trade") {
+    val m = runFwd(inclusive = true)
+    assert(m(3L).contains(100.0)) // 09:00 trade -> first quote of the day
+    assert(m(2L).contains(100.0)) // equal-ts quote visible when inclusive
+    assert(m(1L).isEmpty) // 10:00:05 trade: no later quote
+    assert(m(4L).isEmpty) // MSFT 10:00:10: no later quote
+  }
+
+  test("exclusive forward as-of ignores equal-timestamp right rows") {
+    val m = runFwd(inclusive = false)
+    assert(m(2L).contains(101.0)) // skips the 10:00:00 quote, takes 10:00:03
+    assert(m(3L).contains(100.0))
+  }
+
+  test("forward as-of payload stays atomic when right fields are null") {
+    import org.apache.spark.sql.functions._
+    val left = Seq(("k", ts("2024-01-01 00:00:00"), 1L))
+      .toDF("k", "lts", "lid")
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:01"), Option.empty[Double], 10L),
+      ("k", ts("2024-01-01 00:00:02"), Some(5.0), 20L)
+    ).toDF("k", "rts", "v", "rid")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "lts", "rts",
+      payload = Seq("v", "rid"), rightTiebreak = Some("rid"))
+      .select(col("v"), col("rid")).head()
+    // earliest right row (rid=10) wins as a UNIT: v must be null from THAT
+    // row, not stitched from the later row
+    assert(out.isNullAt(0))
+    assert(out.getLong(1) == 10L)
+  }
 }
