@@ -133,6 +133,14 @@ object QueriesExt {
         TextFunctions.dupBigramFraction(col("text")).as("dup_2gram_frac"))
       .orderBy("doc_id")
 
+  /** Composite quality filter: survivors + their signals (the end-to-end
+    * training-data filter; oracle composes the proven x07/x08/x23 SQL).
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter(t(spark, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "quality", "lang", "dup_word_frac")
+      .orderBy("doc_id")
+
   /** JSON property extraction (`props` carries `{"k": N}`) aggregated per
     * event type — the semi-structured column surface.
     */
@@ -324,7 +332,8 @@ object QueriesExt {
     "x21_knn_ivfpq" -> knnIvfPq _,
     "x22_lang_trigram" -> textLangTrigram _,
     "x23_repetition" -> textRepetition _,
-    "x24_asof_forward" -> asofForward _)
+    "x24_asof_forward" -> asofForward _,
+    "x25_quality_filter" -> qualityFilter _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -470,6 +479,60 @@ object QueriesExt {
         | FROM documents)
         |WHERE length(tok) > 0 GROUP BY 1
         |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "x25_quality_filter" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0) AS toks,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> length(tk) > 0) AS ltoks
+        | FROM documents
+        |), sig AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_chars > 0 THEN
+        |    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |      AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+        |      / len(toks) ELSE 0.0 END AS awl,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |   ELSE 0.0 END AS dup_word_frac,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['the','and','of','to','is','that','with','for'], x))) AS BIGINT)
+        |    AS s_en,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['der','die','und','das','ist','nicht','mit','ein'], x))) AS BIGINT)
+        |    AS s_de,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['el','los','las','es','una','por','como','pero'], x))) AS BIGINT)
+        |    AS s_es,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['le','les','des','est','une','dans','pour','que'], x))) AS BIGINT)
+        |    AS s_fr,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['o','os','um','uma','nao','em','do','da'], x))) AS BIGINT)
+        |    AS s_pt
+        | FROM base
+        |), scored AS (
+        | SELECT doc_id, n_tokens, dup_word_frac,
+        |  (least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + (CASE WHEN awl >= 2.5 AND awl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |   + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2)
+        |    AS quality,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_pt) = 0 THEN 'und'
+        |   WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'de'
+        |   WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'en'
+        |   WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'es'
+        |   WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'fr'
+        |   ELSE 'pt' END AS lang
+        | FROM sig)
+        |SELECT doc_id, n_tokens, quality, lang, dup_word_frac FROM scored
+        |WHERE n_tokens >= 10 AND quality >= 0.5 AND lang = 'en'
+        |  AND dup_word_frac <= 0.3
+        |ORDER BY doc_id""".stripMargin,
     "x23_repetition" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -131,6 +131,65 @@ object Streams {
     * session_window's merge semantics aren't enough — e.g. per-session
     * aggregates beyond counts).
     */
+  final case class TsEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** Streaming sessionization with EVENT-TIME TIMEOUT: unlike
+    * [[statefulSessionize]] (which can never emit a user's final session —
+    * there is no later event to close it), this registers a timeout at
+    * `lastEvent + gap`; when the watermark passes it, the open session is
+    * emitted and its state evicted. This is the complete streaming
+    * contract: every session is eventually emitted exactly once, and state
+    * size stays bounded by the set of users active within the watermark
+    * horizon.
+    */
+  def statefulSessionizeStream(events: DataFrame, gapSeconds: Long,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    implicit val evEnc = Encoders.product[TsEvent]
+    implicit val stEnc = Encoders.product[UserSessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapUs = gapSeconds * 1000000L
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserSessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[TsEvent], state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.sessionSeq, st.nEvents,
+              st.lastTsMicros - st.startTsMicros))
+          } else {
+            val sorted = it.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+              .getOrElse(UserSessionState(0L, Long.MinValue, 0L, 0L))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tsUs = e.ts.getTime * 1000L
+              if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
+                if (st.nEvents > 0L)
+                  out += SessionOut(user, st.sessionSeq, st.nEvents,
+                    st.lastTsMicros - st.startTsMicros)
+                st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
+              } else {
+                st = st.copy(lastTsMicros = tsUs, nEvents = st.nEvents + 1L)
+              }
+            }
+            state.update(st)
+            // close the open session once the watermark passes last + gap
+            state.setTimeoutTimestamp(
+              st.lastTsMicros / 1000L + gapSeconds * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   def statefulSessionize(events: Dataset[UserEvent], gapSeconds: Long)(
       implicit enc: org.apache.spark.sql.Encoder[SessionOut],
       stEnc: org.apache.spark.sql.Encoder[UserSessionState])

@@ -157,6 +157,37 @@ class StreamingSpec extends SparkSpec {
     assert(counts("2024-01-01 12:00:00") == 1L)
   }
 
+  test("event-time timeout closes the final open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val sessions = Streams.statefulSessionizeStream(
+      input.toDF().toDF("user_id", "event_id", "ts"),
+      gapSeconds = 1800L, watermark = "10 minutes")
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ett_out").start()
+    // session 1: two events for user 7
+    input.addData((7L, 1L, ts("2024-01-01 10:00:00")),
+      (7L, 2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // a later event closes session 1 inline and opens session 2
+    input.addData((7L, 3L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // another user's event only advances the watermark past 13:00 + gap ->
+    // user 7's session 2 must be closed by TIMEOUT, not by a later event
+    input.addData((9L, 4L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ett_out")
+      .select($"user_id", $"session_seq", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((7L, 1L, 2L)), s"inline-closed session missing: $out")
+    assert(out.contains((7L, 2L, 1L)), s"timeout-closed session missing: $out")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
