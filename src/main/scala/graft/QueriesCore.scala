@@ -619,6 +619,38 @@ object QueriesCore {
       saltFactor = 16)
       .orderBy("l_returnflag")
 
+  /** Correlated scalar subquery: each customer's maximal-price orders
+    * (q23 covers the uncorrelated scalar form; this exercises per-row
+    * correlation, which Catalyst decorrelates into an aggregate + join).
+    */
+  def correlatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_cs")
+    spark.sql(
+      """SELECT o1.o_orderkey, o1.o_custkey FROM orders_cs o1
+        |WHERE o1.o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                         FROM orders_cs o2
+        |                         WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** LATERAL correlated derived table: top-2 orders per customer by price
+    * through a per-row subquery with ORDER BY + LIMIT (the planner turns
+    * this into a ranked window; semantically it is the SQL-standard lateral
+    * form both engines support).
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_lat")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lat c,
+        | LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+        |          WHERE o.o_custkey = c.c_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey
+        |          LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -661,7 +693,9 @@ object QueriesCore {
     "q37_skew_salted_agg" -> skewSaltedAgg _,
     "q38_string_gallery" -> stringGallery _,
     "q39_null_gallery" -> nullGallery _,
-    "q40_timestamp_gallery" -> timestampGallery _)
+    "q40_timestamp_gallery" -> timestampGallery _,
+    "q41_correlated_scalar" -> correlatedScalar _,
+    "q42_lateral_topk" -> lateralTopOrders _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -973,5 +1007,19 @@ object QueriesCore {
         |   AS VARCHAR) AS anchor_month,
         | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
         |   AS BIGINT) AS days_to_end
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q41_correlated_scalar" ->
+      """SELECT o1.o_orderkey, o1.o_custkey FROM orders o1
+        |WHERE o1.o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |                         FROM orders o2
+        |                         WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q42_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        | LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey
+        |          LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
 }

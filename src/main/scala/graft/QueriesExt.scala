@@ -60,6 +60,15 @@ object QueriesExt {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** MinHash near-dedup with exact connected-component cluster resolution
+    * (rows-only; handles chained clusters the greedy rule would over-keep).
+    */
+  def minhashDedupCC(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupCC(t(spark, dir, "documents"), "text", "doc_id",
+      threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** SimHash near-dedup survivors (rows-only). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDedup(t(spark, dir, "documents"), "text", "doc_id",
@@ -333,7 +342,8 @@ object QueriesExt {
     "x22_lang_trigram" -> textLangTrigram _,
     "x23_repetition" -> textRepetition _,
     "x24_asof_forward" -> asofForward _,
-    "x25_quality_filter" -> qualityFilter _)
+    "x25_quality_filter" -> qualityFilter _,
+    "x26_minhash_dedup_cc" -> minhashDedupCC _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
