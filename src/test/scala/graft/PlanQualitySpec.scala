@@ -102,6 +102,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join pruning engages when thresholds allow") {
+    // Catalyst injects bloom_filter_agg/might_contain on the probe side of
+    // a shuffle join with a selective build side (on by default; size
+    // thresholds put it out of reach at test scale, so lower them here).
+    // At 100 TB this is the free semi-join reduction for every q04-shaped
+    // star join too big to broadcast.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val parts = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter(org.apache.spark.sql.functions.col("p_size") <= 5)
+      val joined = li.join(parts,
+        li("l_partkey") === parts("p_partkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan-project-filter spine of q15") {
     // under AQE the pre-execution plan hides codegen stages; disable it for
     // this one assertion so the static physical plan shows the codegen spans
