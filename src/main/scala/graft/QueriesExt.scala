@@ -315,6 +315,22 @@ object QueriesExt {
       nPlanes = 8, dim = 64)
       .orderBy("id_a", "id_b")
 
+  /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
+    * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
+    * stage and the match-probability law are covered by ScalaTest).
+    */
+  def wminhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.weightedMinhashCandidates(t(spark, dir, "documents"), "text",
+      "doc_id", shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Weighted-Jaccard near-dedup survivors (rows-only). */
+  def wminhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.weightedMinhashDedup(t(spark, dir, "documents"), "text", "doc_id",
+      threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -343,7 +359,9 @@ object QueriesExt {
     "x23_repetition" -> textRepetition _,
     "x24_asof_forward" -> asofForward _,
     "x25_quality_filter" -> qualityFilter _,
-    "x26_minhash_dedup_cc" -> minhashDedupCC _)
+    "x26_minhash_dedup_cc" -> minhashDedupCC _,
+    "x27_wminhash_pairs" -> wminhashPairs _,
+    "x28_wminhash_dedup" -> wminhashDedup _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -255,6 +255,104 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---------------------------------------------------- weighted (ICWS)
+
+  /** Term-frequency shingle bag of a text column:
+    * struct(hashes array<bigint>, weights array<double>). The weighted
+    * counterpart of [[shingleHashes]] — same shingle hashing, but repeated
+    * shingles keep their multiplicity as a weight.
+    */
+  def shingleTf(text: Column, k: Int): Column =
+    graft.functions.expr.WeightedMinHashExprs.shingleTf(
+      TextFunctions.tokens(text), k)
+
+  /** ICWS weighted MinHash signature (Ioffe 2010): each slot matches between
+    * two docs with probability equal to their weighted Jaccard
+    * Σ min(w_a, w_b) / Σ max(w_a, w_b) — TF-aware where [[minhashSignature]]
+    * is set-only.
+    */
+  def icwsSignature(hashesCol: Column, weightsCol: Column, numHashes: Int,
+      seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val seeds = Array.fill(numHashes)(rng.nextLong())
+    graft.functions.expr.WeightedMinHashExprs.icwsSignature(
+      hashesCol, weightsCol, seeds)
+  }
+
+  /** Exact weighted Jaccard between two (hashes, weights) sparse vectors. */
+  def weightedJaccard(hashesA: Column, weightsA: Column, hashesB: Column,
+      weightsB: Column): Column =
+    graft.functions.expr.WeightedMinHashExprs.weightedJaccard(
+      hashesA, weightsA, hashesB, weightsB)
+
+  /** Candidate near-duplicate pairs under WEIGHTED Jaccard: ICWS signatures
+    * banded exactly like [[minhashCandidates]], verified with the exact
+    * Σ min / Σ max similarity. Use over [[minhashCandidates]] when term
+    * frequency matters — e.g. spammy corpora where one doc repeats a phrase
+    * many times, which set-Jaccard cannot see.
+    *
+    * Scale shape is identical to the unweighted path: the banded stream
+    * carries (band, bandHash, id) only; TF structs join back in for the
+    * surviving deduplicated pairs.
+    */
+  def weightedMinhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val withTf = df
+      .select(col(idCol), shingleTf(col(textCol), shingleK).as("__tf"))
+
+    val banded = withTf
+      .withColumn("__sig", icwsSignature(col("__tf.hashes"),
+        col("__tf.weights"), numHashes, seed))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        ).as(Seq("__band", "__bandhash")))
+
+    val bucketSizes = banded
+      .groupBy("__band", "__bandhash")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+    val inBuckets = banded.join(bucketSizes, Seq("__band", "__bandhash"))
+
+    val a = inBuckets.select(col("__band"), col("__bandhash"),
+      col(idCol).as("id_a"))
+    val b = inBuckets.select(col("__band"), col("__bandhash"),
+      col(idCol).as("id_b"))
+    val pairIds = a
+      .join(b, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val tfA = withTf.select(col(idCol).as("id_a"), col("__tf").as("__tf_a"))
+    val tfB = withTf.select(col(idCol).as("id_b"), col("__tf").as("__tf_b"))
+    pairIds.join(tfA, Seq("id_a")).join(tfB, Seq("id_b"))
+      .withColumn("wjaccard", weightedJaccard(
+        col("__tf_a.hashes"), col("__tf_a.weights"),
+        col("__tf_b.hashes"), col("__tf_b.weights")))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("wjaccard"))
+  }
+
+  /** Weighted-Jaccard near-dedup: greedy min-id survivor rule over
+    * [[weightedMinhashCandidates]].
+    */
+  def weightedMinhashDedup(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val losers = weightedMinhashCandidates(df, textCol, idCol, shingleK,
+      numHashes, bands, threshold, seed = seed)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard similarity between two text columns (exact, for
     * verification and small candidate sets).
     */
