@@ -331,6 +331,28 @@ object QueriesExt {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** fastText-style hashed-n-gram quality classifier, distantly supervised:
+    * the heuristic quality score provides weak labels, `fit` runs the
+    * bounded per-bucket gradient loop, and every doc gets a model
+    * prediction (rows-only: float gradient sums make exact scores
+    * run-order-sensitive; the learning law is asserted in
+    * `HashNgramClassifierSpec`).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val labeled = docs.select(col("doc_id"), col("text"),
+      (TextFunctions.qualityScore(col("text")) >= 0.8).cast("double")
+        .as("label"))
+    val model = graft.operators.HashNgramClassifier.fit(
+      labeled, "text", "label", numBuckets = 1 << 12, wordNgrams = 2,
+      epochs = 10, lr = 4.0)
+    labeled
+      .select(col("doc_id"),
+        (graft.operators.HashNgramClassifier.score(col("text"), model) > 0.5)
+          .as("pred"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,7 +383,8 @@ object QueriesExt {
     "x25_quality_filter" -> qualityFilter _,
     "x26_minhash_dedup_cc" -> minhashDedupCC _,
     "x27_wminhash_pairs" -> wminhashPairs _,
-    "x28_wminhash_dedup" -> wminhashDedup _)
+    "x28_wminhash_dedup" -> wminhashDedup _,
+    "x29_quality_classifier" -> qualityClassifier _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.expr.HashNgramExprs
+
+/** fastText-style text quality classifier (Joulin et al. 2016): a logistic
+  * model over hashed word-unigram + n-gram buckets, with distributed
+  * training that scales to any corpus size.
+  *
+  * Scale design of `fit`: each epoch is ONE pass over the (cached, hashed)
+  * feature table — per-bucket gradients come from an explode + groupBy whose
+  * result cardinality is bounded by `numBuckets`, never by corpus size, so
+  * the driver-side collect is a fixed few hundred KB regardless of whether
+  * the input is 60k rows or 100 TB. This is the same shape batch SGD takes
+  * in parameter-server systems, with the DataFrame shuffle playing the
+  * parameter-server role. Token arrays are hashed ONCE up front; epochs
+  * re-score from compact int bucket arrays.
+  *
+  * The typical 100 TB use: `fit` on a small labeled sample (quality labels
+  * are expensive), then `score` — a codegen-adjacent primitive loop with the
+  * weight table riding in the task closure — across the full corpus, and
+  * filter on the score column ([[QualityFilter]] composes it with the
+  * heuristic signals).
+  */
+object HashNgramClassifier {
+
+  /** Trained model: weight table + bias; `wordNgrams` is part of the model
+    * because scoring must hash features identically to training.
+    */
+  case class Model(weights: Array[Float], bias: Double, wordNgrams: Int) {
+    def numBuckets: Int = weights.length
+  }
+
+  /** Logistic score in (0,1) of a text column under `model`. */
+  def score(text: Column, model: Model): Column =
+    HashNgramExprs.score(TextFunctions.tokens(text), model.weights,
+      model.bias, model.wordNgrams)
+
+  /** Feature bucket ids (unigrams + n-grams) — the hashing trick view used
+    * by training; exposed for feature-level debugging.
+    */
+  def buckets(text: Column, numBuckets: Int, wordNgrams: Int): Column =
+    HashNgramExprs.buckets(TextFunctions.tokens(text), numBuckets, wordNgrams)
+
+  /** Batch-gradient logistic regression over hashed n-gram features.
+    *
+    * @param df      training frame
+    * @param textCol document text column
+    * @param labelCol 0/1 label column (castable to double)
+    * @param numBuckets hash table width (fastText default order: 1<<20;
+    *                   smaller is fine for quality models)
+    * @param wordNgrams max n-gram order (fastText -wordNgrams)
+    * @param epochs  full-batch gradient steps
+    * @param lr      learning rate
+    * @param l2      ridge penalty
+    */
+  def fit(df: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
+      lr: Double = 2.0, l2: Double = 1e-6): Model = {
+    // hash once; epochs iterate over compact (label, buckets, nfeat) rows
+    val feats = df
+      .select(col(labelCol).cast("double").as("__y"),
+        buckets(col(textCol), numBuckets, wordNgrams).as("__b"))
+      .withColumn("__nf", greatest(size(col("__b")), lit(1)))
+      .cache()
+    val n = feats.count().toDouble
+    require(n > 0, "fit needs a non-empty training frame")
+
+    val w = new Array[Float](numBuckets)
+    var bias = 0.0
+    var epoch = 0
+    while (epoch < epochs) {
+      // snapshot so this epoch's tasks see a stable table while the driver
+      // updates `w` after the actions complete
+      val wEpoch = w.clone()
+      val g = feats
+        .withColumn("__p", HashNgramExprs.bucketScore(col("__b"), wEpoch, bias))
+        .withColumn("__g", col("__p") - col("__y"))
+      val biasGrad = g.agg(sum("__g")).head().getDouble(0) / n
+      // per-bucket gradient: result rows <= numBuckets, independent of corpus
+      val bucketGrads = g
+        .select(explode(col("__b")).as("__bk"),
+          (col("__g") / col("__nf")).as("__gb"))
+        .groupBy("__bk")
+        .agg(sum("__gb").as("__s"))
+        .collect()
+      bias -= lr * biasGrad
+      bucketGrads.foreach { r =>
+        val b = r.getInt(0)
+        val grad = r.getDouble(1) / n + l2 * w(b)
+        w(b) = (w(b) - lr * grad).toFloat
+      }
+      epoch += 1
+    }
+    feats.unpersist()
+    Model(w, bias, wordNgrams)
+  }
+}

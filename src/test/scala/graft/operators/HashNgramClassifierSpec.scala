@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.functions.expr.HashNgramExprs
+
+class HashNgramClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic quality corpus: clean prose vs keyword-stuffed spam, with
+  // disjoint-ish vocabularies so a linear model is learnable
+  private val good = Seq(
+    "the committee reviewed the proposal and published a detailed report",
+    "researchers measured the effect across three independent experiments",
+    "the library provides a clean interface for reading columnar data",
+    "students discussed the novel over coffee after the evening lecture",
+    "the engineer documented every step of the deployment procedure")
+  private val bad = Seq(
+    "buy cheap buy cheap buy cheap click here click here best price",
+    "free offer free offer free offer subscribe now subscribe now",
+    "win money win money casino bonus casino bonus click click click",
+    "cheap pills cheap pills best deal best deal order now order now",
+    "click subscribe win free bonus cheap deal price offer now now")
+  private val train = (good.map((_, 1.0)) ++ bad.map((_, 0.0)))
+    .toDF("text", "label")
+
+  test("buckets: unigrams + bigrams count, deterministic, in range") {
+    val r = train.limit(1)
+      .select(HashNgramClassifier.buckets($"text", 1 << 10, 2).as("b"))
+      .select(size($"b").as("n"), array_min($"b").as("lo"),
+        array_max($"b").as("hi"))
+      .head()
+    // 10 tokens -> 10 unigrams + 9 bigrams
+    assert(r.getAs[Int]("n") == 19)
+    assert(r.getAs[Int]("lo") >= 0 && r.getAs[Int]("hi") < (1 << 10))
+  }
+
+  test("fit separates held-out good from spam") {
+    val model = HashNgramClassifier.fit(train, "text", "label",
+      numBuckets = 1 << 12, wordNgrams = 2, epochs = 30, lr = 4.0)
+    val heldOut = Seq(
+      ("the committee measured the report across experiments", 1.0),
+      ("click here free offer win money best price now", 0.0)
+    ).toDF("text", "label")
+    val scores = heldOut
+      .select($"label", HashNgramClassifier.score($"text", model).as("s"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(scores(1.0) > 0.6, s"good held-out scored ${scores(1.0)}")
+    assert(scores(0.0) < 0.4, s"spam held-out scored ${scores(0.0)}")
+    // training rows should be confidently separated
+    val trainAcc = train
+      .select($"label", HashNgramClassifier.score($"text", model).as("s"))
+      .filter(($"s" > 0.5) === ($"label" === 1.0))
+      .count()
+    assert(trainAcc == 10L)
+  }
+
+  test("token scoring and bucket scoring agree") {
+    val model = HashNgramClassifier.Model(
+      Array.tabulate(1 << 8)(i => (i % 7 - 3).toFloat / 10f), 0.2, 2)
+    val both = train.select(
+      HashNgramClassifier.score($"text", model).as("viaTokens"),
+      HashNgramExprs.bucketScore(
+        HashNgramClassifier.buckets($"text", model.numBuckets,
+          model.wordNgrams), model.weights, model.bias).as("viaBuckets"))
+      .collect()
+    both.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("empty text scores sigmoid(bias)") {
+    val model = HashNgramClassifier.Model(Array.fill(16)(1f), 0.0, 1)
+    val s = Seq("").toDF("text")
+      .select(HashNgramClassifier.score($"text", model).as("s"))
+      .head().getDouble(0)
+    assert(math.abs(s - 0.5) < 1e-12)
+  }
+}
