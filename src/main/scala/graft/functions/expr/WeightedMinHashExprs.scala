@@ -128,10 +128,27 @@ case class IcwsSignatureExpr(left: Expression, right: Expression,
   @inline private def toUniform(h: Long): Double =
     ((h >>> 11) + 0.5) * (1.0 / (1L << 53))
 
+  // splitmix64 finalizer: extends one XXH64 draw into the 5-uniform stream
+  // each (element, seed) pair needs — full-period, passes BigCrush, and far
+  // cheaper than five independent XXH64 chains
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   override def nullSafeEval(lv: Any, rv: Any): Any = {
     val hs = lv.asInstanceOf[ArrayData].toLongArray()
     val ws = rv.asInstanceOf[ArrayData].toDoubleArray()
     val n = math.min(hs.length, ws.length)
+    // hoist log(w): constant across samples
+    val logw = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      logw(j) = if (ws(j) > 0.0) math.log(ws(j)) else 0.0
+      j += 1
+    }
     val sig = new Array[Long](seeds.length)
     var s = 0
     while (s < seeds.length) {
@@ -141,27 +158,26 @@ case class IcwsSignatureExpr(left: Expression, right: Expression,
       var bestT = 0L
       var i = 0
       while (i < n) {
-        val w = ws(i)
-        if (w > 0.0) {
-          // five chained uniforms keyed by (element, seed)
-          val h1 = XXH64.hashLong(hs(i), init)
-          val h2 = XXH64.hashLong(h1, init)
-          val h3 = XXH64.hashLong(h2, init)
-          val h4 = XXH64.hashLong(h3, init)
-          val h5 = XXH64.hashLong(h4, init)
-          val r = -(math.log(toUniform(h1)) + math.log(toUniform(h2)))
-          val c = -(math.log(toUniform(h3)) + math.log(toUniform(h4)))
-          val beta = toUniform(h5)
-          val t = math.floor(math.log(w) / r + beta)
-          val y = math.exp(r * (t - beta))
-          val a = c / (y * math.exp(r))
+        if (ws(i) > 0.0) {
+          var h = XXH64.hashLong(hs(i), init)
+          val u1 = toUniform(h); h = mix(h)
+          val u2 = toUniform(h); h = mix(h)
+          val u3 = toUniform(h); h = mix(h)
+          val u4 = toUniform(h); h = mix(h)
+          val beta = toUniform(h)
+          // Gamma(2,1) via -ln(u*u'): fused to ONE log per variate, and the
+          // two exps of a = c / (y * e^r) fused to one
+          val r = -math.log(u1 * u2)
+          val c = -math.log(u3 * u4)
+          val t = math.floor(logw(i) / r + beta)
+          val a = c * math.exp(-r * (t - beta) - r)
           if (a < bestA) {
             bestA = a
             bestHash = hs(i)
             bestT = java.lang.Double.doubleToLongBits(t)
           }
-          i += 1
-        } else i += 1
+        }
+        i += 1
       }
       sig(s) =
         if (bestA.isInfinity) init // empty / all-zero-weight doc

@@ -79,19 +79,25 @@ object HashNgramClassifier {
       val g = feats
         .withColumn("__p", HashNgramExprs.bucketScore(col("__b"), wEpoch, bias))
         .withColumn("__g", col("__p") - col("__y"))
-      val biasGrad = g.agg(sum("__g")).head().getDouble(0) / n
-      // per-bucket gradient: result rows <= numBuckets, independent of corpus
-      val bucketGrads = g
-        .select(explode(col("__b")).as("__bk"),
-          (col("__g") / col("__nf")).as("__gb"))
-        .groupBy("__bk")
-        .agg(sum("__gb").as("__s"))
+      // ONE job per epoch: bucket gradients plus the bias gradient riding
+      // as sentinel bucket -1; result rows <= numBuckets + 1, independent
+      // of corpus size
+      val contribs = concat(
+        array(struct(lit(-1).as("__bk"), col("__g").as("__gv"))),
+        transform(col("__b"), b =>
+          struct(b.as("__bk"), (col("__g") / col("__nf")).as("__gv"))))
+      val grads = g
+        .select(explode(contribs).as("__c"))
+        .groupBy(col("__c.__bk").as("__bk"))
+        .agg(sum(col("__c.__gv")).as("__s"))
         .collect()
-      bias -= lr * biasGrad
-      bucketGrads.foreach { r =>
+      grads.foreach { r =>
         val b = r.getInt(0)
-        val grad = r.getDouble(1) / n + l2 * w(b)
-        w(b) = (w(b) - lr * grad).toFloat
+        if (b == -1) bias -= lr * (r.getDouble(1) / n)
+        else {
+          val grad = r.getDouble(1) / n + l2 * w(b)
+          w(b) = (w(b) - lr * grad).toFloat
+        }
       }
       epoch += 1
     }
