@@ -62,5 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lang_id_trigram",
         "lang_id_trigram(text) - trigram-profile language code or 'und'"),
       (args: Seq[Expression]) => TrigramLangIdExpr(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_tf"),
+      info("shingle_tf",
+        "shingle_tf(tokens, k) - struct(hashes, weights) term-frequency " +
+          "view of the word k-gram bag"),
+      (args: Seq[Expression]) => {
+        val k = args(1).eval().asInstanceOf[Int]
+        ShingleTfExpr(args.head, k)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("weighted_jaccard"),
+      info("weighted_jaccard",
+        "weighted_jaccard(hashesA, weightsA, hashesB, weightsB) - exact " +
+          "sum-min/sum-max similarity of two sparse weight vectors"),
+      (args: Seq[Expression]) => WeightedJaccardExpr(args)))
   }
 }

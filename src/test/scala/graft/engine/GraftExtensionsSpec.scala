@@ -45,4 +45,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(1))
     assert(r.getInt(2) == 3) // ab, bc, cd
   }
+
+  test("shingle_tf and weighted_jaccard are callable from SQL") {
+    val r = spark.sql(
+      """SELECT weighted_jaccard(a.hashes, a.weights, b.hashes, b.weights) AS j,
+        |       size(a.hashes) AS n
+        |FROM (SELECT shingle_tf(array('x','y','x','y'), 2) AS a,
+        |             shingle_tf(array('x','y','x','y'), 2) AS b)
+        |""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(1) == 2) // "x y" and "y x"
+  }
 }
