@@ -353,6 +353,33 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
+  /** Audience-overlap sketching: per event type, a MinHash-union signature
+    * and KMV distinct estimate of the user set (one algebraic aggregate,
+    * map-side combined); then pairwise Jaccard estimates between types.
+    * Rows-only (hash sketches); estimator laws asserted in
+    * `AggregatorsSpec`.
+    */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Aggregators
+    val k = 128
+    val sigs = events(spark, dir)
+      .select(col("event_type"), xxhash64(col("user_id")).as("__h"))
+      .groupBy("event_type")
+      .agg(Aggregators.minhashUnion(col("__h"), numHashes = 128).as("__sig"),
+        Aggregators.bottomK(col("__h"), k).as("__bk"))
+      .withColumn("est_users",
+        round(Aggregators.kmvDistinct(col("__bk"), k)).cast("long"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        round(Aggregators.sigJaccard(col("a.__sig"), col("b.__sig")), 2)
+          .as("jaccard_est"),
+        col("a.est_users").as("users_a"),
+        col("b.est_users").as("users_b"))
+      .orderBy("type_a", "type_b")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -384,7 +411,8 @@ object QueriesExt {
     "x26_minhash_dedup_cc" -> minhashDedupCC _,
     "x27_wminhash_pairs" -> wminhashPairs _,
     "x28_wminhash_dedup" -> wminhashDedup _,
-    "x29_quality_classifier" -> qualityClassifier _)
+    "x29_quality_classifier" -> qualityClassifier _,
+    "x30_user_overlap" -> userOverlap _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, ExpressionEncoder}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable sketch aggregators (typed `Aggregator`s, the Spark UDAF
+  * surface). Both are ALGEBRAIC — `merge` is associative+commutative — so
+  * Catalyst runs them as partial aggregates with map-side combine: the
+  * shuffle carries one fixed-size buffer per (partition, group), never the
+  * raw values. That property is what makes them usable as GROUP BY
+  * aggregates at 100 TB where collect_set would OOM.
+  */
+object Aggregators {
+
+  // array<bigint> encoder for buffers/outputs: fixed-width primitive
+  // serialization, not Java serialization — the buffer crosses the shuffle
+  private def longArrayEnc: Encoder[Array[Long]] =
+    ExpressionEncoder(AgnosticEncoders.ArrayEncoder(
+      AgnosticEncoders.PrimitiveLongEncoder, containsNull = false))
+
+  /** Per-group MinHash signature over pre-hashed elements (xxhash64 values):
+    * the signature of the UNION of the group's element set. Two groups'
+    * signatures estimate their Jaccard via slot agreement — the group-level
+    * counterpart of the per-document [[graft.functions.expr.MinHashSignatureExpr]]
+    * (identical seeding, so document and group signatures are comparable).
+    *
+    * Use case: "which domains / languages / sources share content" without
+    * materializing any group's element set.
+    */
+  class MinHashUnion(numHashes: Int, seed: Long)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val inits: Array[Long] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(numHashes)(XXH64.hashLong(rng.nextLong(), 42L))
+    }
+
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], elemHash: Long): Array[Long] = {
+      var s = 0
+      while (s < inits.length) {
+        val h = XXH64.hashLong(elemHash, inits(s))
+        if (h < buf(s)) buf(s) = h
+        s += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var s = 0
+      while (s < a.length) { if (b(s) < a(s)) a(s) = b(s); s += 1 }
+      a
+    }
+
+    // empty-group slots fall back to the per-seed init, matching the
+    // document-side expression's empty-set convention
+    override def finish(buf: Array[Long]): Array[Long] = {
+      val out = new Array[Long](buf.length)
+      var s = 0
+      while (s < buf.length) {
+        out(s) = if (buf(s) == Long.MaxValue) inits(s) else buf(s)
+        s += 1
+      }
+      out
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrayEnc
+  }
+
+  /** Deterministic bottom-k sketch over pre-hashed elements: keeps the k
+    * smallest distinct hash values per group. One buffer serves three
+    * reads:
+    *  - a uniform, repartition-invariant SAMPLE of k distinct elements per
+    *    group (hash order is a random-but-fixed permutation);
+    *  - the KMV distinct-count estimate (k-1) / U(k-th min) (Bar-Yossef
+    *    et al. 2002);
+    *  - a bounded representative set for drill-down joins.
+    */
+  class BottomK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0)
+
+    override def zero: Array[Long] = Array.empty
+
+    // sorted-insert into a bounded sorted buffer; O(log k) search + memmove
+    override def reduce(buf: Array[Long], elemHash: Long): Array[Long] = {
+      val h = XXH64.hashLong(elemHash, 42L) // decorrelate from input order
+      insert(buf, h)
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var out = a
+      var i = 0
+      while (i < b.length) { out = insert(out, b(i)); i += 1 }
+      out
+    }
+
+    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = {
+        var lo = 0
+        var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (buf(mid) < h) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      if (pos < buf.length && buf(pos) == h) buf // distinct-only
+      else if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, pos)
+        out(pos) = h
+        System.arraycopy(buf, pos, out, pos + 1, buf.length - pos)
+        out
+      } else if (pos < k) {
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, pos)
+        out(pos) = h
+        System.arraycopy(buf, pos, out, pos + 1, k - pos - 1)
+        out
+      } else buf
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrayEnc
+  }
+
+  /** DataFrame-facing MinHash-union aggregate over an elementHash column. */
+  def minhashUnion(elemHash: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    udaf(new MinHashUnion(numHashes, seed), Encoders.scalaLong)
+      .apply(elemHash)
+
+  /** DataFrame-facing bottom-k sketch over an elementHash column. */
+  def bottomK(elemHash: Column, k: Int): Column =
+    udaf(new BottomK(k), Encoders.scalaLong).apply(elemHash)
+
+  /** Jaccard estimate between two MinHash-union signatures (slot agreement
+    * rate) — plain Spark SQL over the aggregated arrays.
+    */
+  def sigJaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+  }
+
+  /** KMV distinct-count estimate from a bottom-k sketch: when the sketch is
+    * saturated (size == k), (k-1) / normalizedKthMin; otherwise the sketch
+    * holds ALL distinct hashes and its size is exact.
+    */
+  def kmvDistinct(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val kth = element_at(sketch, k).cast("double")
+    // map [Long.Min, Long.Max] -> (0, 1)
+    val u = (kth - lit(Long.MinValue.toDouble)) /
+      lit(2.0 * Long.MaxValue.toDouble)
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhashUnion matches the document-side signature of the union set") {
+    // group elements 10..19; the aggregate over rows must equal the
+    // expression over the materialized array (same numHashes + seed)
+    val rows = (10L to 19L).map(h => ("g", h)).toDF("g", "h")
+    val viaAgg = rows.groupBy("g")
+      .agg(Aggregators.minhashUnion($"h", numHashes = 32).as("sig"))
+      .select("sig").as[Array[Long]].head()
+    val viaExpr = rows.groupBy("g")
+      .agg(sort_array(collect_list($"h")).as("hs"))
+      .select(Dedup.minhashSignature($"hs", 32).as("sig"))
+      .as[Array[Long]].head()
+    assert(viaAgg.toSeq == viaExpr.toSeq)
+  }
+
+  test("minhashUnion is repartition-invariant (algebraic merge)") {
+    val rows = (1L to 500L).map(h => ((h % 3).toString, h)).toDF("g", "h")
+    def run(parts: Int) = rows.repartition(parts)
+      .groupBy("g").agg(Aggregators.minhashUnion($"h").as("sig"))
+      .select($"g", $"sig").as[(String, Array[Long])]
+      .collect().map { case (g, s) => g -> s.toSeq }.toMap
+    assert(run(1) == run(7))
+  }
+
+  test("sigJaccard estimates group overlap") {
+    // A = {1..100}, B = {51..150}: true J = 50/150 = 1/3; C disjoint
+    val rows = ((1L to 100L).map(("a", _)) ++ (51L to 150L).map(("b", _)) ++
+      (1000L to 1050L).map(("c", _))).toDF("g", "h")
+    val sigs = rows.groupBy("g")
+      .agg(Aggregators.minhashUnion($"h", numHashes = 256).as("sig"))
+    val j = sigs.as("x").crossJoin(sigs.as("y"))
+      .filter($"x.g" < $"y.g")
+      .select($"x.g", $"y.g",
+        Aggregators.sigJaccard($"x.sig", $"y.sig").as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(j(("a", "b")) - 1.0 / 3) < 0.12) // 256 slots, ~3 sigma
+    assert(j(("a", "c")) < 0.05 && j(("b", "c")) < 0.05)
+  }
+
+  test("bottomK: bounded, distinct, repartition- and duplicate-invariant") {
+    val base = (1L to 30L).map(("g", _)) // 30 distinct
+    val withDups = base ++ base ++ base
+    def run(rows: Seq[(String, Long)], parts: Int, k: Int) =
+      rows.toDF("g", "h").repartition(parts).groupBy("g")
+        .agg(Aggregators.bottomK($"h", k).as("s"))
+        .select("s").as[Array[Long]].head().toSeq
+    val s1 = run(base, 1, 8)
+    assert(s1.length == 8 && s1 == s1.sorted && s1.distinct == s1)
+    assert(run(withDups, 5, 8) == s1) // dups and partitioning don't matter
+    assert(run(base, 3, 64).length == 30) // undersaturated -> all distinct
+  }
+
+  test("kmvDistinct estimates distinct counts from the sketch") {
+    val k = 64
+    val rows = (1L to 5000L).map(h => ("g", h)) ++
+      (1L to 10L).map(h => ("small", h))
+    val est = rows.toDF("g", "h").groupBy("g")
+      .agg(Aggregators.bottomK($"h", k).as("s"))
+      .select($"g", Aggregators.kmvDistinct($"s", k).as("d"))
+      .as[(String, Double)].collect().toMap
+    // RSE ~ 1/sqrt(k-2) ~ 12.7%; allow ~3 sigma
+    assert(math.abs(est("g") - 5000.0) / 5000.0 < 0.4, est("g"))
+    assert(est("small") == 10.0) // undersaturated is exact
+  }
+
+  test("partial aggregation: the plan map-side combines the sketch") {
+    val rows = (1L to 100L).map(h => ((h % 5).toString, h)).toDF("g", "h")
+    val plan = rows.groupBy("g")
+      .agg(Aggregators.minhashUnion($"h").as("sig"))
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate runs in partial + final mode around the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.split("ObjectHashAggregate").length >= 3, plan.take(2000))
+  }
+}
