@@ -296,6 +296,15 @@ object QueriesExt {
       knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ with residual re-quantization (two code levels): tighter ADC
+    * shortlists at the same refine budget (rows-only; recall and
+    * residual-energy laws asserted in `SimilaritySpec`).
+    */
+  def knnIvfPq2(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4, levels = 2)
+      .orderBy("query_id", "rank")
+
   /** Array-column surface over embeddings: size, element access, max —
     * pure selections so float values pass through bit-exactly.
     */
@@ -412,7 +421,8 @@ object QueriesExt {
     "x27_wminhash_pairs" -> wminhashPairs _,
     "x28_wminhash_dedup" -> wminhashDedup _,
     "x29_quality_classifier" -> qualityClassifier _,
-    "x30_user_overlap" -> userOverlap _)
+    "x30_user_overlap" -> userOverlap _,
+    "x31_knn_ivfpq2" -> knnIvfPq2 _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -1,6 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -267,6 +268,125 @@ case class IvfPqAdcScoreExpr(first: Expression, second: Expression,
   override def prettyName: String = "ivfpq_adc_score"
 }
 
+/** `pq_encode2(vec, cell, codes1)` -> `array<int>`: level-2 codes of the
+  * residual left after level-1 reconstruction (residual re-quantization).
+  * Per subspace: nearest `codebooks2` entry to
+  * `vec_s - coarse(cell)_s - codebooks1_s(code1_s)`.
+  */
+case class PqEncode2Expr(children: Seq[Expression],
+    coarse: Array[Array[Double]], codebooks1: Array[Array[Array[Double]]],
+    codebooks2: Array[Array[Array[Double]]])
+    extends Expression with CodegenFallback {
+  require(children.length == 3, "pq_encode2(vec, cell, codes1)")
+
+  private val m = codebooks1.length
+  private val subDim = codebooks1(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(children(0).dataType) &&
+      children(1).dataType == IntegerType &&
+      (children(2).dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_encode2 expects (array<float|double>, int, array<int>)")
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    val c = children(1).eval(input)
+    val cd = children(2).eval(input)
+    if (v == null || c == null || cd == null) return null
+    val vec = PqMath.toDoubles(v.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(children(0)))
+    val cell = c.asInstanceOf[Int]
+    val codes1 = cd.asInstanceOf[ArrayData]
+    if (vec.length != m * subDim || cell < 0 || cell >= coarse.length ||
+      codes1.numElements() != m) return null
+    val cent = coarse(cell)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val c1 = codes1.getInt(s)
+      if (c1 < 0 || c1 >= codebooks1(s).length) return null
+      val e1 = codebooks1(s)(c1)
+      val cb2 = codebooks2(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb2.length) {
+        val e2 = cb2(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val r = vec(off + i) - cent(off + i) - e1(i) - e2(i)
+          d += r * r
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+  override def prettyName: String = "pq_encode2"
+}
+
+/** `pq_codes_dot(qvec, codes)` -> double: `sum_s dot(q_s, codebook_s(code_s))`
+  * — the additive ADC refinement a second quantization level contributes.
+  * Composes with [[IvfPqAdcScoreExpr]]: `score2 = adc_score(...) +
+  * pq_codes_dot(q, codes2)`.
+  */
+case class PqCodesDotExpr(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  private val m = codebooks.length
+  private val subDim = codebooks(0)(0).length
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(left.dataType) &&
+      (right.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_codes_dot expects (array<float|double>, array<int>)")
+
+  override def nullSafeEval(q: Any, cd: Any): Any = {
+    val qv = PqMath.toDoubles(q.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(left))
+    val codes = cd.asInstanceOf[ArrayData]
+    if (qv.length != m * subDim || codes.numElements() != m) return null
+    var score = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      val cb = codebooks(s)
+      if (code < 0 || code >= cb.length) return null
+      score += PqMath.subDot(qv, s * subDim, cb(code))
+      s += 1
+    }
+    score
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_codes_dot"
+}
+
 object PqExprs {
   def l2normalize(vec: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
@@ -286,4 +406,16 @@ object PqExprs {
     ColumnBridge.column(IvfPqAdcScoreExpr(ColumnBridge.expression(qvec),
       ColumnBridge.expression(cell), ColumnBridge.expression(codes),
       coarse, codebooks))
+
+  def pqEncode2(vec: Column, cell: Column, codes1: Column,
+      coarse: Array[Array[Double]], codebooks1: Array[Array[Array[Double]]],
+      codebooks2: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode2Expr(
+      Seq(vec, cell, codes1).map(ColumnBridge.expression),
+      coarse, codebooks1, codebooks2))
+
+  def pqCodesDot(qvec: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqCodesDotExpr(ColumnBridge.expression(qvec),
+      ColumnBridge.expression(codes), codebooks))
 }

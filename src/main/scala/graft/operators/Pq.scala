@@ -128,4 +128,79 @@ object Pq {
     }
     IvfPqModel(coarse, codebooks)
   }
+
+  /** Two-level model: [[IvfPqModel]] plus per-subspace codebooks for the
+    * SECOND-ORDER residual (what level 1 failed to reconstruct).
+    */
+  final case class IvfPq2Model(base: IvfPqModel,
+      codebooks2: Array[Array[Array[Double]]]) {
+    def coarse: Array[Array[Double]] = base.coarse
+    def codebooks: Array[Array[Array[Double]]] = base.codebooks
+  }
+
+  /** Residual re-quantization (two-level PQ / RQ): train level-1 codebooks
+    * as in [[train]], encode the sample with them, then train level-2
+    * codebooks on the reconstruction error. Doubles the code bytes per
+    * vector but squares down the quantization error — the standard
+    * accuracy/size middle ground between PQ and exact re-rank (Chen et al.
+    * 2010 residual vector quantization; the refinement stage of
+    * Jegou et al. 2011 §V).
+    */
+  def train2(sample: Array[Array[Double]], nList: Int, m: Int,
+      codebookSize: Int, iters: Int = 10, seed: Long = 42L): IvfPq2Model = {
+    val base = train(sample, nList, m, codebookSize, iters, seed)
+    val dim = sample(0).length
+    val subDim = dim / m
+
+    // second-order residuals: r2 = (p - coarse) - cb1[nearest]
+    val residuals2 = sample.map { p =>
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < base.coarse.length) {
+        val c = base.coarse(j)
+        var d = 0.0
+        var i = 0
+        while (i < dim) { val r = p(i) - c(i); d += r * r; i += 1 }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      val cent = base.coarse(best)
+      val r2 = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        val off = s * subDim
+        val cb = base.codebooks(s)
+        var bestE = 0
+        var bestD = Double.MaxValue
+        var e = 0
+        while (e < cb.length) {
+          val entry = cb(e)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val r = p(off + i) - cent(off + i) - entry(i)
+            d += r * r
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestE = e }
+          e += 1
+        }
+        val chosen = cb(bestE)
+        var i = 0
+        while (i < subDim) {
+          r2(off + i) = p(off + i) - cent(off + i) - chosen(i)
+          i += 1
+        }
+        s += 1
+      }
+      r2
+    }
+
+    val codebooks2 = Array.tabulate(m) { s =>
+      val sub = residuals2.map(_.slice(s * subDim, (s + 1) * subDim))
+      lloyd(sub, codebookSize, iters, seed + 1000 + s)
+    }
+    IvfPq2Model(base, codebooks2)
+  }
 }

@@ -161,13 +161,19 @@ object Similarity {
     * native expressions as literals. All scoring is dot-product on
     * L2-normalized vectors (== cosine), so the ADC decomposition
     * `dot(q,x) ~ dot(q, coarse(cell)) + sum_s dot(q_s, cb_s(code_s))` holds.
+    *
+    * `levels = 2` adds residual re-quantization ([[Pq.train2]]): a second
+    * code array per row encoding what level 1 missed, and a second additive
+    * ADC term — tighter shortlists (better recall at the same `refine`) for
+    * double the code bytes, still far below full vectors.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nList: Int = 16, nProbe: Int = 4, m: Int = 8, codebookSize: Int = 32,
       refine: Int = 50, trainSample: Int = 2000, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdOut: String = "query_id"): DataFrame = {
+      queryIdOut: String = "query_id", levels: Int = 1): DataFrame = {
     import graft.functions.expr.PqExprs
+    require(levels == 1 || levels == 2, "levels must be 1 or 2")
 
     // --- driver-side training on a bounded normalized sample
     val sample: Array[Array[Double]] = corpus.select(col(vecCol))
@@ -177,7 +183,12 @@ object Similarity {
         case d: Double => d
       }.toArray)
       .map(Pq.normalize)
-    val model = Pq.train(sample, nList, m, codebookSize, seed = seed)
+    val model2: Option[Pq.IvfPq2Model] =
+      if (levels == 2) Some(Pq.train2(sample, nList, m, codebookSize,
+        seed = seed))
+      else None
+    val model = model2.map(_.base)
+      .getOrElse(Pq.train(sample, nList, m, codebookSize, seed = seed))
 
     // all-native per-row kernels: single-pass normalize, one-pass
     // cosine-vs-every-centroid (norm computed once, no per-centroid lambdas)
@@ -190,12 +201,20 @@ object Similarity {
     }
 
     // --- index build: one shuffle-free projection per corpus row
-    val index = corpus.select(col(idCol), normVec(col(vecCol)).as("__nvec"))
+    val indexed = corpus.select(col(idCol), normVec(col(vecCol)).as("__nvec"))
       .withColumn("__cell", cellOf(col("__nvec")))
       .withColumn("__codes",
         PqExprs.pqEncode(col("__nvec"), col("__cell"),
           model.coarse, model.codebooks))
-      .select(col(idCol), col("__cell"), col("__codes"))
+    val index = model2 match {
+      case Some(m2) => indexed
+        .withColumn("__codes2",
+          PqExprs.pqEncode2(col("__nvec"), col("__cell"), col("__codes"),
+            m2.coarse, m2.codebooks, m2.codebooks2))
+        .select(col(idCol), col("__cell"), col("__codes"), col("__codes2"))
+      case None =>
+        indexed.select(col(idCol), col("__cell"), col("__codes"))
+    }
 
     // --- query probes: nProbe nearest cells each (tiny side)
     val qw = Window.partitionBy(queryIdOut)
@@ -211,12 +230,17 @@ object Similarity {
     // --- ADC scan over codes only; top-`refine` per query
     val aw = Window.partitionBy(queryIdOut)
       .orderBy(col("__adc").desc, col(idCol).asc)
+    val adc1 = PqExprs.adcScore(col("__qvec"), col("__cell"), col("__codes"),
+      model.coarse, model.codebooks)
+    val adcFull = model2 match {
+      case Some(m2) =>
+        adc1 + PqExprs.pqCodesDot(col("__qvec"), col("__codes2"), m2.codebooks2)
+      case None => adc1
+    }
     val shortlist = index
       .join(broadcast(probes), Seq("__cell"))
       .filter(col(idCol) =!= col(queryIdOut))
-      .withColumn("__adc",
-        PqExprs.adcScore(col("__qvec"), col("__cell"), col("__codes"),
-          model.coarse, model.codebooks))
+      .withColumn("__adc", adcFull)
       .withColumn("__rk", row_number().over(aw))
       .filter(col("__rk") <= refine)
       .select(col(queryIdOut), col(idCol), col("__qvec"))

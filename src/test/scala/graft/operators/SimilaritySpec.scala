@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.functions.VectorFunctions
+import graft.operators.Pq
 import graft.functions.expr.CosineSimilarityExpr.cosineSim
 
 class SimilaritySpec extends SparkSpec {
@@ -114,6 +115,58 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(exact(id) - pq(id)) < 1e-9,
         s"re-ranked cosine for $id diverges")
     }
+  }
+
+  test("two-level PQ cuts reconstruction error and keeps planted recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // driver-side: level-2 must strictly tighten the quantization
+    val sample = emb.limit(500).select($"embedding").collect()
+      .map(_.getSeq[Any](0).map { case f: Float => f.toDouble }.toArray)
+      .map(Pq.normalize)
+    val m2 = Pq.train2(sample, nList = 8, m = 8, codebookSize = 16)
+    def nearest(p: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      for (j <- cents.indices) {
+        var d = 0.0
+        for (i <- p.indices) { val r = p(i) - cents(j)(i); d += r * r }
+        if (d < bd) { bd = d; best = j }
+      }
+      best
+    }
+    val dim = sample(0).length
+    val subDim = dim / 8
+    var err1 = 0.0
+    var err2 = 0.0
+    sample.foreach { p =>
+      val cent = m2.coarse(nearest(p, m2.coarse))
+      for (s <- 0 until 8) {
+        val off = s * subDim
+        val r1 = Array.tabulate(subDim)(i => p(off + i) - cent(off + i))
+        val e1 = m2.codebooks(s)(nearest(r1, m2.codebooks(s)))
+        val r2 = Array.tabulate(subDim)(i => r1(i) - e1(i))
+        val e2 = m2.codebooks2(s)(nearest(r2, m2.codebooks2(s)))
+        for (i <- 0 until subDim) {
+          err1 += r2(i) * r2(i)
+          val rr = r2(i) - e2(i)
+          err2 += rr * rr
+        }
+      }
+    }
+    assert(err2 < err1 * 0.8,
+      s"level-2 should cut residual energy: $err2 vs $err1")
+
+    // end-to-end: planted recall with levels=2
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.ivfPqTopK(emb, queries, k = 1,
+      nList = 8, nProbe = 2, m = 8, codebookSize = 16, levels = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"two-level IVF-PQ recall $recall too low")
   }
 
   test("zero-norm vectors yield cosine 0, not NaN") {
