@@ -651,6 +651,32 @@ object QueriesCore {
         |ORDER BY c_custkey, o_orderkey""".stripMargin)
   }
 
+  /** Statistical moment aggregates per group: sample stddev/variance,
+    * correlation, covariance, linear-regression slope/intercept, boolean
+    * aggregates, count_if. Both engines compute identical mathematical
+    * quantities; results are rounded to 4dp on BOTH sides to absorb
+    * summation-order float noise (the money columns stay decimal-exact
+    * elsewhere; second-moment aggregates have no decimal form).
+    */
+  def statMoments(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("covar_qty_disc"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope_price_qty"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("icept_price_qty"),
+        bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+        bool_or(col("l_discount") > lit(0.09)).as("any_big_disc"),
+        count_if(col("l_tax") > lit(0.05)).as("n_high_tax"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -695,7 +721,8 @@ object QueriesCore {
     "q39_null_gallery" -> nullGallery _,
     "q40_timestamp_gallery" -> timestampGallery _,
     "q41_correlated_scalar" -> correlatedScalar _,
-    "q42_lateral_topk" -> lateralTopOrders _)
+    "q42_lateral_topk" -> lateralTopOrders _,
+    "q43_stat_moments" -> statMoments _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1021,5 +1048,17 @@ object QueriesCore {
         |          WHERE o.o_custkey = c.c_custkey
         |          ORDER BY o_totalprice DESC, o_orderkey
         |          LIMIT 2) t
-        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q43_stat_moments" ->
+      """SELECT l_returnflag,
+        | ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        | ROUND(var_samp(l_quantity), 4) AS var_qty,
+        | ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+        | ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+        | ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty,
+        | bool_and(l_quantity > 0) AS all_pos_qty,
+        | bool_or(l_discount > 0.09) AS any_big_disc,
+        | CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
