@@ -60,6 +60,22 @@ class AssetStoreSpec extends SparkSpec {
     spilled.unpersist()
   }
 
+  test("parquet metadata reads prune the bytes field out of the scan") {
+    // the slim-table promise: after spill, metadata-only stages must not
+    // pay for the binary column (nested schema pruning reaches into the
+    // asset struct)
+    val dir = Files.createTempDirectory("graft-assetstore-prune").toString
+    AssetStore.spill(mkAssets, "asset", s"$dir/store", threshold = 1024)
+      .write.parquet(s"$dir/table")
+    val plan = spark.read.parquet(s"$dir/table")
+      .select($"asset.uri", element_at($"asset.meta", "content_hash"))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(plan)
+    assert(readSchema.contains("uri") && !readSchema.contains("bytes"),
+      readSchema)
+  }
+
   test("fetch fails loudly on store corruption") {
     val dir = Files.createTempDirectory("graft-assetstore-corrupt").toString
     val spilled = AssetStore.spill(mkAssets, "asset", dir, threshold = 1024)
