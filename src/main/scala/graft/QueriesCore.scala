@@ -677,6 +677,43 @@ object QueriesCore {
         count_if(col("l_tax") > lit(0.05)).as("n_high_tax"))
       .orderBy("l_returnflag")
 
+  /** IGNORE NULLS window navigation over a sparse measure: last non-null
+    * carried forward (gap fill), next non-null, and the group's 2nd
+    * non-null — the time-series repair idioms.
+    */
+  def windowIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = when(col("o_totalprice") > 150000, col("o_totalprice"))
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey").as("orderkey"),
+        col("o_orderstatus").as("status"),
+        lag(sparse, 1, null, ignoreNulls = true).over(w).as("prev_big"),
+        lead(sparse, 1, null, ignoreNulls = true).over(w).as("next_big"),
+        nth_value(sparse, 2, ignoreNulls = true).over(wFull)
+          .as("second_big"))
+      .orderBy("orderkey")
+  }
+
+  /** Explicit GROUPING SETS (beyond q17 rollup / q30 cube): totals by
+    * (status, priority), by status alone, and the grand total in one pass,
+    * with GROUPING() flags disambiguating real nulls from subtotal rows.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -722,7 +759,9 @@ object QueriesCore {
     "q40_timestamp_gallery" -> timestampGallery _,
     "q41_correlated_scalar" -> correlatedScalar _,
     "q42_lateral_topk" -> lateralTopOrders _,
-    "q43_stat_moments" -> statMoments _)
+    "q43_stat_moments" -> statMoments _,
+    "q44_window_ignore_nulls" -> windowIgnoreNulls _,
+    "q45_grouping_sets" -> groupingSets _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1060,5 +1099,30 @@ object QueriesCore {
         | bool_and(l_quantity > 0) AS all_pos_qty,
         | bool_or(l_discount > 0.09) AS any_big_disc,
         | CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q44_window_ignore_nulls" ->
+      """SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+        | lag(CASE WHEN o_totalprice > 150000 THEN o_totalprice END
+        |     IGNORE NULLS)
+        |   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |   AS prev_big,
+        | lead(CASE WHEN o_totalprice > 150000 THEN o_totalprice END
+        |      IGNORE NULLS)
+        |   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |   AS next_big,
+        | nth_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END,
+        |           2 IGNORE NULLS)
+        |   OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS second_big
+        |FROM orders ORDER BY orderkey""".stripMargin,
+    "q45_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin)
 }
