@@ -102,6 +102,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ICWS band-bucket shuffles carry ids, never TF structs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bandExchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.operators.Dedup.weightedMinhashCandidates(docs, "text",
+        "doc_id", shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__band") => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(bandExchanges.nonEmpty, "expected band-keyed exchanges in plan")
+    // the (hashes, weights) struct joins in AFTER pair dedup, by id — the
+    // wide banding shuffle must never carry it
+    bandExchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.exists(_.startsWith("__tf")),
+        s"band exchange ships TF structs: $cols")
+    }
+  }
+
   test("runtime bloom-filter join pruning engages when thresholds allow") {
     // Catalyst injects bloom_filter_agg/might_contain on the probe side of
     // a shuffle join with a selective build side (on by default; size
