@@ -714,6 +714,23 @@ object QueriesCore {
         |ORDER BY g_status, g_priority, status, priority""".stripMargin)
   }
 
+  /** Multiset set operations (ALL variants keep duplicates with bag
+    * semantics — q21 covers the distinct forms): ship-date bags vs
+    * order-date bags.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").cast("string").as("d"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_shipdate").cast("date").cast("string").as("d"))
+    l.intersectAll(o).groupBy("d").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        l.exceptAll(o).groupBy("d").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+      .orderBy("op", "d")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -761,7 +778,8 @@ object QueriesCore {
     "q42_lateral_topk" -> lateralTopOrders _,
     "q43_stat_moments" -> statMoments _,
     "q44_window_ignore_nulls" -> windowIgnoreNulls _,
-    "q45_grouping_sets" -> groupingSets _)
+    "q45_grouping_sets" -> groupingSets _,
+    "q46_setops_all" -> setOpsAll _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1124,5 +1142,18 @@ object QueriesCore {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), ())
-        |ORDER BY g_status, g_priority, status, priority""".stripMargin)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+    "q46_setops_all" ->
+      """WITH l AS (SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS d
+        |           FROM lineitem),
+        |     o AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |           FROM orders),
+        |     ia AS (SELECT d FROM l INTERSECT ALL SELECT d FROM o),
+        |     ea AS (SELECT d FROM l EXCEPT ALL SELECT d FROM o)
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS n, 'intersect_all' AS op
+        |FROM ia GROUP BY d
+        |UNION ALL
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS n, 'except_all' AS op
+        |FROM ea GROUP BY d
+        |ORDER BY op, d""".stripMargin)
 }
