@@ -190,6 +190,86 @@ object Streams {
       }
   }
 
+  /** [[statefulSessionizeStream]] on the transformWithState API (Spark 4
+    * arbitrary-state v2): explicit named `ValueState` plus event-time
+    * timers instead of the single implicit state slot + timeout of
+    * flatMapGroupsWithState. Same contract — every session emitted exactly
+    * once, final sessions closed by timer when the watermark passes
+    * `last + gap`, state bounded by watermark-active users. Requires the
+    * RocksDB state store provider ([[StateOps.useRocksDb]]); the named
+    * state shows up in [[StateOps.stateSnapshot]] under its variable name.
+    */
+  def transformWithStateSessionize(events: DataFrame, gapSeconds: Long,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[TsEvent](Encoders.product[TsEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[transformWithStateSessionize]] processor: gap-close on input,
+    * timer-close for the final open session.
+    */
+  class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TsEvent, SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    private val gapUs = gapSeconds * 1000000L
+    @transient private var state: ValueState[UserSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("session",
+        Encoders.product[UserSessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[TsEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st =
+        if (state.exists()) state.get()
+        else UserSessionState(0L, Long.MinValue, 0L, 0L)
+      val prevTimer = if (st.nEvents > 0L)
+        Some(st.lastTsMicros / 1000L + gapSeconds * 1000L) else None
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val tsUs = e.ts.getTime * 1000L
+        if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
+          if (st.nEvents > 0L)
+            out += SessionOut(user, st.sessionSeq, st.nEvents,
+              st.lastTsMicros - st.startTsMicros)
+          st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
+        } else {
+          st = st.copy(lastTsMicros = tsUs, nEvents = st.nEvents + 1L)
+        }
+      }
+      state.update(st)
+      // one live timer per user: replace the previous close-timer
+      val newTimer = st.lastTsMicros / 1000L + gapSeconds * 1000L
+      prevTimer.filter(_ != newTimer).foreach(getHandle.deleteTimer)
+      if (!prevTimer.contains(newTimer)) getHandle.registerTimer(newTimer)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        state.clear()
+        Iterator.single(SessionOut(user, st.sessionSeq, st.nEvents,
+          st.lastTsMicros - st.startTsMicros))
+      }
+    }
+  }
+
   def statefulSessionize(events: Dataset[UserEvent], gapSeconds: Long)(
       implicit enc: org.apache.spark.sql.Encoder[SessionOut],
       stEnc: org.apache.spark.sql.Encoder[UserSessionState])

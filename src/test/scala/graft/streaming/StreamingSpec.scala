@@ -188,6 +188,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((7L, 2L, 1L)), s"timeout-closed session missing: $out")
   }
 
+  test("transformWithState sessionizer matches the FMGWS contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // transformWithState only runs on the RocksDB provider
+    val prev = StateOps.useRocksDb(spark)
+    try {
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val sessions = Streams.transformWithStateSessionize(
+        input.toDF().toDF("user_id", "event_id", "ts"),
+        gapSeconds = 1800L, watermark = "10 minutes")
+      val q = sessions.toDF().writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_out").start()
+      input.addData((7L, 1L, ts("2024-01-01 10:00:00")),
+        (7L, 2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // closes session 1 inline, opens session 2
+      input.addData((7L, 3L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // watermark passes 13:00 + gap -> session 2 closes by TIMER
+      input.addData((9L, 4L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_out")
+        .select($"user_id", $"session_seq", $"n_events", $"duration_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out.contains((7L, 1L, 2L, 300000000L)),
+        s"inline-closed session missing: $out")
+      assert(out.contains((7L, 2L, 1L, 0L)),
+        s"timer-closed session missing: $out")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
