@@ -270,6 +270,63 @@ object Streams {
     }
   }
 
+  final case class TopKEntry(event_type: String, rank: Int, event_id: Long,
+      value: Double)
+
+  /** Continuous per-key top-k leaderboard: for each key, maintain the k
+    * highest-valued events seen so far and re-emit the leaderboard whenever
+    * it changes (Update mode). Not expressible with native streaming
+    * aggregations (rank-truncated state) — the transformWithState use case:
+    * state is ONE bounded k-entry list per key regardless of stream length,
+    * and only changed leaderboards produce output.
+    */
+  def streamingTopK(events: DataFrame, k: Int): Dataset[TopKEntry] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc: org.apache.spark.sql.Encoder[TopKEntry] =
+      Encoders.product[TopKEntry]
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+          Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[streamingTopK]] processor: bounded sorted list in a ValueState. */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Double), TopKEntry] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var state: ValueState[Array[(Double, Long)]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("topk",
+        Encoders.kryo[Array[(Double, Long)]], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        timerValues: TimerValues): Iterator[TopKEntry] = {
+      val cur = if (state.exists()) state.get() else Array.empty[(Double, Long)]
+      // merge batch into the bounded list; ties break on smaller id
+      val merged = (cur ++ rows.map(r => (r._3, r._2)))
+        .sortBy { case (v, id) => (-v, id) }
+        .distinct
+        .take(k)
+      if (merged.sameElements(cur)) Iterator.empty
+      else {
+        state.update(merged)
+        merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+          TopKEntry(key, i + 1, id, v)
+        }
+      }
+    }
+  }
+
   def statefulSessionize(events: Dataset[UserEvent], gapSeconds: Long)(
       implicit enc: org.apache.spark.sql.Encoder[SessionOut],
       stEnc: org.apache.spark.sql.Encoder[UserSessionState])

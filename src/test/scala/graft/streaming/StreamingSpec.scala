@@ -226,6 +226,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming top-k leaderboard tracks the k best per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val prev = StateOps.useRocksDb(spark)
+    try {
+      val input = MemoryStream[(String, Long, Double)]
+      val top = Streams.streamingTopK(
+        input.toDF().toDF("event_type", "event_id", "value"), k = 2)
+      val q = top.toDF().writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("topk_out").start()
+      input.addData(("view", 1L, 5.0), ("view", 2L, 9.0), ("click", 3L, 1.0))
+      q.processAllAvailable()
+      // a better event displaces rank 2; a worse one changes nothing
+      input.addData(("view", 4L, 7.0), ("view", 5L, 0.5))
+      q.processAllAvailable()
+      q.stop()
+      // Update-mode memory sink: latest emission per (key, rank) is current
+      val rows = spark.table("topk_out")
+      val latest = rows
+        .withColumn("__n", monotonically_increasing_id())
+        .orderBy($"__n".desc)
+        .select($"event_type", $"rank", $"event_id", $"value")
+        .collect()
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+        .map { case (kk, vs) => kk -> (vs.head.getLong(2), vs.head.getDouble(3)) }
+      assert(latest(("view", 1)) == (2L, 9.0))
+      assert(latest(("view", 2)) == (4L, 7.0))
+      assert(latest(("click", 1)) == (3L, 1.0))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
