@@ -295,6 +295,95 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** [[transformWithStateSessionize]] warm-started from batch state — the
+    * backfill→streaming handoff: a batch job computes each user's open
+    * session as of the cutover ([[graft.operators.Sessionize]] tail state),
+    * the streaming query seeds its keyed state from that Dataset, and the
+    * first streaming events CONTINUE those sessions instead of restarting
+    * numbering/counts. Seeded users also get their close-timer registered
+    * immediately, so sessions with no post-cutover events still emit.
+    */
+  def transformWithStateSessionizeBootstrapped(events: DataFrame,
+      initialState: Dataset[(Long, UserSessionState)], gapSeconds: Long,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    implicit val stEnc: org.apache.spark.sql.Encoder[UserSessionState] =
+      Encoders.product[UserSessionState]
+    val init = initialState
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapValues(_._2)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[TsEvent](Encoders.product[TsEvent])
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new BootstrappedSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append(), init)
+  }
+
+  /** [[SessionProcessor]] with batch-state seeding. */
+  class BootstrappedSessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, TsEvent, SessionOut, UserSessionState] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    private val gapUs = gapSeconds * 1000000L
+    @transient private var state: ValueState[UserSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("session",
+        Encoders.product[UserSessionState], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, st: UserSessionState,
+        timerValues: TimerValues): Unit = {
+      state.update(st)
+      if (st.nEvents > 0L)
+        getHandle.registerTimer(st.lastTsMicros / 1000L + gapSeconds * 1000L)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[TsEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st =
+        if (state.exists()) state.get()
+        else UserSessionState(0L, Long.MinValue, 0L, 0L)
+      val prevTimer = if (st.nEvents > 0L)
+        Some(st.lastTsMicros / 1000L + gapSeconds * 1000L) else None
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val tsUs = e.ts.getTime * 1000L
+        if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
+          if (st.nEvents > 0L)
+            out += SessionOut(user, st.sessionSeq, st.nEvents,
+              st.lastTsMicros - st.startTsMicros)
+          st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
+        } else {
+          st = st.copy(lastTsMicros = tsUs, nEvents = st.nEvents + 1L)
+        }
+      }
+      state.update(st)
+      val newTimer = st.lastTsMicros / 1000L + gapSeconds * 1000L
+      prevTimer.filter(_ != newTimer).foreach(getHandle.deleteTimer)
+      if (!prevTimer.contains(newTimer)) getHandle.registerTimer(newTimer)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val st = state.get()
+        state.clear()
+        Iterator.single(SessionOut(user, st.sessionSeq, st.nEvents,
+          st.lastTsMicros - st.startTsMicros))
+      }
+    }
+  }
+
   /** The [[streamingTopK]] processor: bounded sorted list in a ValueState. */
   class TopKProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[

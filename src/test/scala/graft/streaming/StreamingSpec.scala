@@ -261,6 +261,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapped sessionizer continues batch-computed open sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val prev = StateOps.useRocksDb(spark)
+    try {
+      // batch cutover state: user 7 is mid-session 3 (4 events, last 10:00)
+      val init = Seq(
+        (7L, Streams.UserSessionState(3L, us("2024-01-01 10:00:00"), 4L,
+          us("2024-01-01 09:30:00"))))
+        .toDS()
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val sessions = Streams.transformWithStateSessionizeBootstrapped(
+        input.toDF().toDF("user_id", "event_id", "ts"), init,
+        gapSeconds = 1800L, watermark = "10 minutes")
+      val q = sessions.toDF().writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-boot-cp").toString)
+        .format("memory").queryName("boot_out").start()
+      // 10:10 is within the gap of the seeded session -> must CONTINUE it
+      input.addData((7L, 10L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // 13:00 closes session 3 (now 5 events) and opens session 4
+      input.addData((7L, 11L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("boot_out")
+        .select($"user_id", $"session_seq", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out.contains((7L, 3L, 5L)),
+        s"seeded session not continued: $out")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
