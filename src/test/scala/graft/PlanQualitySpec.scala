@@ -125,6 +125,61 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    // one hot key carrying most rows; thresholds lowered so test-scale data
+    // trips the same OptimizeSkewedJoin rewrite a 100 TB hot key would
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val spark2 = spark
+      import spark2.implicits._
+      val hot = spark.range(0, 60000)
+        .select((when($"id" % 100 === 0, $"id" % 7).otherwise(lit(0L)))
+          .as("k"), $"id".as("payload"),
+          concat_ws("-", Seq.fill(8)($"id"): _*).as("pad"))
+      val dim = spark.range(0, 7).select($"id".as("k"), ($"id" * 10).as("v"))
+      val joined = hot.join(dim, Seq("k"))
+      // collect() drives THIS dataset's own query execution — count() or a
+      // write would build a separate one and leave this plan un-finalized
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("unhinted star join degrades to sort-merge when broadcast is off") {
+    // q04 pins broadcast() explicitly (its dims are bounded); the UNHINTED
+    // formulation must degrade gracefully to a shuffled join when a
+    // dimension outgrows every broadcast threshold — same keys, no OOM path
+    val prevT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      val plan = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(2000))
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally prevT match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom-filter join pruning engages when thresholds allow") {
     // Catalyst injects bloom_filter_agg/might_contain on the probe side of
     // a shuffle join with a selective build side (on by default; size
