@@ -53,13 +53,21 @@ object HashNgramClassifier {
     * @param numBuckets hash table width (fastText default order: 1<<20;
     *                   smaller is fine for quality models)
     * @param wordNgrams max n-gram order (fastText -wordNgrams)
-    * @param epochs  full-batch gradient steps
+    * @param epochs  gradient steps
     * @param lr      learning rate
     * @param l2      ridge penalty
+    * @param momentum heavy-ball coefficient (0 = plain GD); cuts epochs
+    *                 roughly in half on smooth quality objectives
+    * @param batchFraction per-epoch deterministic sample fraction (<1 =
+    *                 mini-batch SGD; seeded per epoch, so runs reproduce)
+    * @param minDocFreq buckets seen in fewer docs are frozen at weight 0 —
+    *                 fastText-style rare-feature pruning; one extra bounded
+    *                 aggregation up front, less hash-collision noise
     */
   def fit(df: DataFrame, textCol: String, labelCol: String,
       numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
-      lr: Double = 2.0, l2: Double = 1e-6): Model = {
+      lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
+      batchFraction: Double = 1.0, minDocFreq: Int = 1): Model = {
     // hash once; epochs iterate over compact (label, buckets, nfeat) rows
     val feats = df
       .select(col(labelCol).cast("double").as("__y"),
@@ -69,14 +77,30 @@ object HashNgramClassifier {
     val n = feats.count().toDouble
     require(n > 0, "fit needs a non-empty training frame")
 
+    // rare-bucket freeze mask: document frequency per bucket, bounded rows
+    val frozen: java.util.BitSet = new java.util.BitSet(numBuckets)
+    if (minDocFreq > 1) {
+      feats.select(explode(array_distinct(col("__b"))).as("__bk"))
+        .groupBy("__bk").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") < minDocFreq)
+        .collect()
+        .foreach(r => frozen.set(r.getInt(0)))
+    }
+
     val w = new Array[Float](numBuckets)
+    val vel = new Array[Double](numBuckets)
+    var biasVel = 0.0
     var bias = 0.0
     var epoch = 0
     while (epoch < epochs) {
       // snapshot so this epoch's tasks see a stable table while the driver
       // updates `w` after the actions complete
       val wEpoch = w.clone()
-      val g = feats
+      val epochRows =
+        if (batchFraction >= 1.0) feats
+        else feats.sample(withReplacement = false, batchFraction,
+          seed = 42L + epoch)
+      val g = epochRows
         .withColumn("__p", HashNgramExprs.bucketScore(col("__b"), wEpoch, bias))
         .withColumn("__g", col("__p") - col("__y"))
       // ONE job per epoch: bucket gradients plus the bias gradient riding
@@ -91,12 +115,17 @@ object HashNgramClassifier {
         .groupBy(col("__c.__bk").as("__bk"))
         .agg(sum(col("__c.__gv")).as("__s"))
         .collect()
+      val nEpoch = if (batchFraction >= 1.0) n else math.max(1.0,
+        n * batchFraction)
       grads.foreach { r =>
         val b = r.getInt(0)
-        if (b == -1) bias -= lr * (r.getDouble(1) / n)
-        else {
-          val grad = r.getDouble(1) / n + l2 * w(b)
-          w(b) = (w(b) - lr * grad).toFloat
+        if (b == -1) {
+          biasVel = momentum * biasVel + r.getDouble(1) / nEpoch
+          bias -= lr * biasVel
+        } else if (!frozen.get(b)) {
+          val grad = r.getDouble(1) / nEpoch + l2 * w(b)
+          vel(b) = momentum * vel(b) + grad
+          w(b) = (w(b) - lr * vel(b)).toFloat
         }
       }
       epoch += 1

@@ -57,6 +57,37 @@ class HashNgramClassifierSpec extends SparkSpec {
     assert(trainAcc == 10L)
   }
 
+  test("momentum + pruned fit separates in fewer epochs") {
+    // 8 momentum epochs with rare-feature pruning must reach full training
+    // separation (plain GD needs ~20+ at this lr)
+    val model = HashNgramClassifier.fit(train, "text", "label",
+      numBuckets = 1 << 12, wordNgrams = 2, epochs = 8, lr = 2.0,
+      momentum = 0.9, minDocFreq = 2)
+    val acc = train
+      .select($"label", HashNgramClassifier.score($"text", model).as("s"))
+      .filter(($"s" > 0.5) === ($"label" === 1.0))
+      .count()
+    assert(acc == 10L, s"momentum fit separated only $acc/10")
+    // pruning froze singleton n-grams at 0: at least some buckets stay 0
+    // while the model still works
+    assert(model.weights.count(_ != 0f) > 0)
+  }
+
+  test("mini-batch fit is reproducible and still learns") {
+    def run() = HashNgramClassifier.fit(train, "text", "label",
+      numBuckets = 1 << 12, wordNgrams = 2, epochs = 40, lr = 4.0,
+      momentum = 0.5, batchFraction = 0.8)
+    val m1 = run()
+    val m2 = run()
+    assert(m1.bias == m2.bias && m1.weights.toSeq == m2.weights.toSeq,
+      "seeded mini-batch runs must be identical")
+    val acc = train
+      .select($"label", HashNgramClassifier.score($"text", m1).as("s"))
+      .filter(($"s" > 0.5) === ($"label" === 1.0))
+      .count()
+    assert(acc >= 9L, s"mini-batch fit separated only $acc/10")
+  }
+
   test("token scoring and bucket scoring agree") {
     val model = HashNgramClassifier.Model(
       Array.tabulate(1 << 8)(i => (i % 7 - 3).toFloat / 10f), 0.2, 2)
