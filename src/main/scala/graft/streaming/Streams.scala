@@ -384,6 +384,63 @@ object Streams {
     }
   }
 
+  final case class ProfileRow(user_id: Long, event_type: String,
+      n_events: Long, last_ts_us: Long)
+
+  /** Streaming per-user activity profile: MapState[event_type -> (count,
+    * last-seen)] with point updates — the MapState pattern: sub-keys appear
+    * dynamically and each input touches ONE map entry, never rewriting the
+    * whole profile (a ValueState[Map] would re-serialize every entry per
+    * event; with RocksDB each MapState entry is its own store key). Emits
+    * the updated entries per batch (Update mode).
+    */
+  def streamingUserProfile(events: DataFrame): Dataset[ProfileRow] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc: org.apache.spark.sql.Encoder[ProfileRow] =
+      Encoders.product[ProfileRow]
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+          Encoders.TIMESTAMP))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new ProfileProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[streamingUserProfile]] processor. */
+  class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, java.sql.Timestamp), ProfileRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var profile: MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getMapState("profile", Encoders.STRING,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[ProfileRow] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, tpe, ts) =>
+        val tsUs = ts.getTime * 1000L
+        val (n, last) =
+          if (profile.containsKey(tpe)) profile.getValue(tpe) else (0L, 0L)
+        profile.updateValue(tpe, (n + 1L, math.max(last, tsUs)))
+        touched += tpe
+      }
+      touched.iterator.map { tpe =>
+        val (n, last) = profile.getValue(tpe)
+        ProfileRow(user, tpe, n, last)
+      }
+    }
+  }
+
   /** The [[streamingTopK]] processor: bounded sorted list in a ValueState. */
   class TopKProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[

@@ -301,6 +301,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState user profile accumulates per-type counts across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val prev = StateOps.useRocksDb(spark)
+    try {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val prof = Streams.streamingUserProfile(
+        input.toDF().toDF("user_id", "event_type", "ts"))
+      val q = prof.toDF().writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("prof_out").start()
+      input.addData((1L, "view", ts("2024-01-01 10:00:00")),
+        (1L, "view", ts("2024-01-01 10:05:00")),
+        (1L, "click", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      input.addData((1L, "view", ts("2024-01-01 11:00:00")),
+        (2L, "view", ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("prof_out")
+        .withColumn("__n", monotonically_increasing_id())
+        .orderBy($"__n".desc)
+        .select($"user_id", $"event_type", $"n_events", $"last_ts_us")
+        .collect()
+        .groupBy(r => (r.getLong(0), r.getString(1)))
+        .map { case (k, vs) => k -> (vs.head.getLong(2), vs.head.getLong(3)) }
+      // counts accumulate ACROSS batches; last-seen advances
+      assert(rows((1L, "view")) ==
+        (3L, ts("2024-01-01 11:00:00").getTime * 1000L))
+      assert(rows((1L, "click")) ==
+        (1L, ts("2024-01-01 10:01:00").getTime * 1000L))
+      assert(rows((2L, "view")) ==
+        (1L, ts("2024-01-01 11:30:00").getTime * 1000L))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions on gaps") {
     import Streams._
     implicit val soEnc = org.apache.spark.sql.Encoders.product[SessionOut]
