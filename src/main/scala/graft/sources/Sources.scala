@@ -54,6 +54,26 @@ object OrcSource {
     df.write.mode("overwrite").orc(path)
 }
 
+/** XML source/sink (built into Spark 4; formerly spark-xml). Row-oriented
+  * nested-document ingest — the legacy-feed format. `rowTag` selects the
+  * repeating element; schema-first like every other source here (XML
+  * inference is an extra full pass AND loses type precision).
+  */
+object XmlSource {
+  def typed(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).schema(schema)
+      .load(path)
+
+  def inferring(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  def write(df: DataFrame, path: String, rowTag: String,
+      rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+}
+
 /** Convenience loader for the driver testdata star schema (TESTDATA.md). */
 object Tables {
   val tpch: Seq[String] =

@@ -18,6 +18,18 @@ class SourcesSpec extends SparkSpec {
       orig.agg(sum("o_totalprice")).head().getDouble(0))
   }
 
+  test("XML round-trip with explicit schema preserves rows and values") {
+    val orig = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    XmlSource.write(orig, "target/src_xml", rowTag = "nation")
+    val back = XmlSource.typed(spark, "target/src_xml", "nation", orig.schema)
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    val a = orig.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("ORC round-trip preserves rows; filters push into the ORC scan") {
     val orig = spark.read.parquet(s"$sfDir/part.parquet")
     OrcSource.write(orig, "target/src_orc")
