@@ -36,6 +36,34 @@ object Multimodal {
   def asset(uri: Column, mime: Column, bytes: Column, meta: Column): Column =
     struct(uri.as("uri"), mime.as("mime"), bytes.as("bytes"), meta.as("meta"))
 
+  /** Ingest raw media files as asset rows via Spark's binaryFile source:
+    * one row per file with (uri, mime-from-extension, bytes, meta{length,
+    * mtime}). `pathGlobFilter` bounds the listing (e.g. "*.jpg");
+    * binaryFile never splits files, so parallelism = file count — batch
+    * small files upstream or spill oversized ones with
+    * [[AssetStore.spill]] right after ingest.
+    */
+  def ingestFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      glob: String = "*"): org.apache.spark.sql.DataFrame = {
+    val mime = element_at(
+      map(
+        lit("jpg"), lit("image/jpeg"), lit("jpeg"), lit("image/jpeg"),
+        lit("png"), lit("image/png"), lit("gif"), lit("image/gif"),
+        lit("mp4"), lit("video/mp4"), lit("mp3"), lit("audio/mpeg"),
+        lit("wav"), lit("audio/wav"), lit("pdf"), lit("application/pdf")),
+      lower(element_at(split(col("path"), "\\."), -1)))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(asset(
+        col("path"),
+        coalesce(mime, lit("application/octet-stream")),
+        col("content"),
+        map(
+          lit("length"), col("length").cast("string"),
+          lit("mtime"), col("modificationTime").cast("string"))).as("asset"))
+  }
+
   /** Content hash of the payload (xxhash64 over bytes) — the dedup key. */
   def payloadHash(assetCol: Column): Column = xxhash64(assetCol("bytes"))
 

@@ -92,6 +92,28 @@ class MultimodalSpec extends SparkSpec {
     assert(idx == (0 until 95 by 10).toSeq)
   }
 
+  test("binaryFile ingest produces asset rows with mime and metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), "jpegbytes".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.mp4"), "mp4bytes!!".getBytes)
+    java.nio.file.Files.write(dir.resolve("notes.xyz"), "???".getBytes)
+    val rows = Multimodal.ingestFiles(spark, dir.toString)
+      .select($"asset.uri", $"asset.mime",
+        org.apache.spark.sql.functions.length($"asset.bytes").as("len"),
+        org.apache.spark.sql.functions.element_at($"asset.meta", "length")
+          .as("meta_len"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1),
+        r.getInt(2), r.getString(3)))
+      .toSet
+    assert(rows == Set(
+      ("a.jpg", "image/jpeg", 9, "9"),
+      ("b.mp4", "video/mp4", 10, "10"),
+      ("notes.xyz", "application/octet-stream", 3, "3")))
+    assert(Multimodal.ingestFiles(spark, dir.toString, glob = "*.jpg")
+      .count() == 1)
+  }
+
   test("metadata-only projection prunes payload bytes from the scan") {
     val plan = assets.select($"asset.uri", $"asset.meta")
       .queryExecution.optimizedPlan.toString
