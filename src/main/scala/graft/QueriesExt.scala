@@ -389,6 +389,24 @@ object QueriesExt {
       .orderBy("type_a", "type_b")
   }
 
+  /** Heavy-hitter tokens per detected language: one SpaceSaving sketch per
+    * group over the exploded token stream — bounded state per group where
+    * an exact top-k would shuffle the full vocabulary (rows-only: sketch
+    * counts are order-sensitive above capacity; guarantee law asserted in
+    * `AggregatorsSpec`).
+    */
+  def heavyTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(TextFunctions.langIdTrigram(col("text")).as("lang"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      .groupBy("lang")
+      .agg(graft.functions.Aggregators.heavyHitters(col("token"), 16)
+        .as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("rank", "e")))
+      .select(col("lang"), (col("rank") + 1).as("rank"),
+        col("e._1").as("token"), col("e._2").as("cnt"))
+      .orderBy("lang", "rank")
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,7 +440,8 @@ object QueriesExt {
     "x28_wminhash_dedup" -> wminhashDedup _,
     "x29_quality_classifier" -> qualityClassifier _,
     "x30_user_overlap" -> userOverlap _,
-    "x31_knn_ivfpq2" -> knnIvfPq2 _)
+    "x31_knn_ivfpq2" -> knnIvfPq2 _,
+    "x32_heavy_tokens" -> heavyTokens _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

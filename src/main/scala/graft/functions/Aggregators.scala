@@ -130,6 +130,69 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Long]] = longArrayEnc
   }
 
+  /** Mergeable SpaceSaving heavy-hitters sketch (Metwally et al. 2005;
+    * mergeability per Agarwal et al. 2012): at most `capacity` counters of
+    * (item, count, err). Guarantees: every item with true frequency
+    * > N/capacity is present, and reported count overestimates truth by at
+    * most the recorded `err`. The buffer is O(capacity) regardless of
+    * cardinality — the scale answer to "top domains/tokens" where an exact
+    * groupBy would shuffle the full key space.
+    */
+  class SpaceSaving(capacity: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, (Long, Long)],
+        Seq[(String, Long, Long)]] {
+    require(capacity > 0)
+    private type Buf = scala.collection.mutable.HashMap[String, (Long, Long)]
+
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+
+    override def reduce(buf: Buf, item: String): Buf = {
+      buf.get(item) match {
+        case Some((c, e)) => buf.update(item, (c + 1L, e))
+        case None if buf.size < capacity => buf.update(item, (1L, 0L))
+        case None =>
+          // evict the min-count entry; inherit its count as error bound
+          val (minItem, (minC, _)) = buf.minBy { case (k, (c, _)) => (c, k) }
+          buf.remove(minItem)
+          buf.update(item, (minC + 1L, minC))
+      }
+      buf
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      // sum counts/errors itemwise, then trim back to capacity keeping the
+      // largest counts; trimmed mass is bounded by the dropped counts,
+      // which the per-item err of survivors already dominates
+      b.foreach { case (k, (cb, eb)) =>
+        val (ca, ea) = a.getOrElse(k, (0L, 0L))
+        a.update(k, (ca + cb, ea + eb))
+      }
+      if (a.size <= capacity) a
+      else {
+        val keep = a.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+          .take(capacity)
+        val out: Buf = scala.collection.mutable.HashMap.empty
+        keep.foreach { case (k, v) => out.update(k, v) }
+        out
+      }
+    }
+
+    // deterministic order: by count desc, then item
+    override def finish(buf: Buf): Seq[(String, Long, Long)] =
+      buf.toSeq.map { case (k, (c, e)) => (k, c, e) }
+        .sortBy { case (k, c, _) => (-c, k) }
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder()
+  }
+
+  /** DataFrame-facing SpaceSaving heavy hitters over a string column:
+    * array<struct<item, count, err>> sorted by count desc.
+    */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    udaf(new SpaceSaving(capacity), Encoders.STRING).apply(item)
+
   /** DataFrame-facing MinHash-union aggregate over an elementHash column. */
   def minhashUnion(elemHash: Column, numHashes: Int = 64,
       seed: Long = 42L): Column =

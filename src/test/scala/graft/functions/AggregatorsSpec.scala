@@ -73,6 +73,44 @@ class AggregatorsSpec extends SparkSpec {
     assert(est("small") == 10.0) // undersaturated is exact
   }
 
+  test("spaceSaving finds heavy hitters above the N/capacity guarantee") {
+    // true skew: two items carry most of the mass, 100-item uniform tail.
+    // N = 1100; capacity 16 -> guarantee threshold N/16 ~ 69: "hot_a" (500)
+    // and "hot_b" (300) MUST survive; tail items (3 each) need not.
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle(
+      Seq.fill(500)("hot_a") ++ Seq.fill(300)("hot_b") ++
+        (0 until 100).flatMap(i => Seq.fill(3)(s"tail_$i")))
+      .map(("g", _))
+    val sketch = rows.toDF("g", "item").repartition(5)
+      .groupBy("g")
+      .agg(Aggregators.heavyHitters($"item", 16).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e._1".as("item"), $"e._2".as("cnt"), $"e._3".as("err"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sketch.length <= 16)
+    Seq("hot_a" -> 500L, "hot_b" -> 300L).foreach { case (item, trueCount) =>
+      val hit = sketch.find(_._1 == item)
+      assert(hit.isDefined, s"$item missing from sketch: ${sketch.toSeq}")
+      val (_, c, e) = hit.get
+      assert(c >= trueCount && c <= trueCount + e,
+        s"$item count $c outside [$trueCount, ${trueCount + e}]")
+    }
+    // ranking: the two true heavies are the sketch's top two
+    assert(sketch.sortBy(-_._2).take(2).map(_._1).toSet == Set("hot_a", "hot_b"))
+  }
+
+  test("spaceSaving is exact below capacity") {
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val out = rows.map(("g", _)).toDF("g", "item").repartition(3)
+      .groupBy("g").agg(Aggregators.heavyHitters($"item", 16).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e._1", $"e._2", $"e._3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List(("a", 5L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+  }
+
   test("partial aggregation: the plan map-side combines the sketch") {
     val rows = (1L to 100L).map(h => ((h % 5).toString, h)).toDF("g", "h")
     val plan = rows.groupBy("g")
