@@ -305,6 +305,15 @@ object QueriesExt {
       knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4, levels = 2)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ with a learned OPQ rotation (rows-only; rotation-objective
+    * monotonicity and re-rank exactness asserted in `OpqSpec` /
+    * `SimilaritySpec`).
+    */
+  def knnOpq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4, opqIters = 3)
+      .orderBy("query_id", "rank")
+
   /** Array-column surface over embeddings: size, element access, max —
     * pure selections so float values pass through bit-exactly.
     */
@@ -441,7 +450,8 @@ object QueriesExt {
     "x29_quality_classifier" -> qualityClassifier _,
     "x30_user_overlap" -> userOverlap _,
     "x31_knn_ivfpq2" -> knnIvfPq2 _,
-    "x32_heavy_tokens" -> heavyTokens _)
+    "x32_heavy_tokens" -> heavyTokens _,
+    "x33_knn_opq" -> knnOpq _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -387,6 +387,47 @@ case class PqCodesDotExpr(left: Expression, right: Expression,
   override def prettyName: String = "pq_codes_dot"
 }
 
+/** `mat_vec(vec)` -> array<double>: y = x·M for a literal matrix (row-vector
+  * convention, matching driver-side OPQ training). One O(dim²) pass per row;
+  * used to apply the learned OPQ rotation in the distributed encode and
+  * query phases.
+  */
+case class MatVecExpr(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqMath.vecTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mat_vec expects array<float|double>, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = PqMath.toDoubles(v.asInstanceOf[ArrayData],
+      PqMath.isFloatArray(child))
+    if (x.length != matrix.length) return null
+    val n = matrix(0).length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i)
+      if (xi != 0.0) {
+        val row = matrix(i)
+        var j = 0
+        while (j < n) { out(j) += xi * row(j); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mat_vec"
+}
+
 object PqExprs {
   def l2normalize(vec: Column): Column =
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(vec)))
@@ -418,4 +459,7 @@ object PqExprs {
       codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqCodesDotExpr(ColumnBridge.expression(qvec),
       ColumnBridge.expression(codes), codebooks))
+
+  def matVec(vec: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVecExpr(ColumnBridge.expression(vec), matrix))
 }

@@ -166,23 +166,52 @@ object Similarity {
     * code array per row encoding what level 1 missed, and a second additive
     * ADC term — tighter shortlists (better recall at the same `refine`) for
     * double the code bytes, still far below full vectors.
+    *
+    * `opqIters > 0` learns an OPQ rotation ([[Opq.train]]) on the sample
+    * and applies it (native `MatVecExpr`) before cell assignment and
+    * encoding; orthogonality preserves cosine, so probing/ADC run in the
+    * rotated space while exact re-rank stays in the original space.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nList: Int = 16, nProbe: Int = 4, m: Int = 8, codebookSize: Int = 32,
       refine: Int = 50, trainSample: Int = 2000, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdOut: String = "query_id", levels: Int = 1): DataFrame = {
+      queryIdOut: String = "query_id", levels: Int = 1,
+      opqIters: Int = 0): DataFrame = {
     import graft.functions.expr.PqExprs
     require(levels == 1 || levels == 2, "levels must be 1 or 2")
 
     // --- driver-side training on a bounded normalized sample
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+    val rawSample: Array[Array[Double]] = corpus.select(col(vecCol))
       .limit(trainSample).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
       .map(Pq.normalize)
+    // OPQ: learn the rotation on the normalized sample, then train the
+    // coarse/PQ model in the rotated space
+    val rotation: Option[Array[Array[Double]]] =
+      if (opqIters > 0)
+        Some(Opq.train(rawSample, m, codebookSize, opqIters,
+          seed = seed).rotation)
+      else None
+    val sample = rotation match {
+      case Some(r) => rawSample.map { x =>
+        val out = new Array[Double](x.length)
+        var i = 0
+        while (i < x.length) {
+          val xi = x(i)
+          if (xi != 0.0) {
+            var j = 0
+            while (j < x.length) { out(j) += xi * r(i)(j); j += 1 }
+          }
+          i += 1
+        }
+        out
+      }
+      case None => rawSample
+    }
     val model2: Option[Pq.IvfPq2Model] =
       if (levels == 2) Some(Pq.train2(sample, nList, m, codebookSize,
         seed = seed))
@@ -193,6 +222,10 @@ object Similarity {
     // all-native per-row kernels: single-pass normalize, one-pass
     // cosine-vs-every-centroid (norm computed once, no per-centroid lambdas)
     def normVec(c: org.apache.spark.sql.Column) = PqExprs.l2normalize(c)
+    def rotVec(c: org.apache.spark.sql.Column) = rotation match {
+      case Some(r) => PqExprs.matVec(c, r)
+      case None => c
+    }
     def scores(v: org.apache.spark.sql.Column) =
       PqExprs.centroidCosines(v, model.coarse)
     def cellOf(v: org.apache.spark.sql.Column) = {
@@ -201,7 +234,8 @@ object Similarity {
     }
 
     // --- index build: one shuffle-free projection per corpus row
-    val indexed = corpus.select(col(idCol), normVec(col(vecCol)).as("__nvec"))
+    val indexed = corpus
+      .select(col(idCol), rotVec(normVec(col(vecCol))).as("__nvec"))
       .withColumn("__cell", cellOf(col("__nvec")))
       .withColumn("__codes",
         PqExprs.pqEncode(col("__nvec"), col("__cell"),
@@ -221,20 +255,23 @@ object Similarity {
       .orderBy(col("__score").desc, col("__cell").asc)
     val probes = queries
       .select(col(idCol).as(queryIdOut), normVec(col(vecCol)).as("__qvec"))
-      .select(col(queryIdOut), col("__qvec"),
-        posexplode(scores(col("__qvec"))).as(Seq("__cell", "__score")))
+      // probing/ADC run in the (possibly rotated) model space; exact
+      // re-rank keeps the original-space __qvec
+      .withColumn("__qrot", rotVec(col("__qvec")))
+      .select(col(queryIdOut), col("__qvec"), col("__qrot"),
+        posexplode(scores(col("__qrot"))).as(Seq("__cell", "__score")))
       .withColumn("__rk", row_number().over(qw))
       .filter(col("__rk") <= nProbe)
-      .select(col(queryIdOut), col("__qvec"), col("__cell"))
+      .select(col(queryIdOut), col("__qvec"), col("__qrot"), col("__cell"))
 
     // --- ADC scan over codes only; top-`refine` per query
     val aw = Window.partitionBy(queryIdOut)
       .orderBy(col("__adc").desc, col(idCol).asc)
-    val adc1 = PqExprs.adcScore(col("__qvec"), col("__cell"), col("__codes"),
+    val adc1 = PqExprs.adcScore(col("__qrot"), col("__cell"), col("__codes"),
       model.coarse, model.codebooks)
     val adcFull = model2 match {
       case Some(m2) =>
-        adc1 + PqExprs.pqCodesDot(col("__qvec"), col("__codes2"), m2.codebooks2)
+        adc1 + PqExprs.pqCodesDot(col("__qrot"), col("__codes2"), m2.codebooks2)
       case None => adc1
     }
     val shortlist = index

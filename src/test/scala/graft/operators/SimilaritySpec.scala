@@ -169,6 +169,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"two-level IVF-PQ recall $recall too low")
   }
 
+  test("OPQ-rotated IVF-PQ keeps planted recall and exact re-rank") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.ivfPqTopK(emb, queries, k = 1,
+      nList = 8, nProbe = 2, m = 8, codebookSize = 16, opqIters = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"OPQ IVF-PQ recall $recall too low")
+    // re-rank must stay in the ORIGINAL space: returned cosines match
+    // brute force exactly wherever both return the id
+    val q1 = emb.filter($"vec_id" === 0L)
+    val exact = Similarity.bruteForceTopK(emb.limit(200), q1, k = 199)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val viaOpq = Similarity.ivfPqTopK(emb.limit(200), q1, k = 199,
+      nList = 4, nProbe = 4, m = 8, codebookSize = 16, refine = 250,
+      opqIters = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val common = exact.keySet.intersect(viaOpq.keySet)
+    assert(common.nonEmpty)
+    common.foreach { id =>
+      assert(math.abs(exact(id) - viaOpq(id)) < 1e-9,
+        s"re-ranked cosine for $id diverges under OPQ")
+    }
+  }
+
   test("zero-norm vectors yield cosine 0, not NaN") {
     val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
