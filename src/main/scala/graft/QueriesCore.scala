@@ -731,6 +731,30 @@ object QueriesCore {
       .orderBy("op", "d")
   }
 
+  /** Date-spine gap fill: generate the full month spine between the first
+    * and last order date (`sequence` + explode — the generator idiom), left
+    * join monthly order totals, and zero-fill empty months. The standard
+    * time-series densification pattern; months with no orders MUST appear.
+    */
+  def dateSpineFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+        col("o_totalprice"))
+    val bounds = o.agg(min("m").as("lo"), max("m").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 month")))
+        .as("m"))
+    val monthly = o.groupBy("m")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+    spine.join(monthly, Seq("m"), "left")
+      .select(col("m").cast("string").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("month")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -779,7 +803,8 @@ object QueriesCore {
     "q43_stat_moments" -> statMoments _,
     "q44_window_ignore_nulls" -> windowIgnoreNulls _,
     "q45_grouping_sets" -> groupingSets _,
-    "q46_setops_all" -> setOpsAll _)
+    "q46_setops_all" -> setOpsAll _,
+    "q47_date_spine_fill" -> dateSpineFill _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1155,5 +1180,25 @@ object QueriesCore {
         |UNION ALL
         |SELECT d, CAST(COUNT(*) AS BIGINT) AS n, 'except_all' AS op
         |FROM ea GROUP BY d
-        |ORDER BY op, d""".stripMargin)
+        |ORDER BY op, d""".stripMargin,
+    "q47_date_spine_fill" ->
+      """WITH bounds AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |                                     INTERVAL '1 month')) AS DATE) AS m
+        |  FROM bounds),
+        |monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(s.m AS VARCHAR) AS month,
+        |       COALESCE(mo.n_orders, 0) AS n_orders,
+        |       COALESCE(mo.revenue, 0.0) AS revenue
+        |FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+        |ORDER BY month""".stripMargin)
 }
