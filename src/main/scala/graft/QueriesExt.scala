@@ -363,7 +363,7 @@ object QueriesExt {
         .as("label"))
     val model = graft.operators.HashNgramClassifier.fit(
       labeled, "text", "label", numBuckets = 1 << 12, wordNgrams = 2,
-      epochs = 10, lr = 4.0)
+      epochs = 6, lr = 4.0, momentum = 0.9)
     labeled
       .select(col("doc_id"),
         (graft.operators.HashNgramClassifier.score(col("text"), model) > 0.5)
