@@ -314,6 +314,14 @@ object QueriesExt {
       knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4, opqIters = 3)
       .orderBy("query_id", "rank")
 
+  /** IVF + per-cell HNSW ANN (rows-only; recall and exact-cosine laws in
+    * `HnswSpec` / `SimilaritySpec`).
+    */
+  def knnHnsw(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfHnswTopK(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+
   /** Array-column surface over embeddings: size, element access, max —
     * pure selections so float values pass through bit-exactly.
     */
@@ -451,7 +459,8 @@ object QueriesExt {
     "x30_user_overlap" -> userOverlap _,
     "x31_knn_ivfpq2" -> knnIvfPq2 _,
     "x32_heavy_tokens" -> heavyTokens _,
-    "x33_knn_opq" -> knnOpq _)
+    "x33_knn_opq" -> knnOpq _,
+    "x34_knn_hnsw" -> knnHnsw _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -288,6 +290,100 @@ object Similarity {
     shortlist
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via IVF + per-cell HNSW graphs: corpus rows are
+    * coarse-assigned to cells (as in [[ivfTopK]]), repartitioned BY CELL,
+    * and each partition builds small in-memory [[Hnsw]] graphs — one per
+    * cell it holds — then answers the broadcast queries probing those
+    * cells. Graph memory scales with partition size, never corpus size;
+    * this is the mapPartitions tier (d), justified because graph
+    * construction/search is genuinely imperative per-partition logic.
+    * Exact cosine re-rank of the merged per-cell candidates finishes the
+    * query in the original space.
+    *
+    * Queries collect to the driver (the query side is small by contract —
+    * same assumption as every broadcast-probe path here).
+    */
+  def ivfHnswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nList: Int = 16, nProbe: Int = 4, hnswM: Int = 16,
+      efConstruction: Int = 100, ef: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdOut: String = "query_id", trainSample: Int = 2000): DataFrame = {
+    import graft.functions.expr.PqExprs
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+      .map(Pq.normalize)
+    val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
+
+    def scores(v: org.apache.spark.sql.Column) =
+      PqExprs.centroidCosines(PqExprs.l2normalize(v), centroids)
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      val s = scores(v)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+
+    // query -> probed cells, computed driver-side and broadcast
+    val qRows: Array[(Long, Array[Double], Array[Int])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val qv = Pq.normalize(r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+        val cs = centroids.indices
+          .map(i => i -> centroids(i).zip(qv).map(t => t._1 * t._2).sum)
+          .sortBy { case (i, s) => (-s, i) }
+          .take(nProbe).map(_._1).toArray
+        (r.getLong(0), qv, cs)
+      }
+    val byCell: Map[Int, Array[(Long, Array[Double])]] = qRows
+      .flatMap { case (qid, qv, cells) => cells.map(c => c -> (qid, qv)) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bq = spark.sparkContext.broadcast(byCell)
+    val dim = sample(0).length
+
+    val candidates = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        PqExprs.l2normalize(col(vecCol)).as("__nvec"),
+        cellOf(col(vecCol)).as("__cell"))
+      .repartition(col("__cell"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { it =>
+        val probed = bq.value
+        // one graph per cell present in this partition
+        val graphs = mutable.HashMap.empty[Int, Hnsw]
+        it.foreach { case (id, vec, cell) =>
+          if (probed.contains(cell)) {
+            graphs.getOrElseUpdate(cell,
+              new Hnsw(dim, hnswM, efConstruction, seed ^ cell))
+              .insert(id, vec)
+          }
+        }
+        graphs.iterator.flatMap { case (cell, g) =>
+          probed(cell).iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k + 1, ef)
+              .filter(_._1 != qid)
+              .map { case (id, cos) => (qid, id, cos) }
+          }
+        }
+      }
+      .toDF(queryIdOut, idCol, "cosine")
+
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))

@@ -199,6 +199,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-HNSW top-k recalls planted near-duplicate neighbors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.ivfHnswTopK(emb, queries, k = 1,
+      nList = 8, nProbe = 2, ef = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"IVF-HNSW planted recall $recall too low")
+    // reported cosines are exact (scores computed on true vectors)
+    val one = Similarity.ivfHnswTopK(emb.limit(100),
+      emb.filter($"vec_id" === 0L), k = 3, nList = 2, nProbe = 2)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    val brute = Similarity.bruteForceTopK(emb.limit(100),
+      emb.filter($"vec_id" === 0L), k = 99)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    one.foreach { case (id, c) =>
+      assert(math.abs(c - brute(id)) < 1e-9, s"cosine for $id diverges")
+    }
+  }
+
   test("zero-norm vectors yield cosine 0, not NaN") {
     val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
