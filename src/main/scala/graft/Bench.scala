@@ -56,7 +56,7 @@ object Bench {
     // repeats>1 reports the per-query MINIMUM: on a shared host wall-clock
     // noise is one-sided (contention only adds time), so min-of-k is the
     // best estimator of the query's true cost
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt.max(1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dts = (1 to repeats).map { r =>
         val t0 = System.nanoTime()
