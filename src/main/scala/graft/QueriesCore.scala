@@ -755,6 +755,24 @@ object QueriesCore {
       .orderBy("month")
   }
 
+  /** UNPIVOT (melt): wide per-flag quantity/revenue aggregates back to long
+    * (measure, value) rows — the inverse of q19's PIVOT.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        countDistinct("l_partkey").cast("double").as("n_parts"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_parts")),
+      "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -804,7 +822,8 @@ object QueriesCore {
     "q44_window_ignore_nulls" -> windowIgnoreNulls _,
     "q45_grouping_sets" -> groupingSets _,
     "q46_setops_all" -> setOpsAll _,
-    "q47_date_spine_fill" -> dateSpineFill _)
+    "q47_date_spine_fill" -> dateSpineFill _,
+    "q48_unpivot" -> unpivotMeasures _)
 
   val oracles: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1200,5 +1219,16 @@ object QueriesCore {
         |       COALESCE(mo.n_orders, 0) AS n_orders,
         |       COALESCE(mo.revenue, 0.0) AS revenue
         |FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
-        |ORDER BY month""".stripMargin)
+        |ORDER BY month""".stripMargin,
+    "q48_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         SUM(l_quantity) AS sum_qty,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sum_price,
+        |         CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS n_parts
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, n_parts))
+        |ORDER BY l_returnflag, measure""".stripMargin)
 }
