@@ -115,6 +115,31 @@ final class Hnsw(dim: Int, m: Int = 16, efConstruction: Int = 100,
     if (level > topLevel) { topLevel = level; entry = node }
   }
 
+  /** Serialized node view: (id, vector, level, per-layer neighbor IDS,
+    * isEntry). Adjacency is stored by external id, not node index, so a
+    * restored graph is insert-order independent.
+    */
+  def dump(): Iterator[Hnsw.Node] = {
+    (0 until vecs.length).iterator.map { n =>
+      Hnsw.Node(ids(n), vecs(n), levels(n),
+        neighbors(n).map(_.map(ids(_)).toArray),
+        isEntry = n == entry)
+    }
+  }
+
+  private def restoreFrom(nodes: Seq[Hnsw.Node]): Unit = {
+    val indexOf = mutable.HashMap.empty[Long, Int]
+    nodes.zipWithIndex.foreach { case (nd, i) => indexOf(nd.id) = i }
+    nodes.foreach { nd =>
+      vecs += nd.vec
+      ids += nd.id
+      levels += nd.level
+      neighbors += nd.neighbors.map(layer =>
+        mutable.ArrayBuffer.from(layer.map(indexOf)))
+      if (nd.isEntry) { entry = vecs.length - 1; topLevel = nd.level }
+    }
+  }
+
   /** Top-k ids by cosine (descending dot) with search beam `ef`. */
   def search(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
     if (entry < 0) return Nil
@@ -128,5 +153,22 @@ final class Hnsw(dim: Int, m: Int = 16, efConstruction: Int = 100,
       .take(k)
       .map { case (d, n) => (ids(n), 1.0 - d) }
       .toSeq
+  }
+}
+
+object Hnsw {
+  /** One serialized graph node. */
+  final case class Node(id: Long, vec: Array[Double], level: Int,
+      neighbors: Array[Array[Long]], isEntry: Boolean)
+
+  /** Rebuild a graph from [[Hnsw#dump]] output — adjacency is restored
+    * verbatim (no re-insertion), so a restored graph answers every search
+    * identically to the original.
+    */
+  def restore(dim: Int, nodes: Seq[Node], m: Int = 16,
+      efConstruction: Int = 100, seed: Long = 42L): Hnsw = {
+    val g = new Hnsw(dim, m, efConstruction, seed)
+    g.restoreFrom(nodes)
+    g
   }
 }

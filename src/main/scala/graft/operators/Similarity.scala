@@ -389,6 +389,140 @@ object Similarity {
       .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Materialize an IVF + per-cell-HNSW index as a DataFrame (write it to
+    * parquet; the structure round-trips): graph nodes carry their
+    * adjacency BY ID per layer, and the coarse centroids ride along as
+    * `is_centroid` rows, so [[searchHnswIndex]] needs nothing but the
+    * index itself. Build once, answer many query batches — the index-reuse
+    * contract every ANN service needs.
+    */
+  def buildHnswIndex(corpus: DataFrame, nList: Int = 16, hnswM: Int = 16,
+      efConstruction: Int = 100, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 2000): DataFrame = {
+    import graft.functions.expr.PqExprs
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+      .map(Pq.normalize)
+    val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
+    val dim = sample(0).length
+
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      val s = PqExprs.centroidCosines(PqExprs.l2normalize(v), centroids)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+
+    val nodeRows = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        PqExprs.l2normalize(col(vecCol)).as("__nvec"),
+        cellOf(col(vecCol)).as("__cell"))
+      .repartition(col("__cell"))
+      .sortWithinPartitions("__cell", "__id") // deterministic insert order
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { it =>
+        val graphs = mutable.LinkedHashMap.empty[Int, Hnsw]
+        it.foreach { case (id, vec, cell) =>
+          graphs.getOrElseUpdate(cell,
+            new Hnsw(dim, hnswM, efConstruction, seed ^ cell))
+            .insert(id, vec)
+        }
+        graphs.iterator.flatMap { case (cell, g) =>
+          g.dump().map(n =>
+            (cell, n.id, n.vec, n.level, n.neighbors.map(_.toSeq).toSeq,
+              n.isEntry, false))
+        }
+      }
+      .toDF("cell", "id", "vec", "level", "neighbors", "is_entry",
+        "is_centroid")
+
+    val centroidRows = centroids.zipWithIndex.map { case (c, i) =>
+      (-1, i.toLong, c, -1, Seq.empty[Seq[Long]], false, true)
+    }.toSeq.toDF("cell", "id", "vec", "level", "neighbors", "is_entry",
+      "is_centroid")
+    nodeRows.unionByName(centroidRows)
+  }
+
+  /** Query a [[buildHnswIndex]] DataFrame (typically re-read from parquet):
+    * restore only the probed cells' graphs — the `cell isin probes` filter
+    * prunes unread cells at the parquet scan — and search. Restoration
+    * copies adjacency verbatim, so results are identical to querying the
+    * just-built graphs.
+    */
+  def searchHnswIndex(index: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 4, ef: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdOut: String = "query_id"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+
+    val centroids: Array[Array[Double]] = index
+      .filter(col("is_centroid"))
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val dim = centroids(0).length
+
+    val qRows: Array[(Long, Array[Double], Array[Int])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val qv = Pq.normalize(r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+        val cs = centroids.indices
+          .map(i => i -> centroids(i).zip(qv).map(t => t._1 * t._2).sum)
+          .sortBy { case (i, s) => (-s, i) }
+          .take(nProbe).map(_._1).toArray
+        (r.getLong(0), qv, cs)
+      }
+    val byCell: Map[Int, Array[(Long, Array[Double])]] = qRows
+      .flatMap { case (qid, qv, cells) => cells.map(c => c -> (qid, qv)) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bq = spark.sparkContext.broadcast(byCell)
+    val probedCells = byCell.keys.toSeq
+
+    val candidates = index
+      .filter(!col("is_centroid") && col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("id"), col("vec"), col("level"),
+        col("neighbors"), col("is_entry"))
+      .repartition(col("cell"))
+      .as[(Int, Long, Array[Double], Int, Seq[Seq[Long]], Boolean)]
+      .mapPartitions { it =>
+        val probed = bq.value
+        val nodesByCell = mutable.LinkedHashMap
+          .empty[Int, mutable.ArrayBuffer[Hnsw.Node]]
+        it.foreach { case (cell, id, vec, level, nbrs, isEntry) =>
+          nodesByCell.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) +=
+            Hnsw.Node(id, vec, level, nbrs.map(_.toArray).toArray, isEntry)
+        }
+        nodesByCell.iterator.flatMap { case (cell, nodes) =>
+          val g = Hnsw.restore(dim, nodes.toSeq)
+          probed(cell).iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k + 1, ef)
+              .filter(_._1 != qid)
+              .map { case (id, cos) => (qid, id, cos) }
+          }
+        }
+      }
+      .toDF(queryIdOut, idCol, "cosine")
+
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket the
     * corpus against itself, score within buckets, keep pairs with
     * cosine >= `threshold`. Used for embedding-based near-dedup.

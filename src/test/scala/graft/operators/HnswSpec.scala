@@ -45,6 +45,19 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("dump/restore answers searches identically to the original graph") {
+    val dim = 12
+    val rng = new scala.util.Random(21)
+    val vecs = Array.fill(300)(randUnit(rng, dim))
+    val g = new Hnsw(dim, seed = 13L)
+    vecs.zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+    val restored = Hnsw.restore(dim, g.dump().toSeq)
+    for (qi <- 0 until 10) {
+      val q = randUnit(rng, dim)
+      assert(g.search(q, 8, 64) == restored.search(q, 8, 64))
+    }
+  }
+
   test("deterministic for fixed seed and insert order") {
     val dim = 8
     val rng = new scala.util.Random(1)

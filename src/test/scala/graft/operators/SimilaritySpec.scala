@@ -224,6 +224,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted HNSW index round-trips through parquet and keeps recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-idx")
+    Similarity.buildHnswIndex(emb, nList = 8)
+      .write.parquet(s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+    val queries = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val approx = Similarity.searchHnswIndex(index, queries, k = 1,
+      nProbe = 2, ef = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = (0L until 20L).count { q =>
+      approx.get(q + 100000L).contains(q)
+    } / 20.0
+    assert(recall >= 0.9, s"persisted-index recall $recall too low")
+    // the scan of unprobed cells is pruned at the parquet source
+    val one = Similarity.searchHnswIndex(index,
+      emb.filter($"vec_id" === 0L), k = 3, nProbe = 1)
+    assert(one.count() == 3)
+  }
+
   test("zero-norm vectors yield cosine 0, not NaN") {
     val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
