@@ -424,6 +424,25 @@ object QueriesExt {
         col("e._1").as("token"), col("e._2").as("cnt"))
       .orderBy("lang", "rank")
 
+  /** Higher-order array function gallery over embeddings: transform /
+    * filter / aggregate (fold) / zip_with, oracle-matched against DuckDB's
+    * list_* equivalents (both sides fold in list order; results rounded to
+    * 6dp to absorb any engine-internal accumulation difference).
+    */
+  def hofGallery(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x * x), 6).as("sum_sq"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+        round(array_max(transform(col("embedding"),
+          x => x.cast("double") * 2)), 6).as("max2"),
+        round(aggregate(
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (a, x) => a + x), 6).as("dot_rev"))
+      .orderBy("vec_id")
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,7 +479,8 @@ object QueriesExt {
     "x31_knn_ivfpq2" -> knnIvfPq2 _,
     "x32_heavy_tokens" -> heavyTokens _,
     "x33_knn_opq" -> knnOpq _,
-    "x34_knn_hnsw" -> knnHnsw _)
+    "x34_knn_hnsw" -> knnHnsw _,
+    "x35_hof_gallery" -> hofGallery _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -693,5 +713,16 @@ object QueriesExt {
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         | ON v.user_id = p.user_id AND p.ts >= v.ts
-        |ORDER BY v.event_id""".stripMargin)
+        |ORDER BY v.event_id""".stripMargin,
+    "x35_hof_gallery" ->
+      """SELECT vec_id,
+        | ROUND(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        | ROUND(list_max(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * 2)), 6) AS max2,
+        | ROUND(list_sum(list_transform(
+        |   list_zip(embedding, list_reverse(embedding)),
+        |   t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 6) AS dot_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
 }

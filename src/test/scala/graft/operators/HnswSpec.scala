@@ -58,6 +58,24 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("restored graph accepts incremental inserts") {
+    val dim = 12
+    val rng = new scala.util.Random(31)
+    val vecs = Array.fill(200)(randUnit(rng, dim))
+    val g = new Hnsw(dim, seed = 3L)
+    vecs.take(150).zipWithIndex.foreach { case (v, i) => g.insert(i.toLong, v) }
+    val restored = Hnsw.restore(dim, g.dump().toSeq)
+    // append the remaining 50 to the RESTORED graph
+    vecs.drop(150).zipWithIndex.foreach { case (v, i) =>
+      restored.insert(150L + i, v)
+    }
+    assert(restored.size == 200)
+    // a query very close to an appended vector must find it
+    val probe = vecs(180)
+    val top = restored.search(probe, 1, 64)
+    assert(top.head._1 == 180L, s"expected appended node, got $top")
+  }
+
   test("deterministic for fixed seed and insert order") {
     val dim = 8
     val rng = new scala.util.Random(1)
