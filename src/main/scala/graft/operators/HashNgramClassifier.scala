@@ -133,4 +133,39 @@ object HashNgramClassifier {
     feats.unpersist()
     Model(w, bias, wordNgrams)
   }
+
+  /** One-vs-all multiclass: one binary [[fit]] per distinct label (labels
+    * collected driver-side — class cardinality is small by nature), scored
+    * by argmax. Each binary fit reuses the same cached hashed features
+    * through [[fit]]'s own pipeline; classes train sequentially, so the
+    * total cost is `numClasses x` the binary cost — fastText's exact
+    * softmax would share one pass, but one-vs-all composes with every
+    * binary option (momentum, pruning, mini-batch) unchanged.
+    */
+  def fitMulticlass(df: DataFrame, textCol: String, labelCol: String,
+      numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
+      lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
+      minDocFreq: Int = 1): Map[String, Model] = {
+    val labels = df.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(labels.length >= 2, "multiclass needs >= 2 labels")
+    labels.map { lbl =>
+      val bin = df.withColumn("__y01",
+        (col(labelCol).cast("string") === lbl).cast("double"))
+      lbl -> fit(bin, textCol, "__y01", numBuckets, wordNgrams, epochs, lr,
+        l2, momentum, minDocFreq = minDocFreq)
+    }.toMap
+  }
+
+  /** Argmax prediction column over a multiclass model set: ties break on
+    * label order for determinism.
+    */
+  def predictMulticlass(text: Column, models: Map[String, Model]): Column = {
+    val scored = models.toSeq.sortBy(_._1).map { case (lbl, m) =>
+      struct(score(text, m).as("s"), lit(lbl).as("l"))
+    }
+    // lexicographic struct sort: by score, then label — the last element is
+    // the max score, ties resolving deterministically to the largest label
+    element_at(array_sort(array(scored: _*)), -1)("l")
+  }
 }

@@ -88,6 +88,37 @@ class HashNgramClassifierSpec extends SparkSpec {
     assert(acc >= 9L, s"mini-batch fit separated only $acc/10")
   }
 
+  test("one-vs-all multiclass separates three synthetic languages") {
+    val en = Seq("the quick brown fox jumps over the lazy dog and runs home",
+      "a detailed report about the weather and the morning news",
+      "she walked through the garden and watered every plant")
+    val de = Seq("der schnelle braune fuchs springt ueber den faulen hund",
+      "ein ausfuehrlicher bericht ueber das wetter und die nachrichten",
+      "sie ging durch den garten und goss jede pflanze")
+    val es = Seq("el rapido zorro marron salta sobre el perro perezoso",
+      "un informe detallado sobre el clima y las noticias de la manana",
+      "ella camino por el jardin y rego cada planta")
+    val train = (en.map((_, "en")) ++ de.map((_, "de")) ++ es.map((_, "es")))
+      .toDF("text", "lang")
+    val models = HashNgramClassifier.fitMulticlass(train, "text", "lang",
+      numBuckets = 1 << 12, epochs = 25, lr = 4.0, momentum = 0.5)
+    assert(models.keySet == Set("en", "de", "es"))
+    val preds = train
+      .select($"lang",
+        HashNgramClassifier.predictMulticlass($"text", models).as("pred"))
+      .collect()
+    val acc = preds.count(r => r.getString(0) == r.getString(1))
+    assert(acc == 9, s"multiclass train accuracy $acc/9")
+    // held-out sentences
+    val held = Seq(("the dog runs through the morning garden", "en"),
+      ("der hund springt durch den garten", "de"),
+      ("el perro salta por el jardin", "es")).toDF("text", "want")
+    val heldPred = held.select($"want",
+      HashNgramClassifier.predictMulticlass($"text", models).as("pred"))
+      .collect()
+    assert(heldPred.count(r => r.getString(0) == r.getString(1)) >= 2)
+  }
+
   test("token scoring and bucket scoring agree") {
     val model = HashNgramClassifier.Model(
       Array.tabulate(1 << 8)(i => (i % 7 - 3).toFloat / 10f), 0.2, 2)
