@@ -27,5 +27,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Size the heap to the sandbox (125 GiB RAM): 48g leaves room for the OS
+  // page cache while giving 32 shuffle threads enough execution memory that
+  // sf0.1 aggregations never fall into GC/spill thrash. r03's bench ran this
+  // JVM at 16g and shuffle-heavy queries degraded 20-80x; scan-shaped ones 2x.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
 object Bench {
+  /** Total GC time (ms) across all collectors since JVM start. */
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+
+  /** Peak heap-pool usage (bytes) since last [[resetPeakHeap]]. */
+  private def peakHeapBytes: Long =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+
+  private def resetPeakHeap(): Unit =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .foreach(_.resetPeakUsage())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the box: the bench contract is local[32]-class
@@ -29,6 +47,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val heapMax = Runtime.getRuntime.maxMemory / 1048576
+    System.err.println(s"[bench] jvm heap max = ${heapMax}MB, threads=$cpus")
+    if (heapMax < 24 * 1024)
+      System.err.println(s"[bench] WARNING: heap ${heapMax}MB < 24GB -- " +
+        "shuffle-heavy queries will spill/GC-thrash at sf0.1 x 32 threads " +
+        "(this was the r03 regression); set SPARK_DRIVER_MEM=48g")
     // JIT/codegen warmup outside the timed region: compile the common
     // aggregate/join/window codegen paths once so the first measured query
     // isn't charged for JVM warmup.
@@ -57,23 +81,47 @@ object Bench {
     // noise is one-sided (contention only adds time), so min-of-k is the
     // best estimator of the query's true cost
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    // A healthy run has per-query min/max spread well under this; a run where
+    // ALL repeats of a query degrade together (r03: sustained 60x) is an
+    // environment problem the artifact must flag rather than silently record.
+    val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "3.0").toDouble
+    var spreadViolations = List.empty[String]
+    var maxSpread = 1.0
+    val t0all = System.nanoTime()
+    val gc0all = gcMillis
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetPeakHeap()
       val dts = (1 to repeats).map { r =>
         val t0 = System.nanoTime()
-        val s0 = (shuffleBytes.get, spillBytes.get)
+        val s0 = (shuffleBytes.get, spillBytes.get, gcMillis)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s run$r ${dt}%6.2fs " +
           f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
-          f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB")
+          f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB " +
+          f"gc=${(gcMillis - s0._3) / 1000.0}%5.2fs " +
+          f"peakHeap=${peakHeapBytes / 1048576}%6dMB")
         dt
+      }
+      val spread = if (dts.min > 0.05) dts.max / dts.min else 1.0
+      maxSpread = maxSpread.max(spread)
+      if (spread > spreadLimit) {
+        spreadViolations ::= name
+        System.err.println(f"[bench] SPREAD VIOLATION: $name min=${dts.min}%.2fs " +
+          f"max=${dts.max}%.2fs spread=${spread}%.1fx > ${spreadLimit}%.1fx -- " +
+          "timings unstable, treat this artifact with suspicion")
       }
       name -> dts.min
     }
+    val wallSec = (System.nanoTime() - t0all) / 1e9
+    val gcSec = (gcMillis - gc0all) / 1000.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val viol = spreadViolations.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      f""","wall_sec":$wallSec%.1f,"gc_sec":$gcSec%.1f,"heap_max_mb":$heapMax""" +
+      s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol}""")
     spark.stop()
   }
 }
