@@ -414,8 +414,13 @@ object QueriesExt {
     */
   def heavyTokens(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      // lang BEFORE the explode: a single select computing both the lang and
+      // the generator leaves lang in the post-Generate project, evaluating
+      // the trigram profile once per TOKEN (~54x per doc) instead of once
+      // per document — measured 3.2s -> 0.3s at sf0.1
       .select(TextFunctions.langIdTrigram(col("text")).as("lang"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        TextFunctions.tokens(lower(col("text"))).as("__toks"))
+      .select(col("lang"), explode(col("__toks")).as("token"))
       .groupBy("lang")
       .agg(graft.functions.Aggregators.heavyHitters(col("token"), 16)
         .as("hh"))
