@@ -20,6 +20,10 @@ object Bench {
       .foreach(_.resetPeakUsage())
 
   def main(args: Array[String]): Unit = {
+    // the emitted artifact must be valid JSON under any host locale: the
+    // f-interpolator formats via the default locale, and a comma decimal
+    // separator would corrupt every numeric field
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the box: the bench contract is local[32]-class
     // throughput, and an unset env var must not quietly run 8x undersized
@@ -89,7 +93,11 @@ object Bench {
     var maxSpread = 1.0
     val t0all = System.nanoTime()
     val gc0all = gcMillis
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=regex benches the matching subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    val results = selected.map { case (name, fn) =>
       resetPeakHeap()
       val dts = (1 to repeats).map { r =>
         val t0 = System.nanoTime()

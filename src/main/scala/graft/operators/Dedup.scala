@@ -156,6 +156,13 @@ object Dedup {
     // partial-aggregated exchange can never be reused, and at bench scale the
     // planner even broadcasts the bucket table — leaving 3 full recomputes of
     // the signature subtree in the plan (measured 3.7s -> 1.4s at sf0.1).
+    // Skew tradeoff, deliberate: WindowExec buffers one whole (band, hash)
+    // partition per task before __bsz is known, so a pathological bucket
+    // becomes a straggler/spill BEFORE maxBucketSize can drop it — where the
+    // groupBy variant filtered oversized buckets map-side. The mitigation for
+    // templated corpora is upstream, not here: feed
+    // [[frequentShingleHashes]] into `bannedShingles`, which removes the
+    // boilerplate shingles that create mega-buckets in the first place.
     val inBuckets = banded
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy("__band", "__bandhash")))
@@ -220,21 +227,49 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10,
-      maxDriverEdges: Int = 4000000): DataFrame = {
+      maxDriverEdges: Int = 1000000): DataFrame = {
     // Fast path: near-dup pair graphs are orders of magnitude smaller than
     // the corpus (dup rate bounds edges), so up to `maxDriverEdges` the exact
     // answer is one bounded collect + union-find — a single job instead of
-    // O(log diameter) shuffle rounds. The threshold caps driver memory
-    // (~4M edges = tens of MB); above it the distributed hash-to-min loop
-    // below is the 100 TB path. `limit(max+1)` decides without a full count.
-    val undirected = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // O(log diameter) shuffle rounds. The default threshold is sized for a
+    // plain 1-2 GB driver: 1M collected rows are boxed GenericRows (two
+    // boxed ids each) plus a parent HashMap — order hundreds of bytes per
+    // edge, so ~low hundreds of MB, NOT the 8B*edges a primitive layout
+    // would cost. Above it the distributed hash-to-min loop below is the
+    // 100 TB path. `limit(max+1)` decides without a full count, and the
+    // input is persisted first so an over-threshold probe does NOT re-run
+    // the upstream (LSH candidate generation — the expensive stage) when
+    // the slow path builds the full edge list.
+    // Null ids are dropped up front: a null endpoint has no identity to
+    // union on, and both regimes' min/least semantics skip nulls anyway.
+    val undirected = pairs
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = undirected.limit(maxDriverEdges + 1).collect()
     if (probe.length <= maxDriverEdges) {
       val spark = pairs.sparkSession
       val idType = undirected.schema("src").dataType
+      // Must order ids exactly as the distributed loop's least()/min() does,
+      // or the two regimes pick different component labels: Spark compares
+      // StringType as UTF8String — lexicographic over UTF-8 BYTES — which
+      // differs from Java String's UTF-16 char order for supplementary
+      // characters. Compare strings by their UTF-8 bytes, unsigned.
       implicit val anyOrd: Ordering[Any] = new Ordering[Any] {
-        def compare(x: Any, y: Any): Int =
-          x.asInstanceOf[Comparable[Any]].compareTo(y)
+        def compare(x: Any, y: Any): Int = (x, y) match {
+          case (a: String, b: String) =>
+            val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(ba.length, bb.length)
+            while (i < n) {
+              val c = (ba(i) & 0xff) - (bb(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            ba.length - bb.length
+          case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+        }
       }
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
@@ -257,11 +292,12 @@ object Dedup {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("comp", idType)))
+      undirected.unpersist()
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
     val edges = undirected
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id"))
@@ -289,6 +325,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    undirected.unpersist()
     labels
   }
 

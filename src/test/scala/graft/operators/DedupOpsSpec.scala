@@ -101,6 +101,41 @@ class DedupOpsSpec extends SparkSpec {
     assert(comps(7L) == 7L && comps(9L) == 7L)
   }
 
+  test("connected components: distributed path matches driver union-find") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // maxDriverEdges=0 forces the iterative hash-to-min regime
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == dist)
+  }
+
+  test("connected components: null endpoints dropped, no NPE") {
+    val pairs = Seq(("b", "c"), ("a", "b"), (null, "z"), ("x", null))
+      .toDF("id_a", "id_b")
+    for (mde <- Seq(1000000, 0)) {
+      val comps = Dedup.connectedComponents(pairs, maxDriverEdges = mde)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a"),
+        s"maxDriverEdges=$mde")
+    }
+  }
+
+  test("connected components: supplementary chars label identically in both regimes") {
+    // U+1F600 sorts BELOW U+FB00 in UTF-16 char order but ABOVE it in UTF-8
+    // byte order (Spark's UTF8String/least semantics) — the driver regime
+    // must agree with the distributed one on which id wins
+    val pairs = Seq(("😀", "ﬀ")).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fast == dist)
+    assert(fast.values.toSet == Set("ﬀ"))
+  }
+
   test("minhashDedupCC keeps one survivor per connected cluster") {
     val ids = Dedup.minhashDedupCC(docs, "text", "doc_id",
       shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
