@@ -89,6 +89,15 @@ object Bench {
     // ALL repeats of a query degrade together (r03: sustained 60x) is an
     // environment problem the artifact must flag rather than silently record.
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "3.0").toDouble
+    // Self-healing: a query whose repeats disagree beyond spreadLimit gets up
+    // to maxRetries extra attempts, each after a cooldown, and the recorded
+    // value is the min over ALL attempts. The recorded min counts as CONFIRMED
+    // once a second attempt lands within spreadLimit of it; a query whose min
+    // no other attempt ever corroborates stays a violation and flips the
+    // artifact-level "contaminated" flag -- the artifact defends itself
+    // instead of shipping a contended number as truth (r03/r05 failure mode).
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_RETRIES", "2").toInt.max(0)
+    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_MS", "10000").toLong
     var spreadViolations = List.empty[String]
     var maxSpread = 1.0
     val t0all = System.nanoTime()
@@ -99,7 +108,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
     val results = selected.map { case (name, fn) =>
       resetPeakHeap()
-      val dts = (1 to repeats).map { r =>
+      def runOnce(r: Int): Double = {
         val t0 = System.nanoTime()
         val s0 = (shuffleBytes.get, spillBytes.get, gcMillis)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -111,25 +120,47 @@ object Bench {
           f"peakHeap=${peakHeapBytes / 1048576}%6dMB")
         dt
       }
-      val spread = if (dts.min > 0.05) dts.max / dts.min else 1.0
-      maxSpread = maxSpread.max(spread)
-      if (spread > spreadLimit) {
-        spreadViolations ::= name
-        System.err.println(f"[bench] SPREAD VIOLATION: $name min=${dts.min}%.2fs " +
-          f"max=${dts.max}%.2fs spread=${spread}%.1fx > ${spreadLimit}%.1fx -- " +
-          "timings unstable, treat this artifact with suspicion")
+      var dts = (1 to repeats).map(runOnce).toVector
+      // confirmation spread: second-fastest / fastest. Measures whether the
+      // recorded min is reproducible, which is the only thing min-of-k needs.
+      def confSpread(ts: Vector[Double]): Double = {
+        val s = ts.sorted
+        if (s.length < 2 || s.head <= 0.05) 1.0 else s(1) / s.head
       }
-      name -> dts.min
+      var retriesLeft = maxRetries
+      while (repeats > 1 && confSpread(dts) > spreadLimit && retriesLeft > 0) {
+        System.err.println(f"[bench] $name: min ${dts.min}%.2fs unconfirmed " +
+          f"(conf spread ${confSpread(dts)}%.1fx > ${spreadLimit}%.1fx); " +
+          f"cooling ${cooldownMs}ms then retrying (${retriesLeft} left)")
+        Thread.sleep(cooldownMs)
+        dts :+= runOnce(repeats + (maxRetries - retriesLeft) + 1)
+        retriesLeft -= 1
+      }
+      val spread = confSpread(dts)
+      maxSpread = maxSpread.max(spread)
+      if (repeats > 1 && spread > spreadLimit) {
+        spreadViolations ::= name
+        System.err.println(f"[bench] SPREAD VIOLATION (post-retry): $name " +
+          f"min=${dts.min}%.2fs conf-spread=${spread}%.1fx > ${spreadLimit}%.1fx " +
+          "-- min never corroborated, treat this query's number with suspicion")
+      }
+      (name, dts.min, spread, dts.length)
     }
     val wallSec = (System.nanoTime() - t0all) / 1e9
     val gcSec = (gcMillis - gc0all) / 1000.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s, _) => "\"" + k + "\":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
+    val atts = results.map { case (k, _, _, a) => "\"" + k + "\":" + a }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val viol = spreadViolations.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contaminated = spreadViolations.nonEmpty
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       f""","wall_sec":$wallSec%.1f,"gc_sec":$gcSec%.1f,"heap_max_mb":$heapMax""" +
-      s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol}""")
+      s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol""" +
+      s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}""")
     spark.stop()
   }
 }

@@ -264,6 +264,39 @@ object QueriesExt {
   private def knnQueries(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings").filter(col("vec_id") < 20)
 
+  /** Recall-law harness for the approximate-NN family: the approximate
+    * operator's top-5 is compared against the in-query brute-force answer
+    * and emitted as ONE deterministic row — `(n_queries, recall_ok)` — which
+    * makes the operator's law (recall@5 >= bound) rows+schema+hash checkable
+    * by a constant DuckDB oracle, where raw approximate ranks would be
+    * engine-specific (hash functions, k-means inits) and stuck at rows-only
+    * verification. If recall ever regresses below the bound, `recall_ok`
+    * flips false and the oracle comparison goes red.
+    */
+  private def annRecallLaw(spark: SparkSession, dir: String,
+      minRecall: Double)(
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val corpus = t(spark, dir, "embeddings")
+    val qs = knnQueries(spark, dir)
+    val approx = ann(corpus, qs)
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("__hit", lit(1L))
+    Similarity.bruteForceTopK(corpus, qs, k = 5)
+      .select(col("query_id"), col("vec_id"))
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("__hit"), lit(0L))).cast("double") >=
+          count(lit(1)).cast("double") * minRecall).as("recall_ok"))
+  }
+
+  /** The constant oracle the recall-law queries share: 20 query vectors,
+    * law holds.
+    */
+  private val annRecallOracle: String =
+    "SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ok"
+
   /** Brute-force exact top-5 cosine neighbors for 20 query vectors.
     * The output carries ids and ranks only: neighbor ORDER is stable across
     * engines (cosine gaps dwarf float-association noise, verified at sf0.01
@@ -276,51 +309,59 @@ object QueriesExt {
       .select("query_id", "vec_id", "rank")
       .orderBy("query_id", "rank")
 
-  /** LSH-bucketed approximate top-5 neighbors (rows-only). */
+  // Law-query probe parameters: the synthetic embeddings are near-isotropic
+  // (top-5 cosine ≈0.32 against noise σ≈0.15 — barely clustered), which is
+  // the WORST case for ANN, so the law queries probe wider than the
+  // cluster-structured defaults would need: IVF probes 6 of 8 cells and LSH
+  // uses radius-2 multiprobe over 16 buckets. Measured recall with these is
+  // ≥0.9 at sf0.001/0.01/0.1; the asserted bound leaves noise margin.
+
+  /** LSH-bucketed approximate top-5 neighbors, recall-law checked. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(t(spark, dir, "embeddings"),
-      knnQueries(spark, dir), k = 5, nPlanes = 6, dim = 64)
-      .orderBy("query_id", "rank")
+    annRecallLaw(spark, dir, minRecall = 0.7) { (c, q) =>
+      Similarity.lshTopK(c, q, k = 5, nPlanes = 4, dim = 64, probeRadius = 2)
+    }
 
-  /** IVF (k-means inverted file) approximate top-5 neighbors (rows-only). */
+  /** IVF (k-means inverted file) approximate top-5, recall-law checked. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(t(spark, dir, "embeddings"),
-      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
-      .orderBy("query_id", "rank")
+    annRecallLaw(spark, dir, minRecall = 0.8) { (c, q) =>
+      Similarity.ivfTopK(c, q, k = 5, nList = 8, nProbe = 6)
+    }
 
-  /** IVF-PQ approximate top-5 neighbors: product-quantized candidate scan +
-    * exact re-rank (rows-only; the scale path for 100 TB corpora).
+  /** IVF-PQ approximate top-5: product-quantized candidate scan + exact
+    * re-rank (the scale path for 100 TB corpora), recall-law checked.
     */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopK(t(spark, dir, "embeddings"),
-      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
-      .orderBy("query_id", "rank")
+    annRecallLaw(spark, dir, minRecall = 0.8) { (c, q) =>
+      Similarity.ivfPqTopK(c, q, k = 5, nList = 8, nProbe = 6,
+        refine = 150)
+    }
 
   /** IVF-PQ with residual re-quantization (two code levels): tighter ADC
-    * shortlists at the same refine budget (rows-only; recall and
-    * residual-energy laws asserted in `SimilaritySpec`).
+    * shortlists at the same refine budget, recall-law checked.
     */
   def knnIvfPq2(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopK(t(spark, dir, "embeddings"),
-      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4, levels = 2)
-      .orderBy("query_id", "rank")
+    annRecallLaw(spark, dir, minRecall = 0.8) { (c, q) =>
+      Similarity.ivfPqTopK(c, q, k = 5, nList = 8, nProbe = 6,
+        refine = 150, levels = 2)
+    }
 
-  /** IVF-PQ with a learned OPQ rotation (rows-only; rotation-objective
-    * monotonicity and re-rank exactness asserted in `OpqSpec` /
-    * `SimilaritySpec`).
+  /** IVF-PQ with a learned OPQ rotation (rotation-objective monotonicity
+    * and re-rank exactness asserted in `OpqSpec`), recall-law checked.
     */
   def knnOpq(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopK(t(spark, dir, "embeddings"),
-      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4, opqIters = 3)
-      .orderBy("query_id", "rank")
+    annRecallLaw(spark, dir, minRecall = 0.8) { (c, q) =>
+      Similarity.ivfPqTopK(c, q, k = 5, nList = 8, nProbe = 6,
+        refine = 150, opqIters = 3)
+    }
 
-  /** IVF + per-cell HNSW ANN (rows-only; recall and exact-cosine laws in
-    * `HnswSpec` / `SimilaritySpec`).
+  /** IVF + per-cell HNSW ANN (graph laws in `HnswSpec`), recall-law
+    * checked.
     */
   def knnHnsw(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfHnswTopK(t(spark, dir, "embeddings"),
-      knnQueries(spark, dir), k = 5, nList = 16, nProbe = 4)
-      .orderBy("query_id", "rank")
+    annRecallLaw(spark, dir, minRecall = 0.8) { (c, q) =>
+      Similarity.ivfHnswTopK(c, q, k = 5, nList = 8, nProbe = 6)
+    }
 
   /** Array-column surface over embeddings: size, element access, max —
     * pure selections so float values pass through bit-exactly.
@@ -371,7 +412,7 @@ object QueriesExt {
         .as("label"))
     val model = graft.operators.HashNgramClassifier.fit(
       labeled, "text", "label", numBuckets = 1 << 12, wordNgrams = 2,
-      epochs = 6, lr = 4.0, momentum = 0.9)
+      epochs = 6, lr = 4.0, momentum = 0.9, earlyStopTol = 0.02)
     labeled
       .select(col("doc_id"),
         (graft.operators.HashNgramClassifier.score(col("text"), model) > 0.5)
@@ -379,30 +420,55 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
-  /** Audience-overlap sketching: per event type, a MinHash-union signature
-    * and KMV distinct estimate of the user set (one algebraic aggregate,
-    * map-side combined); then pairwise Jaccard estimates between types.
-    * Rows-only (hash sketches); estimator laws asserted in
-    * `AggregatorsSpec`.
+  /** Audience-overlap sketching, estimator-law checked: per event type, a
+    * MinHash-union signature and KMV distinct estimate of the user set (one
+    * algebraic aggregate, map-side combined), compared IN-QUERY against the
+    * exact distinct counts and exact pairwise Jaccard. The output carries
+    * the exact values (DuckDB-reproducible) plus `est_ok` — true iff every
+    * sketch estimate lands within its theoretical tolerance (KMV relative
+    * error and MinHash Jaccard absolute error are both ~1/sqrt(k), k=128 ⇒
+    * σ≈0.09; the 3σ bounds used here hold deterministically for the fixed
+    * seeds). A sketch regression flips `est_ok` and the oracle goes red —
+    * the hash-specific estimates themselves stay out of the compared
+    * columns.
     */
   def userOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Aggregators
     val k = 128
-    val sigs = events(spark, dir)
-      .select(col("event_type"), xxhash64(col("user_id")).as("__h"))
+    val ev = events(spark, dir)
+    val sigs = ev
+      .select(col("event_type"), col("user_id"),
+        xxhash64(col("user_id")).as("__h"))
       .groupBy("event_type")
       .agg(Aggregators.minhashUnion(col("__h"), numHashes = 128).as("__sig"),
-        Aggregators.bottomK(col("__h"), k).as("__bk"))
-      .withColumn("est_users",
-        round(Aggregators.kmvDistinct(col("__bk"), k)).cast("long"))
+        Aggregators.bottomK(col("__h"), k).as("__bk"),
+        countDistinct(col("user_id")).as("__exact"))
+      .withColumn("__est", Aggregators.kmvDistinct(col("__bk"), k))
+    // exact pairwise intersection sizes of the per-type user sets
+    val tu = ev.select("event_type", "user_id").distinct()
+    val inter = tu.as("ia").join(tu.as("ib"),
+        col("ia.user_id") === col("ib.user_id") &&
+          col("ia.event_type") < col("ib.event_type"))
+      .groupBy(col("ia.event_type").as("type_a"),
+        col("ib.event_type").as("type_b"))
+      .agg(count(lit(1)).as("__inter"))
+    val estTol = 3.0 / math.sqrt(k) // 3σ for both estimators
     sigs.as("a").join(sigs.as("b"),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
-        round(Aggregators.sigJaccard(col("a.__sig"), col("b.__sig")), 2)
-          .as("jaccard_est"),
-        col("a.est_users").as("users_a"),
-        col("b.est_users").as("users_b"))
+        col("a.__exact").as("users_a"), col("b.__exact").as("users_b"),
+        col("a.__est").as("__est_a"), col("b.__est").as("__est_b"),
+        Aggregators.sigJaccard(col("a.__sig"), col("b.__sig"))
+          .as("__jest"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("__inter", coalesce(col("__inter"), lit(0L)))
+      .withColumn("__jexact", col("__inter").cast("double") /
+        (col("users_a") + col("users_b") - col("__inter")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        (abs(col("__est_a") - col("users_a")) <= col("users_a") * estTol &&
+          abs(col("__est_b") - col("users_b")) <= col("users_b") * estTol &&
+          abs(col("__jest") - col("__jexact")) <= estTol).as("est_ok"))
       .orderBy("type_a", "type_b")
   }
 
@@ -719,6 +785,63 @@ object QueriesExt {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         | ON v.user_id = p.user_id AND p.ts >= v.ts
         |ORDER BY v.event_id""".stripMargin,
+    "x13_knn_lsh" -> annRecallOracle,
+    "x16_knn_ivf" -> annRecallOracle,
+    "x21_knn_ivfpq" -> annRecallOracle,
+    "x31_knn_ivfpq2" -> annRecallOracle,
+    "x33_knn_opq" -> annRecallOracle,
+    "x34_knn_hnsw" -> annRecallOracle,
+    "x30_user_overlap" ->
+      """WITH s AS (
+        | SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+        | FROM events GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        | a.nu AS users_a, b.nu AS users_b, true AS est_ok
+        |FROM s a JOIN s b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "x22_lang_trigram" ->
+      """WITH pad AS (
+        | SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+        |), tri AS (
+        | SELECT doc_id, list_transform(range(1, length(s) - 1),
+        |   i -> substring(s, CAST(i AS INT), 3)) AS tris
+        | FROM pad
+        |), sc AS (
+        | SELECT doc_id,
+        |  len(list_filter(tris, x -> list_contains(
+        |   ['der','die','und',' un','ein',' ei','ich','sch','ung','cht',
+        |    'ist','das',' da','den','gen','ben','ten','ver',' ve','nde',
+        |    'che',' ge','eit','hen','auf',' au','mit','für',' fü','übe',
+        |    'äch'], x))) AS s_de,
+        |  len(list_filter(tris, x -> list_contains(
+        |   ['the',' th','ing','ng ',' an','and',' of','of ',' to','ed ',
+        |    ' in','ion','ent',' is','tha','hat',' be','for',' fo','ere',
+        |    'his','wit','ith','ly ',' he','was',' wa',' yo','you',' wh',
+        |    'whi','oug'], x))) AS s_en,
+        |  len(list_filter(tris, x -> list_contains(
+        |   [' la','la ',' el','el ','ión','ció',' qu','que','ue ',' co',
+        |    'con','una',' un','ara',' pa','par','ado','est',' es','os ',
+        |    'nte','cia','ien','lo ',' lo','los','las',' y ','aña','eño'],
+        |   x))) AS s_es,
+        |  len(list_filter(tris, x -> list_contains(
+        |   [' le','le ','les','des','ent',' pa','par',' qu','que',' et',
+        |    'et ','une',' un','ait','eur','our',' po','pou','ais','ous',
+        |    ' vo','vou','dan','ans','tio','té ','ré ','ère','ête','çai',
+        |    'eau'], x))) AS s_fr,
+        |  len(list_filter(tris, x -> list_contains(
+        |   [' do','do ',' da','da ','ão ','ção','çõe',' qu','que',' co',
+        |    'com','uma',' um','par',' pa','ra ',' se','os ','ado','nto',
+        |    ' es','est','men',' na','na ',' no','no ','lho','nha','nho',
+        |    'açã'], x))) AS s_pt
+        | FROM tri)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'de'
+        |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
+        |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
+        |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
+        |  ELSE 'pt' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "x35_hof_gallery" ->
       """SELECT vec_id,
         | ROUND(list_sum(list_transform(embedding,

@@ -26,7 +26,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // iteration aid (same contract as Bench): SPARK_GRAFT_ONLY=regex dumps
+    // the matching subset; the driver never sets it, so the gate is whole
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         // write natural partitions: a final repartition(1) would shuffle and

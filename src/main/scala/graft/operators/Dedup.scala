@@ -468,9 +468,17 @@ object Dedup {
   /** SimHash near-dup candidates: block on bit-bands of the simhash (split
     * into `bands` chunks; near-identical docs share at least one chunk when
     * their hamming distance < bands), verify with exact hamming distance.
+    *
+    * `maxBucketSize` caps degenerate (band, chunk) buckets before the
+    * self-join goes quadratic — same guard and same single-reused-exchange
+    * shape as [[minhashCandidates]]: 16-bit chunks over templated corpora
+    * produce mega-buckets (every doc sharing a boilerplate-dominated chunk),
+    * and a bucket of b docs is b^2 candidate pairs. Ids inside a dropped
+    * bucket can still pair through their other bands.
     */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
     val bitsPerBand = 64 / bands
     val withSim = df.select(col(idCol), simhash64(col(textCol)).as("__simhash"))
     val chunks = array((0 until bands).map(b =>
@@ -478,12 +486,17 @@ object Dedup {
         .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)
     val banded = withSim.select(col(idCol), col("__simhash"),
       posexplode(chunks).as(Seq("__band", "__chunk")))
-    val a = banded.select(col("__band"), col("__chunk"),
+    val inBuckets = banded
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("__band", "__chunk")))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = inBuckets.select(col("__band"), col("__chunk"),
       col(idCol).as("id_a"), col("__simhash").as("__sim_a"))
-    val b = banded.select(col("__band"), col("__chunk"),
+    val b = inBuckets.select(col("__band"), col("__chunk"),
       col(idCol).as("id_b"), col("__simhash").as("__sim_b"))
-    val losers = a
-      .join(b, Seq("__band", "__chunk"))
+    val losers = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("__band", "__chunk"))
       .filter(col("id_a") < col("id_b"))
       .filter(hammingDist(col("__sim_a"), col("__sim_b")) <= maxHamming)
       .select(col("id_b").as(idCol))

@@ -61,38 +61,49 @@ object HashNgramClassifier {
     * @param batchFraction per-epoch deterministic sample fraction (<1 =
     *                 mini-batch SGD; seeded per epoch, so runs reproduce)
     * @param minDocFreq buckets seen in fewer docs are frozen at weight 0 —
-    *                 fastText-style rare-feature pruning; one extra bounded
-    *                 aggregation up front, less hash-collision noise
+    *                 fastText-style rare-feature pruning; document
+    *                 frequencies ride epoch 0's gradient aggregation (extra
+    *                 struct stream, same groupBy), so pruning costs ZERO
+    *                 extra jobs
+    * @param earlyStopTol stop when the epoch's per-doc gradient L2 norm
+    *                 changes by less than this fraction epoch-over-epoch
+    *                 (0 = off); saves driver-synchronized epoch jobs once
+    *                 the objective has flattened
     */
   def fit(df: DataFrame, textCol: String, labelCol: String,
       numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
       lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
-      batchFraction: Double = 1.0, minDocFreq: Int = 1): Model = {
+      batchFraction: Double = 1.0, minDocFreq: Int = 1,
+      earlyStopTol: Double = 0.0): Model = {
     // hash once; epochs iterate over compact (label, buckets, nfeat) rows
     val feats = df
       .select(col(labelCol).cast("double").as("__y"),
         buckets(col(textCol), numBuckets, wordNgrams).as("__b"))
       .withColumn("__nf", greatest(size(col("__b")), lit(1)))
       .cache()
-    val n = feats.count().toDouble
-    require(n > 0, "fit needs a non-empty training frame")
-
-    // rare-bucket freeze mask: document frequency per bucket, bounded rows
-    val frozen: java.util.BitSet = new java.util.BitSet(numBuckets)
-    if (minDocFreq > 1) {
-      feats.select(explode(array_distinct(col("__b"))).as("__bk"))
-        .groupBy("__bk").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") < minDocFreq)
-        .collect()
-        .foreach(r => frozen.set(r.getInt(0)))
+    // The row count n scales gradients but is only USED driver-side after
+    // each epoch's collect — so on the full-batch path it rides epoch 0's
+    // aggregation as sentinel bucket -2 instead of costing a separate
+    // count() job (every epoch is a full driver sync; job count is the
+    // latency budget here). Mini-batch still needs the true n up front to
+    // size nEpoch.
+    var n = -1.0
+    if (batchFraction < 1.0) {
+      n = feats.count().toDouble
+      require(n > 0, "fit needs a non-empty training frame")
     }
+
+    // rare-bucket freeze mask, filled from epoch 0's combined aggregation
+    val frozen: java.util.BitSet = new java.util.BitSet(numBuckets)
 
     val w = new Array[Float](numBuckets)
     val vel = new Array[Double](numBuckets)
     var biasVel = 0.0
     var bias = 0.0
     var epoch = 0
-    while (epoch < epochs) {
+    var prevGradNorm = -1.0
+    var stopped = false
+    while (epoch < epochs && !stopped) {
       // snapshot so this epoch's tasks see a stable table while the driver
       // updates `w` after the actions complete
       val wEpoch = w.clone()
@@ -103,31 +114,66 @@ object HashNgramClassifier {
       val g = epochRows
         .withColumn("__p", HashNgramExprs.bucketScore(col("__b"), wEpoch, bias))
         .withColumn("__g", col("__p") - col("__y"))
-      // ONE job per epoch: bucket gradients plus the bias gradient riding
-      // as sentinel bucket -1; result rows <= numBuckets + 1, independent
-      // of corpus size
-      val contribs = concat(
-        array(struct(lit(-1).as("__bk"), col("__g").as("__gv"))),
+      // ONE job per epoch: bucket gradients plus sentinels riding the same
+      // explode — bias gradient as bucket -1, row count as bucket -2
+      // (epoch 0, full batch), per-bucket document frequency as the __dfc
+      // field (epoch 0, minDocFreq > 1). Result rows <= numBuckets + 2,
+      // independent of corpus size.
+      val sentinels =
+        struct(lit(-1).as("__bk"), col("__g").as("__gv"), lit(0L).as("__dfc")) +:
+          (if (epoch == 0 && batchFraction >= 1.0)
+            Seq(struct(lit(-2).as("__bk"), lit(1.0).as("__gv"),
+              lit(0L).as("__dfc")))
+          else Nil)
+      val gradContribs = concat(
+        array(sentinels: _*),
         transform(col("__b"), b =>
-          struct(b.as("__bk"), (col("__g") / col("__nf")).as("__gv"))))
+          struct(b.as("__bk"), (col("__g") / col("__nf")).as("__gv"),
+            lit(0L).as("__dfc"))))
+      val contribs =
+        if (epoch == 0 && minDocFreq > 1)
+          concat(gradContribs,
+            transform(array_distinct(col("__b")), b =>
+              struct(b.as("__bk"), lit(0.0).as("__gv"), lit(1L).as("__dfc"))))
+        else gradContribs
       val grads = g
         .select(explode(contribs).as("__c"))
         .groupBy(col("__c.__bk").as("__bk"))
-        .agg(sum(col("__c.__gv")).as("__s"))
+        .agg(sum(col("__c.__gv")).as("__s"), sum(col("__c.__dfc")).as("__df"))
         .collect()
+      if (epoch == 0) {
+        if (batchFraction >= 1.0)
+          n = grads.find(_.getInt(0) == -2).map(_.getDouble(1)).getOrElse(0.0)
+        require(n > 0, "fit needs a non-empty training frame")
+        if (minDocFreq > 1) grads.foreach { r =>
+          val b = r.getInt(0)
+          if (b >= 0 && r.getLong(2) < minDocFreq) frozen.set(b)
+        }
+      }
       val nEpoch = if (batchFraction >= 1.0) n else math.max(1.0,
         n * batchFraction)
+      var gradSq = 0.0
       grads.foreach { r =>
         val b = r.getInt(0)
         if (b == -1) {
-          biasVel = momentum * biasVel + r.getDouble(1) / nEpoch
+          val gBias = r.getDouble(1) / nEpoch
+          gradSq += gBias * gBias
+          biasVel = momentum * biasVel + gBias
           bias -= lr * biasVel
-        } else if (!frozen.get(b)) {
-          val grad = r.getDouble(1) / nEpoch + l2 * w(b)
+        } else if (b >= 0 && !frozen.get(b)) {
+          val gRaw = r.getDouble(1) / nEpoch
+          gradSq += gRaw * gRaw
+          val grad = gRaw + l2 * w(b)
           vel(b) = momentum * vel(b) + grad
           w(b) = (w(b) - lr * vel(b)).toFloat
         }
       }
+      val gradNorm = math.sqrt(gradSq)
+      if (earlyStopTol > 0.0 && prevGradNorm >= 0.0 &&
+          math.abs(gradNorm - prevGradNorm) <=
+            earlyStopTol * math.max(prevGradNorm, 1e-12))
+        stopped = true
+      prevGradNorm = gradNorm
       epoch += 1
     }
     feats.unpersist()
@@ -145,7 +191,7 @@ object HashNgramClassifier {
   def fitMulticlass(df: DataFrame, textCol: String, labelCol: String,
       numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
       lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
-      minDocFreq: Int = 1): Map[String, Model] = {
+      minDocFreq: Int = 1, earlyStopTol: Double = 0.0): Map[String, Model] = {
     val labels = df.select(col(labelCol).cast("string"))
       .distinct().collect().map(_.getString(0)).sorted
     require(labels.length >= 2, "multiclass needs >= 2 labels")
@@ -153,7 +199,7 @@ object HashNgramClassifier {
       val bin = df.withColumn("__y01",
         (col(labelCol).cast("string") === lbl).cast("double"))
       lbl -> fit(bin, textCol, "__y01", numBuckets, wordNgrams, epochs, lr,
-        l2, momentum, minDocFreq = minDocFreq)
+        l2, momentum, minDocFreq = minDocFreq, earlyStopTol = earlyStopTol)
     }.toMap
   }
 

@@ -25,6 +25,29 @@ import graft.functions.expr.CosineSimilarityExpr.cosineSim
   */
 object Similarity {
 
+  /** Bounded, deterministic, PARTITION-SPANNING training sample for the ANN
+    * trainers. `limit(n).collect()` is the wrong tool here: limit satisfies
+    * itself from the first partition(s), and ingest-partitioned parquet is
+    * typically sorted/clustered — k-means would see a single shard and the
+    * centroids degenerate (recall collapses at scale while staying green at
+    * bench scale, where one file IS the corpus). Ordering by a hash of the id
+    * plans as TakeOrderedAndProject (per-partition top-n + driver merge, no
+    * full sort shuffle), touches every partition, and is deterministic for a
+    * given corpus — the same property seeded `sample()` only gives per
+    * partitioning layout.
+    */
+  private[operators] def trainVectors(corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int): Array[Array[Double]] =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(n)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (queryIdCol, neighbor id, cosine, rank).
     */
@@ -49,23 +72,26 @@ object Similarity {
   /** Approximate top-k via random-hyperplane LSH with multiprobe.
     *
     * Corpus rows are bucketed once; each query probes its own bucket plus
-    * every bucket at hamming distance 1 in sign-pattern space
-    * (`nProbes = nPlanes` single-bit flips), then exact cosine re-ranks the
-    * candidates. Candidate volume ~ N * (nProbes+1) / 2^nPlanes per query.
+    * every bucket within hamming distance `probeRadius` in sign-pattern
+    * space (radius 1 = single-bit flips, the classic multiprobe), then
+    * exact cosine re-ranks the candidates. Candidate volume
+    * ~ N * nProbes / 2^nPlanes per query, nProbes = Σ_{r<=radius} C(nPlanes,r).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdOut: String = "query_id"): DataFrame = {
+      queryIdOut: String = "query_id", probeRadius: Int = 1): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
     val bucket = VectorFunctions.hyperplaneBucket(col(vecCol), planes)
 
     val bucketedCorpus = corpus
       .select(col(idCol), col(vecCol), bucket.as("__bucket"))
 
-    // query probes: own bucket + all single-bit flips (multiprobe LSH)
+    // query probes: every sign-pattern mask within the hamming radius
     val probes = array(
-      (lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+      (0 until (1 << nPlanes))
+        .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
+        .map(m => lit(m.toLong)): _*)
     val bucketedQueries = queries
       .select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"),
         bucket.as("__qbucket"))
@@ -103,12 +129,7 @@ object Similarity {
     // iterations over a bounded driver-collected sample ([[Pq.lloyd]]) —
     // training cost independent of corpus size, ONE collect job instead of
     // an ML-pipeline's dozens of small jobs per fit
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+    val sample = trainVectors(corpus, idCol, vecCol, trainSample)
     val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
 
     // per-row cosine-vs-every-centroid scores in ONE native pass
@@ -184,13 +205,8 @@ object Similarity {
     require(levels == 1 || levels == 2, "levels must be 1 or 2")
 
     // --- driver-side training on a bounded normalized sample
-    val rawSample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
-      .map(Pq.normalize)
+    val rawSample: Array[Array[Double]] =
+      trainVectors(corpus, idCol, vecCol, trainSample).map(Pq.normalize)
     // OPQ: learn the rotation on the normalized sample, then train the
     // coarse/PQ model in the rotated space
     val rotation: Option[Array[Array[Double]]] =
@@ -317,12 +333,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+    val sample = trainVectors(corpus, idCol, vecCol, trainSample)
       .map(Pq.normalize)
     val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
 
@@ -404,12 +415,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .limit(trainSample).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+    val sample = trainVectors(corpus, idCol, vecCol, trainSample)
       .map(Pq.normalize)
     val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
     val dim = sample(0).length
@@ -526,18 +532,34 @@ object Similarity {
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket the
     * corpus against itself, score within buckets, keep pairs with
     * cosine >= `threshold`. Used for embedding-based near-dedup.
+    *
+    * `maxBucketSize` caps pathological buckets before the self-join goes
+    * quadratic — the same guard as [[Dedup.minhashCandidates]]: LLM-data
+    * embedding corpora are clustered by construction (near-dup shards hash
+    * identically), so with `nPlanes = 10` a bucket holding 1% of 10^9
+    * vectors is 10^14 pairs. The window count rides the SAME
+    * (`__bucket`)-keyed exchange the self-join needs, so both join sides
+    * reuse one shuffle of the bucketed stream; pairs inside a dropped
+    * bucket are sacrificed (recall, not correctness — the cap trades the
+    * densest buckets for a bounded pair count).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       nPlanes: Int = 10, dim: Int = 64, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 1000): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
     val bucketed = corpus.select(col(idCol), col(vecCol),
       VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
+    val inBuckets = bucketed
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("__bucket")))
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = inBuckets.select(col("__bucket"), col(idCol).as("id_a"),
       col(vecCol).as("__va"))
-    val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"),
+    val b = inBuckets.select(col("__bucket"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"))
-    a.join(b, Seq("__bucket"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)

@@ -102,6 +102,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("minhash band self-join reuses ONE band-keyed exchange (x03 shape)") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // x03's exact parameters: the window-count bucket guard keeps the
+      // filter on the SAME exchange the self-join consumes, so the whole
+      // signature subtree is computed once and the second join side is a
+      // ReusedExchange (measured 3.7s -> 1.4s at sf0.1). A refactor that
+      // breaks reuse would recompute shingles+signatures per side.
+      val df = graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val p = df.queryExecution.executedPlan
+      val bandShuffles = p.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("__band") => e
+      }
+      val reused = p.collect { case e: ReusedExchangeExec => e }
+      assert(bandShuffles.size == 1,
+        s"expected exactly one band-keyed exchange, got ${bandShuffles.size}")
+      assert(reused.nonEmpty,
+        "expected the band self-join's second side to be a ReusedExchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("ICWS band-bucket shuffles carry ids, never TF structs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -161,4 +161,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(!ids.contains(1L))
     assert(ids.contains(0L) && ids.contains(3L))
   }
+
+  test("simhashDedup drops degenerate band buckets under maxBucketSize") {
+    // identical docs: every (band, chunk) becomes one mega-bucket — the
+    // templated-corpus shape that would go O(n^2) unguarded
+    val many = spark.range(200L).select($"id".as("doc_id"),
+      org.apache.spark.sql.functions
+        .lit("boilerplate header repeated across every document").as("text"))
+    // cap below the bucket size: banding is suppressed, all docs survive
+    // (bounded work; the recall sacrifice is the documented tradeoff)
+    val capped = Dedup.simhashDedup(many, "text", "doc_id",
+      maxHamming = 3, bands = 4, maxBucketSize = 100)
+    assert(capped.count() == 200L)
+    // default cap is far above: collapses to the min-id survivor
+    val full = Dedup.simhashDedup(many, "text", "doc_id",
+      maxHamming = 3, bands = 4)
+    assert(full.count() == 1L)
+  }
 }

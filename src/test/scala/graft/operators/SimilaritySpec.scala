@@ -261,4 +261,87 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].collect()
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9))
   }
+
+  test("nearDupPairs drops degenerate hot buckets under maxBucketSize") {
+    // all-identical corpus: every vector lands in ONE bucket — the shape
+    // that would go O(n^2) unguarded (clustered LLM embedding shards)
+    val n = 300
+    val degen = spark.range(n.toLong).select($"id".as("vec_id"),
+      typedLit(Array.fill(8)(1.0f)).as("embedding"))
+    // cap below the bucket size: the mega-bucket is dropped, the query
+    // completes with zero pairs (bounded work; recall sacrificed by design)
+    val capped = Similarity.nearDupPairs(degen, threshold = 0.9,
+      nPlanes = 4, dim = 8, maxBucketSize = 100)
+    assert(capped.count() == 0L)
+    // cap at the bucket size: all C(n,2) identical pairs emerge
+    val full = Similarity.nearDupPairs(degen, threshold = 0.9,
+      nPlanes = 4, dim = 8, maxBucketSize = n)
+    assert(full.count() == n.toLong * (n - 1) / 2)
+  }
+
+  test("nearDupPairs planted recall is unaffected by the default cap") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = emb.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x.cast("float") * lit(1.001f))
+        .as("embedding"))
+    val corpus = emb.unionByName(planted)
+    def pairSet(cap: Int): Set[(Long, Long)] =
+      Similarity.nearDupPairs(corpus, threshold = 0.95, nPlanes = 8,
+        dim = 64, maxBucketSize = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val withDefaultCap = pairSet(1000)
+    val uncapped = pairSet(Int.MaxValue)
+    assert(withDefaultCap == uncapped,
+      "default cap changed results on a healthy (non-degenerate) corpus")
+    // pure scaling keeps every sign pattern, so each planted copy shares
+    // its source's bucket: the planted pair recall must be exact
+    val nSrc = emb.count()
+    val found = withDefaultCap.count { case (a, b) => b == a + 100000L }
+    assert(found >= (nSrc * 0.99).toLong,
+      s"planted recall $found/$nSrc too low")
+  }
+
+  test("ANN training sample spans a cluster-sorted corpus layout") {
+    // Two well-separated clusters written in vec_id order across many
+    // files: head-of-corpus sampling (the old limit().collect()) would see
+    // ONLY cluster A and train degenerate centroids. trainVectors orders by
+    // id-hash, so both clusters must appear in proportion.
+    val n = 1000
+    val rows = (0 until n).map { i =>
+      val rng = new scala.util.Random(i)
+      val base =
+        if (i < n / 2) Array(10.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 10.0f, 0.0f, 0.0f)
+      (i.toLong, base.map(_ + rng.nextFloat() * 2.0f))
+    }
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-trainvec").toString
+    rows.toDF("vec_id", "embedding")
+      .repartitionByRange(8, $"vec_id")
+      .write.mode("overwrite").parquet(path)
+    val corpus = spark.read.parquet(path)
+    val sample = Similarity.trainVectors(corpus, "vec_id", "embedding", 100)
+    assert(sample.length == 100)
+    val a = sample.count(v => v(0) > v(1))
+    val b = sample.count(v => v(1) > v(0))
+    assert(a >= 25 && b >= 25,
+      s"training sample is layout-biased: clusterA=$a clusterB=$b")
+    // end-to-end: PQ quantizer trained on that sample keeps recall on
+    // LATE-file queries (perturbed cluster-B vectors) — the regime where a
+    // first-partition-only sample would have produced garbage codebooks
+    val queries = corpus.filter($"vec_id" >= (n - 10).toLong)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x.cast("float") * lit(1.01f))
+          .as("embedding"))
+    // refine must exceed what ADC noise can bury inside a TIGHT cluster
+    // cell (~250 near-parallel vectors): the re-rank is exact, so recall
+    // only needs the copy inside the shortlist
+    val res = Similarity.ivfPqTopK(corpus, queries, k = 1,
+      nList = 4, nProbe = 1, m = 4, codebookSize = 16, refine = 100,
+      trainSample = 100)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = res.count { case (q, v) => v == q - 100000L }
+    assert(hits >= 9, s"cluster-B planted recall $hits/10 too low")
+  }
 }
