@@ -376,11 +376,37 @@ object QueriesExt {
         array_min(col("embedding")).as("emin"))
       .orderBy("vec_id")
 
-  /** Embedding-cosine near-duplicate pairs (rows-only). */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(t(spark, dir, "embeddings"), threshold = 0.4,
-      nPlanes = 8, dim = 64)
-      .orderBy("id_a", "id_b")
+  /** Embedding-cosine near-duplicate pairs, pair-law checked: the
+    * OR-amplified LSH candidate pairs (12 tables x 3 planes — per-pair
+    * recall 1-(1-p^3)^12 ≈ 0.97 at the 0.4 threshold) are compared against
+    * the in-query brute-force pair set, and the output row carries the
+    * EXACT pair count (DuckDB-reproducible via list_cosine_similarity)
+    * plus the recall law. Found pairs are verified with the same cosine
+    * expression the exact side uses, so precision is 1 by construction.
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expr.CosineSimilarityExpr.cosineSim
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"),
+      col("embedding"))
+    val found = Similarity.nearDupPairs(emb, threshold = 0.4,
+      nPlanes = 3, dim = 64, nTables = 12)
+      .select(col("id_a"), col("id_b"))
+      .withColumn("__hit", lit(1L))
+    // the exact side is O(n^2)/cores: spread the probe side across cores —
+    // a single-file parquet scan under the default 128MB split would
+    // otherwise run the whole nested-loop in ONE task
+    val par = spark.sparkContext.defaultParallelism
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      .repartition(par)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(cosineSim(col("__va"), col("__vb")) >= 0.4)
+      .select("id_a", "id_b")
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_pairs_exact"),
+        (sum(coalesce(col("__hit"), lit(0L))).cast("double") >=
+          count(lit(1)).cast("double") * 0.8).as("recall_ok"))
+  }
 
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
     * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
@@ -785,6 +811,10 @@ object QueriesExt {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         | ON v.user_id = p.user_id AND p.ts >= v.ts
         |ORDER BY v.event_id""".stripMargin,
+    "x14_embed_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact, true AS recall_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
     "x13_knn_lsh" -> annRecallOracle,
     "x16_knn_ivf" -> annRecallOracle,
     "x21_knn_ivfpq" -> annRecallOracle,

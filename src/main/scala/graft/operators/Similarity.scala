@@ -533,37 +533,52 @@ object Similarity {
     * corpus against itself, score within buckets, keep pairs with
     * cosine >= `threshold`. Used for embedding-based near-dedup.
     *
-    * `maxBucketSize` caps pathological buckets before the self-join goes
-    * quadratic — the same guard as [[Dedup.minhashCandidates]]: LLM-data
-    * embedding corpora are clustered by construction (near-dup shards hash
-    * identically), so with `nPlanes = 10` a bucket holding 1% of 10^9
-    * vectors is 10^14 pairs. The window count rides the SAME
-    * (`__bucket`)-keyed exchange the self-join needs, so both join sides
-    * reuse one shuffle of the bucketed stream; pairs inside a dropped
-    * bucket are sacrificed (recall, not correctness — the cap trades the
-    * densest buckets for a bounded pair count).
+    * `nTables` is OR-amplification (E2LSH / FAISS-binary style): a pair is
+    * a candidate if it collides in ANY of `nTables` independent
+    * `nPlanes`-bit hash tables, so per-pair recall is 1-(1-p^b)^L for
+    * per-plane collision probability p — a single AND-only table
+    * (`nTables = 1`, the old shape) has recall p^b, which collapses for
+    * moderate-cosine pairs (p=0.63 at cosine 0.4 ⇒ 2.5% at b=8).
+    *
+    * Scale shape mirrors [[Dedup.minhashCandidates]]: the exploded
+    * table/bucket stream carries ONLY (table, bucket, id) — never vectors —
+    * vectors equi-join back in once per unique surviving pair for exact
+    * verification. `maxBucketSize` caps pathological buckets before the
+    * self-join goes quadratic (clustered LLM embedding corpora put whole
+    * near-dup shards in one bucket: 1% of 10^9 vectors is 10^14 pairs);
+    * the window count rides the SAME (table, bucket) exchange the
+    * self-join needs, so both sides reuse one shuffle.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       nPlanes: Int = 10, dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 1000): DataFrame = {
-    val planes = VectorFunctions.randomPlanes(nPlanes, dim, seed)
-    val bucketed = corpus.select(col(idCol), col(vecCol),
-      VectorFunctions.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val inBuckets = bucketed
+      maxBucketSize: Int = 1000, nTables: Int = 1): DataFrame = {
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val tableBuckets = array((0 until nTables).map { t =>
+      VectorFunctions.hyperplaneBucket(col(vecCol),
+        VectorFunctions.randomPlanes(nPlanes, dim, seed + t * 7919L))
+    }: _*)
+    val banded = vecs
+      .select(col(idCol), posexplode(tableBuckets).as(Seq("__table", "__bucket")))
+    val inBuckets = banded
       .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("__bucket")))
+        count(lit(1)).over(Window.partitionBy("__table", "__bucket")))
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
       .drop("__bsz")
-    val a = inBuckets.select(col("__bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val b = inBuckets.select(col("__bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("__bucket"))
+    val a = inBuckets.select(col("__table"), col("__bucket"),
+      col(idCol).as("id_a"))
+    val b = inBuckets.select(col("__table"), col("__bucket"),
+      col(idCol).as("id_b"))
+    val pairIds = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    pairIds.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .dropDuplicates("id_a", "id_b")
   }
 }
