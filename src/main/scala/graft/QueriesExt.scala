@@ -69,12 +69,42 @@ object QueriesExt {
       .select("doc_id")
       .orderBy("doc_id")
 
-  /** SimHash near-dedup survivors (rows-only). */
-  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDedup(t(spark, dir, "documents"), "text", "doc_id",
+  /** SimHash near-dedup, precision-law checked: the survivor list itself is
+    * simhash-bit-specific (not DuckDB-reproducible), so the query emits one
+    * deterministic row of laws instead —
+    * `removed_ok`: every removed doc has SOME smaller-id doc at exact
+    * 3-shingle Jaccard >= 0.5 (simhash at hamming<=3/64 only fires on truly
+    * similar token streams; a random pair agreeing on 61 of 64 bits is
+    * ~binomial(64,.5) tail ≈ 1e-14), and
+    * `exact_dedup_ok`: no two survivors share identical text (identical text
+    * => identical simhash => hamming 0 => always removed). Either law failing
+    * flips its boolean and the constant oracle goes red.
+    */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val survivors = Dedup.simhashDedup(docs, "text", "doc_id",
       maxHamming = 3, bands = 4)
-      .select("doc_id")
-      .orderBy("doc_id")
+      .select("doc_id", "text")
+    val removed = docs.select("doc_id", "text")
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+    // removed is a small fraction of the corpus (dup rate): broadcast IT and
+    // stream the full corpus past it, exact-verifying shingle Jaccard —
+    // never the reverse (the corpus is the 100 TB side)
+    val verified = docs.select(col("doc_id").as("__sid"),
+        col("text").as("__stext"))
+      .join(broadcast(removed.select(col("doc_id").as("__rid"),
+        col("text").as("__rtext"))),
+        col("__sid") < col("__rid"))
+      .withColumn("__j", Dedup.ngramJaccard(col("__rtext"), col("__stext")))
+      .groupBy(col("__rid"))
+      .agg((max(col("__j")) >= 0.5).as("__has_partner"))
+    val removedOk = verified.agg(
+      coalesce(min(col("__has_partner")), lit(true)).as("removed_ok"))
+    val exactOk = survivors.agg(
+      (countDistinct(col("text")) === count(lit(1))).as("exact_dedup_ok"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(removedOk).crossJoin(exactOk)
+  }
 
   // ------------------------------------------------------------------- text
 
@@ -424,12 +454,20 @@ object QueriesExt {
       .select("doc_id")
       .orderBy("doc_id")
 
-  /** fastText-style hashed-n-gram quality classifier, distantly supervised:
-    * the heuristic quality score provides weak labels, `fit` runs the
-    * bounded per-bucket gradient loop, and every doc gets a model
-    * prediction (rows-only: float gradient sums make exact scores
-    * run-order-sensitive; the learning law is asserted in
-    * `HashNgramClassifierSpec`).
+  /** fastText-style hashed-n-gram quality classifier, distantly supervised
+    * and learning-law checked: the heuristic quality score provides weak
+    * labels (heavily imbalanced, ~79% positive), `fit` runs the bounded
+    * per-bucket AdaGrad loop, and the query emits ONE deterministic row —
+    * `(n_docs, learn_ok)` where `learn_ok` is "mean model score of
+    * positive-labeled docs exceeds negative-labeled by > 0.01". Per-doc
+    * predictions are run-order-stable but engine-specific (float gradient
+    * sums), and 0/1 accuracy under this imbalance is brittle (the
+    * majority-class optimum sits at 0.79 agreement), so the SEPARATION law
+    * is what a constant DuckDB oracle verifies: any training regression —
+    * diverging loss, broken gradient, inert optimizer (the pre-AdaGrad
+    * full-batch config measured separation ~5e-4, i.e. nothing) — drops it
+    * below the margin and flips the boolean. Measured separation at
+    * sf0.001/0.01/0.1: 0.138/0.144/0.020.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -438,12 +476,16 @@ object QueriesExt {
         .as("label"))
     val model = graft.operators.HashNgramClassifier.fit(
       labeled, "text", "label", numBuckets = 1 << 12, wordNgrams = 2,
-      epochs = 6, lr = 4.0, momentum = 0.9, earlyStopTol = 0.02)
+      epochs = 6, lr = 1.0, momentum = 0.5, adagrad = true,
+      earlyStopTol = 0.02)
     labeled
-      .select(col("doc_id"),
-        (graft.operators.HashNgramClassifier.score(col("text"), model) > 0.5)
-          .as("pred"))
-      .orderBy("doc_id")
+      .select(col("label"),
+        graft.operators.HashNgramClassifier.score(col("text"), model)
+          .as("__s"))
+      .agg(count(lit(1)).as("n_docs"),
+        ((avg(when(col("label") === 1.0, col("__s"))) -
+          avg(when(col("label") === 0.0, col("__s")))) > 0.01)
+          .as("learn_ok"))
   }
 
   /** Audience-overlap sketching, estimator-law checked: per event type, a
@@ -500,12 +542,18 @@ object QueriesExt {
 
   /** Heavy-hitter tokens per detected language: one SpaceSaving sketch per
     * group over the exploded token stream — bounded state per group where
-    * an exact top-k would shuffle the full vocabulary (rows-only: sketch
-    * counts are order-sensitive above capacity; guarantee law asserted in
-    * `AggregatorsSpec`).
+    * an exact top-k would shuffle the full vocabulary. Guarantee-law
+    * checked: SpaceSaving with capacity c MUST surface every token whose
+    * true count exceeds N/c (Metwally 2005), so the query compares the
+    * sketch's surfaced token set against the exact per-lang counts computed
+    * in the same job and emits per lang `(lang, n_tokens, n_heavy,
+    * found_ok)` — exact values a DuckDB replica reproduces, plus the law
+    * boolean. Sketch-specific counts (order-sensitive above capacity) stay
+    * out of the compared columns.
     */
-  def heavyTokens(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  def heavyTokens(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 16
+    val toks = t(spark, dir, "documents")
       // lang BEFORE the explode: a single select computing both the lang and
       // the generator leaves lang in the post-Generate project, evaluating
       // the trigram profile once per TOKEN (~54x per doc) instead of once
@@ -513,13 +561,24 @@ object QueriesExt {
       .select(TextFunctions.langIdTrigram(col("text")).as("lang"),
         TextFunctions.tokens(lower(col("text"))).as("__toks"))
       .select(col("lang"), explode(col("__toks")).as("token"))
+    val sketch = toks
       .groupBy("lang")
-      .agg(graft.functions.Aggregators.heavyHitters(col("token"), 16)
+      .agg(graft.functions.Aggregators.heavyHitters(col("token"), cap)
         .as("hh"))
-      .select(col("lang"), posexplode(col("hh")).as(Seq("rank", "e")))
-      .select(col("lang"), (col("rank") + 1).as("rank"),
-        col("e._1").as("token"), col("e._2").as("cnt"))
-      .orderBy("lang", "rank")
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e._1").as("token"))
+    val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val totals = exact.groupBy("lang").agg(sum("cnt").as("n_tokens"))
+    exact.join(totals, Seq("lang"))
+      .filter(col("cnt") > col("n_tokens") / cap)
+      .join(sketch.withColumn("__in_sketch", lit(true)),
+        Seq("lang", "token"), "left")
+      .groupBy("lang")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_heavy"),
+        min(coalesce(col("__in_sketch"), lit(false))).as("found_ok"))
+      .orderBy("lang")
+  }
 
   /** Higher-order array function gallery over embeddings: transform /
     * filter / aggregate (fold) / zip_with, oracle-matched against DuckDB's
@@ -829,49 +888,9 @@ object QueriesExt {
         | a.nu AS users_a, b.nu AS users_b, true AS est_ok
         |FROM s a JOIN s b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
-    "x22_lang_trigram" ->
-      """WITH pad AS (
-        | SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
-        |), tri AS (
-        | SELECT doc_id, list_transform(range(1, length(s) - 1),
-        |   i -> substring(s, CAST(i AS INT), 3)) AS tris
-        | FROM pad
-        |), sc AS (
-        | SELECT doc_id,
-        |  len(list_filter(tris, x -> list_contains(
-        |   ['der','die','und',' un','ein',' ei','ich','sch','ung','cht',
-        |    'ist','das',' da','den','gen','ben','ten','ver',' ve','nde',
-        |    'che',' ge','eit','hen','auf',' au','mit','für',' fü','übe',
-        |    'äch'], x))) AS s_de,
-        |  len(list_filter(tris, x -> list_contains(
-        |   ['the',' th','ing','ng ',' an','and',' of','of ',' to','ed ',
-        |    ' in','ion','ent',' is','tha','hat',' be','for',' fo','ere',
-        |    'his','wit','ith','ly ',' he','was',' wa',' yo','you',' wh',
-        |    'whi','oug'], x))) AS s_en,
-        |  len(list_filter(tris, x -> list_contains(
-        |   [' la','la ',' el','el ','ión','ció',' qu','que','ue ',' co',
-        |    'con','una',' un','ara',' pa','par','ado','est',' es','os ',
-        |    'nte','cia','ien','lo ',' lo','los','las',' y ','aña','eño'],
-        |   x))) AS s_es,
-        |  len(list_filter(tris, x -> list_contains(
-        |   [' le','le ','les','des','ent',' pa','par',' qu','que',' et',
-        |    'et ','une',' un','ait','eur','our',' po','pou','ais','ous',
-        |    ' vo','vou','dan','ans','tio','té ','ré ','ère','ête','çai',
-        |    'eau'], x))) AS s_fr,
-        |  len(list_filter(tris, x -> list_contains(
-        |   [' do','do ',' da','da ','ão ','ção','çõe',' qu','que',' co',
-        |    'com','uma',' um','par',' pa','ra ',' se','os ','ado','nto',
-        |    ' es','est','men',' na','na ',' no','no ','lho','nha','nho',
-        |    'açã'], x))) AS s_pt
-        | FROM tri)
-        |SELECT doc_id,
-        | CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
-        |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'de'
-        |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
-        |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
-        |  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
-        |  ELSE 'pt' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x22_lang_trigram" -> (langTrigramSql + "\n" +
+      """SELECT doc_id, lang AS lang_pred FROM langpred
+        |ORDER BY doc_id""".stripMargin),
     "x35_hof_gallery" ->
       """SELECT vec_id,
         | ROUND(list_sum(list_transform(embedding,
@@ -882,5 +901,187 @@ object QueriesExt {
         | ROUND(list_sum(list_transform(
         |   list_zip(embedding, list_reverse(embedding)),
         |   t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 6) AS dot_rev
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // NOTE composed entries below: the prelude is stripped at ITS definition
+    // and concatenated — running stripMargin over an interpolated result
+    // would re-strip embedded lines that begin with the `||` SQL concat
+    // operator (eating one pipe, producing `| ' ' || ...` binder errors)
+    "x03_minhash_pairs" -> (shingleSetSql + "\n" +
+      """SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a
+        |           JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+    "x04_minhash_dedup" -> (shingleSetSql + "\n" +
+      """SELECT doc_id FROM documents WHERE doc_id NOT IN (
+        |  SELECT id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+        |ORDER BY doc_id""".stripMargin),
+    "x26_minhash_dedup_cc" -> (shingleSetSql + ", " +
+      """edges AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM sym
+        |    UNION
+        |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+        |    WHERE r.src <> s.dst
+        |  ) SELECT * FROM r
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT dst FROM reach WHERE src < dst)
+        |ORDER BY doc_id""".stripMargin),
+    "x27_wminhash_pairs" -> (shingleTfSql + "\n" +
+      """SELECT id_a, id_b,
+        |  CAST(smin AS DOUBLE) / (ta.s + tb.s - smin) AS wjaccard
+        |FROM winter JOIN tot ta ON ta.doc_id = id_a
+        |            JOIN tot tb ON tb.doc_id = id_b
+        |WHERE CAST(smin AS DOUBLE) / (ta.s + tb.s - smin) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+    "x28_wminhash_dedup" -> (shingleTfSql + "\n" +
+      """SELECT doc_id FROM documents WHERE doc_id NOT IN (
+        |  SELECT id_b FROM winter
+        |  JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
+        |  WHERE CAST(smin AS DOUBLE) / (ta.s + tb.s - smin) >= 0.8)
+        |ORDER BY doc_id""".stripMargin),
+    "x05_simhash_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS removed_ok,
+        | true AS exact_dedup_ok
+        |FROM documents""".stripMargin,
+    "x29_quality_classifier" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS learn_ok
+        |FROM documents""".stripMargin,
+    "x32_heavy_tokens" -> (langTrigramSql + ", " +
+      """toks AS MATERIALIZED (
+        |  SELECT lp.lang, t.tok AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      tk -> length(tk) > 0)) AS tok
+        |    FROM documents) t
+        |  JOIN langpred lp ON lp.doc_id = t.doc_id
+        |), exact AS (
+        |  SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+        |), totals AS (
+        |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM exact GROUP BY lang
+        |)
+        |SELECT e.lang, t.n_tokens, CAST(count(*) AS BIGINT) AS n_heavy,
+        |  true AS found_ok
+        |FROM exact e JOIN totals t ON e.lang = t.lang
+        |WHERE e.cnt > t.n_tokens / 16.0
+        |GROUP BY e.lang, t.n_tokens
+        |ORDER BY e.lang""".stripMargin))
+
+  /** Shared DuckDB prelude replicating
+    * [[graft.functions.TextFunctions.langIdTrigram]]: per-doc trigram-profile
+    * scores over the space-padded lowercased text, argmax with the same
+    * de/en/es/fr/pt tie-break and 'und' zero-hit fallback. Ends with CTE
+    * `langpred(doc_id, lang)`.
+    */
+  private lazy val langTrigramSql: String =
+    """WITH pad AS (
+      | SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+      |), tri AS (
+      | SELECT doc_id, list_transform(range(1, length(s) - 1),
+      |   i -> substring(s, CAST(i AS INT), 3)) AS tris
+      | FROM pad
+      |), sc AS (
+      | SELECT doc_id,
+      |  len(list_filter(tris, x -> list_contains(
+      |   ['der','die','und',' un','ein',' ei','ich','sch','ung','cht',
+      |    'ist','das',' da','den','gen','ben','ten','ver',' ve','nde',
+      |    'che',' ge','eit','hen','auf',' au','mit','für',' fü','übe',
+      |    'äch'], x))) AS s_de,
+      |  len(list_filter(tris, x -> list_contains(
+      |   ['the',' th','ing','ng ',' an','and',' of','of ',' to','ed ',
+      |    ' in','ion','ent',' is','tha','hat',' be','for',' fo','ere',
+      |    'his','wit','ith','ly ',' he','was',' wa',' yo','you',' wh',
+      |    'whi','oug'], x))) AS s_en,
+      |  len(list_filter(tris, x -> list_contains(
+      |   [' la','la ',' el','el ','ión','ció',' qu','que','ue ',' co',
+      |    'con','una',' un','ara',' pa','par','ado','est',' es','os ',
+      |    'nte','cia','ien','lo ',' lo','los','las',' y ','aña','eño'],
+      |   x))) AS s_es,
+      |  len(list_filter(tris, x -> list_contains(
+      |   [' le','le ','les','des','ent',' pa','par',' qu','que',' et',
+      |    'et ','une',' un','ait','eur','our',' po','pou','ais','ous',
+      |    ' vo','vou','dan','ans','tio','té ','ré ','ère','ête','çai',
+      |    'eau'], x))) AS s_fr,
+      |  len(list_filter(tris, x -> list_contains(
+      |   [' do','do ',' da','da ','ão ','ção','çõe',' qu','que',' co',
+      |    'com','uma',' um','par',' pa','ra ',' se','os ','ado','nto',
+      |    ' es','est','men',' na','na ',' no','no ','lho','nha','nho',
+      |    'açã'], x))) AS s_pt
+      | FROM tri
+      |), langpred AS (
+      | SELECT doc_id,
+      |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_pt) = 0 THEN 'und'
+      |   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'de'
+      |   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'en'
+      |   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'es'
+      |   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_pt) THEN 'fr'
+      |   ELSE 'pt' END AS lang
+      | FROM sc
+      |)""".stripMargin
+
+  /** Shared DuckDB prelude for the exact-Jaccard dedup oracles: the distinct
+    * 3-token shingle SET per document (mirroring [[Dedup.shingleHashes]]:
+    * whitespace tokens, k=3, whole-token-list fallback below k tokens),
+    * inverted-index pair intersections, and per-doc set sizes. MATERIALIZED:
+    * DuckDB otherwise re-evaluates the list-lambda CTE per reference
+    * (measured 13s -> 1s at sf0.01).
+    */
+  private lazy val shingleSetSql: String =
+    """WITH ex AS MATERIALIZED (
+      |  SELECT doc_id, unnest(s) AS g FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(t) >= 3 THEN
+      |        list_distinct(list_transform(range(1, len(t) - 1),
+      |          i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+      |               || ' ' || t[CAST(i AS INT)+2]))
+      |      ELSE [array_to_string(t, ' ')] END AS s
+      |    FROM (SELECT doc_id, list_filter(
+      |            string_split_regex(trim(text), '\s+'),
+      |            tk -> length(tk) > 0) AS t FROM documents))
+      |), sz AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+      |), inter AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Shared DuckDB prelude for the exact WEIGHTED-Jaccard oracles: the
+    * 3-token shingle MULTISET (term frequencies, mirroring
+    * [[graft.functions.expr.ShingleTfExpr]]), pairwise Σmin intersections
+    * and per-doc total weights; Σmax(a,b) = s_a + s_b - Σmin(a,b).
+    */
+  private lazy val shingleTfSql: String =
+    """WITH tf AS MATERIALIZED (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(s) AS g FROM (
+      |      SELECT doc_id,
+      |        CASE WHEN len(t) >= 3 THEN
+      |          list_transform(range(1, len(t) - 1),
+      |            i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+      |                 || ' ' || t[CAST(i AS INT)+2])
+      |        ELSE [array_to_string(t, ' ')] END AS s
+      |      FROM (SELECT doc_id, list_filter(
+      |              string_split_regex(trim(text), '\s+'),
+      |              tk -> length(tk) > 0) AS t FROM documents)))
+      |  GROUP BY doc_id, g
+      |), tot AS MATERIALIZED (
+      |  SELECT doc_id, sum(c) AS s FROM tf GROUP BY doc_id
+      |), winter AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    sum(least(a.c, b.c)) AS smin
+      |  FROM tf a JOIN tf b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
 }

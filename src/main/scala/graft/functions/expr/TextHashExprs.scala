@@ -160,6 +160,53 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** SimHash over PRE-HASHED features (array<bigint>): per bit position, +1/-1
+  * votes of each feature hash's bit, sign of the sum is the output bit —
+  * the Charikar 2002 scheme with the feature hashing already done upstream.
+  * Pairs with [[ShingleHashesExpr]] so simhash can run on k-gram shingle
+  * features without materializing shingle strings: unigram-token simhash
+  * approximates bag-of-words cosine, which collapses on small-vocabulary /
+  * templated corpora (any two docs sharing the vocab look alike); shingle
+  * features give it near-duplicate semantics (Manku et al., WWW 2007).
+  */
+case class SimHashOfHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64_of_hashes expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData].toLongArray()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash64_of_hashes"
+}
+
 object TextHashExprs {
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(
@@ -171,4 +218,7 @@ object TextHashExprs {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  def simhash64OfHashes(hashes: Column): Column =
+    ColumnBridge.column(SimHashOfHashesExpr(ColumnBridge.expression(hashes)))
 }

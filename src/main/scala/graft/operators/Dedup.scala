@@ -465,9 +465,23 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash of a document's k-shingle SET (the [[Dedup.shingleHashes]]
+    * features): votes over pre-hashed shingles, no string materialization.
+    * Unigram-token simhash ([[simhash64]]) approximates bag-of-words cosine
+    * and collapses on small-vocabulary/templated corpora — two unrelated
+    * docs drawing from the same 20-word vocab land within 3/64 bits (observed
+    * on the synthetic corpus: pairs at 0.01 shingle-Jaccard colliding).
+    * Shingle features restore near-duplicate semantics (Manku et al. 2007
+    * use shingle-grade features for web near-dup at Google scale).
+    */
+  def simhash64Shingles(text: Column, k: Int = 3): Column =
+    graft.functions.expr.TextHashExprs.simhash64OfHashes(shingleHashes(text, k))
+
   /** SimHash near-dup candidates: block on bit-bands of the simhash (split
     * into `bands` chunks; near-identical docs share at least one chunk when
     * their hamming distance < bands), verify with exact hamming distance.
+    * Features are k-shingle hashes ([[simhash64Shingles]]), not unigram
+    * tokens — see there for why.
     *
     * `maxBucketSize` caps degenerate (band, chunk) buckets before the
     * self-join goes quadratic — same guard and same single-reused-exchange
@@ -478,9 +492,10 @@ object Dedup {
     */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, shingleK: Int = 3): DataFrame = {
     val bitsPerBand = 64 / bands
-    val withSim = df.select(col(idCol), simhash64(col(textCol)).as("__simhash"))
+    val withSim = df.select(col(idCol),
+      simhash64Shingles(col(textCol), shingleK).as("__simhash"))
     val chunks = array((0 until bands).map(b =>
       shiftright(col("__simhash"), b * bitsPerBand)
         .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)

@@ -69,12 +69,23 @@ object HashNgramClassifier {
     *                 changes by less than this fraction epoch-over-epoch
     *                 (0 = off); saves driver-synchronized epoch jobs once
     *                 the objective has flattened
+    * @param adagrad per-coordinate adaptive step sizes (Duchi et al. 2011):
+    *                 each bucket's step is lr / sqrt(sum of its squared
+    *                 gradients). Essential under CLASS IMBALANCE with few
+    *                 full-batch epochs: the raw per-bucket gradient is the
+    *                 bucket's doc-frequency share of the mean error, so
+    *                 frequent-feature weights move ~n/df slower than the
+    *                 bias — the bias races to the majority-class logit while
+    *                 the features crawl, and the model degenerates to
+    *                 majority-vote. AdaGrad equalizes per-coordinate
+    *                 progress; all accumulator state is driver-side, so job
+    *                 count per epoch is unchanged.
     */
   def fit(df: DataFrame, textCol: String, labelCol: String,
       numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
       lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
       batchFraction: Double = 1.0, minDocFreq: Int = 1,
-      earlyStopTol: Double = 0.0): Model = {
+      earlyStopTol: Double = 0.0, adagrad: Boolean = false): Model = {
     // hash once; epochs iterate over compact (label, buckets, nfeat) rows
     val feats = df
       .select(col(labelCol).cast("double").as("__y"),
@@ -98,6 +109,10 @@ object HashNgramClassifier {
 
     val w = new Array[Float](numBuckets)
     val vel = new Array[Double](numBuckets)
+    // AdaGrad squared-gradient accumulators (allocated only when used)
+    val gsq = if (adagrad) new Array[Double](numBuckets) else null
+    var biasGsq = 0.0
+    val adaEps = 1e-8
     var biasVel = 0.0
     var bias = 0.0
     var epoch = 0
@@ -156,14 +171,22 @@ object HashNgramClassifier {
       grads.foreach { r =>
         val b = r.getInt(0)
         if (b == -1) {
-          val gBias = r.getDouble(1) / nEpoch
+          var gBias = r.getDouble(1) / nEpoch
           gradSq += gBias * gBias
+          if (adagrad) {
+            biasGsq += gBias * gBias
+            gBias /= math.sqrt(biasGsq + adaEps)
+          }
           biasVel = momentum * biasVel + gBias
           bias -= lr * biasVel
         } else if (b >= 0 && !frozen.get(b)) {
           val gRaw = r.getDouble(1) / nEpoch
           gradSq += gRaw * gRaw
-          val grad = gRaw + l2 * w(b)
+          var grad = gRaw + l2 * w(b)
+          if (adagrad) {
+            gsq(b) += grad * grad
+            grad /= math.sqrt(gsq(b) + adaEps)
+          }
           vel(b) = momentum * vel(b) + grad
           w(b) = (w(b) - lr * vel(b)).toFloat
         }

@@ -145,6 +145,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(!ids.contains(1L))
   }
 
+  test("shingle simhash decorrelates same-vocab shuffled docs where " +
+      "unigram simhash collides") {
+    // two docs over the SAME small vocabulary in different orders: near-zero
+    // shingle overlap (not near-dups), but identical bags-of-words — the
+    // templated-corpus shape where unigram simhash (bag-of-words cosine)
+    // false-positives (observed: sf0.01 docs 102/473 removed at 0.01 exact
+    // Jaccard before the shingle-feature fix)
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val b = a.trim.split(" ").reverse.mkString(" ")
+    val two = Seq((0L, a.trim), (1L, b)).toDF("doc_id", "text")
+    val r = two.select(
+        Dedup.simhash64($"text").as("u"),
+        Dedup.simhash64Shingles($"text", 3).as("s"))
+      .collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // identical bags: unigram simhash is bit-identical — 0 hamming
+    assert(ham(r(0).getLong(0), r(1).getLong(0)) == 0)
+    // shingle features: far apart (independent hashes drift to ~32/64)
+    assert(ham(r(0).getLong(1), r(1).getLong(1)) > 10)
+    // and simhashDedup (shingle features) keeps both docs
+    assert(Dedup.simhashDedup(two, "text", "doc_id").count() == 2L)
+  }
+
   test("simhash: identical texts hash equal, near-dups are close in hamming") {
     val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

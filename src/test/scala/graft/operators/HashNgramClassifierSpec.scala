@@ -139,4 +139,29 @@ class HashNgramClassifierSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(s - 0.5) < 1e-12)
   }
+
+  test("adagrad separates an imbalanced corpus where plain batch GD stalls") {
+    // 4:1 imbalance in few epochs: the bias races to the majority logit
+    // while per-feature gradients (df/n-scaled) crawl — plain full-batch GD
+    // degenerates to majority-vote; AdaGrad's per-coordinate normalization
+    // restores feature progress (observed on the synthetic corpus: score
+    // separation ~5e-4 without, ~0.14 with)
+    val imb = (good.flatMap(t => Seq(t, t + " indeed", t + " again", t))
+      .map((_, 1.0)) ++ bad.take(5).map((_, 0.0))).toDF("text", "label")
+    def sep(adagrad: Boolean): Double = {
+      val m = HashNgramClassifier.fit(imb, "text", "label",
+        numBuckets = 1 << 12, wordNgrams = 2, epochs = 6,
+        lr = if (adagrad) 1.0 else 4.0,
+        momentum = if (adagrad) 0.5 else 0.9, adagrad = adagrad)
+      val r = imb.select($"label",
+        HashNgramClassifier.score($"text", m).as("s"))
+        .agg(avg(when($"label" === 1.0, $"s")).as("a1"),
+          avg(when($"label" === 0.0, $"s")).as("a0")).head()
+      r.getDouble(0) - r.getDouble(1)
+    }
+    val withAda = sep(adagrad = true)
+    assert(withAda > 0.05, s"adagrad separation $withAda")
+    assert(withAda > sep(adagrad = false) * 2,
+      "adagrad should separate far better than plain GD at equal epochs")
+  }
 }
