@@ -422,21 +422,28 @@ object QueriesExt {
       nPlanes = 3, dim = 64, nTables = 12)
       .select(col("id_a"), col("id_b"))
       .withColumn("__hit", lit(1L))
-    // the exact side is O(n^2)/cores: spread the probe side across cores —
-    // a single-file parquet scan under the default 128MB split would
-    // otherwise run the whole nested-loop in ONE task
-    val par = spark.sparkContext.defaultParallelism
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-      .repartition(par)
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
-    val exact = a.join(b, col("id_a") < col("id_b"))
-      .filter(cosineSim(col("__va"), col("__vb")) >= 0.4)
+    val exact = Similarity.exactCosinePairs(emb, 0.4)
       .select("id_a", "id_b")
     exact.join(found, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_pairs_exact"),
         (sum(coalesce(col("__hit"), lit(0L))).cast("double") >=
           count(lit(1)).cast("double") * 0.8).as("recall_ok"))
   }
+
+  /** SemDeDup semantic-dedup survivors (Abbas et al. 2023) over the exact
+    * cosine graph at threshold 0.4: pairs → connected components → keep the
+    * minimum vec_id per semantic group. The exact pair generator makes the
+    * survivor set deterministic and fully DuckDB-checkable (recursive-CTE
+    * reachability, the x26 pattern); the LSH-pair 100 TB path of
+    * [[Similarity.semanticDedup]] is covered by SimilaritySpec with planted
+    * high-cosine clusters where the OR-amplified recall is w.h.p. exact.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      threshold = 0.4, exact = true)
+      .select("vec_id")
+      .orderBy("vec_id")
 
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
     * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
@@ -636,7 +643,8 @@ object QueriesExt {
     "x32_heavy_tokens" -> heavyTokens _,
     "x33_knn_opq" -> knnOpq _,
     "x34_knn_hnsw" -> knnHnsw _,
-    "x35_hof_gallery" -> hofGallery _)
+    "x35_hof_gallery" -> hofGallery _,
+    "x36_semdedup" -> semDedup _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -874,6 +882,25 @@ object QueriesExt {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_exact, true AS recall_ok
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+    "x36_semdedup" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM sym
+        |    UNION
+        |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+        |    WHERE r.src <> s.dst
+        |  ) SELECT * FROM r
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT dst FROM reach WHERE src < dst)
+        |ORDER BY vec_id""".stripMargin,
     "x13_knn_lsh" -> annRecallOracle,
     "x16_knn_ivf" -> annRecallOracle,
     "x21_knn_ivfpq" -> annRecallOracle,

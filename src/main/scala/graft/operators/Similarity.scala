@@ -581,4 +581,57 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Exact all-pairs cosine edges at or above `threshold` — the recall
+    * baseline for [[nearDupPairs]] and the verification path of
+    * [[semanticDedup]]. O(n^2 / cores): the probe side is spread across
+    * `defaultParallelism` partitions so a single-file parquet corpus (one
+    * 128MB-split task) still uses the whole machine. Verification-scale
+    * only — at 100 TB the LSH path is the only viable pair generator.
+    */
+  def exactCosinePairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .repartition(par)
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): documents whose embedding cosine is >= `threshold`
+    * are semantic duplicates; duplicate groups close transitively; ONE
+    * representative (the minimum id, matching [[Dedup.minhashDedupCC]]'s
+    * keep-min convention) survives per group. Extends the reference's
+    * D1-style dedup (`/root/reference/src/pipeline.py:49-75`) from key
+    * equality to embedding-space equivalence.
+    *
+    * Pair generation is pluggable:
+    *  - `exact = false` (default, the 100 TB path): OR-amplified hyperplane
+    *    LSH ([[nearDupPairs]]) — shuffles carry (table, bucket, id) only,
+    *    hot buckets are capped, and the band exchange is reused; recall
+    *    follows the OR-of-AND s-curve, so pairs comfortably above the
+    *    threshold are found w.h.p. and the groups match the exact graph.
+    *  - `exact = true` (verification / small corpora): [[exactCosinePairs]].
+    *
+    * Component resolution reuses [[Dedup.connectedComponents]]: bounded
+    * driver union-find when the duplicate graph is small (the usual case —
+    * dup rate bounds edges), distributed hash-to-min beyond.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      exact: Boolean = false, nPlanes: Int = 3, nTables: Int = 12,
+      dim: Int = 64, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxBucketSize: Int = 1000): DataFrame = {
+    val pairs =
+      if (exact) exactCosinePairs(corpus, threshold, idCol, vecCol)
+      else nearDupPairs(corpus, threshold, nPlanes, dim, seed, idCol, vecCol,
+        maxBucketSize, nTables)
+    val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -302,6 +302,34 @@ class SimilaritySpec extends SparkSpec {
       s"planted recall $found/$nSrc too low")
   }
 
+  test("semanticDedup: LSH path matches exact path and keeps min-id reps") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant two near-copies per source vector: pure scaling keeps cosine 1
+    // with the source AND preserves every hyperplane sign pattern, so each
+    // copy shares its source's bucket in every LSH table — the LSH duplicate
+    // graph provably equals the exact graph on this corpus
+    val c1 = emb.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => x.cast("float") * lit(1.001f))
+        .as("embedding"))
+    val c2 = emb.select(($"vec_id" + 200000L).as("vec_id"),
+      transform($"embedding", x => x.cast("float") * lit(0.999f))
+        .as("embedding"))
+    val corpus = emb.unionByName(c1).unionByName(c2)
+    val lsh = Similarity.semanticDedup(corpus, threshold = 0.95,
+      nPlanes = 8, nTables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.semanticDedup(corpus, threshold = 0.95,
+      exact = true)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh == exact, "LSH-path survivors diverge from exact-path")
+    // every semantic group is {src, src+100k, src+200k} (base corpus has no
+    // pairs at 0.95); keep-min means exactly the sources survive
+    val n = emb.count()
+    assert(exact.size.toLong == n)
+    assert(exact.forall(_ < 100000L), "a planted copy displaced its source")
+  }
+
   test("ANN training sample spans a cluster-sorted corpus layout") {
     // Two well-separated clusters written in vec_id order across many
     // files: head-of-corpus sampling (the old limit().collect()) would see
