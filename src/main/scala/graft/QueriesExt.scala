@@ -393,6 +393,22 @@ object QueriesExt {
       Similarity.ivfHnswTopK(c, q, k = 5, nList = 8, nProbe = 6)
     }
 
+  /** Incremental-index law: build the persisted per-cell HNSW index on the
+    * even-id half of the corpus, APPEND the odd-id half (frozen coarse
+    * quantizer, per-cell graph inserts — cost proportional to the batch,
+    * not the corpus), then search the appended index. Recall@5 against
+    * in-query brute force over the FULL corpus must hold — i.e. appended
+    * vectors are as findable as built-in ones.
+    */
+  def knnHnswAppend(spark: SparkSession, dir: String): DataFrame =
+    annRecallLaw(spark, dir, minRecall = 0.8) { (c, q) =>
+      val base = c.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val adds = c.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = Similarity.appendToHnswIndex(
+        Similarity.buildHnswIndex(base, nList = 8), adds)
+      Similarity.searchHnswIndex(idx, q, k = 5, nProbe = 6)
+    }
+
   /** Array-column surface over embeddings: size, element access, max —
     * pure selections so float values pass through bit-exactly.
     */
@@ -644,7 +660,8 @@ object QueriesExt {
     "x33_knn_opq" -> knnOpq _,
     "x34_knn_hnsw" -> knnHnsw _,
     "x35_hof_gallery" -> hofGallery _,
-    "x36_semdedup" -> semDedup _)
+    "x36_semdedup" -> semDedup _,
+    "x37_knn_hnsw_append" -> knnHnswAppend _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -907,6 +924,7 @@ object QueriesExt {
     "x31_knn_ivfpq2" -> annRecallOracle,
     "x33_knn_opq" -> annRecallOracle,
     "x34_knn_hnsw" -> annRecallOracle,
+    "x37_knn_hnsw_append" -> annRecallOracle,
     "x30_user_overlap" ->
       """WITH s AS (
         | SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu

@@ -455,6 +455,93 @@ object Similarity {
     nodeRows.unionByName(centroidRows)
   }
 
+  /** Incrementally extend a [[buildHnswIndex]] DataFrame with new vectors —
+    * no full rebuild. New rows are assigned to cells by the index's OWN
+    * persisted centroids (the coarse quantizer is frozen at build time, the
+    * standard IVF append contract), then one shuffle co-locates each cell's
+    * existing graph nodes with its pending inserts; per cell the graph is
+    * restored (adjacency verbatim) and the new vectors are inserted with the
+    * normal HNSW procedure. Cost is proportional to the APPENDED data —
+    * O(|additions| · log corpus) inserts plus a scan of the touched index —
+    * which is what daily training-data ingest needs at 100 TB: the
+    * alternative (rebuild) re-pays the whole corpus every batch.
+    *
+    * Appended graphs are not bit-identical to a from-scratch build (insert
+    * order differs; HNSW is order-robust by design) — recall bounds, not
+    * graph bytes, are the contract ([[SimilaritySpec]] asserts them).
+    * Duplicate ids are the caller's concern, as with any append-only sink.
+    */
+  def appendToHnswIndex(index: DataFrame, additions: DataFrame,
+      hnswM: Int = 16, efConstruction: Int = 100, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.expr.PqExprs
+    val spark = index.sparkSession
+    import spark.implicits._
+
+    val centroidRows = index.filter(col("is_centroid"))
+    val centroids: Array[Array[Double]] = centroidRows
+      .select(col("id"), col("vec")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val dim = centroids(0).length
+
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      val s = PqExprs.centroidCosines(PqExprs.l2normalize(v), centroids)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+
+    // pending inserts ride the node schema with level = -2 (real nodes have
+    // level >= 0), so one repartition co-locates them with their cell
+    val pending = additions.select(
+      cellOf(col(vecCol)).as("cell"),
+      col(idCol).cast("long").as("id"),
+      PqExprs.l2normalize(col(vecCol)).as("vec"),
+      lit(-2).as("level"),
+      typedLit(Seq.empty[Seq[Long]]).as("neighbors"),
+      lit(false).as("is_entry"))
+
+    val appended = index.filter(!col("is_centroid"))
+      .select(col("cell"), col("id"), col("vec"), col("level"),
+        col("neighbors"), col("is_entry"))
+      .unionByName(pending)
+      .repartition(col("cell"))
+      .as[(Int, Long, Array[Double], Int, Seq[Seq[Long]], Boolean)]
+      .mapPartitions { it =>
+        val nodes = mutable.LinkedHashMap
+          .empty[Int, mutable.ArrayBuffer[Hnsw.Node]]
+        val adds = mutable.LinkedHashMap
+          .empty[Int, mutable.ArrayBuffer[(Long, Array[Double])]]
+        it.foreach { case (cell, id, vec, level, nbrs, isEntry) =>
+          if (level == -2)
+            adds.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) +=
+              ((id, vec))
+          else
+            nodes.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) +=
+              Hnsw.Node(id, vec, level, nbrs.map(_.toArray).toArray, isEntry)
+        }
+        (nodes.keySet ++ adds.keySet).iterator.map { cell =>
+          val g = nodes.get(cell) match {
+            case Some(ns) => Hnsw.restore(dim, ns.toSeq, hnswM,
+              efConstruction, seed ^ cell)
+            case None => new Hnsw(dim, hnswM, efConstruction, seed ^ cell)
+          }
+          // deterministic insert order for a given batch
+          adds.get(cell).foreach(_.sortBy(_._1).foreach {
+            case (id, vec) => g.insert(id, vec)
+          })
+          cell -> g
+        }.flatMap { case (cell, g) =>
+          g.dump().map(n =>
+            (cell, n.id, n.vec, n.level, n.neighbors.map(_.toSeq).toSeq,
+              n.isEntry, false))
+        }
+      }
+      .toDF("cell", "id", "vec", "level", "neighbors", "is_entry",
+        "is_centroid")
+    appended.unionByName(centroidRows.select(
+      col("cell"), col("id"), col("vec"), col("level"), col("neighbors"),
+      col("is_entry"), col("is_centroid")))
+  }
+
   /** Query a [[buildHnswIndex]] DataFrame (typically re-read from parquet):
     * restore only the probed cells' graphs — the `cell isin probes` filter
     * prunes unread cells at the parquet scan — and search. Restoration

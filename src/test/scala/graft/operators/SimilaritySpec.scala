@@ -247,6 +247,32 @@ class SimilaritySpec extends SparkSpec {
     assert(one.count() == 3)
   }
 
+  test("appended HNSW index finds appended vectors like built-in ones") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val adds = emb.filter(pmod($"vec_id", lit(2)) === 1)
+    val index = Similarity.appendToHnswIndex(
+      Similarity.buildHnswIndex(base, nList = 8), adds)
+    // every corpus id is in the index exactly once, centroids intact
+    val n = emb.count()
+    assert(index.filter(!$"is_centroid").count() == n)
+    assert(index.filter(!$"is_centroid").select("id").distinct().count() == n)
+    assert(index.filter($"is_centroid").count() == 8)
+    // planted perturbed copies of ODD (appended) ids must come back: an
+    // append that wired its inserts into dead graphs would miss them
+    val queries = emb.filter($"vec_id" < 40 && pmod($"vec_id", lit(2)) === 1)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding",
+          x => x.cast("double") * 1.01 + 0.001).as("embedding"))
+    val got = Similarity.searchHnswIndex(index, queries, k = 1,
+      nProbe = 2, ef = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = (1L until 40L by 2).count { q =>
+      got.get(q + 100000L).contains(q)
+    }
+    assert(hits >= 18, s"appended-vector recall $hits/20 too low")
+  }
+
   test("zero-norm vectors yield cosine 0, not NaN") {
     val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
