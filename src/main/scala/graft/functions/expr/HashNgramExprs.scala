@@ -131,6 +131,68 @@ case class HashNgramScoreExpr(child: Expression, weights: Array[Float],
   override def prettyName: String = "hash_ngram_score"
 }
 
+/** Int8-quantized variant of [[HashNgramScoreExpr]] (fastText `-quantize`
+  * style, Joulin et al. 2016 §3): the weight table is symmetric linearly
+  * quantized to ONE BYTE per bucket with a single table-wide scale
+  * (q = round(w / scale), scale = max|w| / 127), so a 2^20-bucket table
+  * rides the task closure at 1 MB instead of 4 MB — at 100 TB the scorer
+  * is shipped to every task scoring billions of documents, and closure
+  * bytes are broadcast bytes. Accumulation is INTEGER (exact in Long, no
+  * float-association drift); one float multiply rescales at the end:
+  * sigmoid(bias + scale * qsum / cnt). Worst-case score error vs the float
+  * table is scale/8 (per-bucket quantization error <= scale/2, mean
+  * preserves it, sigmoid is 1/4-Lipschitz).
+  */
+case class QuantizedHashNgramScoreExpr(child: Expression,
+    qweights: Array[Byte], scale: Double, bias: Double, wordNgrams: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(qweights.nonEmpty && wordNgrams >= 1)
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash_ngram_score_q8 expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val numBuckets = qweights.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42L)
+      i += 1
+    }
+    var qsum = 0L
+    var cnt = 0
+    var g = 1
+    while (g <= wordNgrams) {
+      var s0 = 0
+      val m = n - g + 1
+      while (s0 < m) {
+        var h = 42L
+        var j = 0
+        while (j < g) { h = XXH64.hashLong(th(s0 + j), h); j += 1 }
+        qsum += qweights(((h % numBuckets + numBuckets) % numBuckets).toInt)
+        cnt += 1
+        s0 += 1
+      }
+      g += 1
+    }
+    val z = bias + (if (cnt > 0) scale * qsum / cnt else 0.0)
+    1.0 / (1.0 + math.exp(-z))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "hash_ngram_score_q8"
+}
+
 /** Logistic score from precomputed bucket ids: sigmoid(bias +
   * mean(weights[bucket])). The training loop re-scores each epoch from
   * cached int arrays through this, skipping re-tokenization/re-hashing.
@@ -176,4 +238,9 @@ object HashNgramExprs {
       bias: Double): Column =
     ColumnBridge.column(BucketMeanScoreExpr(
       ColumnBridge.expression(buckets), weights, bias))
+
+  def scoreQuantized(tokens: Column, qweights: Array[Byte], scale: Double,
+      bias: Double, wordNgrams: Int): Column =
+    ColumnBridge.column(QuantizedHashNgramScoreExpr(
+      ColumnBridge.expression(tokens), qweights, scale, bias, wordNgrams))
 }

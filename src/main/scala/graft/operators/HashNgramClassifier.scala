@@ -34,10 +34,41 @@ object HashNgramClassifier {
     def numBuckets: Int = weights.length
   }
 
+  /** Int8-quantized model (fastText `-quantize` style): one byte per
+    * bucket plus a single symmetric scale — 4x smaller in every task
+    * closure / broadcast, integer-exact accumulation at score time.
+    * Worst-case score drift vs the float model is `scale / 8`
+    * ([[graft.functions.expr.QuantizedHashNgramScoreExpr]]).
+    */
+  case class QuantizedModel(qweights: Array[Byte], scale: Double,
+      bias: Double, wordNgrams: Int) {
+    def numBuckets: Int = qweights.length
+  }
+
+  /** Symmetric linear int8 quantization: scale = max|w| / 127,
+    * q = round(w / scale) ∈ [-127, 127] (no -128, so negation is safe).
+    */
+  def quantize(model: Model): QuantizedModel = {
+    val maxAbs = model.weights.foldLeft(0.0) {
+      (m, w) => m.max(math.abs(w.toDouble))
+    }
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    QuantizedModel(
+      model.weights.map(w => math.round(w / scale).toByte),
+      scale, model.bias, model.wordNgrams)
+  }
+
   /** Logistic score in (0,1) of a text column under `model`. */
   def score(text: Column, model: Model): Column =
     HashNgramExprs.score(TextFunctions.tokens(text), model.weights,
       model.bias, model.wordNgrams)
+
+  /** Logistic score under an int8-quantized model — same feature hashing,
+    * 1-byte weight table, integer accumulation.
+    */
+  def scoreQuantized(text: Column, model: QuantizedModel): Column =
+    HashNgramExprs.scoreQuantized(TextFunctions.tokens(text),
+      model.qweights, model.scale, model.bias, model.wordNgrams)
 
   /** Feature bucket ids (unigrams + n-grams) — the hashing trick view used
     * by training; exposed for feature-level debugging.

@@ -132,6 +132,29 @@ class HashNgramClassifierSpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("int8-quantized scoring stays within the scale/8 error bound") {
+    val model = HashNgramClassifier.fit(train, "text", "label",
+      numBuckets = 1 << 12, wordNgrams = 2, epochs = 6, lr = 0.5)
+    val qm = HashNgramClassifier.quantize(model)
+    assert(qm.qweights.forall(q => q >= -127 && q <= 127))
+    // quantization error per bucket <= scale/2; mean pooling preserves the
+    // bound; sigmoid is 1/4-Lipschitz => score drift <= scale/8
+    val tol = qm.scale / 8.0 + 1e-9
+    val drift = train
+      .select(abs(
+        HashNgramClassifier.score($"text", model) -
+          HashNgramClassifier.scoreQuantized($"text", qm)).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(drift <= tol, s"quantized score drift $drift > $tol")
+    // the quantized model still separates the classes
+    val scored = train.select($"label",
+      HashNgramClassifier.scoreQuantized($"text", qm).as("s"))
+    val sep = scored.filter($"label" === 1.0).agg(min($"s"))
+      .as[Double].head() -
+      scored.filter($"label" === 0.0).agg(max($"s")).as[Double].head()
+    assert(sep > 0, s"quantized model lost class separation ($sep)")
+  }
+
   test("empty text scores sigmoid(bias)") {
     val model = HashNgramClassifier.Model(Array.fill(16)(1f), 0.0, 1)
     val s = Seq("").toDF("text")
