@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.operators.{Dedup, Sessionize, Similarity, TextPipeline}
 
 /** LLM-data-pipeline extension inventory (SURVEY.md §7.4): dedup family,
   * text analysis, event sessionization / streaming batch-parity, similarity
@@ -461,6 +461,43 @@ object QueriesExt {
       .select("vec_id")
       .orderBy("vec_id")
 
+  /** Fixed-size token-window chunking with overlap — training context
+    * packing. Row-local (tokenize + HOF slices + posexplode): no shuffle.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.chunkByTokens(t(spark, dir, "documents"), "text", "doc_id",
+      chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
+  /** GPT-3-style 13-gram benchmark decontamination, with the corpus's
+    * first 20 documents standing in as the benchmark set: each benchmark
+    * doc flags itself (exactly) and any near-duplicate sharing a 13-gram.
+    * The benchmark n-gram set is distinct-reduced and broadcast — the
+    * corpus side never shuffles text.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextPipeline.flagContaminated(docs, docs.filter(col("doc_id") < 20),
+      "text", "doc_id", n = 13, minHits = 1)
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction. The corpus text carries no PII, so both engines build
+    * the SAME deterministic augmented text (email + phone + IP derived
+    * from doc_id) and redact it — the redaction chain, not the synthetic
+    * suffix, is what the hash comparison locks.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextPipeline.redactPii(concat(
+        substring(col("text"), 1, 40),
+        lit(" reach user"), col("doc_id"),
+        lit("@mail.example.com or 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit("."),
+        pmod(col("doc_id"), lit(254)) + 1)).as("redacted"))
+      .orderBy("doc_id")
+
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
     * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
     * stage and the match-probability law are covered by ScalaTest).
@@ -661,7 +698,10 @@ object QueriesExt {
     "x34_knn_hnsw" -> knnHnsw _,
     "x35_hof_gallery" -> hofGallery _,
     "x36_semdedup" -> semDedup _,
-    "x37_knn_hnsw_append" -> knnHnswAppend _)
+    "x37_knn_hnsw_append" -> knnHnswAppend _,
+    "x38_chunking" -> chunkDocs _,
+    "x39_decontam" -> decontaminate _,
+    "x40_pii_redact" -> piiRedact _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -925,6 +965,57 @@ object QueriesExt {
     "x33_knn_opq" -> annRecallOracle,
     "x34_knn_hnsw" -> annRecallOracle,
     "x37_knn_hnsw_append" -> annRecallOracle,
+    "x38_chunking" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t FROM documents
+        |), nch AS (
+        | SELECT doc_id, t,
+        |  CASE WHEN len(t) <= 32 THEN 1
+        |   ELSE CAST(floor((len(t) - 32 + 23) / 24.0) AS BIGINT) + 1 END AS k
+        | FROM toks
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | CAST(len(list_slice(t, CAST(i*24+1 AS INT), CAST(i*24+32 AS INT)))
+        |   AS BIGINT) AS n_tokens,
+        | array_to_string(list_slice(t, CAST(i*24+1 AS INT),
+        |   CAST(i*24+32 AS INT)), ' ') AS chunk_text
+        |FROM (SELECT doc_id, t, unnest(range(0, k)) AS i FROM nch)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "x39_decontam" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t FROM documents
+        |), grams AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 13 THEN
+        |    list_distinct(list_transform(range(1, len(t) - 11),
+        |      i -> array_to_string(
+        |        list_slice(t, CAST(i AS INT), CAST(i AS INT) + 12), ' ')))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks)
+        |), bench AS (
+        | SELECT DISTINCT g FROM grams WHERE doc_id < 20
+        |), hits AS (
+        | SELECT doc_id, count(*) AS nh FROM grams JOIN bench USING (g)
+        | GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+        | coalesce(h.nh, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x40_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   substr(text, 1, 40) || ' reach user' || doc_id
+        |     || '@mail.example.com or 415-555-'
+        |     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |     || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 254 + 1),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x30_user_overlap" ->
       """WITH s AS (
         | SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation transforms a training-data pipeline runs between
+  * filtering and tokenization: fixed-size token-window chunking (context
+  * packing), benchmark decontamination (GPT-3 appendix C / Brown et al.
+  * 2020-style 13-gram overlap), and PII redaction. All three are
+  * row-local or broadcast-joined — no corpus-sized shuffle anywhere, so
+  * they scale linearly with input bytes at 100 TB.
+  */
+object TextPipeline {
+
+  /** Split each document into overlapping token windows of `chunkSize`
+    * tokens with `overlap` tokens shared between consecutive windows —
+    * the training-window packing step. Window starts advance by
+    * `chunkSize - overlap`; the final window may be shorter (it keeps the
+    * tail). A doc with <= `chunkSize` tokens yields exactly one window.
+    *
+    * Pure per-row computation (tokenize + HOF slices + posexplode): no
+    * shuffle, fully codegen-compatible, output rows ≈ input tokens /
+    * stride.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    // windows: starts 1, 1+stride, ... ; count = 1 + ceil((n-chunkSize)/stride)
+    val nChunks = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - chunkSize + stride - 1)
+        .cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__t"), nChunks.as("__k"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__k") - 1),
+          k => slice(col("__t"), k * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_id", "__w")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__w")).as("chunk_text"))
+  }
+
+  /** Flag corpus documents sharing token `n`-grams with a benchmark set —
+    * test-set decontamination (the 13-gram rule of GPT-3's appendix C;
+    * RefinedWeb and The Pile run the same shape). A document with >=
+    * `minHits` distinct shared n-grams is contaminated and should be
+    * dropped before training.
+    *
+    * Scale shape: the benchmark n-gram set is small by definition
+    * (benchmarks are thousands of documents, not billions) — it is
+    * DISTINCT-reduced and broadcast, so the corpus side is one scan with a
+    * broadcast semi-join-style probe + per-doc count; the corpus never
+    * shuffles text, only (id, hit) pairs into the final count.
+    * N-grams ride as 8-byte xxhash64 values ([[Dedup.shingleHashes]]'s
+    * native expression): documents shorter than `n` tokens hash as one
+    * whole-document shingle, so short benchmark docs still decontaminate
+    * their exact copies.
+    */
+  def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      minHits: Int = 1): DataFrame = {
+    val bh = benchmark
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__h"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n))
+        .as("__h"))
+      .join(broadcast(bh), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nh"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        (coalesce(col("__nh"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Redact common PII surface forms: emails, NNN-NNN-NNNN phone numbers,
+    * dotted-quad IPs — replaced by typed placeholder tags. Order matters:
+    * emails first (their local parts can contain digits and dots), then
+    * phones, then IPs. ASCII patterns only, portable across regex engines
+    * (Java here, RE2-class engines elsewhere); one codegen'd
+    * regexp_replace chain, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking tiles tokens with the requested overlap, tail kept") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextPipeline.chunkByTokens(df, "text", "doc_id",
+      chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    // 10 tokens, stride 3: starts 1,4,7 -> 3 windows; consecutive windows
+    // share exactly one token; the last window ends at the last token
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq ==
+      Seq("a b c d", "d e f g", "g h i j"))
+    // short doc: one window, whole doc
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("x y z"))
+    // every original token appears in some window
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == "a b c d e f g h i j".split(" ").toSet)
+  }
+
+  test("chunk boundaries: n == chunkSize yields one window") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = TextPipeline.chunkByTokens(df, "text", "doc_id", 4, 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length == 1 && got.head._4 == "a b c d")
+  }
+
+  test("decontamination flags benchmark members, copies, and nothing else") {
+    val corpus = Seq(
+      (0L, "one two three four five six"), // benchmark member
+      (1L, "one two three four five six"), // exact copy -> contaminated
+      (2L, "totally different words here now"), // clean
+      (3L, "four three two one six five") // same vocab, no shared 4-gram
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 0L)
+    val got = TextPipeline.flagContaminated(corpus, bench, "text", "doc_id",
+      n = 4, minHits = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(_._3).toSeq == Seq(true, true, false, false))
+    // the copy shares ALL 3 distinct 4-grams of the benchmark doc
+    assert(got(1)._2 == 3L)
+  }
+
+  test("short-doc fallback: sub-n benchmark docs still catch exact copies") {
+    val corpus = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.flagContaminated(corpus,
+      corpus.filter($"doc_id" === 0L), "text", "doc_id", n = 13)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(got.map(_._3).toSeq == Seq(true, true, false))
+  }
+
+  test("PII redaction replaces emails, phones, IPs; prose untouched") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "call 415-555-0142 or visit 192.168.0.1 now",
+      "version 1.2 costs 10.50 dollars, room 101").toDF("text")
+    val got = df.select(TextPipeline.redactPii($"text")).as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "call <PHONE> or visit <IP> now")
+    // decimals and small numbers are NOT dotted-quads or phones
+    assert(got(2) == "version 1.2 costs 10.50 dollars, room 101")
+  }
+}
