@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * columnar machinery (pruning, predicate pushdown on metadata, partitioned
   * shuffles) applies unchanged while payload-touching steps stay isolated.
   *
-  * Decode/feature-extraction is STUBBED: the container has no image/audio
-  * codecs, so [[stubDecodeFeatures]] derives a deterministic fake feature
-  * vector from the payload bytes. The Spark-side plumbing — the asset
-  * schema, batch shape, partitioning, and the feature-vector contract
-  * (`array<float>` consumable by [[graft.operators.Similarity]]) — is real
-  * and tested; swapping the stub for a JNI/ONNX decoder changes only the
-  * per-row kernel.
+  * IMAGE decode is REAL ([[decodeImageFeatures]] / [[resizeImages]]): the
+  * JDK ships `javax.imageio` readers for PNG/JPEG/GIF/BMP, so no external
+  * codec jars are needed. AUDIO/VIDEO decode stays STUBBED
+  * ([[stubDecodeFeatures]] derives a deterministic fake feature vector
+  * from payload bytes) — those codecs genuinely are absent from the
+  * container. Either way the Spark-side plumbing — the asset schema, batch
+  * shape, partitioning, and the feature-vector contract (`array<float>`
+  * consumable by [[graft.operators.Similarity]]) — is identical; a
+  * JNI/ONNX kernel swaps in at the same seam.
   *
   * Scale notes: payloads never participate in shuffles for metadata-only
   * operations (select the struct fields you need — column pruning drops the
@@ -142,6 +144,131 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** REAL image decode via JDK ImageIO (PNG/JPEG/GIF/BMP — no external
+    * codec jars needed): same batched mapPartitions seam as
+    * [[decodeBatchedStub]], emitting a 15-float feature vector per asset:
+    * `[width, height, meanR, meanG, meanB, lumaMean, lumaStd,
+    * lumaHist0..7]` (histogram normalized to sum 1). Undecodable, empty,
+    * or null payloads yield a NULL feature column, not an exception —
+    * corrupt bytes are routine in crawled corpora and must not kill the
+    * stage. Pixels are read through `getRGB` (sRGB-converted by ImageIO),
+    * so the statistics are colorspace-stable across input formats.
+    */
+  def decodeImageFeatures(df: DataFrame, assetCol: String,
+      batchSize: Int = 64, outCol: String = "image_features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, true))
+    val enc = Encoders.row(outSchema)
+    val assetIdx = df.schema.fieldIndex(assetCol)
+    val bytesIdx = df.schema(assetCol).dataType.asInstanceOf[StructType]
+      .fieldIndex("bytes")
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val asset = row.getStruct(assetIdx)
+          val bytes =
+            if (asset == null || asset.isNullAt(bytesIdx)) null
+            else asset.getAs[Array[Byte]](bytesIdx)
+          Row.fromSeq(row.toSeq :+ imageKernel(bytes))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode + statistics for one payload; null on any failure. */
+  private[multimodal] def imageKernel(bytes: Array[Byte]): Seq[Float] = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null // ImageIO returns null for non-images
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = (w.toLong * h).toDouble
+      var sr, sg, sb, sy, syy = 0.0
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sy += luma; syy += luma * luma
+          hist(math.min((luma / 32.0).toInt, 7)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val lumaMean = sy / n
+      val lumaVar = math.max(syy / n - lumaMean * lumaMean, 0.0)
+      (Seq(w.toDouble, h.toDouble, sr / n, sg / n, sb / n, lumaMean,
+        math.sqrt(lumaVar)) ++ hist.map(_ / n)).map(_.toFloat)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** REAL resize: decode, scale to `width` x `height` (bilinear), re-encode
+    * as PNG — struct-in/struct-out with the SAME signature [[stubResize]]
+    * promised, now with transformed bytes, `image/png` mime, and
+    * width/height recorded in meta. Assets that fail to decode pass
+    * through unchanged (tagged `resize_error` in meta) so one corrupt
+    * payload can't fail a batch job.
+    */
+  def resizeImages(df: DataFrame, assetCol: String, width: Int,
+      height: Int, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(df.schema)
+    val assetIdx = df.schema.fieldIndex(assetCol)
+    val st = df.schema(assetCol).dataType.asInstanceOf[StructType]
+    val (uriIdx, mimeIdx, bytesIdx, metaIdx) = (st.fieldIndex("uri"),
+      st.fieldIndex("mime"), st.fieldIndex("bytes"), st.fieldIndex("meta"))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val asset = row.getStruct(assetIdx)
+          val out = resizeOne(asset, uriIdx, mimeIdx, bytesIdx, metaIdx,
+            width, height)
+          Row.fromSeq(row.toSeq.updated(assetIdx, out))
+        }
+      }
+    }(enc)
+  }
+
+  private def resizeOne(asset: Row, uriIdx: Int, mimeIdx: Int,
+      bytesIdx: Int, metaIdx: Int, width: Int, height: Int): Row = {
+    if (asset == null) return null
+    val bytes =
+      if (asset.isNullAt(bytesIdx)) null
+      else asset.getAs[Array[Byte]](bytesIdx)
+    val baseMeta = Option(asset.getAs[Map[String, String]](metaIdx))
+      .getOrElse(Map.empty[String, String])
+    def passThrough(err: String): Row = Row(asset.get(uriIdx),
+      asset.get(mimeIdx), bytes, baseMeta + ("resize_error" -> err))
+    if (bytes == null || bytes.isEmpty) return passThrough("empty_payload")
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return passThrough("undecodable")
+      val dst = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, width, height, null)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      Row(asset.get(uriIdx), "image/png", bos.toByteArray,
+        baseMeta ++ Map("width" -> width.toString,
+          "height" -> height.toString))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        passThrough(Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
   }
 
   /** Deterministic stand-in kernel: dim floats in [-1, 1] from the payload

@@ -47,6 +47,75 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // --- real image path (JDK ImageIO; no external codecs) ---
+
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: exact statistics on lossless PNG") {
+    val red = pngBytes(4, 2)((_, _) => 0xff0000)
+    val halfs = pngBytes(2, 2)((x, _) => if (x == 0) 0x000000 else 0xffffff)
+    val df = Seq(("red.png", red), ("halfs.png", halfs), ("bad.png",
+      "not an image".getBytes))
+      .toDF("uri", "bytes")
+      .select(Multimodal.asset($"uri", lit("image/png"), $"bytes",
+        map().cast("map<string,string>")).as("asset"))
+    val f = Multimodal.decodeImageFeatures(df, "asset")
+      .select($"asset.uri", col("image_features"))
+      .as[(String, Array[Float])].collect().toMap
+    val fr = f("red.png")
+    assert(fr(0) == 4.0f && fr(1) == 2.0f) // width, height
+    assert(fr(2) == 255.0f && fr(3) == 0.0f && fr(4) == 0.0f) // mean RGB
+    val fh = f("halfs.png")
+    assert(fh(2) == 127.5f && fh(5) == 127.5f) // meanR, lumaMean
+    assert(fh(7) == 0.5f && fh(14) == 0.5f) // luma hist: half dark, half bright
+    assert(f("bad.png") == null) // corrupt bytes -> null, not a crash
+  }
+
+  test("real resize: target dims, png mime, re-decodable payload") {
+    val grad = pngBytes(8, 8)((x, y) => (x * 32 << 16) | (y * 32 << 8))
+    val df = Seq(("g.png", grad)).toDF("uri", "bytes")
+      .select(Multimodal.asset($"uri", lit("image/png"), $"bytes",
+        map(lit("src"), lit("test")).cast("map<string,string>")).as("asset"))
+    val out = Multimodal.resizeImages(df, "asset", 4, 4)
+      .select($"asset.uri", $"asset.mime", $"asset.bytes", $"asset.meta")
+      .as[(String, String, Array[Byte], Map[String, String])]
+      .head()
+    assert(out._2 == "image/png")
+    assert(out._4("width") == "4" && out._4("height") == "4")
+    assert(out._4("src") == "test") // original meta preserved
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out._3))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // corrupt payload passes through tagged, not thrown
+    val bad = Seq(("b.bin", "junk".getBytes)).toDF("uri", "bytes")
+      .select(Multimodal.asset($"uri", lit("application/octet-stream"),
+        $"bytes", map().cast("map<string,string>")).as("asset"))
+    val badOut = Multimodal.resizeImages(bad, "asset", 4, 4)
+      .select($"asset.meta").as[Map[String, String]].head()
+    assert(badOut("resize_error") == "undecodable")
+  }
+
+  test("decoded image features feed similarity (array<float> contract)") {
+    val imgs = (0 until 4).map { i =>
+      (i.toLong, pngBytes(4, 4)((_, _) => i * 0x111111))
+    }
+    val corpus = imgs.toDF("vec_id", "bytes")
+      .select($"vec_id", Multimodal.asset(lit("u"), lit("image/png"),
+        $"bytes", map().cast("map<string,string>")).as("asset"))
+    val feats = Multimodal.decodeImageFeatures(corpus, "asset")
+      .select($"vec_id", col("image_features").as("embedding"))
+    val out = graft.operators.Similarity.bruteForceTopK(
+      feats, feats.limit(1), k = 2, queryIdOut = "query_id")
+    assert(out.count() == 2)
+  }
+
   test("stubResize records target dims in meta, payload/mime untouched") {
     val r = assets.select(
       Multimodal.stubResize($"asset", 224, 224).as("asset"))
