@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sessionize, Similarity, TextPipeline}
+import graft.operators.{Dedup, Sampling, Sessionize, Similarity, TextPipeline}
 
 /** LLM-data-pipeline extension inventory (SURVEY.md §7.4): dedup family,
   * text analysis, event sessionization / streaming batch-parity, similarity
@@ -498,6 +498,20 @@ object QueriesExt {
         pmod(col("doc_id"), lit(254)) + 1)).as("redacted"))
       .orderBy("doc_id")
 
+  /** Budget-targeted mixture sampling: sources weighted proportional to
+    * their index+1 against a 10k-token budget. Keep rates derive from each
+    * source's actual token mass; the keep decision is a portable
+    * multiplicative hash of doc_id, so the doc-level sample is
+    * deterministic and hash-checkable across engines.
+    */
+  def mixtureSampling(spark: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
+    Sampling.mixtureSample(t(spark, dir, "documents"), "text", "doc_id",
+      "source", weights, tokenBudget = 10000L)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
     * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
     * stage and the match-probability law are covered by ScalaTest).
@@ -701,7 +715,8 @@ object QueriesExt {
     "x37_knn_hnsw_append" -> knnHnswAppend _,
     "x38_chunking" -> chunkDocs _,
     "x39_decontam" -> decontaminate _,
-    "x40_pii_redact" -> piiRedact _)
+    "x40_pii_redact" -> piiRedact _,
+    "x41_mixture_sampling" -> mixtureSampling _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1005,6 +1020,25 @@ object QueriesExt {
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "x41_mixture_sampling" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0)) AS nt
+        | FROM documents
+        |), srct AS (
+        | SELECT source, SUM(nt) AS tok FROM t GROUP BY 1
+        |), rates AS (
+        | SELECT source,
+        |  CAST(floor(least(1.0,
+        |    10000.0 * ((CAST(substr(source, 4) AS BIGINT) + 1) / 210.0)
+        |      / tok) * 1000003) AS BIGINT) AS thresh
+        | FROM srct
+        |)
+        |SELECT doc_id, source FROM t JOIN rates USING (source)
+        |WHERE ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003
+        |      < thresh
+        |ORDER BY doc_id""".stripMargin,
     "x40_pii_redact" ->
       """SELECT doc_id,
         | regexp_replace(regexp_replace(regexp_replace(

@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL ([[decodeImageFeatures]] / [[resizeImages]]): the
   * JDK ships `javax.imageio` readers for PNG/JPEG/GIF/BMP, so no external
-  * codec jars are needed. AUDIO/VIDEO decode stays STUBBED
-  * ([[stubDecodeFeatures]] derives a deterministic fake feature vector
-  * from payload bytes) — those codecs genuinely are absent from the
-  * container. Either way the Spark-side plumbing — the asset schema, batch
+  * codec jars are needed, and `javax.sound.sampled` likewise decodes
+  * WAV/AIFF/AU PCM for real ([[decodeAudioFeatures]]). Compressed audio
+  * (MP3/AAC) and VIDEO decode stay STUBBED ([[stubDecodeFeatures]]
+  * derives a deterministic fake feature vector from payload bytes) —
+  * those codecs genuinely are absent from the container. Either way the Spark-side plumbing — the asset schema, batch
   * shape, partitioning, and the feature-vector contract (`array<float>`
   * consumable by [[graft.operators.Similarity]]) — is identical; a
   * JNI/ONNX kernel swaps in at the same seam.
@@ -269,6 +270,85 @@ object Multimodal {
       case scala.util.control.NonFatal(e) =>
         passThrough(Option(e.getMessage).getOrElse(e.getClass.getName))
     }
+  }
+
+  /** REAL audio decode for WAV/AIFF/AU via JDK `javax.sound.sampled` (the
+    * formats the JDK decodes without external codecs; MP3/AAC stay behind
+    * the stub). Emits 8 floats per asset: `[sampleRate, channels,
+    * nFrames, durationSec, rms, peak, zeroCrossRate, dcOffset]` over the
+    * first channel, PCM normalized to [-1, 1]. Same batched seam and
+    * corrupt-byte contract as [[decodeImageFeatures]].
+    */
+  def decodeAudioFeatures(df: DataFrame, assetCol: String,
+      batchSize: Int = 64, outCol: String = "audio_features"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, true))
+    val enc = Encoders.row(outSchema)
+    val assetIdx = df.schema.fieldIndex(assetCol)
+    val bytesIdx = df.schema(assetCol).dataType.asInstanceOf[StructType]
+      .fieldIndex("bytes")
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val asset = row.getStruct(assetIdx)
+          val bytes =
+            if (asset == null || asset.isNullAt(bytesIdx)) null
+            else asset.getAs[Array[Byte]](bytesIdx)
+          Row.fromSeq(row.toSeq :+ audioKernel(bytes))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode + signal statistics for one payload; null on any failure. */
+  private[multimodal] def audioKernel(bytes: Array[Byte]): Seq[Float] = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val channels = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return null // PCM 8/16-bit only
+        val data = in.readAllBytes()
+        val bytesPerFrame = fmt.getFrameSize
+        val n = if (bytesPerFrame > 0) data.length / bytesPerFrame else 0
+        if (n == 0) return null
+        val big = fmt.isBigEndian
+        var ss, sp, s1 = 0.0
+        var crossings = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val off = i * bytesPerFrame
+          // first channel only
+          val v: Double =
+            if (bits == 16) {
+              val lo = data(off + (if (big) 1 else 0)) & 0xff
+              val hi = data(off + (if (big) 0 else 1))
+              ((hi << 8) | lo).toShort / 32768.0
+            } else { // 8-bit: WAV is unsigned, AU/AIFF signed
+              if (fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                ((data(off) & 0xff) - 128) / 128.0
+              else data(off) / 128.0
+            }
+          ss += v * v
+          s1 += v
+          sp = math.max(sp, math.abs(v))
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        Seq(fmt.getSampleRate, channels.toFloat, n.toFloat,
+          (n / fmt.getSampleRate.toDouble).toFloat,
+          math.sqrt(ss / n).toFloat, sp.toFloat,
+          (crossings.toDouble / math.max(n - 1, 1)).toFloat,
+          (s1 / n).toFloat)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** Deterministic stand-in kernel: dim floats in [-1, 1] from the payload

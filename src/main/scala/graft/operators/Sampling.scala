@@ -46,4 +46,51 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Portable deterministic keep-decision: multiplicative hash of the id
+    * (Knuth's 2654435761) modulo the prime 1000003, compared against an
+    * integer threshold. Computed with modular arithmetic only — no value
+    * exceeds ~10^12, so ANSI mode can't overflow, and any engine
+    * reproduces it bit-for-bit from the id alone.
+    */
+  private val SampleMod = 1000003L
+  def sampleHash(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(SampleMod)) *
+      lit(2654435761L % SampleMod), lit(SampleMod))
+
+  /** Budget-targeted mixture sampling — the dataset-mixing step of
+    * training-corpus assembly (The Pile / DoReMi-style source weights):
+    * given per-source target weights `w_s` and a total `tokenBudget`,
+    * derive each source's keep rate from its ACTUAL token mass,
+    * `rate_s = min(1, budget * w_s / tokens_s)`, and keep each document by
+    * [[sampleHash]] — so the realized mixture approximates
+    * `budget * w_s` tokens per source and the sample is deterministic
+    * across engines, partitionings, and reruns (`sample()`/`randomSplit`
+    * are not).
+    *
+    * Scale shape: one partial-aggregated groupBy collapses the corpus to
+    * #sources rows (collected to the driver — sources number in the
+    * hundreds, not millions), then the tiny threshold table broadcasts
+    * back for a row-local filter. The corpus itself never shuffles.
+    * Sources missing from `targetWeights` get weight 0 (dropped).
+    */
+  def mixtureSample(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, targetWeights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = graft.functions.TextFunctions.tokenCount(col(textCol))
+      .cast("long")
+    val srcTokens = df.groupBy(col(sourceCol))
+      .agg(sum(toks).as("__tokens"))
+      .as[(String, Long)].collect()
+    val thresholds = srcTokens.toSeq.map { case (s, t) =>
+      val w = targetWeights.getOrElse(s, 0.0)
+      val rate = if (t <= 0) 0.0 else math.min(1.0, tokenBudget * w / t)
+      (s, math.floor(rate * SampleMod).toLong)
+    }.toDF(sourceCol, "__thresh")
+    df.join(broadcast(thresholds), Seq(sourceCol))
+      .filter(sampleHash(col(idCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
 }

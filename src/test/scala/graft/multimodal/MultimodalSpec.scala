@@ -102,6 +102,47 @@ class MultimodalSpec extends SparkSpec {
     assert(badOut("resize_error") == "undecodable")
   }
 
+  private def wavBytes(sampleRate: Float, seconds: Double,
+      freq: Double, amp: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sampleRate) *
+        32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: sine-wave WAV statistics match theory") {
+    val wav = wavBytes(8000f, 0.5, freq = 440, amp = 0.5)
+    val df = Seq(("a.wav", wav), ("bad.wav", "noise".getBytes))
+      .toDF("uri", "bytes")
+      .select(Multimodal.asset($"uri", lit("audio/wav"), $"bytes",
+        map().cast("map<string,string>")).as("asset"))
+    val f = Multimodal.decodeAudioFeatures(df, "asset")
+      .select($"asset.uri", col("audio_features"))
+      .as[(String, Array[Float])].collect().toMap
+    val fa = f("a.wav")
+    assert(fa(0) == 8000f && fa(1) == 1f) // sample rate, channels
+    assert(fa(2) == 4000f) // frames
+    assert(math.abs(fa(3) - 0.5f) < 1e-3) // duration
+    assert(math.abs(fa(4) - 0.5 / math.sqrt(2)) < 0.01) // rms = A/sqrt(2)
+    assert(math.abs(fa(5) - 0.5f) < 0.01) // peak ~ A
+    // sine at f crosses zero 2f times per second -> rate 2f/sr
+    assert(math.abs(fa(6) - 2 * 440 / 8000.0) < 0.005)
+    assert(math.abs(fa(7)) < 0.01) // no DC offset
+    assert(f("bad.wav") == null) // undecodable -> null, not a crash
+  }
+
   test("decoded image features feed similarity (array<float> contract)") {
     val imgs = (0 until 4).map { i =>
       (i.toLong, pngBytes(4, 4)((_, _) => i * 0x111111))

@@ -27,6 +27,41 @@ class SamplingSpec extends SparkSpec {
       testB.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("mixture sampling tracks per-source token budgets deterministically") {
+    import org.apache.spark.sql.functions._
+    // three synthetic sources with known token masses: a=2000, b=2000,
+    // c=200 tokens (c small enough that its rate caps at 1.0)
+    val rows = (0 until 200).map { i =>
+      val src = if (i < 100) "a" else if (i < 180) "b" else "c"
+      val nTok = if (src == "b") 25 else if (src == "a") 20 else 10
+      (i.toLong, src, Seq.fill(nTok)("w").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    val weights = Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5)
+    val out = Sampling.mixtureSample(df, "text", "doc_id", "source",
+      weights, tokenBudget = 2000L)
+    val got = out.groupBy("source")
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")))
+        .as("tok"))
+      .as[(String, Long)].collect().toMap
+    // c: budget share 1000 > mass 200 -> rate caps at 1, ALL of c kept
+    assert(got("c") == 200L)
+    // a and b target 500 tokens each; multiplicative-hash sampling is
+    // near-uniform, allow +-50%
+    assert(got("a") > 250 && got("a") < 750, s"a tokens ${got("a")}")
+    assert(got("b") > 250 && got("b") < 750, s"b tokens ${got("b")}")
+    // deterministic: same input -> identical sample
+    val again = Sampling.mixtureSample(df, "text", "doc_id", "source",
+      weights, tokenBudget = 2000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+    // unknown sources are dropped (weight 0)
+    val extra = Sampling.mixtureSample(
+      df.withColumn("source", lit("unknown")), "text", "doc_id", "source",
+      weights, tokenBudget = 2000L)
+    assert(extra.count() == 0)
+  }
+
   test("stratified sampling respects per-stratum fractions") {
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)
     val sampled = Sampling.stratified(docs, "lang", fractions)
