@@ -233,6 +233,37 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark n-gram set") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextPipeline.flagContaminated(docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 20),
+      "text", "doc_id", n = 13)
+    val p = plan(df)
+    // the corpus side probes a broadcast: no sort-merge join, and no
+    // corpus-text exchange — n-grams ride as 8-byte hashes
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("shingle_hashes"), p.take(3000))
+  }
+
+  test("chunking is exchange-free: tokenize + slices + explode only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextPipeline.chunkByTokens(docs, "text",
+      "doc_id", chunkSize = 32, overlap = 8)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
+  test("mixture sampling's corpus pass is a broadcast probe, no shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
+    val df = graft.operators.Sampling.mixtureSample(docs, "text", "doc_id",
+      "source", weights, tokenBudget = 10000L)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the scan-project-filter spine of q15") {
     // under AQE the pre-execution plan hides codegen stages; disable it for
     // this one assertion so the static physical plan shows the codegen spans
