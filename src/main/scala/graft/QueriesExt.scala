@@ -498,6 +498,38 @@ object QueriesExt {
         pmod(col("doc_id"), lit(254)) + 1)).as("redacted"))
       .orderBy("doc_id")
 
+  /** Incremental near-dedup equality law: fold the corpus through
+    * [[Dedup.incrementalMinhashDedup]] in three id-ordered batches against
+    * persisted bucketed state, then emit the union of per-batch survivors.
+    * State keeps every seen doc, so the survivor set provably equals the
+    * one-shot greedy dedup over the whole corpus — and the oracle IS x04's
+    * full-corpus SQL, making the batch-vs-one-shot equality hash-checked.
+    * Each fold is forced (collect of the tiny survivor ids) before the
+    * next so the folds run strictly in arrival order.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // law query, deliberately bounded: the equality property is
+    // id-range-independent, and x04 already runs one-shot dedup over the
+    // full corpus — two folds of a 999-doc prefix exercise both candidate
+    // paths (in-batch and history-vs-batch) while keeping the per-fold
+    // fixed cost (2 bucketed state writes + candidate joins) out of the
+    // bench's critical path
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 999)
+    val prefix = "x42_state"
+    Dedup.dropIncrementalDedupState(spark, prefix)
+    val n = 999L
+    val bounds = Seq((0L, n / 2), (n / 2, n))
+    val survivorIds = bounds.flatMap { case (lo, hi) =>
+      Dedup.incrementalMinhashDedup(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        prefix, "text", "doc_id", threshold = 0.8, buckets = 4)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+    }
+    Dedup.dropIncrementalDedupState(spark, prefix)
+    survivorIds.toDF("doc_id").orderBy("doc_id")
+  }
+
   /** Budget-targeted mixture sampling: sources weighted proportional to
     * their index+1 against a 10k-token budget. Keep rates derive from each
     * source's actual token mass; the keep decision is a portable
@@ -716,7 +748,8 @@ object QueriesExt {
     "x38_chunking" -> chunkDocs _,
     "x39_decontam" -> decontaminate _,
     "x40_pii_redact" -> piiRedact _,
-    "x41_mixture_sampling" -> mixtureSampling _)
+    "x41_mixture_sampling" -> mixtureSampling _,
+    "x42_incremental_dedup" -> incrementalDedup _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1020,6 +1053,16 @@ object QueriesExt {
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // batch-folded incremental dedup must equal the ONE-SHOT greedy rule:
+    // the oracle is intentionally identical to x04's full-corpus SQL
+    "x42_incremental_dedup" -> (shingleSetSql
+      .replace("AS t FROM documents))",
+        "AS t FROM documents WHERE doc_id < 999))") + "\n" +
+      """SELECT doc_id FROM documents WHERE doc_id < 999 AND doc_id NOT IN (
+        |  SELECT id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+        |ORDER BY doc_id""".stripMargin),
     "x41_mixture_sampling" ->
       """WITH t AS (
         | SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,6 +210,117 @@ object Dedup {
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Incremental (batch-folding) near-dedup: dedup each arriving batch
+    * against EVERYTHING seen so far, with survivors provably equal to the
+    * one-shot greedy [[minhashDedup]] over the concatenated corpus — a doc
+    * is removed iff some seen doc with a smaller id is a near-duplicate,
+    * and the state keeps ALL seen docs (not just survivors), which is
+    * exactly the one-shot rule. Requires ids to be assigned monotonically
+    * across batches (the natural ingest order).
+    *
+    * State is two BUCKETED tables (`<prefix>_bands`, `<prefix>_shingles`),
+    * so per-batch cost never re-shuffles history:
+    *  - `_bands(__bkey, id)` bucketed on `__bkey` = xxhash64(band,
+    *    bandhash): the batch's banded stream repartitions to the same
+    *    bucketing and probes WITHOUT exchanging the accumulated band rows
+    *    (24 bytes/row x 10^10 rows would otherwise re-shuffle every day).
+    *    Joining on the 8-byte `__bkey` instead of (band, bandhash) is
+    *    sound: any hash-collision false candidate is killed by the exact
+    *    Jaccard verify, same as a band collision would be.
+    *  - `_shingles(id, __sh)` bucketed on id: the (small, dup-bounded)
+    *    candidate pair list fetches shingle sets for exact verification
+    *    without shuffling the stored arrays.
+    * Appends preserve bucketing (`saveAsTable` append mode), so state
+    * maintenance is one write of O(batch) rows per fold.
+    */
+  def incrementalMinhashDedup(batch: DataFrame, statePrefix: String,
+      textCol: String, idCol: String, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      seed: Long = 42L, buckets: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = batch.sparkSession
+    val rowsPerBand = numHashes / bands
+    val bandsT = s"${statePrefix}_bands"
+    val shinglesT = s"${statePrefix}_shingles"
+
+    val batchSigs = batch
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleK).as("__sh"))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBanded = batchSigs
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        ).as(Seq("__band", "__bandhash")))
+      .select(xxhash64(col("__band"), col("__bandhash")).as("__bkey"),
+        col("id"))
+
+    val hasState = spark.catalog.tableExists(bandsT)
+    // candidate ids: smaller-id partner exists in history or in the batch
+    val histPairs =
+      if (!hasState) batchBanded.limit(0)
+        .select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+      else spark.table(bandsT)
+        .join(batchBanded.withColumnRenamed("id", "id_b"), Seq("__bkey"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("id_b"))
+    val selfPairs = batchBanded
+      .join(batchBanded.withColumnRenamed("id", "id_b"), Seq("__bkey"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+    val pairIds = histPairs.unionByName(selfPairs)
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verify: batch side shingles from the persisted batch, history
+    // side from the bucketed shingle table
+    val shAll =
+      if (!hasState) batchSigs.select(col("id"), col("__sh"))
+      else spark.table(shinglesT).select(col("id"), col("__sh"))
+        .unionByName(batchSigs.select(col("id"), col("__sh")))
+    val shA = shAll.select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+    val shB = batchSigs.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
+    val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
+    val losers = pairIds
+      .join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .filter(when(union > 0, inter.cast("double") / union)
+        .otherwise(lit(0.0)) >= threshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+
+    val survivors = batch.join(
+      losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+
+    // fold the WHOLE batch (survivors and losers) into state: greedy
+    // one-shot semantics compare against every smaller seen id
+    if (!hasState) {
+      batchBanded.write.bucketBy(buckets, "__bkey")
+        .format("parquet").saveAsTable(bandsT)
+      batchSigs.select(col("id"), col("__sh")).write.bucketBy(buckets, "id")
+        .format("parquet").saveAsTable(shinglesT)
+    } else {
+      batchBanded.write.mode("append").bucketBy(buckets, "__bkey")
+        .format("parquet").saveAsTable(bandsT)
+      batchSigs.select(col("id"), col("__sh")).write.mode("append")
+        .bucketBy(buckets, "id").format("parquet").saveAsTable(shinglesT)
+    }
+    batchSigs.unpersist()
+    survivors
+  }
+
+  /** Drop the state tables of [[incrementalMinhashDedup]] (idempotent). */
+  def dropIncrementalDedupState(spark: SparkSession,
+      statePrefix: String): Unit =
+    Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
 
   /** Connected components over a near-duplicate pair list: assigns every id
     * the minimum id reachable through the pair graph (large-neighborhood

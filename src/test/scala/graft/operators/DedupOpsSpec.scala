@@ -91,6 +91,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(!ids.contains(1L))
   }
 
+  test("incremental dedup across batches equals one-shot greedy dedup") {
+    // cross-batch near-dups: doc 10/11 duplicate docs 0/2 from batch one
+    val batch1 = docs
+    val batch2 = Seq(
+      (10L, base), // exact dup of 0 (history candidate)
+      (11L, nearDup.replace("river", "creek")), // near dup of 2
+      (12L, "novel second-batch content with entirely fresh vocabulary"),
+      (13L, "novel second-batch content with entirely fresh vocabulary")
+    ).toDF("doc_id", "text") // 13 dups 12 within-batch
+    val prefix = s"incdedup_spec_${System.nanoTime()}"
+    try {
+      val s1 = Dedup.incrementalMinhashDedup(batch1, prefix, "text",
+        "doc_id", threshold = 0.6, buckets = 2)
+        .select("doc_id").as[Long].collect().toSet
+      val s2 = Dedup.incrementalMinhashDedup(batch2, prefix, "text",
+        "doc_id", threshold = 0.6, buckets = 2)
+        .select("doc_id").as[Long].collect().toSet
+      val oneShot = Dedup.minhashDedup(batch1.unionByName(batch2), "text",
+        "doc_id", threshold = 0.6)
+        .select("doc_id").as[Long].collect().toSet
+      assert((s1 ++ s2) == oneShot,
+        s"incremental ${s1 ++ s2} != one-shot $oneShot")
+      // the cross-batch dups were caught via HISTORY, not within-batch
+      assert(!s2.contains(10L) && !s2.contains(11L) && !s2.contains(13L))
+      assert(s2.contains(12L))
+    } finally Dedup.dropIncrementalDedupState(spark, prefix)
+  }
+
   test("connected components resolve chained near-dup clusters") {
     // chain: 1-2, 2-3 (1 and 3 never directly paired) + isolated pair 7-9
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
