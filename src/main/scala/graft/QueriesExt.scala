@@ -530,6 +530,58 @@ object QueriesExt {
     survivorIds.toDF("doc_id").orderBy("doc_id")
   }
 
+  /** End-to-end corpus-preparation funnel — the capstone composition a
+    * training-data pipeline actually runs, each stage an already-verified
+    * operator: quality/language filter (x25 semantics) → exact dedup (x01)
+    * → greedy near-dedup (x04) → benchmark decontamination (x39, against
+    * the corpus's first 20 docs) → budget-targeted mixture sampling (x41,
+    * 5k-token budget) → token-window chunking (x38). Emits one row per
+    * stage with the surviving count, so the WHOLE funnel — including
+    * every stage interaction — is hash-checked against a single chained
+    * DuckDB replica. Intermediate survivor sets are persisted: each
+    * stage's count would otherwise recompute the chain above it.
+    */
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") < 20)
+    // all languages: the synthetic corpus is word-soup and an 'en'-only
+    // gate would collapse the funnel to ~6% in stage 1, leaving nothing
+    // for the later stages to prove. QualityFilter keeps the input
+    // columns, so survivors project straight off it — no second scan.
+    val kept1 = graft.operators.QualityFilter(docs, "text",
+      graft.operators.QualityFilter.Config(langs = Set.empty))
+      .select(docs.columns.map(col): _*).persist()
+    val kept2 = Dedup.exact(kept1, "text", "doc_id").persist()
+    val kept3 = Dedup.minhashDedup(kept2, "text", "doc_id",
+      threshold = 0.8).persist()
+    val kept4 = kept3.join(
+      TextPipeline.flagContaminated(kept3, bench, "text", "doc_id")
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi").persist()
+    // budget under the surviving token mass and a small window size, so
+    // sampling genuinely drops docs and chunking genuinely splits them —
+    // survivors of the dup-word filter skew short
+    val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
+    val kept5 = Sampling.mixtureSample(kept4, "text", "doc_id", "source",
+      weights, tokenBudget = 500L).persist()
+    val chunks = TextPipeline.chunkByTokens(kept5, "text", "doc_id",
+      chunkSize = 16, overlap = 4)
+    // eager counts, in funnel order: each count materializes its stage's
+    // persisted survivor set exactly once before the next stage builds on
+    // it — a 7-branch union would race the caches and recompute the chain
+    import spark.implicits._
+    Seq(
+      "0_all" -> docs.count(),
+      "1_quality_lang" -> kept1.count(),
+      "2_exact_dedup" -> kept2.count(),
+      "3_near_dedup" -> kept3.count(),
+      "4_decontaminated" -> kept4.count(),
+      "5_sampled" -> kept5.count(),
+      "6_chunks" -> chunks.count())
+      .toDF("stage", "n")
+      .orderBy("stage")
+  }
+
   /** Budget-targeted mixture sampling: sources weighted proportional to
     * their index+1 against a 10k-token budget. Keep rates derive from each
     * source's actual token mass; the keep decision is a portable
@@ -749,7 +801,8 @@ object QueriesExt {
     "x39_decontam" -> decontaminate _,
     "x40_pii_redact" -> piiRedact _,
     "x41_mixture_sampling" -> mixtureSampling _,
-    "x42_incremental_dedup" -> incrementalDedup _)
+    "x42_incremental_dedup" -> incrementalDedup _,
+    "x43_corpus_funnel" -> corpusFunnel _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1053,8 +1106,142 @@ object QueriesExt {
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the funnel oracle chains the proven per-stage replicas (x25 quality,
+    // x01 exact-dedup, x04 shingle-Jaccard, x39 13-gram decontam, x41
+    // mixture hash, x38 chunk-count math) into ONE CTE pipeline, so any
+    // stage-interaction bug breaks the hash
+    "x43_corpus_funnel" ->
+      """WITH base AS (
+        | SELECT doc_id, text, source,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0) AS toks,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> length(tk) > 0) AS ltoks
+        | FROM documents
+        |), sig AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_chars > 0 THEN
+        |    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |      AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+        |      / len(toks) ELSE 0.0 END AS awl,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |   ELSE 0.0 END AS dup_word_frac,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['the','and','of','to','is','that','with','for'], x))) AS BIGINT)
+        |    AS s_en,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['der','die','und','das','ist','nicht','mit','ein'], x))) AS BIGINT)
+        |    AS s_de,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['el','los','las','es','una','por','como','pero'], x))) AS BIGINT)
+        |    AS s_es,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['le','les','des','est','une','dans','pour','que'], x))) AS BIGINT)
+        |    AS s_fr,
+        |  CAST(len(list_filter(ltoks, x -> list_contains(
+        |    ['o','os','um','uma','nao','em','do','da'], x))) AS BIGINT)
+        |    AS s_pt
+        | FROM base
+        |), scored AS (
+        | SELECT doc_id, n_tokens, dup_word_frac,
+        |  (least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + (CASE WHEN awl >= 2.5 AND awl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |   + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2)
+        |    AS quality,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_pt) = 0 THEN 'und'
+        |   WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'de'
+        |   WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'en'
+        |   WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'es'
+        |   WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_pt) THEN 'fr'
+        |   ELSE 'pt' END AS lang
+        | FROM sig
+        |), kept1 AS (
+        | SELECT b.doc_id, b.text, b.source, b.toks
+        | FROM base b JOIN scored s ON b.doc_id = s.doc_id
+        | WHERE s.n_tokens >= 10 AND s.quality >= 0.5
+        |   AND s.dup_word_frac <= 0.3
+        |), ew AS (
+        | SELECT MIN(doc_id) AS doc_id FROM kept1 GROUP BY text
+        |), kept2 AS (
+        | SELECT k.* FROM kept1 k JOIN ew USING (doc_id)
+        |), ex AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
+        |           || ' ' || toks[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(toks, ' ')] END AS s
+        |  FROM kept2)
+        |), sz AS MATERIALIZED (
+        | SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+        |), inter AS MATERIALIZED (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |), kept3 AS (
+        | SELECT k.* FROM kept2 k WHERE k.doc_id NOT IN (
+        |  SELECT id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+        |), bt AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t
+        | FROM documents WHERE doc_id < 20
+        |), bgrams AS (
+        | SELECT DISTINCT g FROM (
+        |  SELECT unnest(CASE WHEN len(t) >= 13 THEN
+        |    list_distinct(list_transform(range(1, len(t) - 11),
+        |      i -> array_to_string(
+        |        list_slice(t, CAST(i AS INT), CAST(i AS INT) + 12), ' ')))
+        |   ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM bt)
+        |), cgrams AS (
+        | SELECT doc_id, unnest(CASE WHEN len(toks) >= 13 THEN
+        |    list_distinct(list_transform(range(1, len(toks) - 11),
+        |      i -> array_to_string(
+        |        list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 12), ' ')))
+        |   ELSE [array_to_string(toks, ' ')] END) AS g
+        | FROM kept3
+        |), contam AS (
+        | SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)
+        |), kept4 AS (
+        | SELECT * FROM kept3
+        | WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |), srct AS (
+        | SELECT source, SUM(len(toks)) AS tok FROM kept4 GROUP BY 1
+        |), rates AS (
+        | SELECT source, CAST(floor(least(1.0,
+        |   500.0 * ((CAST(substr(source, 4) AS BIGINT) + 1) / 210.0)
+        |     / tok) * 1000003) AS BIGINT) AS thresh
+        | FROM srct
+        |), kept5 AS (
+        | SELECT k.* FROM kept4 k JOIN rates USING (source)
+        | WHERE ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003
+        |       < thresh
+        |), nch AS (
+        | SELECT doc_id, CASE WHEN len(toks) <= 16 THEN 1
+        |  ELSE CAST(floor((len(toks) - 16 + 11) / 12.0) AS BIGINT) + 1
+        |  END AS k
+        | FROM kept5
+        |)
+        |SELECT stage, n FROM (
+        | SELECT '0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM documents
+        | UNION ALL SELECT '1_quality_lang', COUNT(*) FROM kept1
+        | UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM kept2
+        | UNION ALL SELECT '3_near_dedup', COUNT(*) FROM kept3
+        | UNION ALL SELECT '4_decontaminated', COUNT(*) FROM kept4
+        | UNION ALL SELECT '5_sampled', COUNT(*) FROM kept5
+        | UNION ALL SELECT '6_chunks',
+        |   CAST(coalesce((SELECT SUM(k) FROM nch), 0) AS BIGINT)
+        |) ORDER BY stage""".stripMargin,
     // batch-folded incremental dedup must equal the ONE-SHOT greedy rule:
-    // the oracle is intentionally identical to x04's full-corpus SQL
+    // the oracle is intentionally identical to x04's one-shot SQL
     "x42_incremental_dedup" -> (shingleSetSql
       .replace("AS t FROM documents))",
         "AS t FROM documents WHERE doc_id < 999))") + "\n" +
