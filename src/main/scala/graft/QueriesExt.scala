@@ -530,6 +530,43 @@ object QueriesExt {
     survivorIds.toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Versioned-table MERGE/DELETE/time-travel law (the reference's own
+    * roadmap item, delivered without table-format jars): init a table from
+    * an orders slice, MERGE a deterministic update+insert batch, DELETE a
+    * tombstone batch, then emit the final row count and exact price sum
+    * alongside the version count and the UNCHANGED v0 row count — time
+    * travel after two commits is part of the hashed contract.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-x44")
+      .toString + "/tbl"
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") < 4000)
+    graft.sources.VersionedTable.init(base, root)
+    val u1 = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+    val i1 = base.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_totalprice"))
+    graft.sources.VersionedTable.merge(spark, root,
+      u1.unionByName(i1), Seq("o_orderkey"))
+    val d2 = base.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select("o_orderkey")
+    graft.sources.VersionedTable.delete(spark, root, d2, Seq("o_orderkey"))
+    val nVersions =
+      graft.sources.VersionedTable.latestVersion(spark, root) + 1
+    val v0Rows = graft.sources.VersionedTable.read(spark, root, Some(0))
+      .count()
+    graft.sources.VersionedTable.read(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .select(col("n_rows"), col("sum_price"),
+        lit(nVersions).cast("long").as("n_versions"),
+        lit(v0Rows).as("v0_rows"))
+  }
+
   /** End-to-end corpus-preparation funnel — the capstone composition a
     * training-data pipeline actually runs, each stage an already-verified
     * operator: quality/language filter (x25 semantics) → exact dedup (x01)
@@ -802,7 +839,8 @@ object QueriesExt {
     "x40_pii_redact" -> piiRedact _,
     "x41_mixture_sampling" -> mixtureSampling _,
     "x42_incremental_dedup" -> incrementalDedup _,
-    "x43_corpus_funnel" -> corpusFunnel _)
+    "x43_corpus_funnel" -> corpusFunnel _,
+    "x44_merge_upsert" -> mergeUpsert _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1106,6 +1144,31 @@ object QueriesExt {
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "x44_merge_upsert" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 4000
+        |), u1 AS (
+        | SELECT o_orderkey, o_totalprice + 10 AS o_totalprice FROM base
+        | WHERE o_orderkey % 7 = 0
+        |), i1 AS (
+        | SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice FROM base
+        | WHERE o_orderkey % 11 = 0
+        |), ups AS (
+        | SELECT * FROM u1 UNION ALL SELECT * FROM i1
+        |), m1 AS (
+        | SELECT * FROM base
+        | WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+        | UNION ALL SELECT * FROM ups
+        |), m2 AS (
+        | SELECT * FROM m1 WHERE o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0)
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS DOUBLE) AS sum_price,
+        | CAST(3 AS BIGINT) AS n_versions,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS v0_rows
+        |FROM m2""".stripMargin,
     // the funnel oracle chains the proven per-stage replicas (x25 quality,
     // x01 exact-dedup, x04 shingle-Jaccard, x39 13-gram decontam, x41
     // mixture hash, x38 chunk-count math) into ONE CTE pipeline, so any

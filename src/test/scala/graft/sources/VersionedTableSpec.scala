@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-vt").toString + "/tbl"
+
+  test("init + merge: updates replace, inserts append, version advances") {
+    val root = freshRoot()
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "value")
+    assert(VersionedTable.init(base, root) == 0)
+    val updates = Seq((2L, "b2", 25.0), (4L, "d", 40.0))
+      .toDF("id", "name", "value")
+    assert(VersionedTable.merge(spark, root, updates, Seq("id")) == 1)
+    val got = VersionedTable.read(spark, root)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("time travel: old versions are immutable after later commits") {
+    val root = freshRoot()
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "value")
+    VersionedTable.init(base, root)
+    VersionedTable.merge(spark, root,
+      Seq((1L, 99.0)).toDF("id", "value"), Seq("id"))
+    VersionedTable.delete(spark, root, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    assert(VersionedTable.latestVersion(spark, root) == 2)
+    val v0 = VersionedTable.read(spark, root, Some(0))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(v0 == Seq((1L, 10.0), (2L, 20.0)))
+    val v1 = VersionedTable.read(spark, root, Some(1))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 99.0), (2L, 20.0)))
+    val v2 = VersionedTable.read(spark, root)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(v2 == Seq((1L, 99.0)))
+    assert(VersionedTable.history(spark, root)
+      .orderBy("version").as[(Int, Long)].collect().toSeq ==
+      Seq((0, 2L), (1, 2L), (2, 1L)))
+  }
+
+  test("a stray uncommitted version directory is invisible to readers") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
+    // simulate a crashed writer: v=1 exists but the pointer was never swapped
+    Seq((9L, 9.0)).toDF("id", "v").write.parquet(s"$root/v=1")
+    assert(VersionedTable.latestVersion(spark, root) == 0)
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // the next committer overwrites the orphan and commits cleanly
+    VersionedTable.merge(spark, root, Seq((2L, 2.0)).toDF("id", "v"),
+      Seq("id"))
+    assert(VersionedTable.latestVersion(spark, root) == 1)
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("vacuum drops versions outside the time-travel window") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
+    (2 to 4).foreach { i =>
+      VersionedTable.merge(spark, root, Seq((i.toLong, i.toDouble))
+        .toDF("id", "v"), Seq("id"))
+    }
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    // latest (3) and latest-1 (2) survive; 0 and 1 are gone
+    assert(VersionedTable.read(spark, root, Some(3)).count() == 4)
+    assert(VersionedTable.read(spark, root, Some(2)).count() == 3)
+    intercept[Exception] {
+      VersionedTable.read(spark, root, Some(0)).count()
+    }
+  }
+}
