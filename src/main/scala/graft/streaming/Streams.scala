@@ -89,6 +89,34 @@ object Streams {
       }
       .start()
 
+  /** foreachBatch MERGE sink: upsert each micro-batch into a
+    * [[graft.sources.VersionedTable]] by key — the transactional
+    * streaming-upsert pattern (`foreachBatch` + MERGE) realized over the
+    * jar-free versioned parquet table. The first batch initializes the
+    * table; every later batch commits one new version whose pointer swap
+    * is atomic, so a reader of the table always sees a complete batch
+    * boundary. Batch replays after a checkpoint recovery re-MERGE the
+    * same keys — idempotent by the upsert semantics, unlike a blind
+    * append.
+    */
+  def foreachBatchMerge(stream: DataFrame, tableRoot: String,
+      checkpoint: String, keyCols: Seq[String])(
+      transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = transform(batch.toDF())
+        val spark = b.sparkSession
+        if (graft.sources.VersionedTable.latestVersion(spark,
+            tableRoot) < 0)
+          graft.sources.VersionedTable.init(b, tableRoot)
+        else
+          graft.sources.VersionedTable.merge(spark, tableRoot, b, keyCols)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each left event picks up all right events
     * with the same key whose timestamp falls in `[left.ts - horizon,
     * left.ts]` — the attribution-window join (purchase <- recent views).

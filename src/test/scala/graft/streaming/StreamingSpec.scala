@@ -94,6 +94,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.contains("value_decimal"))
   }
 
+  test("foreachBatch MERGE upserts micro-batches into a versioned table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fbm")
+      .toString + "/tbl"
+    val ck = java.nio.file.Files.createTempDirectory("graft-fbm-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.foreachBatchMerge(
+      input.toDF().toDF("id", "payload"), root, ck, Seq("id"))()
+    // batch 1 initializes; batch 2 updates id=2 and inserts id=3
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "b2"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.sources.VersionedTable.read(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // the v0 snapshot is exactly batch 1 — each micro-batch is one version
+    assert(graft.sources.VersionedTable.read(spark, root, Some(0))
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("stream-stream interval join matches batch attribution join") {
     val ev = batchEvents
     val purchases = ev.filter($"event_type" === "purchase")
