@@ -107,6 +107,19 @@ object VersionedTable {
     }.toDF("version", "n_rows")
   }
 
+  /** Small-files compaction: rewrite the latest version into `numFiles`
+    * files as a NEW version — the data is byte-identical, old versions and
+    * time travel are untouched, and the pointer swap keeps readers atomic.
+    * Run after many small MERGE batches (each commit writes its own
+    * files); at scale, file count — not data volume — is what degrades
+    * scan planning.
+    */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 1): Int = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"no such table: $root")
+    commit(spark, root, read(spark, root, Some(v)).coalesce(numFiles), v + 1)
+  }
+
   /** Remove version directories older than `keepVersions` behind latest
     * (time travel window); the pointer and newer versions are untouched.
     */

@@ -61,6 +61,42 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet("target/li_rangesorted").count() == li.count())
   }
 
+  test("z-value interleaves bits; z-order bounds per-file spans in BOTH dims") {
+    // zValue correctness on known interleavings
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", 8).as("z")).as[Long].collect()
+    assert(z.toSeq == Seq(0L, 1L, 2L, 15L, // 3,3 -> 0b1111
+      // a=5 (101) even bits -> 1,0,1 at 0,2,4; b=2 (010) odd bits -> 0,1,0
+      // at 1,3,5: 0b011001 = 25
+      25L))
+
+    // two independent uniform dimensions
+    val n = 20000
+    val df = spark.range(n.toLong).select(
+      (col("id") * 2654435761L % 8192).as("x"),
+      (col("id") * 40503L % 8192).as("y"))
+    def spans(path: String, c: String): Double = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c)))
+          .cast("double").as("span"))
+      per.agg(avg("span")).head().getDouble(0)
+    }
+    Layout.writeZOrdered(df, "target/layout_z", "x", "y",
+      partitions = 16, bits = 13)
+    Layout.writeRangeSorted(df, "target/layout_x", "x", partitions = 16)
+    // sorting by x: x-spans tiny, y-spans ~ the whole 8192 domain
+    assert(spans("target/layout_x", "y") > 7000.0)
+    // z-order: BOTH dims' spans far under the domain — every file covers
+    // a region, so range predicates on either dim skip most files
+    assert(spans("target/layout_z", "x") < 4200.0,
+      s"x span ${spans("target/layout_z", "x")}")
+    assert(spans("target/layout_z", "y") < 4200.0,
+      s"y span ${spans("target/layout_z", "y")}")
+    // and the data is unchanged
+    assert(spark.read.parquet("target/layout_z").count() == n.toLong)
+  }
+
   test("salted join matches plain join results") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))

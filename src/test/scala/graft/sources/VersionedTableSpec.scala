@@ -61,6 +61,21 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
   }
 
+  test("compact rewrites many small files into one, data unchanged") {
+    val root = freshRoot()
+    VersionedTable.init(
+      spark.range(100).repartition(10).select($"id", ($"id" * 2).as("v")),
+      root)
+    def files(v: Int): Int = new java.io.File(s"$root/v=$v")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(0) == 10)
+    val v1 = VersionedTable.compact(spark, root, numFiles = 1)
+    assert(v1 == 1 && files(1) == 1)
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, Long)].collect().toSeq ==
+      (0L until 100L).map(i => (i, i * 2)))
+  }
+
   test("vacuum drops versions outside the time-travel window") {
     val root = freshRoot()
     VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
