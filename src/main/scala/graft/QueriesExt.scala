@@ -673,14 +673,21 @@ object QueriesExt {
       labeled, "text", "label", numBuckets = 1 << 12, wordNgrams = 2,
       epochs = 6, lr = 1.0, momentum = 0.5, adagrad = true,
       earlyStopTol = 0.02)
+    // the int8-quantized scorer must track the float scorer within its
+    // proven scale/8 bound on every document — the deployment-path law
+    val qm = graft.operators.HashNgramClassifier.quantize(model)
     labeled
       .select(col("label"),
         graft.operators.HashNgramClassifier.score(col("text"), model)
-          .as("__s"))
+          .as("__s"),
+        graft.operators.HashNgramClassifier.scoreQuantized(col("text"), qm)
+          .as("__sq"))
       .agg(count(lit(1)).as("n_docs"),
         ((avg(when(col("label") === 1.0, col("__s"))) -
           avg(when(col("label") === 0.0, col("__s")))) > 0.01)
-          .as("learn_ok"))
+          .as("learn_ok"),
+        (max(abs(col("__s") - col("__sq"))) <= lit(qm.scale / 8.0 + 1e-9))
+          .as("quant_ok"))
   }
 
   /** Audience-overlap sketching, estimator-law checked: per event type, a
@@ -1418,7 +1425,8 @@ object QueriesExt {
         | true AS exact_dedup_ok
         |FROM documents""".stripMargin,
     "x29_quality_classifier" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS learn_ok
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS learn_ok,
+        | true AS quant_ok
         |FROM documents""".stripMargin,
     "x32_heavy_tokens" -> (langTrigramSql + ", " +
       """toks AS MATERIALIZED (
