@@ -117,6 +117,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming NEAR-duplicate dedup: each micro-batch is near-deduped
+    * against every previously seen document via
+    * [[graft.operators.Dedup.incrementalMinhashDedup]]'s bucketed state
+    * (band rows + shingle sets), and only survivors append to `outPath`.
+    * This is the streaming counterpart of `dropDuplicatesWithinWatermark`
+    * for NEAR duplicates — watermark state can only hold exact keys;
+    * MinHash state lives outside the streaming state store, unbounded by
+    * watermarks, and the survivor set equals the one-shot greedy dedup of
+    * everything ever streamed (ids must be monotone across batches).
+    */
+  def foreachBatchNearDedup(stream: DataFrame, outPath: String,
+      checkpoint: String, statePrefix: String, textCol: String,
+      idCol: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.incrementalMinhashDedup(batch.toDF(),
+          statePrefix, textCol, idCol, threshold = threshold)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each left event picks up all right events
     * with the same key whose timestamp falls in `[left.ts - horizon,
     * left.ts]` — the attribution-window join (purchase <- recent views).

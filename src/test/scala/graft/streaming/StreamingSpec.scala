@@ -118,6 +118,33 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("streaming near-dedup removes cross-batch near-duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-snd").toString +
+      "/out"
+    val ck = java.nio.file.Files.createTempDirectory("graft-snd-ck").toString
+    val prefix = s"snd_spec_${System.nanoTime()}"
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river today"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.foreachBatchNearDedup(
+        input.toDF().toDF("doc_id", "text"), out, ck, prefix,
+        "text", "doc_id", threshold = 0.6)
+      input.addData((1L, base), (2L, "unrelated first batch material here"))
+      q.processAllAvailable()
+      // 11 near-dups 1 (from the PREVIOUS batch); 12 is fresh
+      input.addData((11L, base.replace("today", "tonight")),
+        (12L, "entirely new second batch document with novel words"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out).select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 12L), s"got $got")
+    } finally graft.operators.Dedup.dropIncrementalDedupState(spark, prefix)
+  }
+
   test("stream-stream interval join matches batch attribution join") {
     val ev = batchEvents
     val purchases = ev.filter($"event_type" === "purchase")
