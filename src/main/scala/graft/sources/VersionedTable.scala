@@ -43,9 +43,8 @@ object VersionedTable {
     }
   }
 
-  private def commit(spark: SparkSession, root: String, df: DataFrame,
-      version: Int): Int = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$version")
+  private def commitPointer(spark: SparkSession, root: String,
+      version: Int): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(root, s"_LATEST.tmp$version")
     val out = f.create(tmp, true)
@@ -53,6 +52,12 @@ object VersionedTable {
     // rename is atomic on HDFS-like stores; delete-then-rename for local FS
     if (f.exists(pointer(root))) f.delete(pointer(root), false)
     f.rename(tmp, pointer(root))
+  }
+
+  private def commit(spark: SparkSession, root: String, df: DataFrame,
+      version: Int): Int = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$version")
+    commitPointer(spark, root, version)
     version
   }
 
@@ -71,18 +76,44 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$v")
   }
 
+  /** Thrown when a concurrent committer advanced the table between a
+    * writer's base read and its pointer swap; the loser retries its merge
+    * on the new latest version (optimistic concurrency, Delta-style).
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   /** Keyed MERGE upsert: rows of `updates` replace base rows with the same
     * key (`whenMatched update all`) and insert otherwise (`whenNotMatched
     * insert all`). Commits and returns the new version.
+    *
+    * Optimistic concurrency (Delta-style): pass `expectedVersion` — the
+    * version the caller read its inputs against — and the commit fails
+    * with [[ConcurrentCommitException]] if another writer advanced the
+    * table, instead of silently overwriting the winner's rows; the loser
+    * re-reads and re-merges. The check runs both up front (cheap fail
+    * before the write) and again immediately before the pointer swap
+    * (narrowing the race to the swap itself). Without `expectedVersion`
+    * the base is the current latest and only the pre-swap check applies.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      keyCols: Seq[String]): Int = {
-    val v = latestVersion(spark, root)
-    require(v >= 0, s"no such table: $root")
+      keyCols: Seq[String], expectedVersion: Option[Int] = None): Int = {
+    val latest = latestVersion(spark, root)
+    require(latest >= 0, s"no such table: $root")
+    val v = expectedVersion.getOrElse(latest)
+    if (v != latest)
+      throw new ConcurrentCommitException(
+        s"base version $v is stale (latest is $latest); re-merge and retry")
     val base = read(spark, root, Some(v))
     val merged = base.join(updates.select(keyCols.map(col): _*),
       keyCols, "left_anti").unionByName(updates)
-    commit(spark, root, merged, v + 1)
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v=${v + 1}")
+    val now = latestVersion(spark, root)
+    if (now != v)
+      throw new ConcurrentCommitException(
+        s"base version $v is stale (latest is $now); re-merge and retry")
+    commitPointer(spark, root, v + 1)
+    v + 1
   }
 
   /** Keyed delete: drop base rows whose key appears in `tombstones`.

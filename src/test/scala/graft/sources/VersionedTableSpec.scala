@@ -61,6 +61,26 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
   }
 
+  test("a stale expectedVersion merge throws instead of losing the race") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, "a")).toDF("id", "v"), root)
+    // writer A reads v0... writer B commits first (0 -> 1)
+    VersionedTable.merge(spark, root, Seq((2L, "b")).toDF("id", "v"),
+      Seq("id"))
+    // A's CAS-style commit against its stale base must fail loudly
+    val ex = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.merge(spark, root, Seq((3L, "c")).toDF("id", "v"),
+        Seq("id"), expectedVersion = Some(0))
+    }
+    assert(ex.getMessage.contains("stale"))
+    // B's committed row survived; A's retry on the new latest succeeds
+    VersionedTable.merge(spark, root, Seq((3L, "c")).toDF("id", "v"),
+      Seq("id"), expectedVersion = Some(1))
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("compact rewrites many small files into one, data unchanged") {
     val root = freshRoot()
     VersionedTable.init(
