@@ -530,6 +530,18 @@ object QueriesExt {
     survivorIds.toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Exact duplicated-substring statistics (Lee et al. 2022 shape):
+    * per doc, tokens covered by a non-canonical duplicated 20-token
+    * window (canonical = first occurrence by (doc, pos)) and the
+    * surviving count. Fully deterministic — window identity is the token
+    * string, ranking is total-ordered — so the whole computation is
+    * hash-checked against a DuckDB replica.
+    */
+  def substringDedupStats(spark: SparkSession, dir: String): DataFrame =
+    TextPipeline.duplicatedSpanStats(t(spark, dir, "documents"), "text",
+      "doc_id", k = 20)
+      .orderBy("doc_id")
+
   /** Versioned-table MERGE/DELETE/time-travel law (the reference's own
     * roadmap item, delivered without table-format jars): init a table from
     * an orders slice, MERGE a deterministic update+insert batch, DELETE a
@@ -847,7 +859,8 @@ object QueriesExt {
     "x41_mixture_sampling" -> mixtureSampling _,
     "x42_incremental_dedup" -> incrementalDedup _,
     "x43_corpus_funnel" -> corpusFunnel _,
-    "x44_merge_upsert" -> mergeUpsert _)
+    "x44_merge_upsert" -> mergeUpsert _,
+    "x45_substring_dedup" -> substringDedupStats _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1151,6 +1164,35 @@ object QueriesExt {
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "x45_substring_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t FROM documents
+        |), nt AS (
+        | SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks
+        |), occ AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  array_to_string(
+        |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 19), ' ') AS g
+        | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i
+        |       FROM toks WHERE len(t) >= 20)
+        |), ranked AS (
+        | SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        | FROM occ
+        |), marked AS (
+        | SELECT DISTINCT doc_id, pos + ofs AS tokpos
+        | FROM ranked CROSS JOIN UNNEST(range(0, 20)) AS u(ofs)
+        | WHERE rn > 1
+        |), drops AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd FROM marked
+        | GROUP BY 1
+        |)
+        |SELECT nt.doc_id, n AS n_tokens,
+        | coalesce(nd, 0) AS n_dropped,
+        | n - coalesce(nd, 0) AS n_kept
+        |FROM nt LEFT JOIN drops USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin,
     "x44_merge_upsert" ->
       """WITH base AS (
         | SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 4000

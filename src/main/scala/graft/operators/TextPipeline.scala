@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -78,6 +79,73 @@ object TextPipeline {
       .select(col(idCol),
         coalesce(col("__nh"), lit(0L)).as("n_hits"),
         (coalesce(col("__nh"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Duplicated-span occurrences: every `k`-token window of every doc,
+    * hashed, ranked within its hash by (doc, position). Rank 1 is the
+    * CANONICAL occurrence; every later occurrence of the same window —
+    * across docs or repeated within one doc — is a duplicated span whose
+    * tokens should not be trained on again (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": exact
+    * substring dedup; fixed-k window hashing is its scalable shape —
+    * any duplicated run >= k tokens is covered by duplicated windows).
+    *
+    * Scale shape: the occurrence stream carries (8-byte window hash, id,
+    * position) — never text; one hash-partitioned shuffle ranks
+    * occurrences; the marked-token explode is bounded by duplicated
+    * occurrences x k, which the dup rate, not the corpus, determines.
+    */
+  private def markedDuplicateTokens(df: DataFrame, textCol: String,
+      idCol: String, k: Int): (DataFrame, DataFrame) = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+    val occ = base.filter(col("__n") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
+        .as(Seq("__pos", "__g")))
+    val ranked = occ.withColumn("__rn",
+      row_number().over(Window.partitionBy("__g")
+        .orderBy(col(idCol), col("__pos"))))
+    // 1-based token positions covered by a non-canonical occurrence
+    val marked = ranked.filter(col("__rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__pos") + 1, col("__pos") + k))
+          .as("__tokpos"))
+      .distinct()
+    (base, marked)
+  }
+
+  /** Per-doc duplicated-substring statistics: token count, tokens covered
+    * by non-canonical duplicated `k`-windows, and surviving tokens.
+    */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20): DataFrame = {
+    val (base, marked) = markedDuplicateTokens(df, textCol, idCol, k)
+    val drops = marked.groupBy(col(idCol)).agg(count(lit(1)).as("__nd"))
+    base.select(col(idCol), col("__n"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("__n").as("n_tokens"),
+        coalesce(col("__nd"), lit(0L)).as("n_dropped"),
+        (col("__n") - coalesce(col("__nd"), lit(0L))).as("n_kept"))
+  }
+
+  /** Remove duplicated spans: rebuild each doc's text from the tokens NOT
+    * covered by a non-canonical duplicated window — one global copy of
+    * every >= `k`-token duplicated run survives (in its canonical doc).
+    */
+  def dropDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 20): DataFrame = {
+    val (base, marked) = markedDuplicateTokens(df, textCol, idCol, k)
+    val lists = marked.groupBy(col(idCol))
+      .agg(collect_list(col("__tokpos")).as("__mk"))
+    base.join(lists, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__t"),
+          (_, i) => !array_contains(
+            coalesce(col("__mk"), array().cast("array<bigint>")),
+            i.cast("long") + 1L))).as(textCol))
   }
 
   /** Redact common PII surface forms: emails, NNN-NNN-NNNN phone numbers,

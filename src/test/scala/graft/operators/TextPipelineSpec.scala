@@ -57,6 +57,32 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == Seq(true, true, false))
   }
 
+  test("duplicated spans: canonical copy survives, later occurrences strip") {
+    val common = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"first document begins $common and then ends"),
+      (2L, s"unrelated preamble here $common trailing words follow"),
+      (3L, "no duplicated content in this document at all"),
+      // in-document repetition: the same 5-token run twice
+      (4L, "p q r s t p q r s t closing remark")
+    ).toDF("doc_id", "text")
+    val stats = TextPipeline.duplicatedSpanStats(docs, "text", "doc_id",
+      k = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1 holds the canonical run: nothing dropped; doc 2 loses the
+    // 6 shared tokens (two duplicated 5-windows, union of spans); doc 4
+    // loses its second 5-token repetition
+    assert(stats == Seq((1L, 12L, 0L, 12L), (2L, 12L, 6L, 6L),
+      (3L, 8L, 0L, 8L), (4L, 12L, 5L, 7L)))
+    val cleaned = TextPipeline.dropDuplicatedSpans(docs, "text", "doc_id",
+      k = 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(cleaned(2L) == "unrelated preamble here trailing words follow")
+    assert(cleaned(4L) == "p q r s t closing remark")
+    assert(cleaned(1L).contains(common)) // canonical copy intact
+    assert(cleaned(3L) == "no duplicated content in this document at all")
+  }
+
   test("PII redaction replaces emails, phones, IPs; prose untouched") {
     val df = Seq(
       "mail me at jane.doe+x@sub.example.org today",
