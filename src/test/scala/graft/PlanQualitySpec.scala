@@ -264,6 +264,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("substring-dedup occurrence stream shuffles window hashes, not text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextPipeline.duplicatedSpanStats(docs, "text",
+      "doc_id", k = 20)
+    val p = plan(df)
+    assert(p.contains("xxhash64"), p.take(3000))
+    // the ranking window partitions by the 8-byte hash; document text
+    // must not survive into any exchange
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(__g")
+    assert(exchangeIdx >= 0, p.take(3000))
+  }
+
   test("whole-stage codegen covers the scan-project-filter spine of q15") {
     // under AQE the pre-execution plan hides codegen stages; disable it for
     // this one assertion so the static physical plan shows the codegen spans
