@@ -105,8 +105,11 @@ object VersionedTable {
       throw new ConcurrentCommitException(
         s"base version $v is stale (latest is $latest); re-merge and retry")
     val base = read(spark, root, Some(v))
+    // schema evolution (mergeSchema-style): either side may carry columns
+    // the other lacks; missing columns fill with null on the short side
     val merged = base.join(updates.select(keyCols.map(col): _*),
-      keyCols, "left_anti").unionByName(updates)
+      keyCols, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
     merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v=${v + 1}")
     val now = latestVersion(spark, root)
     if (now != v)

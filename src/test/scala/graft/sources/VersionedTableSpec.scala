@@ -61,6 +61,17 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
   }
 
+  test("merge evolves the schema: new update columns null-fill old rows") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, "a")).toDF("id", "name"), root)
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b", 0.9)).toDF("id", "name", "score"), Seq("id"))
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .select("id", "name", "score")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(0.9))))
+  }
+
   test("a stale expectedVersion merge throws instead of losing the race") {
     val root = freshRoot()
     VersionedTable.init(Seq((1L, "a")).toDF("id", "v"), root)
