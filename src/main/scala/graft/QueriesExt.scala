@@ -530,6 +530,16 @@ object QueriesExt {
     survivorIds.toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Corpus-trained bigram-LM score per document (CCNet-style perplexity
+    * quality signal): exact counts, total-order vocabulary, add-one
+    * smoothing — deterministic end to end, so per-doc mean log-probability
+    * (6dp) is hash-checked against a DuckDB replica.
+    */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.scoreDocs(t(spark, dir, "documents"), "text",
+      "doc_id")
+      .orderBy("doc_id")
+
   /** Exact duplicated-substring statistics (Lee et al. 2022 shape):
     * per doc, tokens covered by a non-canonical duplicated 20-token
     * window (canonical = first occurrence by (doc, pos)) and the
@@ -860,7 +870,8 @@ object QueriesExt {
     "x42_incremental_dedup" -> incrementalDedup _,
     "x43_corpus_funnel" -> corpusFunnel _,
     "x44_merge_upsert" -> mergeUpsert _,
-    "x45_substring_dedup" -> substringDedupStats _)
+    "x45_substring_dedup" -> substringDedupStats _,
+    "x46_ngram_lm" -> ngramLmScore _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1163,6 +1174,42 @@ object QueriesExt {
         |SELECT d.doc_id, CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x46_ngram_lm" ->
+      """WITH lt AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> length(tk) > 0) AS t
+        | FROM documents
+        |), ex AS MATERIALIZED (
+        | SELECT doc_id, u.i AS pos, u.w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'i': i, 'w': t[CAST(i AS INT)]})) AS u FROM lt)
+        |), vocab AS MATERIALIZED (
+        | SELECT w FROM ex GROUP BY w
+        | ORDER BY COUNT(*) DESC, w ASC LIMIT 4096
+        |), m AS MATERIALIZED (
+        | SELECT e.doc_id, e.pos,
+        |  CASE WHEN v.w IS NULL THEN '<unk>' ELSE e.w END AS mw
+        | FROM ex e LEFT JOIN vocab v ON e.w = v.w
+        |), bgd AS MATERIALIZED (
+        | SELECT doc_id, w1, w2 FROM (
+        |  SELECT doc_id, mw AS w1,
+        |   lead(mw) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM m) WHERE w2 IS NOT NULL
+        |), bgc AS (
+        | SELECT w1, w2, COUNT(*) AS b FROM bgd GROUP BY 1, 2
+        |), uc AS (
+        | SELECT w1, COUNT(*) AS u FROM bgd GROUP BY 1
+        |), ds AS (
+        | SELECT bgd.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+        |  ROUND(AVG(ln((b + 1.0) / (u + 4097.0))), 6) AS lp
+        | FROM bgd JOIN bgc USING (w1, w2) JOIN uc USING (w1)
+        | GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        | lp AS avg_logp
+        |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "x45_substring_dedup" ->
       """WITH toks AS (
