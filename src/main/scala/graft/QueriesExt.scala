@@ -530,6 +530,16 @@ object QueriesExt {
     survivorIds.toDF("doc_id").orderBy("doc_id")
   }
 
+  /** Hard-negative mining (contrastive-training data prep): top-5 most
+    * similar non-duplicate candidates per anchor, cosine capped below
+    * 0.45. Rank-only projection — exact oracle, like x12.
+    */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(t(spark, dir, "embeddings"),
+      knnQueries(spark, dir), k = 5, dupThreshold = 0.45)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+
   /** Corpus-trained bigram-LM score per document (CCNet-style perplexity
     * quality signal): exact counts, total-order vocabulary, add-one
     * smoothing — deterministic end to end, so per-doc mean log-probability
@@ -871,7 +881,8 @@ object QueriesExt {
     "x43_corpus_funnel" -> corpusFunnel _,
     "x44_merge_upsert" -> mergeUpsert _,
     "x45_substring_dedup" -> substringDedupStats _,
-    "x46_ngram_lm" -> ngramLmScore _)
+    "x46_ngram_lm" -> ngramLmScore _,
+    "x47_hard_negatives" -> hardNegativeMining _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1175,6 +1186,17 @@ object QueriesExt {
         | coalesce(h.nh, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "x47_hard_negatives" ->
+      """SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |    c.vec_id) AS rank
+        | FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+        | WHERE c.vec_id != q.vec_id
+        |   AND list_cosine_similarity(c.embedding, q.embedding) < 0.45)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "x46_ngram_lm" ->
       """WITH lt AS (
         | SELECT doc_id,

@@ -69,6 +69,36 @@ object Similarity {
       .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training data (DPR / SimCSE
+    * style): for each anchor, the `k` MOST similar candidates whose cosine
+    * stays BELOW `dupThreshold` — similar enough to be informative
+    * negatives, but excluded as probable positives/near-duplicates above
+    * the threshold. Same scale shape as [[bruteForceTopK]] (corpus never
+    * shuffles, anchors broadcast, scoring is a native-expression
+    * projection); at 10^9-vector scale mine from an ANN candidate pool
+    * ([[ivfTopK]]/[[lshTopK]] with a larger k) and apply the same
+    * threshold/rank step.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      dupThreshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdOut: String = "query_id"): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as(queryIdOut),
+      col(vecCol).as("__qvec")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col(queryIdOut))
+      .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+      .filter(col("cosine") < dupThreshold)
+    val w = Window.partitionBy(queryIdOut)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multiprobe.
     *
     * Corpus rows are bucketed once; each query probes its own bucket plus

@@ -273,6 +273,22 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 18, s"appended-vector recall $hits/20 too low")
   }
 
+  test("hard negatives exclude near-duplicates above the threshold") {
+    // vec 1 is a near-dup of vec 0 (cos ~0.994): it must NOT appear among
+    // 0's hard negatives, while the merely-similar vec 4 must lead them
+    val negs = Similarity.hardNegatives(vecs,
+      vecs.filter($"vec_id" === 0L), k = 3, dupThreshold = 0.99)
+      .orderBy("rank")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!negs.contains(1L), "near-duplicate leaked into negatives")
+    assert(negs.head == 4L, s"hardest negative should be 4, got $negs")
+    // with no threshold cap the near-dup would rank first
+    val all = Similarity.hardNegatives(vecs,
+      vecs.filter($"vec_id" === 0L), k = 3, dupThreshold = 1.1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(all.head == 1L)
+  }
+
   test("zero-norm vectors yield cosine 0, not NaN") {
     val z = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val c = z.crossJoin(vecs.limit(1).select($"embedding".as("other")))
