@@ -148,6 +148,55 @@ object TextPipeline {
             i.cast("long") + 1L))).as(textCol))
   }
 
+  /** Greedy sequence packing: assign chunks to training sequences of at
+    * most `capacity` tokens, next-fit in id order WITHIN each partition —
+    * the padding-minimization step between chunking and batch assembly.
+    * Packing is inherently sequential, so it runs per partition inside
+    * `mapPartitions` (bin ids are globally unique via the partition index
+    * in the high bits); cross-partition "waste" is at most one underfull
+    * bin per partition, negligible when partitions hold millions of
+    * chunks. A chunk larger than `capacity` gets its own bin rather than
+    * failing the job.
+    *
+    * Output: input columns + `bin_id` + `bin_fill` (the bin's final token
+    * total, repeated on each member row).
+    */
+  def packChunks(df: DataFrame, tokenCountCol: String, idCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    val sorted = df.repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+    val outSchema = sorted.schema
+      .add("bin_id", org.apache.spark.sql.types.LongType)
+      .add("bin_fill", org.apache.spark.sql.types.LongType)
+    val enc = Encoders.row(outSchema)
+    val nIdx = sorted.schema.fieldIndex(tokenCountCol)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var bin = 0L
+      var fill = 0L
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def flush(): Unit = {
+        buf.foreach { r =>
+          out += Row.fromSeq(r.toSeq :+ ((pid << 40) | bin) :+ fill)
+        }
+        buf.clear(); bin += 1; fill = 0L
+      }
+      it.foreach { r =>
+        val n = r.get(nIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+        }
+        if (fill > 0 && fill + n > capacity) flush()
+        buf += r; fill += n
+      }
+      if (buf.nonEmpty) flush()
+      out.iterator
+    }(enc)
+  }
+
   /** Redact common PII surface forms: emails, NNN-NNN-NNNN phone numbers,
     * dotted-quad IPs — replaced by typed placeholder tags. Order matters:
     * emails first (their local parts can contain digits and dots), then

@@ -83,6 +83,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(cleaned(3L) == "no duplicated content in this document at all")
   }
 
+  test("sequence packing: bins respect capacity, oversize isolates, " +
+      "no chunk lost") {
+    val chunks = spark.range(100).selectExpr("id",
+      "CAST(10 + id % 23 AS BIGINT) AS n_tokens")
+    val packed = TextPipeline.packChunks(chunks, "n_tokens", "id", 64L)
+    // nothing lost or duplicated
+    assert(packed.count() == 100)
+    assert(packed.select("id").distinct().count() == 100)
+    // every bin's fill respects capacity, and bin_fill = sum of members
+    val bins = packed.groupBy("bin_id")
+      .agg(sum($"n_tokens").as("tot"), first($"bin_fill").as("fill"),
+        countDistinct($"bin_fill").as("nf"))
+      .as[(Long, Long, Long, Long)].collect()
+    bins.foreach { case (b, tot, fill, nf) =>
+      assert(tot == fill && nf == 1, s"bin $b fill mismatch")
+      assert(tot <= 64L, s"bin $b over capacity: $tot")
+    }
+    // next-fit waste bound: every bin except possibly the last per
+    // partition is > capacity - max_chunk (else the next chunk fit)
+    val nParts = chunks.repartitionByRange($"id").rdd.getNumPartitions
+    val under = bins.count(_._2 <= 64L - 32L)
+    assert(under <= nParts, s"$under underfull bins for $nParts partitions")
+    // an oversize chunk gets its own bin rather than failing
+    val big = Seq((1L, 10L), (2L, 500L), (3L, 10L)).toDF("id", "n_tokens")
+    val pb = TextPipeline.packChunks(big, "n_tokens", "id", 64L)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(pb(2L) != pb(1L) && pb(2L) != pb(3L))
+  }
+
   test("PII redaction replaces emails, phones, IPs; prose untouched") {
     val df = Seq(
       "mail me at jane.doe+x@sub.example.org today",
