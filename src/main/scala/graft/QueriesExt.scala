@@ -590,13 +590,19 @@ object QueriesExt {
       graft.sources.VersionedTable.latestVersion(spark, root) + 1
     val v0Rows = graft.sources.VersionedTable.read(spark, root, Some(0))
       .count()
-    graft.sources.VersionedTable.read(spark, root)
+    val finalRow = graft.sources.VersionedTable.read(spark, root)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("sum_price"))
-      .select(col("n_rows"), col("sum_price"),
-        lit(nVersions).cast("long").as("n_versions"),
-        lit(v0Rows).as("v0_rows"))
+      .head()
+    // the law is fully materialized: drop the temp table before returning
+    // so repeated bench/verify runs don't accumulate /tmp directories
+    val tmpRoot = new java.io.File(root).getParentFile
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot)
+    import spark.implicits._
+    Seq((finalRow.getLong(0), finalRow.getDouble(1), nVersions.toLong,
+      v0Rows))
+      .toDF("n_rows", "sum_price", "n_versions", "v0_rows")
   }
 
   /** End-to-end corpus-preparation funnel — the capstone composition a

@@ -310,6 +310,13 @@ object Multimodal {
         val fmt = in.getFormat
         val channels = fmt.getChannels
         val bits = fmt.getSampleSizeInBits
+        // linear PCM only: ULAW/ALAW are companded — decoding their bytes
+        // as linear amplitudes would produce garbage statistics, so they
+        // degrade to null like any other unsupported codec
+        val enc = fmt.getEncoding
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+          return null
         if (bits != 16 && bits != 8) return null // PCM 8/16-bit only
         val data = in.readAllBytes()
         val bytesPerFrame = fmt.getFrameSize

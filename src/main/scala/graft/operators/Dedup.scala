@@ -237,7 +237,8 @@ object Dedup {
   def incrementalMinhashDedup(batch: DataFrame, statePrefix: String,
       textCol: String, idCol: String, shingleK: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
-      seed: Long = 42L, buckets: Int = 8): DataFrame = {
+      seed: Long = 42L, buckets: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
     val rowsPerBand = numHashes / bands
@@ -259,16 +260,33 @@ object Dedup {
         col("id"))
 
     val hasState = spark.catalog.tableExists(bandsT)
+    // hot-bucket guard, same contract as minhashCandidates' maxBucketSize:
+    // buckets whose TOTAL occupancy (history + batch) exceeds the cap are
+    // excluded from candidate generation before either join can go b².
+    // The sizing pass scans the state band table — the same IO class as
+    // the candidate join itself, so per-batch asymptotics are unchanged.
+    // Equality with the one-shot greedy dedup holds whenever no bucket
+    // exceeds the cap over the FULL corpus (the sane-corpus case —
+    // boilerplate mega-buckets are banned upstream in both modes).
+    val allBanded =
+      if (!hasState) batchBanded
+      else spark.table(bandsT).unionByName(batchBanded)
+    val okBuckets = allBanded.groupBy("__bkey")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select("__bkey")
+    val batchB = batchBanded.join(okBuckets, Seq("__bkey"), "left_semi")
     // candidate ids: smaller-id partner exists in history or in the batch
     val histPairs =
       if (!hasState) batchBanded.limit(0)
         .select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
       else spark.table(bandsT)
-        .join(batchBanded.withColumnRenamed("id", "id_b"), Seq("__bkey"))
+        .join(okBuckets, Seq("__bkey"), "left_semi")
+        .join(batchB.withColumnRenamed("id", "id_b"), Seq("__bkey"))
         .filter(col("id") < col("id_b"))
         .select(col("id").as("id_a"), col("id_b"))
-    val selfPairs = batchBanded
-      .join(batchBanded.withColumnRenamed("id", "id_b"), Seq("__bkey"))
+    val selfPairs = batchB
+      .join(batchB.withColumnRenamed("id", "id_b"), Seq("__bkey"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
     val pairIds = histPairs.unionByName(selfPairs)
@@ -291,8 +309,13 @@ object Dedup {
       .select(col("id_b").as("id"))
       .distinct()
 
+    // materialize survivors BEFORE unpersisting: the caller's action on
+    // the returned frame would otherwise re-derive the shingle/signature
+    // subtree several times over — the exact cost the persist avoids
     val survivors = batch.join(
       losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.count()
 
     // fold the WHOLE batch (survivors and losers) into state: greedy
     // one-shot semantics compare against every smaller seen id

@@ -130,13 +130,22 @@ object HashNgramClassifier {
     // latency budget here). Mini-batch still needs the true n up front to
     // size nEpoch.
     var n = -1.0
+    // rare-bucket freeze mask: filled from epoch 0's combined aggregation
+    // on the full-batch path; computed up front over the FULL frame on the
+    // mini-batch path (sampled epochs must not decide document frequency —
+    // a df-5 bucket shows 0-1 docs in a 10% sample and would be frozen by
+    // sampling noise; the extra job is paid only in this configuration)
+    val frozen: java.util.BitSet = new java.util.BitSet(numBuckets)
     if (batchFraction < 1.0) {
       n = feats.count().toDouble
       require(n > 0, "fit needs a non-empty training frame")
+      if (minDocFreq > 1)
+        feats.select(explode(array_distinct(col("__b"))).as("__bk"))
+          .groupBy("__bk").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") < minDocFreq)
+          .collect()
+          .foreach(r => frozen.set(r.getInt(0)))
     }
-
-    // rare-bucket freeze mask, filled from epoch 0's combined aggregation
-    val frozen: java.util.BitSet = new java.util.BitSet(numBuckets)
 
     val w = new Array[Float](numBuckets)
     val vel = new Array[Double](numBuckets)
@@ -177,7 +186,7 @@ object HashNgramClassifier {
           struct(b.as("__bk"), (col("__g") / col("__nf")).as("__gv"),
             lit(0L).as("__dfc"))))
       val contribs =
-        if (epoch == 0 && minDocFreq > 1)
+        if (epoch == 0 && minDocFreq > 1 && batchFraction >= 1.0)
           concat(gradContribs,
             transform(array_distinct(col("__b")), b =>
               struct(b.as("__bk"), lit(0.0).as("__gv"), lit(1L).as("__dfc"))))
@@ -191,7 +200,7 @@ object HashNgramClassifier {
         if (batchFraction >= 1.0)
           n = grads.find(_.getInt(0) == -2).map(_.getDouble(1)).getOrElse(0.0)
         require(n > 0, "fit needs a non-empty training frame")
-        if (minDocFreq > 1) grads.foreach { r =>
+        if (minDocFreq > 1 && batchFraction >= 1.0) grads.foreach { r =>
           val b = r.getInt(0)
           if (b >= 0 && r.getLong(2) < minDocFreq) frozen.set(b)
         }

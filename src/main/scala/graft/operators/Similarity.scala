@@ -117,11 +117,20 @@ object Similarity {
     val bucketedCorpus = corpus
       .select(col(idCol), col(vecCol), bucket.as("__bucket"))
 
-    // query probes: every sign-pattern mask within the hamming radius
-    val probes = array(
-      (0 until (1 << nPlanes))
-        .filter(m => java.lang.Integer.bitCount(m) <= probeRadius)
-        .map(m => lit(m.toLong)): _*)
+    // query probes: every sign-pattern mask within the hamming radius,
+    // generated directly as bit combinations — Σ_{r<=radius} C(nPlanes, r)
+    // masks at O(masks) cost. Enumerating-and-filtering 0 until 2^nPlanes
+    // would be exponential in nPlanes and silently EMPTY at nPlanes >= 31
+    // (1 << 31 overflows to Int.MinValue).
+    require(nPlanes >= 1 && nPlanes <= 62, "nPlanes must be in [1, 62]")
+    def masks(radius: Int): Seq[Long] = {
+      def choose(from: Int, left: Int): Seq[Long] =
+        if (left == 0) Seq(0L)
+        else (from until nPlanes).flatMap(b =>
+          choose(b + 1, left - 1).map(m => m | (1L << b)))
+      (0 to math.min(radius, nPlanes)).flatMap(choose(0, _))
+    }
+    val probes = array(masks(probeRadius).map(lit): _*)
     val bucketedQueries = queries
       .select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"),
         bucket.as("__qbucket"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,13 +11,25 @@ import org.apache.spark.sql.functions._
   * environment, and build.sbt may not grow).
   *
   * Layout: `<root>/v=N/` parquet per version, plus a `_LATEST` pointer
-  * file whose content is the current version number. Commits write the
-  * new version directory fully, then swap the pointer via write-tmp +
-  * atomic rename — a reader never observes a half-written version, and a
-  * crashed writer leaves the table at the previous version (the orphan
-  * `v=N+1` directory is re-used/overwritten by the next committer).
-  * Single-writer by design (document stores coordinate externally);
-  * readers are lock-free.
+  * file whose content is the current version number.
+  *
+  * Commit protocol (all mutators share it):
+  *  1. the new version's data is written to a UNIQUELY-NAMED staging
+  *     directory — a losing concurrent writer can never clobber a
+  *     committed version's files;
+  *  2. the base version is re-checked against the pointer; a stale base
+  *     throws [[ConcurrentCommitException]] (the stage is cleaned up);
+  *  3. the stage renames to `v=N+1` — if that name already exists the
+  *     commit conflicts (a racing writer won);
+  *  4. the pointer swaps via OVERWRITE rename ([[FileContext]]), which is
+  *     atomic on posix/HDFS — readers never observe a missing or
+  *     half-written pointer.
+  * A crashed writer leaves only a stage directory or an unreferenced
+  * `v=N+1`; neither is visible to readers (the pointer still names the
+  * previous version) and [[vacuumStages]] clears them. CAS-style
+  * `expectedVersion` is the recommended mode under concurrent writers;
+  * on filesystems without atomic rename semantics (some object stores)
+  * external coordination is still required.
   *
   * Scale notes: MERGE is one shuffled left-anti join of base vs update
   * keys plus a union write — O(|base| + |updates|) with the join keyed on
@@ -43,29 +55,63 @@ object VersionedTable {
     }
   }
 
+  /** Thrown when a concurrent committer advanced the table between a
+    * writer's base read and its commit; the loser retries against the new
+    * latest version (optimistic concurrency, Delta-style).
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Atomic pointer swap: write a tmp pointer, rename over `_LATEST` with
+    * OVERWRITE — no delete-then-rename window where readers see no table.
+    */
   private def commitPointer(spark: SparkSession, root: String,
       version: Int): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(root, s"_LATEST.tmp$version")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    // rename is atomic on HDFS-like stores; delete-then-rename for local FS
-    if (f.exists(pointer(root))) f.delete(pointer(root), false)
-    f.rename(tmp, pointer(root))
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, pointer(root), Options.Rename.OVERWRITE)
   }
 
-  private def commit(spark: SparkSession, root: String, df: DataFrame,
-      version: Int): Int = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$version")
-    commitPointer(spark, root, version)
-    version
+  /** Stage-write `df` as version `baseV + 1` and commit it, enforcing
+    * that `baseV` is still the latest at commit time.
+    */
+  private def commitNext(spark: SparkSession, root: String, df: DataFrame,
+      baseV: Int): Int = {
+    val next = baseV + 1
+    val f = fs(spark, root)
+    val stage = new Path(root,
+      s".stage-v$next-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    def conflict(now: Int): Nothing = {
+      f.delete(stage, true)
+      throw new ConcurrentCommitException(
+        s"base version $baseV is stale (latest is $now); retry on latest")
+    }
+    val now = latestVersion(spark, root)
+    if (now != baseV) conflict(now)
+    val dest = new Path(root, s"v=$next")
+    if (f.exists(dest)) {
+      // dest exists but the pointer still says baseV: a crashed writer's
+      // unreferenced directory (a COMMITTED v=next implies pointer >= next,
+      // caught above). Clear it and take the slot.
+      f.delete(dest, true)
+    }
+    if (!f.rename(stage, dest)) conflict(latestVersion(spark, root))
+    commitPointer(spark, root, next)
+    next
   }
 
   /** Create the table at version 0 (fails if it already exists). */
   def init(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
     require(latestVersion(spark, root) < 0, s"table already exists: $root")
-    commit(spark, root, df, 0)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=0")
+    commitPointer(spark, root, 0)
+    0
   }
 
   /** Read a specific version, or the latest. */
@@ -76,25 +122,15 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$v")
   }
 
-  /** Thrown when a concurrent committer advanced the table between a
-    * writer's base read and its pointer swap; the loser retries its merge
-    * on the new latest version (optimistic concurrency, Delta-style).
-    */
-  final class ConcurrentCommitException(msg: String)
-    extends RuntimeException(msg)
-
   /** Keyed MERGE upsert: rows of `updates` replace base rows with the same
     * key (`whenMatched update all`) and insert otherwise (`whenNotMatched
     * insert all`). Commits and returns the new version.
     *
-    * Optimistic concurrency (Delta-style): pass `expectedVersion` — the
-    * version the caller read its inputs against — and the commit fails
-    * with [[ConcurrentCommitException]] if another writer advanced the
-    * table, instead of silently overwriting the winner's rows; the loser
-    * re-reads and re-merges. The check runs both up front (cheap fail
-    * before the write) and again immediately before the pointer swap
-    * (narrowing the race to the swap itself). Without `expectedVersion`
-    * the base is the current latest and only the pre-swap check applies.
+    * Pass `expectedVersion` (the version the caller read its inputs
+    * against) for CAS semantics: a stale base throws
+    * [[ConcurrentCommitException]] before any data is written. Without it
+    * the base is the current latest; the shared commit protocol still
+    * re-checks staleness before publishing.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], expectedVersion: Option[Int] = None): Int = {
@@ -103,33 +139,31 @@ object VersionedTable {
     val v = expectedVersion.getOrElse(latest)
     if (v != latest)
       throw new ConcurrentCommitException(
-        s"base version $v is stale (latest is $latest); re-merge and retry")
+        s"base version $v is stale (latest is $latest); retry on latest")
     val base = read(spark, root, Some(v))
     // schema evolution (mergeSchema-style): either side may carry columns
     // the other lacks; missing columns fill with null on the short side
     val merged = base.join(updates.select(keyCols.map(col): _*),
       keyCols, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$root/v=${v + 1}")
-    val now = latestVersion(spark, root)
-    if (now != v)
-      throw new ConcurrentCommitException(
-        s"base version $v is stale (latest is $now); re-merge and retry")
-    commitPointer(spark, root, v + 1)
-    v + 1
+    commitNext(spark, root, merged, v)
   }
 
   /** Keyed delete: drop base rows whose key appears in `tombstones`.
-    * Commits and returns the new version.
+    * Commits and returns the new version; same CAS semantics as [[merge]].
     */
   def delete(spark: SparkSession, root: String, tombstones: DataFrame,
-      keyCols: Seq[String]): Int = {
-    val v = latestVersion(spark, root)
-    require(v >= 0, s"no such table: $root")
+      keyCols: Seq[String], expectedVersion: Option[Int] = None): Int = {
+    val latest = latestVersion(spark, root)
+    require(latest >= 0, s"no such table: $root")
+    val v = expectedVersion.getOrElse(latest)
+    if (v != latest)
+      throw new ConcurrentCommitException(
+        s"base version $v is stale (latest is $latest); retry on latest")
     val base = read(spark, root, Some(v))
     val remaining = base.join(tombstones.select(keyCols.map(col): _*),
       keyCols, "left_anti")
-    commit(spark, root, remaining, v + 1)
+    commitNext(spark, root, remaining, v)
   }
 
   /** One row per committed version: (version, n_rows). */
@@ -143,15 +177,14 @@ object VersionedTable {
 
   /** Small-files compaction: rewrite the latest version into `numFiles`
     * files as a NEW version — the data is byte-identical, old versions and
-    * time travel are untouched, and the pointer swap keeps readers atomic.
-    * Run after many small MERGE batches (each commit writes its own
-    * files); at scale, file count — not data volume — is what degrades
-    * scan planning.
+    * time travel are untouched, and the commit protocol (staging +
+    * staleness check + pointer swap) keeps readers atomic and concurrent
+    * merges un-clobbered.
     */
   def compact(spark: SparkSession, root: String, numFiles: Int = 1): Int = {
     val v = latestVersion(spark, root)
     require(v >= 0, s"no such table: $root")
-    commit(spark, root, read(spark, root, Some(v)).coalesce(numFiles), v + 1)
+    commitNext(spark, root, read(spark, root, Some(v)).coalesce(numFiles), v)
   }
 
   /** Remove version directories older than `keepVersions` behind latest
@@ -164,5 +197,15 @@ object VersionedTable {
       val dir = new Path(root, s"v=$v")
       if (f.exists(dir)) f.delete(dir, true)
     }
+  }
+
+  /** Remove abandoned staging directories left by crashed writers. */
+  def vacuumStages(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (f.exists(rootPath))
+      f.listStatus(rootPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+        .foreach(s => f.delete(s.getPath, true))
   }
 }

@@ -133,11 +133,27 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Dedup.incrementalMinhashDedup(batch.toDF(),
-          statePrefix, textCol, idCol, threshold = threshold)
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // replay-idempotent: a fully-committed batch is skipped via its
+          // marker; a partially-committed replay overwrites its own
+          // batch=<id> output directory (no duplicate survivor rows) and
+          // re-folds state — duplicate state rows are semantically
+          // harmless (candidates dropDuplicates, losers are distinct) and
+          // bounded by the number of crash-replays, not by data volume
+          val spark = batch.sparkSession
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val marker = new org.apache.hadoop.fs.Path(
+            s"$outPath/__committed/$batchId")
+          val fsys = marker.getFileSystem(hconf)
+          if (!fsys.exists(marker)) {
+            graft.operators.Dedup.incrementalMinhashDedup(batch.toDF(),
+              statePrefix, textCol, idCol, threshold = threshold)
+              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            fsys.mkdirs(marker.getParent)
+            fsys.create(marker, true).close()
+          }
+          ()
       }
       .start()
 
