@@ -119,6 +119,20 @@ class DedupOpsSpec extends SparkSpec {
     } finally Dedup.dropIncrementalDedupState(spark, prefix)
   }
 
+  test("near-dedup is idempotent: deduping survivors changes nothing") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val once = Dedup.minhashDedup(real, "text", "doc_id", threshold = 0.8)
+    val twice = Dedup.minhashDedup(once, "text", "doc_id", threshold = 0.8)
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq ==
+      twice.select("doc_id").as[Long].collect().sorted.toSeq)
+    val sem1 = Similarity.semanticDedup(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), threshold = 0.4,
+      exact = true)
+    val sem2 = Similarity.semanticDedup(sem1, threshold = 0.4, exact = true)
+    assert(sem1.select("vec_id").as[Long].collect().sorted.toSeq ==
+      sem2.select("vec_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("connected components resolve chained near-dup clusters") {
     // chain: 1-2, 2-3 (1 and 3 never directly paired) + isolated pair 7-9
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))

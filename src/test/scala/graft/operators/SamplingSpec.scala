@@ -62,6 +62,19 @@ class SamplingSpec extends SparkSpec {
     assert(extra.count() == 0)
   }
 
+  test("mixture sampling is partition-layout invariant") {
+    import org.apache.spark.sql.functions._
+    val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.mixtureSample(d, "text", "doc_id", "source", weights, 5000L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = ids(docs)
+    val b = ids(docs.repartition(17, col("source")))
+    val c = ids(docs.coalesce(1))
+    assert(a == b && b == c,
+      "sample must depend only on ids, never on partitioning")
+  }
+
   test("stratified sampling respects per-stratum fractions") {
     val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.0)
     val sampled = Sampling.stratified(docs, "lang", fractions)

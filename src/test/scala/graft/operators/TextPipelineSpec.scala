@@ -112,6 +112,16 @@ class TextPipelineSpec extends SparkSpec {
     assert(pb(2L) != pb(1L) && pb(2L) != pb(3L))
   }
 
+  test("PII redaction is idempotent: redacting redacted text is a no-op") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select(concat($"text", lit(" mail a.b@c.io tel 415-555-0100 "),
+        lit("ip 10.1.2.3")).as("text"))
+    val once = docs.select(TextPipeline.redactPii($"text").as("r"))
+    val twice = once.select(TextPipeline.redactPii($"r").as("r"))
+    assert(once.as[String].collect().toSeq ==
+      twice.as[String].collect().toSeq)
+  }
+
   test("PII redaction replaces emails, phones, IPs; prose untouched") {
     val df = Seq(
       "mail me at jane.doe+x@sub.example.org today",
