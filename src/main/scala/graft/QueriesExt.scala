@@ -469,6 +469,49 @@ object QueriesExt {
       chunkSize = 32, overlap = 8)
       .orderBy("doc_id", "chunk_id")
 
+  /** Greedy sequence-packing laws: chunk the corpus (x38 parameters), pack
+    * into 30-token bins (full 32-token windows are deliberately oversize,
+    * exercising the isolation path), and emit the partition-INVARIANT
+    * contract — conservation (chunk/token totals match the chunking math),
+    * zero multi-member bins over capacity, zero bin_fill/member-sum
+    * mismatches, zero oversize chunks sharing a bin, zero lost or
+    * duplicated chunk ids. Bin COMPOSITION is partition-dependent by
+    * design (next-fit within each range partition), so the hashed oracle
+    * is this law set, not bin ids. Laws are materialized eagerly off a
+    * persisted packing (two single-row aggregates) and the cache is
+    * released before returning.
+    */
+  def packingLaws(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 30L
+    val chunks = TextPipeline.chunkByTokens(t(spark, dir, "documents"),
+      "text", "doc_id", chunkSize = 32, overlap = 8)
+      .select((col("doc_id") * 100000L + col("chunk_id")).as("cid"),
+        col("n_tokens"))
+    val packed = TextPipeline.packChunks(chunks, "n_tokens", "cid",
+      capacity).persist()
+    val totals = packed.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      (count(lit(1)) - countDistinct(col("cid"))).as("n_dup"))
+      .head()
+    val binLaws = packed.groupBy(col("bin_id"))
+      .agg(sum(col("n_tokens")).as("tot"), first(col("bin_fill")).as("fill"),
+        count(lit(1)).as("members"), max(col("n_tokens")).as("maxtok"))
+      .agg(
+        sum(when(col("fill") > capacity && col("members") > 1, 1L)
+          .otherwise(0L)).as("n_cap"),
+        sum(when(col("tot") =!= col("fill"), 1L).otherwise(0L)).as("n_mis"),
+        sum(when(col("maxtok") > capacity && col("members") > 1, 1L)
+          .otherwise(0L)).as("n_iso"))
+      .head()
+    packed.unpersist()
+    import spark.implicits._
+    Seq((totals.getLong(0), totals.getLong(1), binLaws.getLong(0),
+      binLaws.getLong(1), binLaws.getLong(2), totals.getLong(2)))
+      .toDF("n_chunks", "n_tokens", "n_capacity_violations",
+        "n_fill_mismatch", "n_oversize_not_alone", "n_dup_chunk_ids")
+  }
+
   /** GPT-3-style 13-gram benchmark decontamination, with the corpus's
     * first 20 documents standing in as the benchmark set: each benchmark
     * doc flags itself (exactly) and any near-duplicate sharing a 13-gram.
@@ -888,7 +931,8 @@ object QueriesExt {
     "x44_merge_upsert" -> mergeUpsert _,
     "x45_substring_dedup" -> substringDedupStats _,
     "x46_ngram_lm" -> ngramLmScore _,
-    "x47_hard_negatives" -> hardNegativeMining _)
+    "x47_hard_negatives" -> hardNegativeMining _,
+    "x48_packing" -> packingLaws _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1169,6 +1213,30 @@ object QueriesExt {
         |   CAST(i*24+32 AS INT)), ' ') AS chunk_text
         |FROM (SELECT doc_id, t, unnest(range(0, k)) AS i FROM nch)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // packing laws: DuckDB replays the chunking math for the conservation
+    // totals; the law counters are zero by contract (capacity, fill
+    // consistency, oversize isolation, no lost/duplicated chunks)
+    "x48_packing" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t FROM documents
+        |), nch AS (
+        | SELECT doc_id, t,
+        |  CASE WHEN len(t) <= 32 THEN 1
+        |   ELSE CAST(floor((len(t) - 32 + 23) / 24.0) AS BIGINT) + 1 END AS k
+        | FROM toks
+        |), ch AS (
+        | SELECT CAST(len(list_slice(t, CAST(i*24+1 AS INT),
+        |   CAST(i*24+32 AS INT))) AS BIGINT) AS n_tokens
+        | FROM (SELECT doc_id, t, unnest(range(0, k)) AS i FROM nch)
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(0 AS BIGINT) AS n_capacity_violations,
+        | CAST(0 AS BIGINT) AS n_fill_mismatch,
+        | CAST(0 AS BIGINT) AS n_oversize_not_alone,
+        | CAST(0 AS BIGINT) AS n_dup_chunk_ids
+        |FROM ch""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

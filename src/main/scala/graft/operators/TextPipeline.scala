@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -91,9 +90,16 @@ object TextPipeline {
     * any duplicated run >= k tokens is covered by duplicated windows).
     *
     * Scale shape: the occurrence stream carries (8-byte window hash, id,
-    * position) — never text; one hash-partitioned shuffle ranks
-    * occurrences; the marked-token explode is bounded by duplicated
-    * occurrences x k, which the dup rate, not the corpus, determines.
+    * position) — never text; the marked-token explode is bounded by
+    * duplicated occurrences x k, which the dup rate, not the corpus,
+    * determines. Canonical selection is a two-phase aggregate-min + join,
+    * NOT a `row_number` window: a window over the hash would funnel every
+    * occurrence of one hot window (a boilerplate 20-token run repeated
+    * 10^8 times in a 100 TB corpus) into a single sort task. The
+    * `min(struct(id, pos))` hash-aggregate map-side-combines a hot hash to
+    * one row per map partition, and the probe join back onto the
+    * occurrence stream is AQE-skew-splittable — no operator in the plan
+    * ever needs all occurrences of one hash in one task.
     */
   private def markedDuplicateTokens(df: DataFrame, textCol: String,
       idCol: String, k: Int): (DataFrame, DataFrame) = {
@@ -105,11 +111,17 @@ object TextPipeline {
         sequence(lit(0), col("__n") - k),
         i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))))
         .as(Seq("__pos", "__g")))
-    val ranked = occ.withColumn("__rn",
-      row_number().over(Window.partitionBy("__g")
-        .orderBy(col(idCol), col("__pos"))))
+    // global canonical occurrence per window hash = min(id, pos); windows
+    // seen once mark nothing and drop out of the probe side's build input
+    val canon = occ
+      .groupBy(col("__g"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__c"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("__g"), col("__c"))
     // 1-based token positions covered by a non-canonical occurrence
-    val marked = ranked.filter(col("__rn") > 1)
+    val marked = occ.join(canon, Seq("__g"))
+      .filter(struct(col(idCol), col("__pos")) =!= col("__c"))
       .select(col(idCol),
         explode(sequence(col("__pos") + 1, col("__pos") + k))
           .as("__tokpos"))
@@ -160,6 +172,13 @@ object TextPipeline {
     *
     * Output: input columns + `bin_id` + `bin_fill` (the bin's final token
     * total, repeated on each member row).
+    *
+    * Memory shape: the iterator buffers ONE bin at a time — at most
+    * `capacity / min-chunk-tokens` rows (or a single oversize chunk) —
+    * never the partition's whole output. Post-chunking partitions are the
+    * largest in the pipeline; buffering them wholesale (the naive
+    * `ArrayBuffer`-then-iterator shape) is heap ∝ partition size and dies
+    * exactly where the data is biggest.
     */
   def packChunks(df: DataFrame, tokenCountCol: String, idCol: String,
       capacity: Long): DataFrame = {
@@ -174,27 +193,54 @@ object TextPipeline {
     val nIdx = sorted.schema.fieldIndex(tokenCountCol)
     sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      var bin = 0L
-      var fill = 0L
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      def flush(): Unit = {
-        buf.foreach { r =>
-          out += Row.fromSeq(r.toSeq :+ ((pid << 40) | bin) :+ fill)
-        }
-        buf.clear(); bin += 1; fill = 0L
-      }
-      it.foreach { r =>
-        val n = r.get(nIdx) match {
-          case l: Long => l
-          case i: Int => i.toLong
-        }
-        if (fill > 0 && fill + n > capacity) flush()
-        buf += r; fill += n
-      }
-      if (buf.nonEmpty) flush()
-      out.iterator
+      packIterator(it, nIdx, capacity, pid)
     }(enc)
+  }
+
+  /** Lazy next-fit bin packer over one partition's row stream: pulls rows
+    * until the current bin closes (next row would overflow `capacity`),
+    * emits that bin's rows stamped with (bin_id, bin_fill), then pulls the
+    * next bin. Only the open bin is ever buffered.
+    */
+  private[operators] def packIterator(it: Iterator[org.apache.spark.sql.Row],
+      nIdx: Int, capacity: Long, pid: Long)
+      : Iterator[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    def tokensOf(r: Row): Long = r.get(nIdx) match {
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    new Iterator[Row] {
+      private var bin = 0L
+      private var pending: Row = null // overflow row: starts the next bin
+      private var emit: Iterator[Row] = Iterator.empty
+      private def fillNextBin(): Unit = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var fill = 0L
+        if (pending != null) {
+          buf += pending; fill = tokensOf(pending); pending = null
+        }
+        var closed = false
+        while (!closed && it.hasNext) {
+          val r = it.next()
+          val n = tokensOf(r)
+          if (fill > 0 && fill + n > capacity) { pending = r; closed = true }
+          else { buf += r; fill += n }
+        }
+        val id = (pid << 40) | bin
+        bin += 1
+        val f = fill
+        emit = buf.iterator.map(r => Row.fromSeq(r.toSeq :+ id :+ f))
+      }
+      def hasNext: Boolean = {
+        while (!emit.hasNext && (pending != null || it.hasNext)) fillNextBin()
+        emit.hasNext
+      }
+      def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("empty packing")
+        emit.next()
+      }
+    }
   }
 
   /** Redact common PII surface forms: emails, NNN-NNN-NNNN phone numbers,

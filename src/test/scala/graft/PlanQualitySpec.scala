@@ -270,10 +270,16 @@ class PlanQualitySpec extends SparkSpec {
       "doc_id", k = 20)
     val p = plan(df)
     assert(p.contains("xxhash64"), p.take(3000))
-    // the ranking window partitions by the 8-byte hash; document text
-    // must not survive into any exchange
+    // occurrences shuffle by the 8-byte hash; document text must not
+    // survive into any exchange
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(__g")
     assert(exchangeIdx >= 0, p.take(3000))
+    // hot-window safety: canonical selection is a partially-aggregated
+    // min(struct) + join, NEVER a sort-rank window — a Window over __g
+    // funnels every occurrence of one hot hash into a single task
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      p.take(3000))
   }
 
   test("whole-stage codegen covers the scan-project-filter spine of q15") {

@@ -83,6 +83,64 @@ class TextPipelineSpec extends SparkSpec {
     assert(cleaned(3L) == "no duplicated content in this document at all")
   }
 
+  test("mega-duplicate hot window: one window repeated across 10^4 docs " +
+      "marks all non-canonical copies without a rank window") {
+    // every doc shares the SAME 5-token window at position 1; only the
+    // trailing token differs. Pre-fix this was a single-task sort over all
+    // 10^4 occurrences of the hot hash; the aggregate-min path must give
+    // the identical answer (canonical = lowest doc_id, everything else
+    // drops its 5 shared tokens).
+    val n = 10000
+    val docs = spark.range(n)
+      .selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta epsilon u', id) AS text")
+    val stats = TextPipeline.duplicatedSpanStats(docs, "text", "doc_id",
+      k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.length == n)
+    stats.foreach { case (id, nt, nd, nk) =>
+      assert(nt == 6L)
+      if (id == 0L) assert(nd == 0L && nk == 6L, s"canonical doc $id")
+      else assert(nd == 5L && nk == 1L, s"doc $id")
+    }
+  }
+
+  test("mega-duplicate within one doc: periodic text keeps one period") {
+    // one doc = a 5-token run repeated 1000x: every window at pos >= 6
+    // duplicates one of the 5 canonical phase windows, so exactly the
+    // first period survives
+    val period = "a b c d e "
+    val docs = Seq((1L, (period * 1000).trim)).toDF("doc_id", "text")
+    val stats = TextPipeline.duplicatedSpanStats(docs, "text", "doc_id",
+      k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats == Seq((1L, 5000L, 4995L, 5L)))
+    val cleaned = TextPipeline.dropDuplicatedSpans(docs, "text", "doc_id",
+      k = 5)
+      .as[(Long, String)].collect().head
+    assert(cleaned._2 == "a b c d e")
+  }
+
+  test("packIterator is lazy: emitting one bin pulls at most one bin + 1 " +
+      "from the source") {
+    import org.apache.spark.sql.Row
+    var pulled = 0
+    val source = Iterator.tabulate(1000) { i =>
+      pulled += 1
+      Row(i.toLong, 10L)
+    }
+    val out = TextPipeline.packIterator(source, nIdx = 1, capacity = 64L,
+      pid = 0L)
+    // first bin holds 6 chunks of 10 tokens; materializing it may pull the
+    // 7th row (the overflow row that opens bin 1) but nothing beyond
+    val first = out.take(6).toList
+    assert(first.map(_.getLong(2)).distinct == List(0L))
+    assert(first.forall(_.getLong(3) == 60L))
+    assert(pulled <= 7, s"pulled $pulled rows for one 6-row bin")
+    // and draining the rest loses nothing
+    assert(out.size == 994)
+  }
+
   test("sequence packing: bins respect capacity, oversize isolates, " +
       "no chunk lost") {
     val chunks = spark.range(100).selectExpr("id",
