@@ -564,10 +564,12 @@ object QueriesExt {
     val n = 999L
     val bounds = Seq((0L, n / 2), (n / 2, n))
     val survivorIds = bounds.flatMap { case (lo, hi) =>
-      Dedup.incrementalMinhashDedup(
+      val surv = Dedup.incrementalMinhashDedup(
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
         prefix, "text", "doc_id", threshold = 0.8, buckets = 4)
-        .select(col("doc_id")).collect().map(_.getLong(0))
+      val ids = surv.select(col("doc_id")).collect().map(_.getLong(0))
+      surv.unpersist() // fold consumed; the returned frame is caller-owned
+      ids
     }
     Dedup.dropIncrementalDedupState(spark, prefix)
     survivorIds.toDF("doc_id").orderBy("doc_id")
@@ -688,7 +690,7 @@ object QueriesExt {
     // persisted survivor set exactly once before the next stage builds on
     // it — a 7-branch union would race the caches and recompute the chain
     import spark.implicits._
-    Seq(
+    val counts = Seq(
       "0_all" -> docs.count(),
       "1_quality_lang" -> kept1.count(),
       "2_exact_dedup" -> kept2.count(),
@@ -696,6 +698,11 @@ object QueriesExt {
       "4_decontaminated" -> kept4.count(),
       "5_sampled" -> kept5.count(),
       "6_chunks" -> chunks.count())
+    // the eager counts above materialized every stage; the caches are dead
+    // the moment the last count returns — release them here or they squat
+    // executor storage memory for the rest of the process
+    Seq(kept1, kept2, kept3, kept4, kept5).foreach(_.unpersist())
+    counts
       .toDF("stage", "n")
       .orderBy("stage")
   }

@@ -311,7 +311,9 @@ object Dedup {
 
     // materialize survivors BEFORE unpersisting: the caller's action on
     // the returned frame would otherwise re-derive the shingle/signature
-    // subtree several times over — the exact cost the persist avoids
+    // subtree several times over — the exact cost the persist avoids.
+    // Ownership: the returned frame is handed to the caller PERSISTED and
+    // already materialized; the caller unpersists once it has consumed it.
     val survivors = batch.join(
       losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -358,6 +360,12 @@ object Dedup {
     * = O(log(diameter)), and dup-cluster diameters are tiny in practice, so
     * `maxIter` defaults low. Convergence is checked with a cheap count of
     * changed labels. Both regimes produce identical labels (min reachable id).
+    *
+    * Cache ownership: the fast path returns an UNcached local frame (all
+    * intermediates released here). The iterative path returns the final
+    * `labels` frame cached — its lineage is the whole loop, so dropping the
+    * cache before the caller materializes would replay every iteration;
+    * callers on that path own the unpersist after consuming.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10,

@@ -52,7 +52,14 @@ final case class LakehouseResult(
     factPartsSales: DataFrame,
     dimDate: DataFrame,
     dqResults: DataFrame,
-    run: graft.dq.PipelineRun)
+    run: graft.dq.PipelineRun,
+    cached: Seq[DataFrame] = Nil) {
+  /** Release every cache this run pinned (silver and gold frames). Call
+    * once the result frames have been consumed; the frames stay valid,
+    * later actions just recompute.
+    */
+  def unpersistAll(): Unit = cached.foreach(_.unpersist())
+}
 
 object LakehousePipeline {
 
@@ -137,6 +144,8 @@ object LakehousePipeline {
     }
 
     LakehouseResult(dimCustomer, factWorkOrder, factPartsSales, dimDate, dqDf,
-      run)
+      run,
+      cached = Seq(customersS, workOrdersS, partsSalesS, dimCustomer,
+        factWorkOrder, factPartsSales))
   }
 }

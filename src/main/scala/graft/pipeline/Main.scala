@@ -32,6 +32,7 @@ object Main {
         s"fact_parts_sales=${result.run.rows_fact_parts_sales} " +
         s"duration=${result.run.duration_seconds}s")
     result.dqResults.show(20, truncate = false)
+    result.unpersistAll()
     spark.stop()
   }
 }

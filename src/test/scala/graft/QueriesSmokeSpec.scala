@@ -2,13 +2,18 @@ package graft
 
 /** Every registered query must run on sf0.001 and produce rows (the oracle
   * value check is the driver's t2 gate; locally replicated by
-  * tools/check_oracle.py).
+  * tools/check_oracle.py) — and must release every cache it pinned:
+  * a query that leaves persisted RDDs behind squats executor storage
+  * memory for the rest of a 96-query (or 10⁴-job production) session.
   */
 class QueriesSmokeSpec extends SparkSpec {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name runs and returns rows") {
+    test(s"$name runs, returns rows, and leaves no cached RDDs") {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       assert(fn(spark, sfDir).count() > 0)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked cached RDDs: $leaked")
     }
   }
 

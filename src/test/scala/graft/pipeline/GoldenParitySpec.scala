@@ -84,6 +84,7 @@ class GoldenParitySpec extends SparkSpec {
     assertSameRows(again.dimCustomer,
       result.dimCustomer.select(
         result.dimCustomer.columns.map(c => col(c).cast("string")).toSeq: _*))
+    again.unpersistAll()
   }
 
   test("MapToUnknown policy conforms the 8 dangling work-order FKs to -1") {
@@ -102,5 +103,6 @@ class GoldenParitySpec extends SparkSpec {
       .join(documented.dimCustomer.select("customer_id"),
         Seq("customer_id"), "left_anti").count()
     assert(danglingLeft == 0)
+    documented.unpersistAll()
   }
 }
