@@ -157,10 +157,25 @@ object Bench {
     val total = results.map(_._2).sum
     val viol = spreadViolations.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminated = spreadViolations.nonEmpty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       f""","wall_sec":$wallSec%.1f,"gc_sec":$gcSec%.1f,"heap_max_mb":$heapMax""" +
       s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol""" +
-      s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}""")
+      s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}"""
+    println(json)
+    // stdout can be tail-truncated by the harness (r07 lost the timings
+    // map that way) — also land the artifact on disk so per-query numbers
+    // always survive. Env-overridable for read-only working dirs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] artifact written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
