@@ -22,7 +22,7 @@ import graft.operators.{Conform, DateDim, DedupLatest}
 object QueriesCore {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.load(spark, dir, name)
 
   /** exact-decimal sum of a 2dp money column, surfaced as double */
   private def moneySum(c: String): org.apache.spark.sql.Column =

@@ -16,7 +16,7 @@ import graft.operators.{Dedup, Sampling, Sessionize, Similarity, TextPipeline}
 object QueriesExt {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.load(spark, dir, name)
 
   /** The events table ships with parquet TIMESTAMP(NANOS), which Spark does
     * not read natively: sessions set `spark.sql.legacy.parquet.nanosAsLong`

@@ -532,7 +532,10 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
-    val withTf = df
+    // the ICWS signature (numHashes samples x shingles per doc, ~75% of
+    // this operator's CPU) evaluates in the stage below — make sure an
+    // undersplit source doesn't serialize it (no-op at production scale)
+    val withTf = graft.Tables.widenForKernel(df, col(idCol))
       .select(col(idCol), shingleTf(col(textCol), shingleK).as("__tf"))
 
     val banded = withTf
@@ -562,14 +565,31 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val tfA = withTf.select(col(idCol).as("id_a"), col("__tf").as("__tf_a"))
-    val tfB = withTf.select(col(idCol).as("id_b"), col("__tf").as("__tf_b"))
-    pairIds.join(tfA, Seq("id_a")).join(tfB, Seq("id_b"))
+    // Verify with ONE more TF pass, not two: the TF expression (tokenize +
+    // shingle-hash + sort + aggregate) dominates this operator's CPU, and
+    // the classic pairIds⋈tfA⋈tfB tail would stream the full-corpus TF
+    // evaluation once per side. Instead unpivot each pair into two
+    // (pair, side, id) rows, probe `withTf` once (pair side broadcasts —
+    // it's candidates, not corpus), and reassemble the two sides with a
+    // groupBy whose shuffle carries only the CANDIDATE docs' TF structs.
+    val pairSides = pairIds
+      .select(struct(col("id_a"), col("id_b")).as("__pk"),
+        explode(array(
+          struct(lit("a").as("__side"), col("id_a").as(idCol)),
+          struct(lit("b").as("__side"), col("id_b").as(idCol))))
+          .as("__s"))
+      .select(col("__pk"), col("__s.__side").as("__side"),
+        col("__s." + idCol).as(idCol))
+    pairSides.join(withTf, Seq(idCol))
+      .groupBy(col("__pk"))
+      .agg(max(when(col("__side") === "a", col("__tf"))).as("__tf_a"),
+        max(when(col("__side") === "b", col("__tf"))).as("__tf_b"))
       .withColumn("wjaccard", weightedJaccard(
         col("__tf_a.hashes"), col("__tf_a.weights"),
         col("__tf_b.hashes"), col("__tf_b.weights")))
       .filter(col("wjaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("wjaccard"))
+      .select(col("__pk.id_a").as("id_a"), col("__pk.id_b").as("id_b"),
+        col("wjaccard"))
   }
 
   /** Weighted-Jaccard near-dedup: greedy min-id survivor rule over

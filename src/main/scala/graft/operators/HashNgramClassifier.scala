@@ -117,8 +117,11 @@ object HashNgramClassifier {
       lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
       batchFraction: Double = 1.0, minDocFreq: Int = 1,
       earlyStopTol: Double = 0.0, adagrad: Boolean = false): Model = {
-    // hash once; epochs iterate over compact (label, buckets, nfeat) rows
-    val feats = df
+    // hash once; epochs iterate over compact (label, buckets, nfeat) rows.
+    // Widen first: the feature hashing below and every epoch's
+    // score+gradient pass run over this frame's partitioning, and an
+    // undersplit source would serialize all of them (no-op at scale).
+    val feats = graft.Tables.widenForKernel(df, col(textCol))
       .select(col(labelCol).cast("double").as("__y"),
         buckets(col(textCol), numBuckets, wordNgrams).as("__b"))
       .withColumn("__nf", greatest(size(col("__b")), lit(1)))
