@@ -650,6 +650,57 @@ object QueriesExt {
       .toDF("n_rows", "sum_price", "n_versions", "v0_rows")
   }
 
+  /** File-skipping versioned reads: build a range-clustered versioned
+    * table over lineitem with per-file min/max stats on `l_orderkey`,
+    * MERGE a price bump for a narrow key band (v1 — whose files, being
+    * join output, lose the clustering), then [[graft.sources.VersionedTable
+    * .recluster]] (v2 — the jar-free OPTIMIZE analogue that restores it).
+    * Emits the range-read values at v0 (a TIME-TRAVEL read that must scan
+    * only stats-surviving files) and at v2, plus the skip laws:
+    * `v0_skips`/`v2_skips` — the pruned read touched a strict subset of
+    * files — and `v1_matches` — the unclustered version still returns
+    * exactly the reclustered version's rows (pruning is an index, never a
+    * filter). File COUNTS stay out of the compared columns: range
+    * partition boundaries come from Spark's sampler, which DuckDB cannot
+    * replay; values and laws are engine-portable, layouts are not.
+    */
+  def statsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-x49")
+      .toString + "/tbl"
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    VersionedTable.init(base, root, statsColumns = Seq("l_orderkey"))
+    val updates = VersionedTable.read(spark, root)
+      .filter(col("l_orderkey").between(1500, 1599))
+      .withColumn("l_extendedprice", col("l_extendedprice") + 1.0)
+    VersionedTable.merge(spark, root, updates,
+      Seq("l_orderkey", "l_linenumber"))
+    VersionedTable.recluster(spark, root, "l_orderkey", partitions = 8)
+    def rangeAgg(v: Int) =
+      VersionedTable.readRange(spark, root, "l_orderkey", 1000, 2000,
+        Some(v))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("s"))
+        .head()
+    val (a0, a1, a2) = (rangeAgg(0), rangeAgg(1), rangeAgg(2))
+    val (read0, tot0) = VersionedTable.pruneCounts(spark, root,
+      "l_orderkey", 1000, 2000, Some(0))
+    val (read2, tot2) = VersionedTable.pruneCounts(spark, root,
+      "l_orderkey", 1000, 2000, Some(2))
+    val tmpRoot = new java.io.File(root).getParentFile
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot)
+    import spark.implicits._
+    Seq((a0.getLong(0), a0.getDouble(1), a2.getLong(0), a2.getDouble(1),
+      read0 > 0 && read0 < tot0, read2 > 0 && read2 < tot2,
+      a1.getLong(0) == a2.getLong(0) && a1.getDouble(1) == a2.getDouble(1)))
+      .toDF("n_v0", "sum_v0", "n_v2", "sum_v2",
+        "v0_skips", "v2_skips", "v1_matches")
+  }
+
   /** End-to-end corpus-preparation funnel — the capstone composition a
     * training-data pipeline actually runs, each stage an already-verified
     * operator: quality/language filter (x25 semantics) → exact dedup (x01)
@@ -939,7 +990,8 @@ object QueriesExt {
     "x45_substring_dedup" -> substringDedupStats _,
     "x46_ngram_lm" -> ngramLmScore _,
     "x47_hard_negatives" -> hardNegativeMining _,
-    "x48_packing" -> packingLaws _)
+    "x48_packing" -> packingLaws _,
+    "x49_stats_skipping" -> statsSkipping _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1244,6 +1296,20 @@ object QueriesExt {
         | CAST(0 AS BIGINT) AS n_oversize_not_alone,
         | CAST(0 AS BIGINT) AS n_dup_chunk_ids
         |FROM ch""".stripMargin,
+    // stats-skipping laws: DuckDB replays the range-read VALUES from the
+    // raw table (v0 = base slice; v2 = base slice + 1.00/row for the
+    // merged band); the skip/match laws are TRUE by contract. File counts
+    // stay out: range-partition boundaries are Spark-sampler-specific.
+    "x49_stats_skipping" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_v0,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_v0,
+        | CAST(COUNT(*) AS BIGINT) AS n_v2,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) +
+        |   CAST(COUNT(*) FILTER (WHERE l_orderkey BETWEEN 1500 AND 1599)
+        |     AS DECIMAL(18,2)) AS DOUBLE) AS sum_v2,
+        | TRUE AS v0_skips, TRUE AS v2_skips, TRUE AS v1_matches
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

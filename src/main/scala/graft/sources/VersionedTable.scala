@@ -43,6 +43,114 @@ object VersionedTable {
 
   private def pointer(root: String) = new Path(root, "_LATEST")
 
+  private def statsColsPath(root: String) = new Path(root, "_STATS_COLS")
+
+  /** Stat columns configured at [[init]]; empty when the table keeps no
+    * file stats.
+    */
+  def statsColumns(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val p = statsColsPath(root)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Compute per-file (min, max, row count) for `cols` over the parquet
+    * files in `dataDir` and write them as `<dataDir>/_stats` — an
+    * underscore-prefixed directory, so ordinary reads of the version
+    * ignore it. One row per data file, keyed by file NAME (the version
+    * directory renames from its stage path at commit).
+    *
+    * This is the file-level min/max index a format-native table (Delta
+    * checkpoint, Iceberg manifest) carries; jar-free here, the cost is one
+    * aggregation job re-scanning the just-written (page-cache-warm)
+    * version instead of harvesting footers during the write.
+    */
+  private def writeFileStats(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dataDir)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val aggs = count(lit(1)).as("n_rows") +: present.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_stats")
+  }
+
+  /** Per-file stats of a version (file, n_rows, min_/max_ per configured
+    * column). Fails if the table keeps no stats.
+    */
+  def fileStats(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"no such table: $root")
+    spark.read.parquet(s"$root/v=$v/_stats")
+  }
+
+  /** Data-skipping range read: `column BETWEEN lower AND upper` over a
+    * version, scanning ONLY the files whose [min, max] span intersects
+    * the range (all-null files — null min/max — are skipped too, a range
+    * predicate cannot match them). Row-level filtering still applies: the
+    * file stats are a pruning index, not the predicate.
+    *
+    * Falls back to a plain filtered read when the table has no stats for
+    * `column` — same result, no skipping.
+    */
+  def readRange(spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"no such table: $root")
+    val pred = col(column).between(lit(lower), lit(upper))
+    if (!statsColumns(spark, root).contains(column))
+      return read(spark, root, Some(v)).filter(pred)
+    val files = fileStats(spark, root, Some(v))
+      .filter(col(s"max_$column") >= lit(lower) &&
+        col(s"min_$column") <= lit(upper))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty)
+      read(spark, root, Some(v)).filter(lit(false))
+    else
+      spark.read.parquet(files.map(f => s"$root/v=$v/$f").toSeq: _*)
+        .filter(pred)
+  }
+
+  /** (files scanned, files total) for the range over a version — the
+    * skip-ratio observability hook readers alert on.
+    */
+  def pruneCounts(spark: SparkSession, root: String, column: String,
+      lower: Any, upper: Any, version: Option[Int] = None): (Long, Long) = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val st = fileStats(spark, root, Some(v))
+    val r = st.agg(count(lit(1)).as("total"),
+      sum((col(s"max_$column") >= lit(lower) &&
+        col(s"min_$column") <= lit(upper)).cast("long")).as("kept"))
+      .head()
+    (Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(0))
+  }
+
+  /** Range-cluster the latest version on `key` as a new version (the
+    * jar-free analogue of OPTIMIZE ZORDER for one dimension): after
+    * mutations scramble file spans, this restores tight per-file min/max
+    * and with them the skip ratio. Data is row-identical; time travel and
+    * the commit protocol are untouched.
+    */
+  def recluster(spark: SparkSession, root: String, key: String,
+      partitions: Int): Int = {
+    val v = latestVersion(spark, root)
+    require(v >= 0, s"no such table: $root")
+    commitNext(spark, root,
+      read(spark, root, Some(v))
+        .repartitionByRange(partitions, col(key))
+        .sortWithinPartitions(key), v)
+  }
+
   /** Latest committed version, or -1 if the table does not exist. */
   def latestVersion(spark: SparkSession, root: String): Int = {
     val f = fs(spark, root)
@@ -86,6 +194,10 @@ object VersionedTable {
     val stage = new Path(root,
       s".stage-v$next-${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // stats ride the stage directory into the commit rename: they are
+    // published atomically with the data files they index
+    val statCols = statsColumns(spark, root)
+    if (statCols.nonEmpty) writeFileStats(spark, stage.toString, statCols)
     def conflict(now: Int): Nothing = {
       f.delete(stage, true)
       throw new ConcurrentCommitException(
@@ -105,11 +217,23 @@ object VersionedTable {
     next
   }
 
-  /** Create the table at version 0 (fails if it already exists). */
-  def init(df: DataFrame, root: String): Int = {
+  /** Create the table at version 0 (fails if it already exists). Pass
+    * `statsColumns` to maintain per-file min/max skipping stats on every
+    * version this table ever commits (see [[readRange]]).
+    */
+  def init(df: DataFrame, root: String,
+      statsColumns: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     require(latestVersion(spark, root) < 0, s"table already exists: $root")
+    if (statsColumns.nonEmpty) {
+      val f = fs(spark, root)
+      val out = f.create(statsColsPath(root), true)
+      try out.write(statsColumns.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=0")
+    if (statsColumns.nonEmpty)
+      writeFileStats(spark, s"$root/v=0", statsColumns)
     commitPointer(spark, root, 0)
     0
   }

@@ -107,6 +107,61 @@ class VersionedTableSpec extends SparkSpec {
       (0L until 100L).map(i => (i, i * 2)))
   }
 
+  test("file stats skip: clustered table prunes most files for a narrow " +
+      "range, pruned read equals unpruned filter") {
+    val root = freshRoot()
+    val base = spark.range(10000)
+      .select($"id", ($"id" % 97).as("payload"))
+      .repartitionByRange(10, $"id")
+      .sortWithinPartitions("id")
+    VersionedTable.init(base, root, statsColumns = Seq("id"))
+    // narrow range: at most 2 of 10 range-clustered files can span it
+    val (kept, total) = VersionedTable.pruneCounts(spark, root, "id",
+      2000, 2500)
+    assert(total == 10, s"expected 10 files, got $total")
+    assert(kept >= 1 && kept <= 2, s"skip ratio broken: $kept/$total")
+    val pruned = VersionedTable.readRange(spark, root, "id", 2000, 2500)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val full = VersionedTable.read(spark, root)
+      .filter($"id".between(2000, 2500))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(pruned == full && pruned.size == 501)
+  }
+
+  test("file stats survive merge and are rebuilt tight by recluster") {
+    val root = freshRoot()
+    val base = spark.range(10000).select($"id", lit(1L).as("v"))
+      .repartitionByRange(10, $"id").sortWithinPartitions("id")
+    VersionedTable.init(base, root, statsColumns = Seq("id"))
+    VersionedTable.merge(spark, root,
+      spark.range(50).select(($"id" * 200).as("id"), lit(2L).as("v")),
+      Seq("id"))
+    // v1 keeps stats (commit-maintained) and stays CORRECT even though the
+    // merge scrambled clustering; values must match the logical filter
+    val v1 = VersionedTable.readRange(spark, root, "id", 100, 300,
+      Some(1)).agg(sum($"v")).head().getLong(0)
+    assert(v1 == 202L) // 201 rows of v=1 plus one merged row upgraded to 2
+    VersionedTable.recluster(spark, root, "id", partitions = 10)
+    val (kept2, total2) = VersionedTable.pruneCounts(spark, root, "id",
+      100, 300, Some(2))
+    assert(total2 == 10 && kept2 <= 2,
+      s"recluster did not restore skipping: $kept2/$total2")
+    val v2 = VersionedTable.readRange(spark, root, "id", 100, 300, Some(2))
+      .agg(sum($"v")).head().getLong(0)
+    assert(v2 == v1)
+  }
+
+  test("readRange on an empty pruning result returns zero rows, not " +
+      "an error") {
+    val root = freshRoot()
+    VersionedTable.init(
+      spark.range(100).select($"id", $"id".as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions("id"),
+      root, statsColumns = Seq("id"))
+    assert(VersionedTable.readRange(spark, root, "id", 5000, 6000)
+      .count() == 0)
+  }
+
   test("vacuum drops versions outside the time-travel window") {
     val root = freshRoot()
     VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
