@@ -701,6 +701,42 @@ object QueriesExt {
         "v0_skips", "v2_skips", "v1_matches")
   }
 
+  /** Image content dedup through the REAL codec path: render one PNG test
+    * card per embeddings id ([[graft.multimodal.Multimodal
+    * .renderTestCards]] — real ImageIO encode), decode every card with the
+    * real per-pixel feature kernel, and dedup twice — by payload bytes
+    * and by decoded feature vector. The cards are built so both
+    * granularities reduce to id arithmetic (color pair = id%100, pixel
+    * arrangement = (id/100)%2; arrangements share the pixel MULTISET, so
+    * features collide exactly when the color pair does while bytes also
+    * need the arrangement) — DuckDB replays every output from the ids.
+    * `n_undecoded` = 0 proves no card fell back to the null-feature path;
+    * feature classes < byte classes proves decoded-content dedup is
+    * strictly stronger than byte dedup.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val cards = Multimodal.renderTestCards(
+      t(spark, dir, "embeddings").select(col("vec_id")), "vec_id")
+    val feats = Multimodal.decodeImageFeatures(cards, "asset")
+    val agg = feats.agg(
+      count(lit(1)).as("n_images"),
+      sum(col("image_features").isNull.cast("long")).as("n_undecoded"),
+      countDistinct(Multimodal.payloadHash(col("asset")))
+        .as("n_byte_classes"),
+      countDistinct(col("image_features")).as("n_feature_classes"))
+      .head()
+    val survivorSum = feats
+      .groupBy(col("image_features"))
+      .agg(min(col("vec_id")).as("keep"))
+      .agg(sum(col("keep"))).head().getLong(0)
+    import spark.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+      survivorSum))
+      .toDF("n_images", "n_undecoded", "n_byte_classes",
+        "n_feature_classes", "survivor_id_sum")
+  }
+
   /** End-to-end corpus-preparation funnel — the capstone composition a
     * training-data pipeline actually runs, each stage an already-verified
     * operator: quality/language filter (x25 semantics) → exact dedup (x01)
@@ -991,7 +1027,8 @@ object QueriesExt {
     "x46_ngram_lm" -> ngramLmScore _,
     "x47_hard_negatives" -> hardNegativeMining _,
     "x48_packing" -> packingLaws _,
-    "x49_stats_skipping" -> statsSkipping _)
+    "x49_stats_skipping" -> statsSkipping _,
+    "x50_image_neardup" -> imageNearDup _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1310,6 +1347,19 @@ object QueriesExt {
         |     AS DECIMAL(18,2)) AS DOUBLE) AS sum_v2,
         | TRUE AS v0_skips, TRUE AS v2_skips, TRUE AS v1_matches
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    // image dedup laws: the card construction makes byte identity
+    // (id%100, (id/100)%2) and decoded-feature identity (id%100) pure id
+    // arithmetic; n_undecoded = 0 is the real-decode guard
+    "x50_image_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+        | CAST(0 AS BIGINT) AS n_undecoded,
+        | CAST(COUNT(DISTINCT (vec_id % 100, (vec_id // 100) % 2))
+        |   AS BIGINT) AS n_byte_classes,
+        | CAST(COUNT(DISTINCT vec_id % 100) AS BIGINT) AS n_feature_classes,
+        | CAST((SELECT SUM(m) FROM
+        |   (SELECT MIN(vec_id) AS m FROM embeddings GROUP BY vec_id % 100))
+        |   AS BIGINT) AS survivor_id_sum
+        |FROM embeddings""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

@@ -369,6 +369,60 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 16x16 two-color test-card PNG per id — REAL ImageIO
+    * encode, built to exercise the decode path with a provable duplicate
+    * structure: the color pair comes from `id % 100` and the pixel
+    * ARRANGEMENT (checkerboard vs stripes) from `(id / 100) % 2`. Both
+    * arrangements place the same 50/50 pixel multiset, so
+    * [[decodeImageFeatures]]'s statistics (means, luma, histogram) are
+    * identical for every id sharing `id % 100` while the ENCODED BYTES
+    * only match when the arrangement matches too — feature-level content
+    * dedup is strictly stronger than byte-level, and both reduce to id
+    * arithmetic an external oracle can replay.
+    */
+  def renderTestCards(df: DataFrame, idCol: String,
+      outCol: String = "asset"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = df.schema.add(outCol, assetSchema)
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        Row.fromSeq(row.toSeq :+ Row(s"mem://card/$id", "image/png",
+          renderKernel(id), Map.empty[String, String]))
+      }
+    }(enc)
+  }
+
+  /** PNG bytes of one test card (see [[renderTestCards]]). PNG is
+    * lossless over TYPE_INT_RGB, so decoded pixels equal these exactly.
+    */
+  private[multimodal] def renderKernel(id: Long): Array[Byte] = {
+    val c = (id % 100).toInt
+    val a = ((c * 37) % 256) << 16 | ((c * 59) % 256) << 8 | ((c * 83) % 256)
+    // +7 offset keeps b != a for every c (64c mod 256 never hits 249), so
+    // the two arrangements are always byte-distinct
+    val b = ((c * 101 + 7) % 256) << 16 | ((c * 131 + 13) % 256) << 8 |
+      ((c * 151 + 29) % 256)
+    val stripes = (id / 100) % 2 == 1
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val first = if (stripes) x % 2 == 0 else (x + y) % 2 == 0
+        img.setRGB(x, y, if (first) a else b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Exact payload dedup across assets: keep the first uri per content hash. */
   def dedupByContent(df: DataFrame, assetCol: String): DataFrame = {
     val withHash = df.withColumn("__ph", payloadHash(col(assetCol)))

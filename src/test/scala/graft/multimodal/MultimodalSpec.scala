@@ -224,6 +224,28 @@ class MultimodalSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("test cards: real PNG round trip, feature classes collapse " +
+      "arrangements, byte classes do not") {
+    val ids = spark.range(400).select($"id".as("vec_id"))
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.renderTestCards(ids, "vec_id"), "asset")
+    val rows = feats.select($"vec_id", $"image_features",
+      Multimodal.payloadHash($"asset").as("ph")).collect()
+    assert(rows.length == 400 && rows.forall(!_.isNullAt(1)))
+    // checker id and stripes id of the same color pair: same features,
+    // different bytes; different color pair: different features
+    val bySeq = rows.map(r => r.getLong(0) ->
+      (r.getSeq[Float](1), r.getLong(2))).toMap
+    assert(bySeq(7L)._1 == bySeq(207L)._1)   // same pair, both checker
+    assert(bySeq(7L)._2 == bySeq(207L)._2)   // ... identical bytes too
+    assert(bySeq(7L)._1 == bySeq(107L)._1)   // stripes: features equal
+    assert(bySeq(7L)._2 != bySeq(107L)._2)   // ... but bytes differ
+    assert(bySeq(7L)._1 != bySeq(8L)._1)     // different pair differs
+    // decoded stats are exact: width, height, and the 50/50 histogram mass
+    val f = bySeq(0L)._1
+    assert(f(0) == 16.0f && f(1) == 16.0f)
+  }
+
   test("metadata-only projection prunes payload bytes from the scan") {
     val plan = assets.select($"asset.uri", $"asset.meta")
       .queryExecution.optimizedPlan.toString
