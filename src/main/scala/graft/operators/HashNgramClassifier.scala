@@ -133,22 +133,13 @@ object HashNgramClassifier {
     // latency budget here). Mini-batch still needs the true n up front to
     // size nEpoch.
     var n = -1.0
-    // rare-bucket freeze mask: filled from epoch 0's combined aggregation
-    // on the full-batch path; computed up front over the FULL frame on the
-    // mini-batch path (sampled epochs must not decide document frequency —
-    // a df-5 bucket shows 0-1 docs in a 10% sample and would be frozen by
-    // sampling noise; the extra job is paid only in this configuration)
+    // rare-bucket freeze mask: filled from epoch 0's single aggregation on
+    // BOTH paths. Sampled epochs must not decide document frequency (a
+    // df-5 bucket shows 0-1 docs in a 10% sample and would be frozen by
+    // sampling noise), so on the mini-batch path the FULL frame's count
+    // sentinel and df stream union into epoch 0's gradient job — same
+    // shuffle, no separate pre-pass jobs.
     val frozen: java.util.BitSet = new java.util.BitSet(numBuckets)
-    if (batchFraction < 1.0) {
-      n = feats.count().toDouble
-      require(n > 0, "fit needs a non-empty training frame")
-      if (minDocFreq > 1)
-        feats.select(explode(array_distinct(col("__b"))).as("__bk"))
-          .groupBy("__bk").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") < minDocFreq)
-          .collect()
-          .foreach(r => frozen.set(r.getInt(0)))
-    }
 
     val w = new Array[Float](numBuckets)
     val vel = new Array[Double](numBuckets)
@@ -174,9 +165,11 @@ object HashNgramClassifier {
         .withColumn("__g", col("__p") - col("__y"))
       // ONE job per epoch: bucket gradients plus sentinels riding the same
       // explode — bias gradient as bucket -1, row count as bucket -2
-      // (epoch 0, full batch), per-bucket document frequency as the __dfc
-      // field (epoch 0, minDocFreq > 1). Result rows <= numBuckets + 2,
-      // independent of corpus size.
+      // (epoch 0), per-bucket document frequency as the __dfc field
+      // (epoch 0, minDocFreq > 1). On the mini-batch path the count/df
+      // contributions come from the FULL frame unioned into the sampled
+      // gradient stream — still one shuffle, one collect. Result rows
+      // <= numBuckets + 2, independent of corpus size.
       val sentinels =
         struct(lit(-1).as("__bk"), col("__g").as("__gv"), lit(0L).as("__dfc")) +:
           (if (epoch == 0 && batchFraction >= 1.0)
@@ -194,16 +187,29 @@ object HashNgramClassifier {
             transform(array_distinct(col("__b")), b =>
               struct(b.as("__bk"), lit(0.0).as("__gv"), lit(1L).as("__dfc"))))
         else gradContribs
-      val grads = g
-        .select(explode(contribs).as("__c"))
+      val gradStream = g.select(explode(contribs).as("__c"))
+      // full-frame count + document-frequency stream (mini-batch, epoch 0)
+      val statStream =
+        if (epoch == 0 && batchFraction < 1.0) {
+          val countContrib = array(struct(lit(-2).as("__bk"),
+            lit(1.0).as("__gv"), lit(0L).as("__dfc")))
+          val statContribs =
+            if (minDocFreq > 1)
+              concat(countContrib,
+                transform(array_distinct(col("__b")), b =>
+                  struct(b.as("__bk"), lit(0.0).as("__gv"),
+                    lit(1L).as("__dfc"))))
+            else countContrib
+          Some(feats.select(explode(statContribs).as("__c")))
+        } else None
+      val grads = statStream.fold(gradStream)(gradStream.unionByName(_))
         .groupBy(col("__c.__bk").as("__bk"))
         .agg(sum(col("__c.__gv")).as("__s"), sum(col("__c.__dfc")).as("__df"))
         .collect()
       if (epoch == 0) {
-        if (batchFraction >= 1.0)
-          n = grads.find(_.getInt(0) == -2).map(_.getDouble(1)).getOrElse(0.0)
+        n = grads.find(_.getInt(0) == -2).map(_.getDouble(1)).getOrElse(0.0)
         require(n > 0, "fit needs a non-empty training frame")
-        if (minDocFreq > 1 && batchFraction >= 1.0) grads.foreach { r =>
+        if (minDocFreq > 1) grads.foreach { r =>
           val b = r.getInt(0)
           if (b >= 0 && r.getLong(2) < minDocFreq) frozen.set(b)
         }
