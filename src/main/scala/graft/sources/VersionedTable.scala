@@ -45,6 +45,38 @@ object VersionedTable {
 
   private def statsColsPath(root: String) = new Path(root, "_STATS_COLS")
 
+  private def partitionColsPath(root: String) =
+    new Path(root, "_PARTITION_COLS")
+
+  /** Partition columns configured at [[init]]; empty for unpartitioned
+    * tables.
+    */
+  def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val p = partitionColsPath(root)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  private def writeConfig(spark: SparkSession, path: Path,
+      lines: Seq[String]): Unit = {
+    val out = fs(spark, path.toString).create(path, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def writeData(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
+  }
+
   /** Stat columns configured at [[init]]; empty when the table keeps no
     * file stats.
     */
@@ -78,7 +110,13 @@ object VersionedTable {
     if (present.isEmpty) return
     val aggs = count(lit(1)).as("n_rows") +: present.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    df.groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+    // `file` is the path RELATIVE to the version directory (the part after
+    // the stage / v=N segment): partitioned layouts nest files under
+    // partition directories where bare names collide across partitions,
+    // and the stage directory renames away at commit
+    val rel = regexp_replace(input_file_name(),
+      "^.*?/(v=[0-9]+|\\.stage-[^/]+)/", "")
+    df.groupBy(rel.as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_stats")
@@ -117,7 +155,10 @@ object VersionedTable {
     if (files.isEmpty)
       read(spark, root, Some(v)).filter(lit(false))
     else
-      spark.read.parquet(files.map(f => s"$root/v=$v/$f").toSeq: _*)
+      // basePath keeps partition-directory columns derivable when reading
+      // leaf files of a partitioned layout; harmless otherwise
+      spark.read.option("basePath", s"$root/v=$v")
+        .parquet(files.map(f => s"$root/v=$v/$f").toSeq: _*)
         .filter(pred)
   }
 
@@ -193,7 +234,7 @@ object VersionedTable {
     val f = fs(spark, root)
     val stage = new Path(root,
       s".stage-v$next-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    writeData(df, stage.toString, partitionColumns(spark, root))
     // stats ride the stage directory into the commit rename: they are
     // published atomically with the data files they index
     val statCols = statsColumns(spark, root)
@@ -218,20 +259,23 @@ object VersionedTable {
   }
 
   /** Create the table at version 0 (fails if it already exists). Pass
-    * `statsColumns` to maintain per-file min/max skipping stats on every
-    * version this table ever commits (see [[readRange]]).
+    * `statsColumns` to maintain per-file min/max skipping stats, and/or
+    * `partitionBy` to hive-partition every version's layout, on every
+    * version this table ever commits (see [[readRange]]). Partition
+    * pruning on reads is Spark-native: filters on partition columns never
+    * touch excluded directories, and join queries get dynamic partition
+    * pruning from Catalyst unchanged.
     */
   def init(df: DataFrame, root: String,
-      statsColumns: Seq[String] = Nil): Int = {
+      statsColumns: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     require(latestVersion(spark, root) < 0, s"table already exists: $root")
-    if (statsColumns.nonEmpty) {
-      val f = fs(spark, root)
-      val out = f.create(statsColsPath(root), true)
-      try out.write(statsColumns.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-    }
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=0")
+    if (statsColumns.nonEmpty)
+      writeConfig(spark, statsColsPath(root), statsColumns)
+    if (partitionBy.nonEmpty)
+      writeConfig(spark, partitionColsPath(root), partitionBy)
+    writeData(df, s"$root/v=0", partitionBy)
     if (statsColumns.nonEmpty)
       writeFileStats(spark, s"$root/v=0", statsColumns)
     commitPointer(spark, root, 0)

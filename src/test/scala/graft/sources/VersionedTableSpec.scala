@@ -162,6 +162,58 @@ class VersionedTableSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("partitioned layout: merge round trip, partition filter prunes " +
+      "directories at the scan") {
+    val root = freshRoot()
+    val base = spark.range(1000)
+      .select($"id", ($"id" % 5).as("p"), lit(1L).as("v"))
+    VersionedTable.init(base, root, partitionBy = Seq("p"))
+    // layout check: hive-style partition directories exist
+    val dirs = new java.io.File(s"$root/v=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("p=")).sorted
+    assert(dirs.length == 5, s"expected 5 partition dirs, got ${dirs.toSeq}")
+    VersionedTable.merge(spark, root,
+      Seq((5000L, 2L, 9L)).toDF("id", "p", "v"), Seq("id"))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 1001)
+    assert(got.filter($"p" === 2).count() == 201)
+    // the partition predicate must land in PartitionFilters (directory
+    // pruning), not as a data filter over a full scan
+    val plan = got.filter($"p" === 2).queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*p#.*"),
+      plan.take(2000))
+  }
+
+  test("dynamic partition pruning engages on a dim-filtered join against " +
+      "the versioned fact") {
+    val root = freshRoot()
+    val fact = spark.range(10000)
+      .select($"id", ($"id" % 20).as("p"), ($"id" * 2).as("v"))
+    VersionedTable.init(fact, root, partitionBy = Seq("p"))
+    val dim = spark.range(20)
+      .select($"id".as("p"), concat(lit("g"), $"id" % 4).as("grp"))
+    val q = VersionedTable.read(spark, root)
+      .join(dim.filter($"grp" === "g0"), Seq("p"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+    assert(q.count() == 2500)
+  }
+
+  test("stats and partitioning compose: file column carries the " +
+      "partition-relative path") {
+    val root = freshRoot()
+    VersionedTable.init(
+      spark.range(1000).select($"id", ($"id" % 4).as("p")),
+      root, statsColumns = Seq("id"), partitionBy = Seq("p"))
+    val files = VersionedTable.fileStats(spark, root)
+      .select("file").collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.startsWith("p=")), files.toSeq)
+    val pruned = VersionedTable.readRange(spark, root, "id", 100, 200)
+    assert(pruned.count() == 101)
+    // partition column survives a leaf-file read via basePath
+    assert(pruned.columns.contains("p"))
+  }
+
   test("vacuum drops versions outside the time-travel window") {
     val root = freshRoot()
     VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
