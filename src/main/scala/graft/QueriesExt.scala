@@ -737,6 +737,25 @@ object QueriesExt {
         "n_feature_classes", "survivor_id_sum")
   }
 
+  /** Unicode-canonical fingerprints: every document's normalized text is
+    * bracketed by a COMPOSED "café" prefix and a DECOMPOSED
+    * "cafe"+U+0301 suffix, NFC-normalized, and md5-fingerprinted. The two
+    * bracket forms are byte-different but canonically equal, so the
+    * fingerprints match DuckDB's `nfc_normalize` replay iff both engines
+    * actually compose — an engine that skips NFC (or applies it
+    * differently) reddens every row. Pure projection: zero shuffles, and
+    * the NFC expression generates a direct static call so the scan spine
+    * stays in whole-stage codegen.
+    */
+  def nfcFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(TextFunctions.nfc(concat(
+          lit("caf\u00e9 "), // composed: U+00E9
+          TextFunctions.normalize(col("text")),
+          lit(" cafe\u0301")))).as("fp")) // decomposed: e + U+0301
+      .orderBy("doc_id")
+
   /** End-to-end corpus-preparation funnel — the capstone composition a
     * training-data pipeline actually runs, each stage an already-verified
     * operator: quality/language filter (x25 semantics) → exact dedup (x01)
@@ -1028,7 +1047,8 @@ object QueriesExt {
     "x47_hard_negatives" -> hardNegativeMining _,
     "x48_packing" -> packingLaws _,
     "x49_stats_skipping" -> statsSkipping _,
-    "x50_image_neardup" -> imageNearDup _)
+    "x50_image_neardup" -> imageNearDup _,
+    "x51_nfc_fingerprint" -> nfcFingerprint _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1360,6 +1380,15 @@ object QueriesExt {
         |   (SELECT MIN(vec_id) AS m FROM embeddings GROUP BY vec_id % 100))
         |   AS BIGINT) AS survivor_id_sum
         |FROM embeddings""".stripMargin,
+    // NFC law: the composed (chr 233) prefix and decomposed (chr 769
+    // combining acute) suffix canonically collide; md5 matches iff both
+    // engines actually compose
+    "x51_nfc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(nfc_normalize('caf' || chr(233) || ' ' ||
+        |   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) ||
+        |   ' cafe' || chr(769))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

@@ -19,6 +19,20 @@ object TextFunctions {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode NFC canonical composition (native codegen'd expression):
+    * composed and decomposed accent sequences — 'é' vs 'e'+U+0301 —
+    * become byte-identical, so downstream hashing/dedup cannot split on
+    * encoding-form accidents. Apply before [[normalize]] when the corpus
+    * may mix forms (scraped web text always does).
+    */
+  def nfc(text: Column): Column =
+    graft.functions.expr.UnicodeNormExprs.nfc(text)
+
+  /** [[normalize]] with Unicode NFC composition first — the full CCNet-
+    * style canonical form for cross-crawl dedup and fingerprinting.
+    */
+  def normalizeUnicode(text: Column): Column = normalize(nfc(text))
+
   /** 64-bit document fingerprint over normalized text (xxhash64 — the same
     * hash family Spark uses for shuffle hashing; stable across runs).
     */

@@ -84,4 +84,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(p > j)
     assert(p >= 0.0 && p <= 1.0 && j >= 0.0 && j <= 1.0)
   }
+
+  test("nfc: composed and decomposed forms collide, ascii passes through, " +
+      "idempotent, non-BMP safe") {
+    def nfcOf(s: String): String =
+      Seq(Tuple1(s)).toDF("t").select(TextFunctions.nfc($"t"))
+        .head().getString(0)
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(composed != decomposed)
+    assert(nfcOf(decomposed) == composed)
+    assert(nfcOf(composed) == composed)
+    assert(nfcOf(nfcOf(decomposed)) == nfcOf(decomposed))
+    assert(nfcOf("plain ascii stays") == "plain ascii stays")
+    val emoji = "a😀b" // U+1F600, surrogate pair
+    assert(nfcOf(emoji) == emoji)
+    // fingerprints built on normalizeUnicode agree across forms
+    val fps = Seq(Tuple1(composed), Tuple1(decomposed)).toDF("t")
+      .select(md5(TextFunctions.normalizeUnicode($"t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(fps.distinct.size == 1)
+  }
+
+  test("nfc expression stays inside whole-stage codegen") {
+    val df = spark.range(10).selectExpr("cast(id as string) AS t")
+      .select(TextFunctions.nfc($"t").as("n"))
+    // the "*(1)" stage prefix marks whole-stage-codegen'd operators; a
+    // CodegenFallback expression would strip it from the Project
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [nfc_normalize"), plan.take(1500))
+    assert(df.count() == 10)
+  }
 }
