@@ -617,6 +617,7 @@ object QueriesExt {
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-x44")
       .toString + "/tbl"
+    try {
     val base = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
       .filter(col("o_orderkey") < 4000)
@@ -640,14 +641,16 @@ object QueriesExt {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("sum_price"))
       .head()
-    // the law is fully materialized: drop the temp table before returning
-    // so repeated bench/verify runs don't accumulate /tmp directories
-    val tmpRoot = new java.io.File(root).getParentFile
-    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot)
     import spark.implicits._
     Seq((finalRow.getLong(0), finalRow.getDouble(1), nVersions.toLong,
       v0Rows))
       .toDF("n_rows", "sum_price", "n_versions", "v0_rows")
+    } finally {
+      // the law is fully materialized: drop the temp table on every exit
+      // path so repeated (or failed) runs don't accumulate /tmp copies
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
   }
 
   /** File-skipping versioned reads: build a range-clustered versioned
@@ -668,6 +671,7 @@ object QueriesExt {
     import graft.sources.VersionedTable
     val root = java.nio.file.Files.createTempDirectory("graft-x49")
       .toString + "/tbl"
+    try {
     val base = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .repartitionByRange(8, col("l_orderkey"))
@@ -691,14 +695,18 @@ object QueriesExt {
       "l_orderkey", 1000, 2000, Some(0))
     val (read2, tot2) = VersionedTable.pruneCounts(spark, root,
       "l_orderkey", 1000, 2000, Some(2))
-    val tmpRoot = new java.io.File(root).getParentFile
-    org.apache.commons.io.FileUtils.deleteDirectory(tmpRoot)
     import spark.implicits._
     Seq((a0.getLong(0), a0.getDouble(1), a2.getLong(0), a2.getDouble(1),
       read0 > 0 && read0 < tot0, read2 > 0 && read2 < tot2,
       a1.getLong(0) == a2.getLong(0) && a1.getDouble(1) == a2.getDouble(1)))
       .toDF("n_v0", "sum_v0", "n_v2", "sum_v2",
         "v0_skips", "v2_skips", "v1_matches")
+    } finally {
+      // laws are materialized before this point; drop the temp table on
+      // every exit path or failed runs accumulate /tmp lineitem copies
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
   }
 
   /** Image content dedup through the REAL codec path: render one PNG test
@@ -718,7 +726,9 @@ object QueriesExt {
     import graft.multimodal.Multimodal
     val cards = Multimodal.renderTestCards(
       t(spark, dir, "embeddings").select(col("vec_id")), "vec_id")
-    val feats = Multimodal.decodeImageFeatures(cards, "asset")
+    // two actions consume the decode output — persist so the codec kernel
+    // (the expensive stage) runs once, and release before returning
+    val feats = Multimodal.decodeImageFeatures(cards, "asset").persist()
     val agg = feats.agg(
       count(lit(1)).as("n_images"),
       sum(col("image_features").isNull.cast("long")).as("n_undecoded"),
@@ -730,6 +740,7 @@ object QueriesExt {
       .groupBy(col("image_features"))
       .agg(min(col("vec_id")).as("keep"))
       .agg(sum(col("keep"))).head().getLong(0)
+    feats.unpersist()
     import spark.implicits._
     Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
       survivorSum))

@@ -388,7 +388,11 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { it =>
       it.map { row =>
-        val id = row.getLong(idIdx)
+        val id = row.get(idIdx) match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"renderTestCards: id column must be numeric, got $other")
+        }
         Row.fromSeq(row.toSeq :+ Row(s"mem://card/$id", "image/png",
           renderKernel(id), Map.empty[String, String]))
       }

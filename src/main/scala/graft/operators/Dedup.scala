@@ -361,11 +361,12 @@ object Dedup {
     * `maxIter` defaults low. Convergence is checked with a cheap count of
     * changed labels. Both regimes produce identical labels (min reachable id).
     *
-    * Cache ownership: the fast path returns an UNcached local frame (all
-    * intermediates released here). The iterative path returns the final
-    * `labels` frame cached — its lineage is the whole loop, so dropping the
-    * cache before the caller materializes would replay every iteration;
-    * callers on that path own the unpersist after consuming.
+    * Cache ownership: BOTH regimes return a frame with no resident cache.
+    * The fast path builds a local frame; the iterative path spills the
+    * (small — one (id, comp) row per node) label table to the session's
+    * checkpoint dir (or a JVM-temp dir in local mode, deleted on exit)
+    * and returns a clean scan of it — dropping the loop caches without
+    * the spill would make any later action replay every iteration.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10,
@@ -468,7 +469,22 @@ object Dedup {
     }
     edges.unpersist()
     undirected.unpersist()
-    labels
+    // spill-and-rescan: the label table is tiny next to the edge stream it
+    // came from, and a parquet round trip severs the loop lineage so every
+    // iteration cache can be released HERE instead of leaking to callers
+    val spark = pairs.sparkSession
+    val (base, ephemeral) = spark.sparkContext.getCheckpointDir match {
+      case Some(cp) => (cp, false)
+      case None =>
+        (java.nio.file.Files.createTempDirectory("graft-cc").toString, true)
+    }
+    val dir = s"$base/cc-labels-${java.util.UUID.randomUUID()}"
+    labels.write.mode("overwrite").parquet(dir)
+    labels.unpersist()
+    if (ephemeral)
+      org.apache.commons.io.FileUtils
+        .forceDeleteOnExit(new java.io.File(base))
+    spark.read.parquet(dir)
   }
 
   /** MinHash near-dedup with exact cluster resolution: candidates feed

@@ -51,17 +51,8 @@ object VersionedTable {
   /** Partition columns configured at [[init]]; empty for unpartitioned
     * tables.
     */
-  def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
-    val f = fs(spark, root)
-    val p = partitionColsPath(root)
-    if (!f.exists(p)) Nil
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in).getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    }
-  }
+  def partitionColumns(spark: SparkSession, root: String): Seq[String] =
+    readConfig(spark, partitionColsPath(root))
 
   private def writeConfig(spark: SparkSession, path: Path,
       lines: Seq[String]): Unit = {
@@ -77,20 +68,22 @@ object VersionedTable {
       .parquet(dir)
   }
 
-  /** Stat columns configured at [[init]]; empty when the table keeps no
-    * file stats.
-    */
-  def statsColumns(spark: SparkSession, root: String): Seq[String] = {
-    val f = fs(spark, root)
-    val p = statsColsPath(root)
-    if (!f.exists(p)) Nil
+  private def readConfig(spark: SparkSession, path: Path): Seq[String] = {
+    val f = fs(spark, path.toString)
+    if (!f.exists(path)) Nil
     else {
-      val in = f.open(p)
+      val in = f.open(path)
       try scala.io.Source.fromInputStream(in).getLines()
         .map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
     }
   }
+
+  /** Stat columns configured at [[init]]; empty when the table keeps no
+    * file stats.
+    */
+  def statsColumns(spark: SparkSession, root: String): Seq[String] =
+    readConfig(spark, statsColsPath(root))
 
   /** Compute per-file (min, max, row count) for `cols` over the parquet
     * files in `dataDir` and write them as `<dataDir>/_stats` — an
@@ -163,11 +156,18 @@ object VersionedTable {
   }
 
   /** (files scanned, files total) for the range over a version — the
-    * skip-ratio observability hook readers alert on.
+    * skip-ratio observability hook readers alert on. For a column without
+    * configured stats the answer mirrors [[readRange]]'s no-skip
+    * fallback: every data file scans, so (total, total).
     */
   def pruneCounts(spark: SparkSession, root: String, column: String,
       lower: Any, upper: Any, version: Option[Int] = None): (Long, Long) = {
     val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"no such table: $root")
+    if (!statsColumns(spark, root).contains(column)) {
+      val total = read(spark, root, Some(v)).inputFiles.length.toLong
+      return (total, total)
+    }
     val st = fileStats(spark, root, Some(v))
     val r = st.agg(count(lit(1)).as("total"),
       sum((col(s"max_$column") >= lit(lower) &&

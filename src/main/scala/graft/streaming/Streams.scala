@@ -147,9 +147,15 @@ object Streams {
             s"$outPath/__committed/$batchId")
           val fsys = marker.getFileSystem(hconf)
           if (!fsys.exists(marker)) {
-            graft.operators.Dedup.incrementalMinhashDedup(batch.toDF(),
-              statePrefix, textCol, idCol, threshold = threshold)
-              .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+            // the survivors frame arrives PERSISTED (caller-owned, see
+            // incrementalMinhashDedup): release it once written, or a
+            // long-running query pins one cached frame per micro-batch
+            val survivors = graft.operators.Dedup.incrementalMinhashDedup(
+              batch.toDF(), statePrefix, textCol, idCol,
+              threshold = threshold)
+            try survivors.write.mode("overwrite")
+              .parquet(s"$outPath/batch=$batchId")
+            finally survivors.unpersist()
             fsys.mkdirs(marker.getParent)
             fsys.create(marker, true).close()
           }

@@ -24,9 +24,7 @@ object ProfX43 {
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       r
     }
-    val docs =
-      if (args.contains("nowiden")) spark.read.parquet(s"$dir/documents.parquet")
-      else graft.Tables.load(spark, dir, "documents")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
     val bench = docs.filter(col("doc_id") < 20)
     val kept1 = time("1 quality") {
       val k = docs.join(QualityFilter(docs, "text",

@@ -154,6 +154,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(fast == dist)
   }
 
+  test("connected components: iterative regime leaves no cached RDDs " +
+      "and survives a post-spill action") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+    // all loop caches must be released INSIDE the call (spill-and-rescan),
+    // not deferred to some caller-side unpersist contract
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"iterative CC leaked caches: $leaked")
+    // and the returned frame still answers repeated actions (the spill
+    // outlives the loop's dropped lineage)
+    assert(labels.count() == 5 && labels.count() == 5)
+  }
+
   test("connected components: null endpoints dropped, no NPE") {
     val pairs = Seq(("b", "c"), ("a", "b"), (null, "z"), ("x", null))
       .toDF("id_a", "id_b")
