@@ -137,8 +137,11 @@ object Dedup {
           typedLit(bannedShingles.toSeq))
         when(size(filtered) > 0, filtered).otherwise(rawSh)
       }
-    val withSets = df
-      .select(col(idCol), col(textCol))
+    // the shingle-hash + signature kernels evaluate in the stage below —
+    // make sure an undersplit source doesn't serialize them (no-op at
+    // production scale, see Tables.widenForKernel)
+    val withSets = graft.Tables.widenForKernel(
+      df.select(col(idCol), col(textCol)), col(idCol))
       .withColumn("__sh", shCol)
 
     val banded = withSets
@@ -183,9 +186,24 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val shA = withSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
-    val shB = withSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-    val pairs = pairIds.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+    // Verify with ONE more shingle pass, not two (same shape as the
+    // weighted path): unpivot each pair into (pair, side, id) rows, probe
+    // the shingle frame once, regroup — the regroup shuffle carries only
+    // CANDIDATE docs' shingle arrays, and the full-corpus shingle-hash
+    // evaluation runs once instead of once per join side.
+    val pairSides = pairIds
+      .select(struct(col("id_a"), col("id_b")).as("__pk"),
+        explode(array(
+          struct(lit("a").as("__side"), col("id_a").as(idCol)),
+          struct(lit("b").as("__side"), col("id_b").as(idCol))))
+          .as("__s"))
+      .select(col("__pk"), col("__s.__side").as("__side"),
+        col("__s." + idCol).as(idCol))
+    val pairs = pairSides
+      .join(withSets.select(col(idCol), col("__sh")), Seq(idCol))
+      .groupBy(col("__pk"))
+      .agg(max(when(col("__side") === "a", col("__sh"))).as("__sh_a"),
+        max(when(col("__side") === "b", col("__sh"))).as("__sh_b"))
 
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
     val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
@@ -193,7 +211,8 @@ object Dedup {
       .withColumn("jaccard",
         when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("__pk.id_a").as("id_a"), col("__pk.id_b").as("id_b"),
+        col("jaccard"))
   }
 
   /** Near-dedup: remove every doc that is a near-duplicate (jaccard >=
