@@ -700,12 +700,25 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    pairIds.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    // one corpus probe, not two: unpivot each pair into (pair, side, id),
+    // join the vector frame once, regroup — the regroup shuffle carries
+    // only CANDIDATE vectors (same shape as the minhash/ICWS verify tails)
+    val pairSides = pairIds
+      .select(struct(col("id_a"), col("id_b")).as("__pk"),
+        explode(array(
+          struct(lit("a").as("__side"), col("id_a").as(idCol)),
+          struct(lit("b").as("__side"), col("id_b").as(idCol))))
+          .as("__s"))
+      .select(col("__pk"), col("__s.__side").as("__side"),
+        col("__s." + idCol).as(idCol))
+    pairSides.join(vecs, Seq(idCol))
+      .groupBy(col("__pk"))
+      .agg(max(when(col("__side") === "a", col(vecCol))).as("__va"),
+        max(when(col("__side") === "b", col(vecCol))).as("__vb"))
       .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("__pk.id_a").as("id_a"), col("__pk.id_b").as("id_b"),
+        col("cosine"))
   }
 
   /** Exact all-pairs cosine edges at or above `threshold` — the recall
