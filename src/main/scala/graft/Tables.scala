@@ -28,6 +28,26 @@ object Tables {
     * -2s concentrated in the kernel operators that this helper targets.
     */
   def widenForKernel(df: DataFrame, key: Column): DataFrame = {
+    // Only a bare scan pipeline (project/filter over a relation) can be
+    // undersplit: anything downstream of a shuffle already runs at
+    // spark.sql.shuffle.partitions, and anything cached at its cache
+    // width. Detecting this on the LOGICAL plan matters for more than
+    // precision — under AQE, probing `df.rdd` on a plan with shuffles
+    // EXECUTES those shuffle stages eagerly (getFinalPhysicalPlan), which
+    // measured +2.4s on the corpus funnel when this helper probed a
+    // not-yet-materialized cached dedup frame. For scan-only plans the
+    // .rdd probe is free (no stages to run).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.optimizedPlan.collectFirst {
+      case p: Join => p
+      case p: Aggregate => p
+      case p: Window => p
+      case p: RepartitionOperation => p
+      case p: Sort if p.global => p
+      case p: Distinct => p
+      case p: org.apache.spark.sql.execution.columnar.InMemoryRelation => p
+    }.isDefined
+    if (shuffled) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
