@@ -729,18 +729,21 @@ object QueriesExt {
     // two actions consume the decode output — persist so the codec kernel
     // (the expensive stage) runs once, and release before returning
     val feats = Multimodal.decodeImageFeatures(cards, "asset").persist()
-    val agg = feats.agg(
-      count(lit(1)).as("n_images"),
-      sum(col("image_features").isNull.cast("long")).as("n_undecoded"),
-      countDistinct(Multimodal.payloadHash(col("asset")))
-        .as("n_byte_classes"),
-      countDistinct(col("image_features")).as("n_feature_classes"))
-      .head()
-    val survivorSum = feats
-      .groupBy(col("image_features"))
-      .agg(min(col("vec_id")).as("keep"))
-      .agg(sum(col("keep"))).head().getLong(0)
-    feats.unpersist()
+    val (agg, survivorSum) =
+      try {
+        val a = feats.agg(
+          count(lit(1)).as("n_images"),
+          sum(col("image_features").isNull.cast("long")).as("n_undecoded"),
+          countDistinct(Multimodal.payloadHash(col("asset")))
+            .as("n_byte_classes"),
+          countDistinct(col("image_features")).as("n_feature_classes"))
+          .head()
+        val s = feats
+          .groupBy(col("image_features"))
+          .agg(min(col("vec_id")).as("keep"))
+          .agg(sum(col("keep"))).head().getLong(0)
+        (a, s)
+      } finally feats.unpersist()
     import spark.implicits._
     Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
       survivorSum))

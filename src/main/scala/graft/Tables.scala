@@ -37,17 +37,18 @@ object Tables {
     // measured +2.4s on the corpus funnel when this helper probed a
     // not-yet-materialized cached dedup frame. For scan-only plans the
     // .rdd probe is free (no stages to run).
+    // allow-list, not a shuffle deny-list: any node beyond project/filter
+    // over a leaf (GlobalLimit, typed MapGroups, joins, aggregates, ...)
+    // either implies the frame is already post-shuffle wide or makes the
+    // .rdd probe unsafe — skip widening for all of them
     import org.apache.spark.sql.catalyst.plans.logical._
-    val shuffled = df.queryExecution.optimizedPlan.collectFirst {
-      case p: Join => p
-      case p: Aggregate => p
-      case p: Window => p
-      case p: RepartitionOperation => p
-      case p: Sort if p.global => p
-      case p: Distinct => p
-      case p: org.apache.spark.sql.execution.columnar.InMemoryRelation => p
-    }.isDefined
-    if (shuffled) return df
+    val scanOnly = df.queryExecution.optimizedPlan.collect { case p => p }
+      .forall {
+        case _: Project | _: Filter => true
+        case _: LeafNode => true
+        case _ => false
+      }
+    if (!scanOnly) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }

@@ -389,9 +389,14 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val id = row.get(idIdx) match {
-          case n: java.lang.Number => n.longValue()
+          // integral types only: a fractional id would silently truncate
+          // and collide distinct rows onto one card
+          case n: java.lang.Long => n.longValue()
+          case n: java.lang.Integer => n.longValue()
+          case n: java.lang.Short => n.longValue()
+          case n: java.lang.Byte => n.longValue()
           case other => throw new IllegalArgumentException(
-            s"renderTestCards: id column must be numeric, got $other")
+            s"renderTestCards: id column must be integral, got $other")
         }
         Row.fromSeq(row.toSeq :+ Row(s"mem://card/$id", "image/png",
           renderKernel(id), Map.empty[String, String]))

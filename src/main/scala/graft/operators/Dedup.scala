@@ -14,6 +14,12 @@ import graft.functions.TextFunctions
   * `groupBy`/join on a derived key (content hash, fingerprint, LSH band
   * bucket), so the shuffle volume is O(rows), never O(rows^2); candidate
   * pair generation is confined to within-bucket joins.
+  *
+  * Shared precondition: `idCol` is UNIQUE per row. The whole family's
+  * semantics assume it (the greedy min-id survivor rule, incremental
+  * state folds, and the single-probe verify tails that reassemble a
+  * candidate pair's two sides by id all pick one row per id); run
+  * [[exact]] or assign a surrogate id first for corpora that violate it.
   */
 object Dedup {
 
@@ -490,20 +496,24 @@ object Dedup {
     undirected.unpersist()
     // spill-and-rescan: the label table is tiny next to the edge stream it
     // came from, and a parquet round trip severs the loop lineage so every
-    // iteration cache can be released HERE instead of leaking to callers
+    // iteration cache can be released HERE instead of leaking to callers.
+    // The spill lives in the checkpoint dir when one is configured (the
+    // only location a multi-node cluster can re-read) and a JVM temp dir
+    // otherwise; either way a shutdown hook deletes it through the
+    // hadoop FS API, so the lifetime is bounded by the application — the
+    // same contract as Spark's own unmanaged RDD checkpoints.
     val spark = pairs.sparkSession
-    val (base, ephemeral) = spark.sparkContext.getCheckpointDir match {
-      case Some(cp) => (cp, false)
-      case None =>
-        (java.nio.file.Files.createTempDirectory("graft-cc").toString, true)
-    }
-    val dir = s"$base/cc-labels-${java.util.UUID.randomUUID()}"
-    labels.write.mode("overwrite").parquet(dir)
+    val base = spark.sparkContext.getCheckpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-cc").toString)
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$base/cc-labels-${java.util.UUID.randomUUID()}")
+    labels.write.mode("overwrite").parquet(dir.toString)
     labels.unpersist()
-    if (ephemeral)
-      org.apache.commons.io.FileUtils
-        .forceDeleteOnExit(new java.io.File(base))
-    spark.read.parquet(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try dir.getFileSystem(hconf).delete(dir, true)
+      catch { case _: Throwable => () }))
+    spark.read.parquet(dir.toString)
   }
 
   /** MinHash near-dedup with exact cluster resolution: candidates feed

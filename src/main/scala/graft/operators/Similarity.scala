@@ -674,6 +674,10 @@ object Similarity {
     * near-dup shards in one bucket: 1% of 10^9 vectors is 10^14 pairs);
     * the window count rides the SAME (table, bucket) exchange the
     * self-join needs, so both sides reuse one shuffle.
+    *
+    * Precondition: `idCol` is unique per row (the verify tail reassembles
+    * each pair's two sides by id — see the [[graft.operators.Dedup]]
+    * family contract).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       nPlanes: Int = 10, dim: Int = 64, seed: Long = 42L,
