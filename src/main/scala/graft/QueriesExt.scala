@@ -770,6 +770,29 @@ object QueriesExt {
           lit(" cafe\u0301")))).as("fp")) // decomposed: e + U+0301
       .orderBy("doc_id")
 
+  /** First BPE merge step (tokenizer training): count adjacent
+    * character-pair occurrences inside lowercased whitespace tokens
+    * across the corpus and emit the top 50 (count desc, pair asc — total
+    * order, so exactly replayable). This is the frequency table the
+    * byte-pair-encoding loop greedily merges from; at 100 TB it is one
+    * explode + one hash aggregation (map-side combined: pair cardinality
+    * is bounded by the character-bigram space, not the corpus) + a 50-row
+    * TakeOrdered — no shuffle carries text.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text"))))
+        .as("token"))
+      // single-char tokens have no pair; without the guard Spark's
+      // sequence(1, 0) would run DESCENDING and fabricate one
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(50)
+
   /** End-to-end corpus-preparation funnel — the capstone composition a
     * training-data pipeline actually runs, each stage an already-verified
     * operator: quality/language filter (x25 semantics) → exact dedup (x01)
@@ -1062,7 +1085,8 @@ object QueriesExt {
     "x48_packing" -> packingLaws _,
     "x49_stats_skipping" -> statsSkipping _,
     "x50_image_neardup" -> imageNearDup _,
-    "x51_nfc_fingerprint" -> nfcFingerprint _)
+    "x51_nfc_fingerprint" -> nfcFingerprint _,
+    "x52_bpe_pairs" -> bpePairCounts _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1403,6 +1427,17 @@ object QueriesExt {
         |   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) ||
         |   ' cafe' || chr(769))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x52_bpe_pairs" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+        |   '\s+'), tk -> length(tk) > 0)) AS token FROM documents
+        |), pairs AS (
+        | SELECT substr(token, CAST(i AS INT), 2) AS pair
+        | FROM (SELECT token, unnest(range(1, length(token))) AS i
+        |   FROM toks WHERE length(token) >= 2)
+        |)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs
+        |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
