@@ -483,9 +483,14 @@ object QueriesExt {
     */
   def packingLaws(spark: SparkSession, dir: String): DataFrame = {
     val capacity = 30L
+    // collision-free chunk id: a struct compares field-wise, so it range
+    // partitions, sorts, and countDistincts correctly with NO arithmetic
+    // encoding to overflow or collide (doc_id*K+chunk_id collides once a
+    // document exceeds K chunks, silently corrupting n_dup_chunk_ids —
+    // the very law this query certifies)
     val chunks = TextPipeline.chunkByTokens(t(spark, dir, "documents"),
       "text", "doc_id", chunkSize = 32, overlap = 8)
-      .select((col("doc_id") * 100000L + col("chunk_id")).as("cid"),
+      .select(struct(col("doc_id"), col("chunk_id")).as("cid"),
         col("n_tokens"))
     val packed = TextPipeline.packChunks(chunks, "n_tokens", "cid",
       capacity).persist()

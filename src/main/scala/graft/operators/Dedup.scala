@@ -389,7 +389,8 @@ object Dedup {
     * Cache ownership: BOTH regimes return a frame with no resident cache.
     * The fast path builds a local frame; the iterative path spills the
     * (small — one (id, comp) row per node) label table to the session's
-    * checkpoint dir (or a JVM-temp dir in local mode, deleted on exit)
+    * checkpoint dir (or a JVM-temp dir in local mode, deleted on exit;
+    * or a localCheckpoint on a cluster with no checkpoint dir configured)
     * and returns a clean scan of it — dropping the loop caches without
     * the spill would make any later action replay every iteration.
     */
@@ -495,25 +496,55 @@ object Dedup {
     edges.unpersist()
     undirected.unpersist()
     // spill-and-rescan: the label table is tiny next to the edge stream it
-    // came from, and a parquet round trip severs the loop lineage so every
-    // iteration cache can be released HERE instead of leaking to callers.
-    // The spill lives in the checkpoint dir when one is configured (the
-    // only location a multi-node cluster can re-read) and a JVM temp dir
-    // otherwise; either way a shutdown hook deletes it through the
-    // hadoop FS API, so the lifetime is bounded by the application — the
-    // same contract as Spark's own unmanaged RDD checkpoints.
+    // came from, and severing the loop lineage lets every iteration cache
+    // be released HERE instead of leaking to callers. Three regimes:
+    //  - a configured checkpoint dir (shared storage) is the canonical
+    //    cluster spill target — parquet there, rescan;
+    //  - local mode may spill to a JVM temp dir (same filesystem for
+    //    driver and "executors"), registered for deletion at exit;
+    //  - a CLUSTER WITHOUT a checkpoint dir must NOT use a driver-local
+    //    temp path: executors would write parquet parts to their own
+    //    local filesystems and the rescan would silently read
+    //    empty/partial labels. Sever lineage with localCheckpoint()
+    //    (block-manager-resident, cluster-readable) instead.
     val spark = pairs.sparkSession
-    val base = spark.sparkContext.getCheckpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-cc").toString)
-    val dir = new org.apache.hadoop.fs.Path(
-      s"$base/cc-labels-${java.util.UUID.randomUUID()}")
-    labels.write.mode("overwrite").parquet(dir.toString)
-    labels.unpersist()
-    val hconf = spark.sparkContext.hadoopConfiguration
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try dir.getFileSystem(hconf).delete(dir, true)
-      catch { case _: Throwable => () }))
-    spark.read.parquet(dir.toString)
+    val sc = spark.sparkContext
+    sc.getCheckpointDir match {
+      case None if !sc.isLocal =>
+        val out = labels.localCheckpoint()
+        labels.unpersist()
+        out
+      case maybeBase =>
+        val base = maybeBase.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-cc").toString)
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$base/cc-labels-${java.util.UUID.randomUUID()}")
+        labels.write.mode("overwrite").parquet(dir.toString)
+        labels.unpersist()
+        registerCcSpillDir(dir, sc.hadoopConfiguration)
+        spark.read.parquet(dir.toString)
+    }
+  }
+
+  // One static shutdown hook over all connectedComponents spill dirs: the
+  // returned frame lazily rescans its dir, so deletion must wait for
+  // process exit — but a long-running session (streaming, many jobs) must
+  // not accumulate one hook THREAD per call.
+  private val ccSpillDirs = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.hadoop.fs.Path, org.apache.hadoop.conf.Configuration)]
+  private lazy val ccSpillHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var e = ccSpillDirs.poll()
+      while (e != null) {
+        try e._1.getFileSystem(e._2).delete(e._1, true)
+        catch { case _: Throwable => () }
+        e = ccSpillDirs.poll()
+      }
+    }))
+  private def registerCcSpillDir(dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    ccSpillHook
+    ccSpillDirs.add((dir, conf))
   }
 
   /** MinHash near-dedup with exact cluster resolution: candidates feed

@@ -106,9 +106,23 @@ object VersionedTable {
     // `file` is the path RELATIVE to the version directory (the part after
     // the stage / v=N segment): partitioned layouts nest files under
     // partition directories where bare names collide across partitions,
-    // and the stage directory renames away at commit
-    val rel = regexp_replace(input_file_name(),
-      "^.*?/(v=[0-9]+|\\.stage-[^/]+)/", "")
+    // and the stage directory renames away at commit. Strip the KNOWN
+    // dataDir prefix literally (scheme-qualified or raw) — a pattern match
+    // over the whole path mis-splits when a parent directory itself looks
+    // like /v=N/ (e.g. a table rooted under /data/v=2/tbl). The legacy
+    // segment regex remains only as a last-resort fallback for a
+    // differently-encoded URI.
+    // locate the scheme-free absolute dataDir path inside the (possibly
+    // scheme-prefixed) input_file_name — immune to file:/ vs file:///
+    // rendering differences
+    val dirPath = fs(spark, dataDir).makeQualified(new Path(dataDir))
+      .toUri.getPath.stripSuffix("/") + "/"
+    val fn = input_file_name()
+    val idx = locate(dirPath, fn)
+    val rel = when(idx > 0,
+        fn.substr(idx + lit(dirPath.length), lit(Int.MaxValue)))
+      .otherwise(regexp_replace(fn,
+        "^.*?/(v=[0-9]+|\\.stage-[^/]+)/", ""))
     df.groupBy(rel.as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -125,6 +139,23 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$v/_stats")
   }
 
+  /** Stats of a version usable for pruning on `column`: Some(stats) only
+    * when the version's `_stats` dir exists AND carries `min_`/`max_` for
+    * the column. The table-level config alone is not enough: schema
+    * evolution through [[merge]] legitimately commits versions lacking a
+    * configured stats column (writeFileStats then writes a subset — or,
+    * with no configured column present, nothing at all), and readers must
+    * degrade to a plain filtered read, not throw.
+    */
+  private def pruningStats(spark: SparkSession, root: String, v: Int,
+      column: String): Option[DataFrame] = {
+    val statsPath = new Path(s"$root/v=$v/_stats")
+    if (!fs(spark, root).exists(statsPath)) return None
+    val st = spark.read.parquet(statsPath.toString)
+    if (st.columns.contains(s"min_$column") &&
+      st.columns.contains(s"max_$column")) Some(st) else None
+  }
+
   /** Data-skipping range read: `column BETWEEN lower AND upper` over a
     * version, scanning ONLY the files whose [min, max] span intersects
     * the range (all-null files — null min/max — are skipped too, a range
@@ -139,9 +170,10 @@ object VersionedTable {
     val v = version.getOrElse(latestVersion(spark, root))
     require(v >= 0, s"no such table: $root")
     val pred = col(column).between(lit(lower), lit(upper))
-    if (!statsColumns(spark, root).contains(column))
-      return read(spark, root, Some(v)).filter(pred)
-    val files = fileStats(spark, root, Some(v))
+    val st = if (statsColumns(spark, root).contains(column))
+      pruningStats(spark, root, v, column) else None
+    if (st.isEmpty) return read(spark, root, Some(v)).filter(pred)
+    val files = st.get
       .filter(col(s"max_$column") >= lit(lower) &&
         col(s"min_$column") <= lit(upper))
       .select("file").collect().map(_.getString(0))
@@ -164,11 +196,13 @@ object VersionedTable {
       lower: Any, upper: Any, version: Option[Int] = None): (Long, Long) = {
     val v = version.getOrElse(latestVersion(spark, root))
     require(v >= 0, s"no such table: $root")
-    if (!statsColumns(spark, root).contains(column)) {
+    val stOpt = if (statsColumns(spark, root).contains(column))
+      pruningStats(spark, root, v, column) else None
+    if (stOpt.isEmpty) {
       val total = read(spark, root, Some(v)).inputFiles.length.toLong
       return (total, total)
     }
-    val st = fileStats(spark, root, Some(v))
+    val st = stOpt.get
     val r = st.agg(count(lit(1)).as("total"),
       sum((col(s"max_$column") >= lit(lower) &&
         col(s"min_$column") <= lit(upper)).cast("long")).as("kept"))

@@ -214,6 +214,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(pruned.columns.contains("p"))
   }
 
+  test("readRange/pruneCounts degrade to a plain filtered read when a " +
+      "version has no usable stats") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, 5.0), (2L, 15.0)).toDF("id", "score"),
+      root, statsColumns = Seq("score"))
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a version committed without the configured stats column
+    // (merge schema evolution legitimately produces one): no _stats dir
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/v=0/_stats"), true)
+    assert(VersionedTable.readRange(spark, root, "score", 0.0, 10.0)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    val (kept, total) = VersionedTable.pruneCounts(
+      spark, root, "score", 0.0, 10.0)
+    assert(kept == total) // no-skip fallback, not an exception
+    // _stats present but missing min_/max_ for the column: same fallback
+    Seq(("part-0.parquet", 2L)).toDF("file", "n_rows")
+      .write.mode("overwrite").parquet(s"$root/v=0/_stats")
+    assert(VersionedTable.readRange(spark, root, "score", 0.0, 10.0)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("stats pruning survives a table rooted under a directory named " +
+      "like v=N") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtv")
+      .toString + "/v=2/tbl"
+    VersionedTable.init(Seq((1L, 5.0), (2L, 15.0)).toDF("id", "score"),
+      root, statsColumns = Seq("score"))
+    // a pattern-based strip would split at the parent /v=2/ and record
+    // file paths that readRange cannot resolve
+    val files = VersionedTable.fileStats(spark, root)
+      .select("file").collect().map(_.getString(0))
+    assert(files.forall(f => !f.contains("/") || f.startsWith("p=")),
+      files.toSeq)
+    assert(VersionedTable.readRange(spark, root, "score", 0.0, 10.0)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // and through a staged commit (merge) too
+    VersionedTable.merge(spark, root,
+      Seq((3L, 25.0)).toDF("id", "score"), Seq("id"))
+    assert(VersionedTable.readRange(spark, root, "score", 20.0, 30.0)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("vacuum drops versions outside the time-travel window") {
     val root = freshRoot()
     VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
