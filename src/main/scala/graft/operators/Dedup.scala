@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -109,6 +108,64 @@ object Dedup {
       .collect().map(_.getLong(0))
   }
 
+  /** Within-bucket candidate pairs with a degenerate-bucket guard, shared
+    * by the LSH candidate generators. Emits every unordered pair of
+    * `payload` values sharing a bucket key, for buckets whose size is in
+    * (1, maxBucketSize] — as `(__pair_a, __pair_b)` with
+    * `__pair_a < __pair_b`. A bucket of b docs yields b² candidate pairs,
+    * so unbounded buckets are the one place LSH can go quadratic — and on
+    * a templated corpus a boilerplate mega-bucket shows up with DEFAULT
+    * arguments, so the guard must be scale-safe without opt-in tuning.
+    *
+    * Shape — ONE aggregation, no window, no self-join:
+    *
+    *  1. `collect_capped(payload, cap)` per bucket key
+    *     ([[graft.functions.expr.CappedCollect]]): the buffer is hard-capped
+    *     at cap+1 elements in the partial (map-side) aggregate, in every
+    *     merge, and in the final aggregate, so NO task ever holds more
+    *     than cap+1 rows of any bucket — a mega-bucket costs O(rows)
+    *     streamed work and O(cap) memory. (The former window-count guard
+    *     buffered one whole bucket per WindowExec task BEFORE the size was
+    *     known: a boilerplate mega-bucket was a straggler/spill before
+    *     `maxBucketSize` could drop it. A pre-count + anti-join variant
+    *     fixed memory but re-ran the tokenise/shingle/signature kernel per
+    *     plan branch — Catalyst specializes each branch's projection, so
+    *     their exchanges never canonicalize equal and ReuseExchange can't
+    *     dedup them: measured a full extra kernel pass at sf0.1.)
+    *  2. `size BETWEEN 2 AND cap` on the collected array: size cap+1 IS
+    *     the over-cap signal (see [[graft.functions.expr.AggExprs
+    *     .collectCapped]]), so this is exactly the old
+    *     "1 < bucket size <= cap" predicate.
+    *  3. Pairs explode LOCALLY from each surviving (<= cap element)
+    *     array — combinations i<j via posexplode + slice — replacing the
+    *     band self-join: zero extra shuffle, and the expensive signature
+    *     subtree sits under the single aggregation exchange, evaluated
+    *     exactly once.
+    *
+    * Equal payloads (duplicate ids in a dirty input) are dropped, matching
+    * the self-join's strict `a < b`.
+    */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String],
+      payload: Column, maxBucketSize: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val collected = banded
+      .groupBy(keyCols: _*)
+      .agg(graft.functions.expr.AggExprs
+        .collectCapped(payload, maxBucketSize).as("__bucket"))
+      .filter(size(col("__bucket")).between(2, maxBucketSize))
+    collected
+      .select(col("__bucket"),
+        posexplode(col("__bucket")).as(Seq("__i", "__a")))
+      // partners after position __i: slice is 1-indexed, so element __i+2
+      // onward; explode drops the empty tail slice of the last element
+      .select(col("__a"),
+        explode(slice(col("__bucket"), col("__i") + lit(2),
+          size(col("__bucket")) - col("__i") - lit(1))).as("__b"))
+      .select(least(col("__a"), col("__b")).as("__pair_a"),
+        greatest(col("__a"), col("__b")).as("__pair_b"))
+      .filter(col("__pair_a") =!= col("__pair_b"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH banding: the signature is
     * split into `bands` bands of `rowsPerBand` values; documents sharing any
     * band hash become candidates (within-bucket join), then candidates are
@@ -158,38 +215,18 @@ object Dedup {
             slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         ).as(Seq("__band", "__bandhash")))
 
-    // guard: drop degenerate buckets before the self-join goes quadratic.
-    // A window count (not groupBy+join-back) keeps the bucket filter on the
-    // SAME exchange the self-join needs: one shuffle of the banded stream,
-    // reused by both join sides via ReuseExchange. The groupBy variant's
-    // partial-aggregated exchange can never be reused, and at bench scale the
-    // planner even broadcasts the bucket table — leaving 3 full recomputes of
-    // the signature subtree in the plan (measured 3.7s -> 1.4s at sf0.1).
-    // Skew tradeoff, deliberate: WindowExec buffers one whole (band, hash)
-    // partition per task before __bsz is known, so a pathological bucket
-    // becomes a straggler/spill BEFORE maxBucketSize can drop it — where the
-    // groupBy variant filtered oversized buckets map-side. The mitigation for
-    // templated corpora is upstream, not here: feed
-    // [[frequentShingleHashes]] into `bannedShingles`, which removes the
-    // boilerplate shingles that create mega-buckets in the first place.
-    val inBuckets = banded
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("__band", "__bandhash")))
-      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-
-    // id-only band self-join; shingle arrays join in afterwards, once per
-    // unique surviving pair. shuffle_hash: broadcasting a banded corpus
-    // stream is never the 100 TB plan, and the shuffle join lets the two
-    // sides share the single band-keyed exchange above.
-    val a = inBuckets.select(col("__band"), col("__bandhash"),
-      col(idCol).as("id_a"))
-    val b = inBuckets.select(col("__band"), col("__bandhash"),
-      col(idCol).as("id_b"))
-    val pairIds = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("__band", "__bandhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // degenerate-bucket guard + local pair expansion — see [[bucketPairs]]
+    // for why this is DEFAULT-safe on templated corpora (no task ever
+    // buffers more than maxBucketSize+1 rows of any bucket).
+    // `bannedShingles` (fed from [[frequentShingleHashes]]) remains the
+    // RECALL lever — banning boilerplate shingles lets real near-dups in
+    // templated docs still pair up — but is no longer load-bearing for
+    // worst-case task memory. The banded stream (24 B/row: band, hash, id)
+    // shuffles once into the capped-collect aggregation; shingle arrays
+    // join in afterwards, once per unique surviving pair.
+    val pairIds = bucketPairs(banded, Seq("__band", "__bandhash"),
+      col(idCol), maxBucketSize)
+      .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     // Verify with ONE more shingle pass, not two (same shape as the
@@ -623,22 +660,11 @@ object Dedup {
             slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         ).as(Seq("__band", "__bandhash")))
 
-    // same single-exchange bucket filter + shuffle self-join as
-    // [[minhashCandidates]] — see the rationale there
-    val inBuckets = banded
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("__band", "__bandhash")))
-      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-
-    val a = inBuckets.select(col("__band"), col("__bandhash"),
-      col(idCol).as("id_a"))
-    val b = inBuckets.select(col("__band"), col("__bandhash"),
-      col(idCol).as("id_b"))
-    val pairIds = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("__band", "__bandhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // same capped-collect bucket guard + local pair expansion as
+    // [[minhashCandidates]] — see [[bucketPairs]] for the rationale
+    val pairIds = bucketPairs(banded, Seq("__band", "__bandhash"),
+      col(idCol), maxBucketSize)
+      .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     // Verify with ONE more TF pass, not two: the TF expression (tokenize +
@@ -721,9 +747,9 @@ object Dedup {
     * Features are k-shingle hashes ([[simhash64Shingles]]), not unigram
     * tokens — see there for why.
     *
-    * `maxBucketSize` caps degenerate (band, chunk) buckets before the
-    * self-join goes quadratic — same guard and same single-reused-exchange
-    * shape as [[minhashCandidates]]: 16-bit chunks over templated corpora
+    * `maxBucketSize` caps degenerate (band, chunk) buckets before pair
+    * expansion goes quadratic — same capped-collect guard as
+    * [[minhashCandidates]]: 16-bit chunks over templated corpora
     * produce mega-buckets (every doc sharing a boilerplate-dominated chunk),
     * and a bucket of b docs is b^2 candidate pairs. Ids inside a dropped
     * bucket can still pair through their other bands.
@@ -739,20 +765,16 @@ object Dedup {
         .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)
     val banded = withSim.select(col(idCol), col("__simhash"),
       posexplode(chunks).as(Seq("__band", "__chunk")))
-    val inBuckets = banded
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("__band", "__chunk")))
-      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val a = inBuckets.select(col("__band"), col("__chunk"),
-      col(idCol).as("id_a"), col("__simhash").as("__sim_a"))
-    val b = inBuckets.select(col("__band"), col("__chunk"),
-      col(idCol).as("id_b"), col("__simhash").as("__sim_b"))
-    val losers = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("__band", "__chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(hammingDist(col("__sim_a"), col("__sim_b")) <= maxHamming)
-      .select(col("id_b").as(idCol))
+    // capped-collect bucket guard + local pair expansion (see
+    // [[bucketPairs]]); the payload carries (id, simhash) together so the
+    // hamming verify needs no join back — struct ordering is id-first,
+    // matching the old self-join's id_a < id_b.
+    val losers = bucketPairs(banded, Seq("__band", "__chunk"),
+      struct(col(idCol).as("id"), col("__simhash").as("sim")),
+      maxBucketSize)
+      .filter(hammingDist(col("__pair_a.sim"), col("__pair_b.sim"))
+        <= maxHamming)
+      .select(col("__pair_b.id").as(idCol))
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -233,6 +233,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(ham(sims(0L), sims(3L)) > 16)
   }
 
+  test("minhash mega-bucket is dropped at DEFAULT arguments (no opt-in tuning)") {
+    // templated-corpus shape: > maxBucketSize (default 1000) docs with
+    // identical text put 1100 ids in every one of their (band, hash)
+    // buckets. Default-safety means: (a) the run is bounded — the capped
+    // collect never buffers the hot bucket, so no straggler/spill — and
+    // (b) an unrelated genuine dup pair in the same corpus still dedups.
+    val boiler = (0L until 1100L).map(i =>
+      (1000L + i, "boilerplate header repeated across every document"))
+    val corpus = ((0L, base) +: (1L, base) +: boiler).toDF("doc_id", "text")
+    val ids = Dedup.minhashDedup(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L), "genuine dup pair must still dedup")
+    assert(ids.contains(0L))
+    // the mega-bucket is suppressed wholesale (bounded work; the recall
+    // sacrifice is the documented tradeoff — bannedShingles is the lever)
+    assert(ids.count(_ >= 1000L) == 1100)
+  }
+
   test("simhash dedup removes exact dup via banding") {
     val ids = Dedup.simhashDedup(docs, "text", "doc_id",
       maxHamming = 3, bands = 4)
