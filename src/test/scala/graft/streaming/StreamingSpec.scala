@@ -145,6 +145,88 @@ class StreamingSpec extends SparkSpec {
     } finally graft.operators.Dedup.dropIncrementalDedupState(spark, prefix)
   }
 
+  test("near-dedup kill-and-replay: a replayed committed batch changes nothing") {
+    // The crash window the commit markers exist for: foreachBatch completed
+    // (output + marker written) but the process died BEFORE the streaming
+    // checkpoint recorded the batch commit. On restart Spark replays the
+    // same batchId with the same data. Simulate it for real through the
+    // engine: delete the checkpoint's last commits/ entry and restart the
+    // query on the same checkpoint — the batch re-fires, the marker path
+    // must skip it, and survivors AND dedup state must be byte-identical.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("graft-snd-replay").toString + "/out"
+    val ck = Files.createTempDirectory("graft-snd-replay-ck").toString
+    val prefix = s"snd_replay_${System.nanoTime()}"
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river today"
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.foreachBatchNearDedup(
+        input.toDF().toDF("doc_id", "text"), out, ck, prefix,
+        "text", "doc_id", threshold = 0.6)
+      input.addData((1L, base), (2L, "unrelated first batch material here"))
+      q.processAllAvailable()
+      // batch 1: 11 near-dups 1 (cross-batch), 12 is fresh
+      input.addData((11L, base.replace("today", "tonight")),
+        (12L, "entirely new second batch document with novel words"))
+      q.processAllAvailable()
+      q.stop()
+
+      def survivors(): Set[Long] = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      def stateRows(): (Long, Long) =
+        (spark.table(s"${prefix}_bands").count(),
+          spark.table(s"${prefix}_shingles").count())
+      val survivors0 = survivors()
+      val state0 = stateRows()
+      assert(survivors0 == Set(1L, 2L, 12L), s"got $survivors0")
+
+      // kill: drop the batch-1 checkpoint commit, keeping its offsets —
+      // exactly the state a crash between sink and checkpoint leaves.
+      // (also the local ChecksumFs .crc sidecar, or the re-commit's
+      // rename-into-place fails on the stale crc)
+      def dropCommit1(): Unit = {
+        assert(Files.deleteIfExists(Paths.get(ck, "commits", "1")),
+          "expected commits/1 to exist")
+        Files.deleteIfExists(Paths.get(ck, "commits", ".1.crc"))
+      }
+      dropCommit1()
+
+      // replay with the MARKER present: the batch must be skipped whole —
+      // no survivor change, and NO state re-fold (state row counts equal)
+      val q2 = Streams.foreachBatchNearDedup(
+        input.toDF().toDF("doc_id", "text"), out, ck, prefix,
+        "text", "doc_id", threshold = 0.6)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(survivors() == survivors0)
+      assert(stateRows() == state0,
+        "a marker-skipped replay must not re-fold dedup state")
+
+      // replay with the marker ALSO gone (crash before the marker write):
+      // the batch re-executes — output dir overwrites to the same survivor
+      // set; state re-folds (duplicate rows are semantically harmless and
+      // bounded by replays), so only the survivor set is pinned here
+      dropCommit1()
+      val fsys = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsys.delete(
+        new org.apache.hadoop.fs.Path(s"$out/__committed/1"), false))
+      val q3 = Streams.foreachBatchNearDedup(
+        input.toDF().toDF("doc_id", "text"), out, ck, prefix,
+        "text", "doc_id", threshold = 0.6)
+      q3.processAllAvailable()
+      q3.stop()
+      assert(survivors() == survivors0,
+        "a partially-committed replay must converge to the same survivors")
+      // positive proof the batch re-fired (not merely "nothing changed"):
+      // the deleted marker was re-created by the re-execution
+      assert(fsys.exists(
+        new org.apache.hadoop.fs.Path(s"$out/__committed/1")))
+    } finally graft.operators.Dedup.dropIncrementalDedupState(spark, prefix)
+  }
+
   test("stream-stream interval join matches batch attribution join") {
     val ev = batchEvents
     val purchases = ev.filter($"event_type" === "purchase")
