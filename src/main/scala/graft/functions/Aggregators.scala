@@ -187,6 +187,86 @@ object Aggregators {
       ExpressionEncoder()
   }
 
+  /** Input row of [[DenseGrad]]: hashed feature buckets, raw error
+    * gradient, feature count, and which streams the row feeds (`grad` =
+    * weight/bias gradients, `stat` = row count + document frequency — the
+    * mini-batch path sources stats from the FULL frame while gradients
+    * come from the sample).
+    */
+  case class GradIn(b: Array[Int], g: Double, nf: Int,
+    grad: Boolean, stat: Boolean)
+
+  /** [[DenseGrad]] buffer/output: `grads(0..numBuckets-1)` per-bucket
+    * gradient sums, `grads(numBuckets)` bias gradient, `grads(numBuckets+1)`
+    * row count; `df(b)` per-bucket document frequency (empty unless
+    * requested).
+    */
+  case class GradBuf(grads: Array[Double], df: Array[Long])
+
+  /** Dense batch-gradient accumulator for the hashed-n-gram classifier
+    * ([[graft.operators.HashNgramClassifier.fit]]): per task ONE
+    * `Array[Double](numBuckets + 2)` accumulates every row's per-bucket
+    * gradient contributions (g/nf per occurrence), bias gradient, and —
+    * on request — row count and per-bucket document frequency. Merge is
+    * elementwise array addition, so the shuffle carries one fixed ~8·B
+    * buffer per partition instead of an exploded (bucket, contribution)
+    * row per FEATURE OCCURRENCE — the explode+groupBy formulation this
+    * replaces shuffled O(corpus tokens) structs per epoch, which was the
+    * whole per-epoch cost at bench scale. Only sane for table widths that
+    * fit a task buffer (classifier hash tables, 2^12..2^20 buckets: 32 KB
+    * .. 8 MB) — NOT a general replacement for groupBy aggregation.
+    */
+  class DenseGrad(numBuckets: Int, withDf: Boolean)
+      extends Aggregator[GradIn, GradBuf, GradBuf] {
+
+    override def zero: GradBuf = GradBuf(
+      new Array[Double](numBuckets + 2),
+      new Array[Long](if (withDf) numBuckets else 0))
+
+    override def reduce(buf: GradBuf, in: GradIn): GradBuf = {
+      if (in.grad) {
+        val inv = in.g / math.max(in.nf, 1)
+        var i = 0
+        while (i < in.b.length) { buf.grads(in.b(i)) += inv; i += 1 }
+        buf.grads(numBuckets) += in.g
+      }
+      if (in.stat) {
+        buf.grads(numBuckets + 1) += 1.0
+        if (withDf && in.b.length > 0) {
+          // document frequency counts each bucket once per row
+          val sorted = in.b.clone()
+          java.util.Arrays.sort(sorted)
+          var i = 0
+          while (i < sorted.length) {
+            if (i == 0 || sorted(i) != sorted(i - 1)) buf.df(sorted(i)) += 1L
+            i += 1
+          }
+        }
+      }
+      buf
+    }
+
+    override def merge(a: GradBuf, b: GradBuf): GradBuf = {
+      var i = 0
+      while (i < a.grads.length) { a.grads(i) += b.grads(i); i += 1 }
+      i = 0
+      while (i < a.df.length) { a.df(i) += b.df(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: GradBuf): GradBuf = buf
+    override def bufferEncoder: Encoder[GradBuf] = Encoders.product[GradBuf]
+    override def outputEncoder: Encoder[GradBuf] = Encoders.product[GradBuf]
+  }
+
+  /** DataFrame-facing dense-gradient aggregate — columns must match
+    * [[GradIn]] field order.
+    */
+  def denseGrad(numBuckets: Int, withDf: Boolean, b: Column, g: Column,
+      nf: Column, grad: Column, stat: Column): Column =
+    udaf(new DenseGrad(numBuckets, withDf), Encoders.product[GradIn])
+      .apply(b, g, nf, grad, stat)
+
   /** DataFrame-facing SpaceSaving heavy hitters over a string column:
     * array<struct<item, count, err>> sorted by count desc.
     */

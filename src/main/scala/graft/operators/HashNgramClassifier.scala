@@ -11,12 +11,13 @@ import graft.functions.expr.HashNgramExprs
   * training that scales to any corpus size.
   *
   * Scale design of `fit`: each epoch is ONE pass over the (cached, hashed)
-  * feature table — per-bucket gradients come from an explode + groupBy whose
-  * result cardinality is bounded by `numBuckets`, never by corpus size, so
+  * feature table — per-bucket gradients accumulate into a dense
+  * per-task array ([[graft.functions.Aggregators.DenseGrad]]), so the
+  * epoch's shuffle is one `numBuckets + 2`-slot buffer per partition and
   * the driver-side collect is a fixed few hundred KB regardless of whether
   * the input is 60k rows or 100 TB. This is the same shape batch SGD takes
-  * in parameter-server systems, with the DataFrame shuffle playing the
-  * parameter-server role. Token arrays are hashed ONCE up front; epochs
+  * in parameter-server systems, with the partial-aggregate merge playing
+  * the parameter-server role. Token arrays are hashed ONCE up front; epochs
   * re-score from compact int bucket arrays.
   *
   * The typical 100 TB use: `fit` on a small labeled sample (quality labels
@@ -93,9 +94,9 @@ object HashNgramClassifier {
     *                 mini-batch SGD; seeded per epoch, so runs reproduce)
     * @param minDocFreq buckets seen in fewer docs are frozen at weight 0 —
     *                 fastText-style rare-feature pruning; document
-    *                 frequencies ride epoch 0's gradient aggregation (extra
-    *                 struct stream, same groupBy), so pruning costs ZERO
-    *                 extra jobs
+    *                 frequencies ride epoch 0's gradient aggregation (a
+    *                 second dense array in the same buffer), so pruning
+    *                 costs ZERO extra jobs
     * @param earlyStopTol stop when the epoch's per-doc gradient L2 norm
     *                 changes by less than this fraction epoch-over-epoch
     *                 (0 = off); saves driver-synchronized epoch jobs once
@@ -163,73 +164,62 @@ object HashNgramClassifier {
       val g = epochRows
         .withColumn("__p", HashNgramExprs.bucketScore(col("__b"), wEpoch, bias))
         .withColumn("__g", col("__p") - col("__y"))
-      // ONE job per epoch: bucket gradients plus sentinels riding the same
-      // explode — bias gradient as bucket -1, row count as bucket -2
-      // (epoch 0), per-bucket document frequency as the __dfc field
-      // (epoch 0, minDocFreq > 1). On the mini-batch path the count/df
-      // contributions come from the FULL frame unioned into the sampled
-      // gradient stream — still one shuffle, one collect. Result rows
-      // <= numBuckets + 2, independent of corpus size.
-      val sentinels =
-        struct(lit(-1).as("__bk"), col("__g").as("__gv"), lit(0L).as("__dfc")) +:
-          (if (epoch == 0 && batchFraction >= 1.0)
-            Seq(struct(lit(-2).as("__bk"), lit(1.0).as("__gv"),
-              lit(0L).as("__dfc")))
-          else Nil)
-      val gradContribs = concat(
-        array(sentinels: _*),
-        transform(col("__b"), b =>
-          struct(b.as("__bk"), (col("__g") / col("__nf")).as("__gv"),
-            lit(0L).as("__dfc"))))
-      val contribs =
-        if (epoch == 0 && minDocFreq > 1 && batchFraction >= 1.0)
-          concat(gradContribs,
-            transform(array_distinct(col("__b")), b =>
-              struct(b.as("__bk"), lit(0.0).as("__gv"), lit(1L).as("__dfc"))))
-        else gradContribs
-      val gradStream = g.select(explode(contribs).as("__c"))
-      // full-frame count + document-frequency stream (mini-batch, epoch 0)
-      val statStream =
-        if (epoch == 0 && batchFraction < 1.0) {
-          val countContrib = array(struct(lit(-2).as("__bk"),
-            lit(1.0).as("__gv"), lit(0L).as("__dfc")))
-          val statContribs =
-            if (minDocFreq > 1)
-              concat(countContrib,
-                transform(array_distinct(col("__b")), b =>
-                  struct(b.as("__bk"), lit(0.0).as("__gv"),
-                    lit(1L).as("__dfc"))))
-            else countContrib
-          Some(feats.select(explode(statContribs).as("__c")))
-        } else None
-      val grads = statStream.fold(gradStream)(gradStream.unionByName(_))
-        .groupBy(col("__c.__bk").as("__bk"))
-        .agg(sum(col("__c.__gv")).as("__s"), sum(col("__c.__dfc")).as("__df"))
-        .collect()
+      // ONE job per epoch, ZERO corpus-sized shuffle: the dense-gradient
+      // aggregate ([[graft.functions.Aggregators.DenseGrad]]) accumulates
+      // per-bucket gradients into one Array[Double](numBuckets + 2) per
+      // task — bias and row count ride the same buffer, per-bucket
+      // document frequency rides epoch 0's when pruning is on — and the
+      // shuffle carries one such buffer per partition. The former
+      // explode+groupBy formulation shuffled one struct per feature
+      // OCCURRENCE per epoch (O(corpus tokens) rows), which was the
+      // entire per-epoch cost at bench scale. On the mini-batch path the
+      // count/df contributions come from the FULL frame unioned into the
+      // sampled gradient stream — still one job.
+      val needDf = epoch == 0 && minDocFreq > 1
+      val gradIn = g.select(col("__b"), col("__g"), col("__nf"),
+        lit(true).as("__grad"),
+        lit(epoch == 0 && batchFraction >= 1.0).as("__stat"))
+      val aggRows =
+        if (epoch == 0 && batchFraction < 1.0)
+          gradIn.unionByName(feats.select(col("__b"), lit(0.0).as("__g"),
+            col("__nf"), lit(false).as("__grad"), lit(true).as("__stat")))
+        else gradIn
+      val out = aggRows.select(
+        graft.functions.Aggregators.denseGrad(numBuckets, needDf,
+          col("__b"), col("__g"), col("__nf"), col("__grad"),
+          col("__stat")).as("__o"))
+        .head().getStruct(0)
+      val gsum = out.getAs[scala.collection.Seq[Double]](0)
       if (epoch == 0) {
-        n = grads.find(_.getInt(0) == -2).map(_.getDouble(1)).getOrElse(0.0)
+        n = gsum(numBuckets + 1)
         require(n > 0, "fit needs a non-empty training frame")
-        if (minDocFreq > 1) grads.foreach { r =>
-          val b = r.getInt(0)
-          if (b >= 0 && r.getLong(2) < minDocFreq) frozen.set(b)
+        if (minDocFreq > 1) {
+          val dfArr = out.getAs[scala.collection.Seq[Long]](1)
+          var b = 0
+          while (b < numBuckets) {
+            if (dfArr(b) < minDocFreq) frozen.set(b)
+            b += 1
+          }
         }
       }
       val nEpoch = if (batchFraction >= 1.0) n else math.max(1.0,
         n * batchFraction)
       var gradSq = 0.0
-      grads.foreach { r =>
-        val b = r.getInt(0)
-        if (b == -1) {
-          var gBias = r.getDouble(1) / nEpoch
-          gradSq += gBias * gBias
-          if (adagrad) {
-            biasGsq += gBias * gBias
-            gBias /= math.sqrt(biasGsq + adaEps)
-          }
-          biasVel = momentum * biasVel + gBias
-          bias -= lr * biasVel
-        } else if (b >= 0 && !frozen.get(b)) {
-          val gRaw = r.getDouble(1) / nEpoch
+      var gBias = gsum(numBuckets) / nEpoch
+      gradSq += gBias * gBias
+      if (adagrad) {
+        biasGsq += gBias * gBias
+        gBias /= math.sqrt(biasGsq + adaEps)
+      }
+      biasVel = momentum * biasVel + gBias
+      bias -= lr * biasVel
+      var b = 0
+      while (b < numBuckets) {
+        val s = gsum(b)
+        // zero-sum buckets had no occurrences this epoch — skipped, the
+        // sparse formulation's absent-row semantics (no l2/momentum step)
+        if (s != 0.0 && !frozen.get(b)) {
+          val gRaw = s / nEpoch
           gradSq += gRaw * gRaw
           var grad = gRaw + l2 * w(b)
           if (adagrad) {
@@ -239,6 +229,7 @@ object HashNgramClassifier {
           vel(b) = momentum * vel(b) + grad
           w(b) = (w(b) - lr * vel(b)).toFloat
         }
+        b += 1
       }
       val gradNorm = math.sqrt(gradSq)
       if (earlyStopTol > 0.0 && prevGradNorm >= 0.0 &&

@@ -31,6 +31,43 @@ class AggregatorsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("denseGrad matches brute-force gradients and is repartition-invariant") {
+    // rows: (buckets, g, nf, grad?, stat?) over a 8-bucket table
+    val nb = 8
+    val data = Seq(
+      (Array(0, 1, 1, 3), 0.5, 4, true, true),
+      (Array(2, 3), -0.25, 2, true, true),
+      (Array(1, 7, 7), 1.0, 3, true, false), // grad-only (sampled row)
+      (Array(0, 5), 0.0, 2, false, true) // stat-only (full-frame row)
+    )
+    // brute force
+    val expGrads = new Array[Double](nb + 2)
+    val expDf = new Array[Long](nb)
+    data.foreach { case (bs, g, nf, isG, isS) =>
+      if (isG) {
+        bs.foreach(b => expGrads(b) += g / nf)
+        expGrads(nb) += g
+      }
+      if (isS) {
+        expGrads(nb + 1) += 1.0
+        bs.distinct.foreach(b => expDf(b) += 1L)
+      }
+    }
+    def run(parts: Int) = {
+      val out = data.toDF("b", "g", "nf", "gr", "st").repartition(parts)
+        .select(Aggregators.denseGrad(nb, withDf = true,
+          $"b", $"g", $"nf", $"gr", $"st").as("o"))
+        .head().getStruct(0)
+      (out.getAs[scala.collection.Seq[Double]](0).toSeq,
+        out.getAs[scala.collection.Seq[Long]](1).toSeq)
+    }
+    val (g1, df1) = run(1)
+    assert(g1.zip(expGrads).forall { case (a, e) => math.abs(a - e) < 1e-12 },
+      s"got $g1 want ${expGrads.toSeq}")
+    assert(df1 == expDf.toSeq)
+    assert(run(5) == run(1), "merge must be partition-order invariant")
+  }
+
   test("sigJaccard estimates group overlap") {
     // A = {1..100}, B = {51..150}: true J = 50/150 = 1/3; C disjoint
     val rows = ((1L to 100L).map(("a", _)) ++ (51L to 150L).map(("b", _)) ++
