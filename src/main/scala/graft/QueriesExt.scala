@@ -812,6 +812,17 @@ object QueriesExt {
   def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val bench = docs.filter(col("doc_id") < 20)
+    // Tokenization sharing, MEASURED AND REJECTED: stages 3-6 all consume
+    // tokens, and the operators accept a pre-tokenized array (type
+    // dispatch — TextFunctions.tokensOf), so the funnel COULD tokenize
+    // once in stage 1's persisted projection. A same-JVM A/B
+    // (tools/ProfX43) showed it's a wash-to-regression here: whitespace
+    // split over already-cached text costs less than deserializing the
+    // ~2-3x larger cached token arrays every stage, and the two shingle
+    // stages use different widths (k=3 near-dup, n=13 decontamination) so
+    // their dominant kernels can't share anyway. Share tokens only when
+    // tokenization itself is expensive (e.g. bpeTokenCount-class
+    // regexes).
     // all languages: the synthetic corpus is word-soup and an 'en'-only
     // gate would collapse the funnel to ~6% in stage 1, leaving nothing
     // for the later stages to prove. QualityFilter keeps the input

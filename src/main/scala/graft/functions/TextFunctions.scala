@@ -47,6 +47,21 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Tokens of `textCol`, passing a PRE-TOKENIZED `array<string>` column
+    * through unchanged. Multi-stage pipelines (dedup → decontaminate →
+    * sample → chunk) tokenize the corpus ONCE, persist the array, and
+    * hand the same column to every stage — at 100 TB, re-tokenizing per
+    * stage is several full extra CPU passes over the corpus. The
+    * dispatch is on the column's TYPE, so operators taking a `textCol`
+    * accept either form with no signature change.
+    */
+  def tokensOf(df: org.apache.spark.sql.DataFrame, textCol: String): Column =
+    df.schema(textCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => col(textCol)
+      case _ => tokens(col(textCol))
+    }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

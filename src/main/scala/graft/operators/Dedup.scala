@@ -68,6 +68,22 @@ object Dedup {
     graft.functions.expr.TextHashExprs.shingleHashes(
       TextFunctions.tokens(text), k)
 
+  /** k-shingle hashes of `textCol`, dispatching on the column's type:
+    * raw string text (tokenize + shingle), pre-tokenized `array<string>`
+    * (shingle only — see [[TextFunctions.tokensOf]] for why pipelines
+    * share one tokenization), or pre-hashed `array<bigint>` shingles
+    * (passed through).
+    */
+  def shinglesOf(df: DataFrame, textCol: String, k: Int): Column =
+    df.schema(textCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => col(textCol)
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) =>
+        graft.functions.expr.TextHashExprs.shingleHashes(col(textCol), k)
+      case _ => shingleHashes(col(textCol), k)
+    }
+
   /** MinHash signature of a shingle-hash array: `numHashes` independent hash
     * functions realized as seed-mixed xxhash64 re-hashes of each shingle
     * hash, taking the min per function (Broder 1997). Seeded re-hashing
@@ -191,8 +207,10 @@ object Dedup {
 
     // boilerplate suppression: drop banned (document-frequent) shingles
     // before signatures/verification; a doc that is ALL boilerplate keeps
-    // its original shingles (empty sets have no meaningful signature)
-    val rawSh = shingleHashes(col(textCol), shingleK)
+    // its original shingles (empty sets have no meaningful signature).
+    // shinglesOf: textCol may be raw text OR a shared pre-tokenized /
+    // pre-shingled array (pipelines tokenize once)
+    val rawSh = shinglesOf(df, textCol, shingleK)
     val shCol =
       if (bannedShingles.isEmpty) rawSh
       else {

@@ -79,7 +79,8 @@ object Sampling {
       tokenBudget: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = graft.functions.TextFunctions.tokenCount(col(textCol))
+    // tokensOf: textCol may be raw text or a shared pre-tokenized array
+    val toks = size(graft.functions.TextFunctions.tokensOf(df, textCol))
       .cast("long")
     val srcTokens = df.groupBy(col(sourceCol))
       .agg(sum(toks).as("__tokens"))

@@ -29,7 +29,8 @@ object TextPipeline {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val toks = TextFunctions.tokens(col(textCol))
+    // tokensOf: textCol may be raw text or a shared pre-tokenized array
+    val toks = TextFunctions.tokensOf(df, textCol)
     val n = size(toks)
     // windows: starts 1, 1+stride, ... ; count = 1 + ceil((n-chunkSize)/stride)
     val nChunks = when(n <= chunkSize, lit(1))
@@ -64,11 +65,12 @@ object TextPipeline {
   def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13,
       minHits: Int = 1): DataFrame = {
+    // shinglesOf: textCol may be raw text or a shared pre-tokenized array
     val bh = benchmark
-      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__h"))
+      .select(explode(Dedup.shinglesOf(benchmark, textCol, n)).as("__h"))
       .distinct()
     val hits = corpus
-      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n))
+      .select(col(idCol), explode(Dedup.shinglesOf(corpus, textCol, n))
         .as("__h"))
       .join(broadcast(bh), Seq("__h"))
       .groupBy(col(idCol))

@@ -233,6 +233,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(ham(sims(0L), sims(3L)) > 16)
   }
 
+  test("pre-tokenized and pre-shingled inputs give identical results (tokensOf/shinglesOf dispatch)") {
+    import graft.functions.TextFunctions
+    val toked = docs.withColumn("__toks",
+      TextFunctions.tokens($"text"))
+    val shingled = docs.withColumn("__sh3",
+      Dedup.shingleHashes($"text", 3))
+    def ids(df: org.apache.spark.sql.DataFrame, tc: String): Set[Long] =
+      Dedup.minhashDedup(df, tc, "doc_id", threshold = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    val fromText = ids(docs, "text")
+    assert(ids(toked, "__toks") == fromText)
+    assert(ids(shingled, "__sh3") == fromText)
+    // decontamination: same flags either way
+    val benchDf = docs.filter($"doc_id" === 0)
+    def flags(c: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+        tc: String): Map[Long, Boolean] =
+      TextPipeline.flagContaminated(c, b, tc, "doc_id", n = 3)
+        .select("doc_id", "contaminated").as[(Long, Boolean)]
+        .collect().toMap
+    assert(flags(toked, toked.filter($"doc_id" === 0), "__toks") ==
+      flags(docs, benchDf, "text"))
+    // chunking: identical chunk rows from raw text and shared tokens
+    val a = TextPipeline.chunkByTokens(docs, "text", "doc_id", 5, 2)
+      .collect().map(_.toString).sorted.toSeq
+    val b = TextPipeline.chunkByTokens(toked, "__toks", "doc_id", 5, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("minhash mega-bucket is dropped at DEFAULT arguments (no opt-in tuning)") {
     // templated-corpus shape: > maxBucketSize (default 1000) docs with
     // identical text put 1100 ids in every one of their (band, hash)
