@@ -714,6 +714,62 @@ object QueriesExt {
     }
   }
 
+  /** Composed pruning on a PARTITIONED versioned table: lineitem is
+    * hive-partitioned on `l_returnflag` AND range-clustered on
+    * `l_orderkey` with per-file min/max stats — the standard lakehouse
+    * layout (partition on the categorical filter key, cluster on the
+    * range key). A `flag = 'R' AND orderkey BETWEEN` read must prune on
+    * BOTH axes independently: static partition pruning drops the other
+    * flags' directories, the stats index drops out-of-range files within
+    * the surviving directories. Laws: `compose_skips` — the composed read
+    * touches strictly fewer files than stats alone, which touches
+    * strictly fewer than the table; `match_ok` — pruned values equal the
+    * plain filtered read (pruning is an index, never a filter). File
+    * counts stay OUT of the compared columns (layouts are
+    * engine-specific; values and laws are portable).
+    */
+  def partitionedSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-x53")
+      .toString + "/tbl"
+    try {
+      val base = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .repartitionByRange(6, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+      VersionedTable.init(base, root, statsColumns = Seq("l_orderkey"),
+        partitionBy = Seq("l_returnflag"))
+      val (lo, hi) = (1000, 2000)
+      val pruned = VersionedTable.readRange(spark, root, "l_orderkey",
+        lo, hi, partitionValues = Seq("l_returnflag" -> "R"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("s"))
+        .head()
+      val full = VersionedTable.read(spark, root)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("s"))
+        .head()
+      val (readBoth, total) = VersionedTable.pruneCounts(spark, root,
+        "l_orderkey", lo, hi, partitionValues = Seq("l_returnflag" -> "R"))
+      val (readStats, _) = VersionedTable.pruneCounts(spark, root,
+        "l_orderkey", lo, hi)
+      import spark.implicits._
+      Seq((pruned.getLong(0), pruned.getDouble(1),
+        readBoth > 0 && readBoth < readStats && readStats < total,
+        pruned.getLong(0) == full.getLong(0) &&
+          pruned.getDouble(1) == full.getDouble(1)))
+        .toDF("n_rows", "sum_price", "compose_skips", "match_ok")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
   /** Image content dedup through the REAL codec path: render one PNG test
     * card per embeddings id ([[graft.multimodal.Multimodal
     * .renderTestCards]] — real ImageIO encode), decode every card with the
@@ -1102,7 +1158,8 @@ object QueriesExt {
     "x49_stats_skipping" -> statsSkipping _,
     "x50_image_neardup" -> imageNearDup _,
     "x51_nfc_fingerprint" -> nfcFingerprint _,
-    "x52_bpe_pairs" -> bpePairCounts _)
+    "x52_bpe_pairs" -> bpePairCounts _,
+    "x53_partitioned_skipping" -> partitionedSkipping _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1454,6 +1511,16 @@ object QueriesExt {
         |)
         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs
         |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+    // composed partition + stats pruning: values replay from lineitem
+    // directly; the skip laws are engine-side file-count facts exported
+    // as booleans (layouts aren't portable, laws are)
+    "x53_partitioned_skipping" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | TRUE AS compose_skips, TRUE AS match_ok
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

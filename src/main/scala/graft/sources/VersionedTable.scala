@@ -156,26 +156,57 @@ object VersionedTable {
       st.columns.contains(s"max_$column")) Some(st) else None
   }
 
+  /** Directory-prefix of a static partition predicate over a PREFIX of
+    * the configured partition columns, in hive layout (`k1=v1/k2=v2/`).
+    * Values render with Spark's default partition-path encoding for the
+    * plain types used here (toString); None when `partitionValues` names
+    * columns out of prefix order or not configured — static pruning then
+    * degrades to row filtering.
+    */
+  private def partitionPrefix(spark: SparkSession, root: String,
+      partitionValues: Seq[(String, Any)]): Option[String] = {
+    if (partitionValues.isEmpty) return Some("")
+    val configured = partitionColumns(spark, root)
+    val keys = partitionValues.map(_._1)
+    if (keys != configured.take(keys.length)) None
+    else Some(partitionValues.map { case (k, v) => s"$k=$v/" }.mkString)
+  }
+
   /** Data-skipping range read: `column BETWEEN lower AND upper` over a
     * version, scanning ONLY the files whose [min, max] span intersects
-    * the range (all-null files — null min/max — are skipped too, a range
-    * predicate cannot match them). Row-level filtering still applies: the
-    * file stats are a pruning index, not the predicate.
+    * the range. `partitionValues` composes STATIC PARTITION PRUNING with
+    * the stats index on partitioned layouts: equality values over a
+    * prefix of the configured partition columns drop every file outside
+    * their directories BEFORE the stats test — the two prune
+    * independently (directory for the partition key, min/max for the
+    * clustered key), so a range query on a partitioned table scans the
+    * intersection. Rows are additionally filtered by both predicates, so
+    * results never depend on pruning. All-null files (null min/max) are
+    * skipped too — a range predicate cannot match them.
     *
-    * Falls back to a plain filtered read when the table has no stats for
-    * `column` — same result, no skipping.
+    * Falls back to a plain filtered read when the version has no usable
+    * stats for `column` — same result, no skipping.
     */
   def readRange(spark: SparkSession, root: String, column: String,
-      lower: Any, upper: Any, version: Option[Int] = None): DataFrame = {
+      lower: Any, upper: Any, version: Option[Int] = None,
+      partitionValues: Seq[(String, Any)] = Nil): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     require(v >= 0, s"no such table: $root")
-    val pred = col(column).between(lit(lower), lit(upper))
+    val pred = partitionValues.foldLeft(
+      col(column).between(lit(lower), lit(upper))) {
+      case (p, (k, pv)) => p && col(k) === lit(pv)
+    }
     val st = if (statsColumns(spark, root).contains(column))
       pruningStats(spark, root, v, column) else None
     if (st.isEmpty) return read(spark, root, Some(v)).filter(pred)
+    val prefix = partitionPrefix(spark, root, partitionValues)
     val files = st.get
       .filter(col(s"max_$column") >= lit(lower) &&
         col(s"min_$column") <= lit(upper))
+      .filter(prefix match {
+        case Some(p) if p.nonEmpty => col("file").startsWith(p)
+        case _ => lit(true)
+      })
       .select("file").collect().map(_.getString(0))
     if (files.isEmpty)
       read(spark, root, Some(v)).filter(lit(false))
@@ -193,7 +224,8 @@ object VersionedTable {
     * fallback: every data file scans, so (total, total).
     */
   def pruneCounts(spark: SparkSession, root: String, column: String,
-      lower: Any, upper: Any, version: Option[Int] = None): (Long, Long) = {
+      lower: Any, upper: Any, version: Option[Int] = None,
+      partitionValues: Seq[(String, Any)] = Nil): (Long, Long) = {
     val v = version.getOrElse(latestVersion(spark, root))
     require(v >= 0, s"no such table: $root")
     val stOpt = if (statsColumns(spark, root).contains(column))
@@ -203,9 +235,14 @@ object VersionedTable {
       return (total, total)
     }
     val st = stOpt.get
+    val prefixPred = partitionPrefix(spark, root, partitionValues) match {
+      case Some(p) if p.nonEmpty => col("file").startsWith(p)
+      case _ => lit(true)
+    }
     val r = st.agg(count(lit(1)).as("total"),
       sum((col(s"max_$column") >= lit(lower) &&
-        col(s"min_$column") <= lit(upper)).cast("long")).as("kept"))
+        col(s"min_$column") <= lit(upper) && prefixPred).cast("long"))
+        .as("kept"))
       .head()
     (Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(0))
   }

@@ -214,6 +214,48 @@ class VersionedTableSpec extends SparkSpec {
     assert(pruned.columns.contains("p"))
   }
 
+  test("partitionValues composes static partition pruning with the stats index") {
+    val root = freshRoot()
+    // 4 partitions x range-clustered ids: both prune axes populated
+    VersionedTable.init(
+      spark.range(1000).select($"id", ($"id" % 4).as("p"))
+        .repartitionByRange(5, $"id").sortWithinPartitions("id"),
+      root, statsColumns = Seq("id"), partitionBy = Seq("p"))
+    val composed = VersionedTable.readRange(spark, root, "id", 100, 200,
+      partitionValues = Seq("p" -> 2))
+    // rows: ids 100..200 with id % 4 == 2 -> 102, 106, ..., 198 = 25
+    assert(composed.count() == 25)
+    val (readBoth, total) = VersionedTable.pruneCounts(spark, root,
+      "id", 100, 200, partitionValues = Seq("p" -> 2))
+    val (readStats, _) = VersionedTable.pruneCounts(spark, root,
+      "id", 100, 200)
+    assert(readBoth > 0 && readBoth < readStats && readStats < total,
+      s"($readBoth, $readStats, $total)")
+    // no-stats fallback still applies both predicates row-wise
+    val root2 = freshRoot()
+    VersionedTable.init(
+      spark.range(1000).select($"id", ($"id" % 4).as("p")),
+      root2, partitionBy = Seq("p"))
+    assert(VersionedTable.readRange(spark, root2, "id", 100, 200,
+      partitionValues = Seq("p" -> 2)).count() == 25)
+    // an out-of-prefix partition value (second key without the first)
+    // degrades to row filtering: same rows, no partition-axis pruning
+    val root3 = freshRoot()
+    VersionedTable.init(
+      spark.range(1000).select($"id", ($"id" % 4).as("p"), ($"id" % 2).as("q"))
+        .repartitionByRange(5, $"id").sortWithinPartitions("id"),
+      root3, statsColumns = Seq("id"), partitionBy = Seq("p", "q"))
+    val degraded = VersionedTable.readRange(spark, root3, "id", 100, 200,
+      partitionValues = Seq("q" -> 1))
+    assert(degraded.count() == 50) // odd ids in 100..200
+    val (readDeg, _) = VersionedTable.pruneCounts(spark, root3,
+      "id", 100, 200, partitionValues = Seq("q" -> 1))
+    val (readStats3, _) = VersionedTable.pruneCounts(spark, root3,
+      "id", 100, 200)
+    assert(readDeg == readStats3,
+      "out-of-prefix values must not file-prune (stats axis only)")
+  }
+
   test("readRange/pruneCounts degrade to a plain filtered read when a " +
       "version has no usable stats") {
     val root = freshRoot()
