@@ -299,8 +299,8 @@ object Dedup {
     * exactly the one-shot rule. Requires ids to be assigned monotonically
     * across batches (the natural ingest order).
     *
-    * State is two BUCKETED tables (`<prefix>_bands`, `<prefix>_shingles`),
-    * so per-batch cost never re-shuffles history:
+    * State is three BUCKETED tables (`<prefix>_bands`, `<prefix>_shingles`,
+    * `<prefix>_bucket_counts`), so per-batch cost never re-shuffles history:
     *  - `_bands(__bkey, id)` bucketed on `__bkey` = xxhash64(band,
     *    bandhash): the batch's banded stream repartitions to the same
     *    bucketing and probes WITHOUT exchanging the accumulated band rows
@@ -311,8 +311,15 @@ object Dedup {
     *  - `_shingles(id, __sh)` bucketed on id: the (small, dup-bounded)
     *    candidate pair list fetches shingle sets for exact verification
     *    without shuffling the stored arrays.
+    *  - `_bucket_counts(__bkey, __bcnt)` bucketed on `__bkey`: the running
+    *    occupancy of every band bucket, maintained as O(batch) delta rows
+    *    per fold (summed bucket-locally at read time, periodically
+    *    compacted back to one row per key). The hot-bucket guard sizes
+    *    buckets against THIS table, so the `_bands` history is scanned
+    *    exactly once per fold — by the candidate join itself — instead of
+    *    a second time for a full recount.
     * Appends preserve bucketing (`saveAsTable` append mode), so state
-    * maintenance is one write of O(batch) rows per fold.
+    * maintenance is one write of O(batch) rows per fold per table.
     */
   def incrementalMinhashDedup(batch: DataFrame, statePrefix: String,
       textCol: String, idCol: String, shingleK: Int = 3,
@@ -321,15 +328,89 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
-    val rowsPerBand = numHashes / bands
     val bandsT = s"${statePrefix}_bands"
     val shinglesT = s"${statePrefix}_shingles"
+    val countsT = s"${statePrefix}_bucket_counts"
 
+    val (batchSigs, batchBanded) =
+      bandBatch(batch, textCol, idCol, shingleK, numHashes, bands, seed)
+    batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val hasState = spark.catalog.tableExists(bandsT)
+    val losers = incrementalLoserIds(spark, batchSigs, batchBanded,
+      statePrefix, threshold, maxBucketSize)
+
+    // Pin the fold's loser verdict to a plain parquet PATH (not a catalog
+    // table) before touching state. Two reasons, both real:
+    //  - cache survival: the state appends below invalidate every cached
+    //    plan that references the state tables (recacheByPlan), so a
+    //    survivors frame built directly on `losers` would silently
+    //    recompute the whole candidate join on the caller's first action
+    //    AFTER the fold — against the grown state.
+    //  - determinism: that post-append recompute would see the batch's own
+    //    rows in history AND its delta in `_bucket_counts` (double-counted
+    //    occupancy), which near the bucket cap could admit a different
+    //    loser set than the one this fold committed to. The path read
+    //    freezes the verdict.
+    val loserPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${statePrefix}_losers").toString
+    losers.coalesce(1).write.mode("overwrite").parquet(loserPath)
+
+    // Ownership: the returned frame is handed to the caller PERSISTED and
+    // already materialized (its plan — batch anti-join a tiny loser file —
+    // has no catalog dependence, so the state appends below cannot evict
+    // it); the caller unpersists once it has consumed it.
+    val survivors = batch.join(
+      spark.read.parquet(loserPath).withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.count()
+
+    // fold the WHOLE batch (survivors and losers) into state: greedy
+    // one-shot semantics compare against every smaller seen id. The
+    // bucket-count delta is tiny and bounded by the batch — repartition
+    // BEFORE aggregating (the clustering satisfies the groupBy, so one
+    // shuffle covers both) and each fold appends exactly `buckets` files.
+    val batchCounts = batchBanded.repartition(buckets, col("__bkey"))
+      .groupBy("__bkey").agg(count(lit(1)).as("__bcnt"))
+    // the three state tables are independent — run their write jobs
+    // concurrently so a fold pays one write latency, not three (they all
+    // read the persisted batchSigs, already materialized by the
+    // survivor count above)
+    val mode = if (hasState) "append" else "error"
+    val writes = Seq(
+      () => batchBanded.write.mode(mode).bucketBy(buckets, "__bkey")
+        .format("parquet").saveAsTable(bandsT),
+      () => batchSigs.select(col("id"), col("__sh")).write.mode(mode)
+        .bucketBy(buckets, "id").format("parquet").saveAsTable(shinglesT),
+      () => batchCounts.write.mode(mode).bucketBy(buckets, "__bkey")
+        .format("parquet").saveAsTable(countsT))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    // amortized upkeep: once the delta generations pile up, fold them
+    // back to one row per key so the guard's read stays bounded by the
+    // live bucket-key universe, not by fold count
+    if (hasState && stateFileCount(spark, countsT) > buckets * 8)
+      compactBucketCounts(spark, statePrefix, buckets)
+    batchSigs.unpersist()
+    survivors
+  }
+
+  /** Shingle+signature frame and banded (`__bkey`, id) stream for one
+    * incoming batch — shared by [[incrementalMinhashDedup]] and the
+    * plan-pin specs (which need the candidate plan WITHOUT running the
+    * fold's actions). */
+  private[graft] def bandBatch(batch: DataFrame, textCol: String,
+      idCol: String, shingleK: Int, numHashes: Int, bands: Int,
+      seed: Long): (DataFrame, DataFrame) = {
+    val rowsPerBand = numHashes / bands
     val batchSigs = batch
       .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleK).as("__sh"))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBanded = batchSigs
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -338,30 +419,55 @@ object Dedup {
         ).as(Seq("__band", "__bandhash")))
       .select(xxhash64(col("__band"), col("__bandhash")).as("__bkey"),
         col("id"))
+    (batchSigs, batchBanded)
+  }
 
+  /** Loser ids (batch docs with a smaller-id near-duplicate in history or
+    * in the batch) for one fold, as a lazy single-column `id` frame. The
+    * `_bands` history is referenced by EXACTLY ONE scan — the candidate
+    * join — because the hot-bucket guard sizes buckets against the
+    * incrementally-maintained `_bucket_counts` table instead of recounting
+    * band history (the r9 formulation's second full-history scan). */
+  private[graft] def incrementalLoserIds(spark: SparkSession,
+      batchSigs: DataFrame, batchBanded: DataFrame, statePrefix: String,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val bandsT = s"${statePrefix}_bands"
+    val shinglesT = s"${statePrefix}_shingles"
+    val countsT = s"${statePrefix}_bucket_counts"
     val hasState = spark.catalog.tableExists(bandsT)
+
     // hot-bucket guard, same contract as minhashCandidates' maxBucketSize:
     // buckets whose TOTAL occupancy (history + batch) exceeds the cap are
     // excluded from candidate generation before either join can go b².
-    // The sizing pass scans the state band table — the same IO class as
-    // the candidate join itself, so per-batch asymptotics are unchanged.
-    // Equality with the one-shot greedy dedup holds whenever no bucket
-    // exceeds the cap over the FULL corpus (the sane-corpus case —
-    // boilerplate mega-buckets are banned upstream in both modes).
-    val allBanded =
-      if (!hasState) batchBanded
-      else spark.table(bandsT).unionByName(batchBanded)
-    val okBuckets = allBanded.groupBy("__bkey")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucketSize)
-      .select("__bkey")
-    val batchB = batchBanded.join(okBuckets, Seq("__bkey"), "left_semi")
-    // candidate ids: smaller-id partner exists in history or in the batch
+    // Only BATCH keys need sizing (a bucket the batch never touches
+    // generates no pairs this fold), and history occupancy comes from the
+    // 16-byte/row `_bucket_counts` table — summed bucket-locally (the
+    // table is bucketed on `__bkey`, so the groupBy needs no exchange)
+    // over the delta rows each fold appends. Equality with the one-shot
+    // greedy dedup holds whenever no bucket exceeds the cap over the FULL
+    // corpus (the sane-corpus case — boilerplate mega-buckets are banned
+    // upstream in both modes).
+    val batchCounts = batchBanded.groupBy("__bkey")
+      .agg(count(lit(1)).as("__bcnt"))
+    val okBatchKeys =
+      if (!hasState) batchCounts
+        .filter(col("__bcnt") <= maxBucketSize).select("__bkey")
+      else {
+        val histCounts = spark.table(countsT).groupBy("__bkey")
+          .agg(sum("__bcnt").as("__hcnt"))
+        batchCounts.join(histCounts, Seq("__bkey"), "left")
+          .filter(coalesce(col("__hcnt"), lit(0L)) + col("__bcnt")
+            <= maxBucketSize)
+          .select("__bkey")
+      }
+    val batchB = batchBanded.join(okBatchKeys, Seq("__bkey"), "left_semi")
+    // candidate ids: smaller-id partner exists in history or in the batch.
+    // The history side needs NO ok-bucket filter of its own: the inner
+    // join with the already-guarded batchB restricts it to ok batch keys.
     val histPairs =
       if (!hasState) batchBanded.limit(0)
         .select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
       else spark.table(bandsT)
-        .join(okBuckets, Seq("__bkey"), "left_semi")
         .join(batchB.withColumnRenamed("id", "id_b"), Seq("__bkey"))
         .filter(col("id") < col("id_b"))
         .select(col("id").as("id_a"), col("id_b"))
@@ -382,50 +488,65 @@ object Dedup {
     val shB = batchSigs.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
     val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
-    val losers = pairIds
+    pairIds
       .join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .filter(when(union > 0, inter.cast("double") / union)
         .otherwise(lit(0.0)) >= threshold)
       .select(col("id_b").as("id"))
       .distinct()
+  }
 
-    // materialize survivors BEFORE unpersisting: the caller's action on
-    // the returned frame would otherwise re-derive the shingle/signature
-    // subtree several times over — the exact cost the persist avoids.
-    // Ownership: the returned frame is handed to the caller PERSISTED and
-    // already materialized; the caller unpersists once it has consumed it.
-    val survivors = batch.join(
-      losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    survivors.count()
+  /** Compact the delta-appended `_bucket_counts` state back to one row per
+    * `__bkey`. Each fold appends O(batch) delta rows; compaction keeps the
+    * guard's read bounded by the live bucket-key universe instead of the
+    * number of folds since the table was created. Idempotent; called
+    * automatically by [[incrementalMinhashDedup]] once the table exceeds
+    * 8 appended file generations. */
+  private[graft] def compactBucketCounts(spark: SparkSession,
+      statePrefix: String, buckets: Int): Unit = {
+    val countsT = s"${statePrefix}_bucket_counts"
+    val tmp = s"${countsT}_compact"
+    dropStateTable(spark, tmp)
+    spark.table(countsT).groupBy("__bkey")
+      .agg(sum("__bcnt").as("__bcnt"))
+      .repartition(buckets, col("__bkey"))
+      .write.bucketBy(buckets, "__bkey").format("parquet").saveAsTable(tmp)
+    dropStateTable(spark, countsT)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$countsT`")
+  }
 
-    // fold the WHOLE batch (survivors and losers) into state: greedy
-    // one-shot semantics compare against every smaller seen id
-    if (!hasState) {
-      batchBanded.write.bucketBy(buckets, "__bkey")
-        .format("parquet").saveAsTable(bandsT)
-      batchSigs.select(col("id"), col("__sh")).write.bucketBy(buckets, "id")
-        .format("parquet").saveAsTable(shinglesT)
-    } else {
-      batchBanded.write.mode("append").bucketBy(buckets, "__bkey")
-        .format("parquet").saveAsTable(bandsT)
-      batchSigs.select(col("id"), col("__sh")).write.mode("append")
-        .bucketBy(buckets, "id").format("parquet").saveAsTable(shinglesT)
-    }
-    batchSigs.unpersist()
-    survivors
+  /** Number of data files currently backing a managed state table — the
+    * cheap driver-side proxy for "appended fold generations" that triggers
+    * [[compactBucketCounts]]. */
+  private def stateFileCount(spark: SparkSession, table: String): Int = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count(_.getPath.getName.startsWith("part-"))
+  }
+
+  private def dropStateTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Drop the state tables of [[incrementalMinhashDedup]] (idempotent). */
   def dropIncrementalDedupState(spark: SparkSession,
-      statePrefix: String): Unit =
-    Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+      statePrefix: String): Unit = {
+    Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
+      s"${statePrefix}_bucket_counts", s"${statePrefix}_bucket_counts_compact")
+      .foreach(dropStateTable(spark, _))
+    // the per-fold loser verdict file is a plain path, not a table
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loserLoc =
+      new org.apache.hadoop.fs.Path(warehouse, s"${statePrefix}_losers")
+    val fs = loserLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loserLoc)) fs.delete(loserLoc, true)
+  }
 
   /** Connected components over a near-duplicate pair list: assigns every id
     * the minimum id reachable through the pair graph (large-neighborhood

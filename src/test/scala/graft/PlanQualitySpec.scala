@@ -130,6 +130,51 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("incremental dedup fold reads band history exactly once (x42 shape)") {
+    // the r9 hot-bucket guard recounted the ENTIRE _bands state per fold —
+    // a second full-history scan on top of the candidate join's own read.
+    // The r10 guard sizes buckets against the incrementally-maintained
+    // _bucket_counts table, so the fold's candidate plan must reference
+    // _bands through EXACTLY ONE scan. A refactor that reintroduces the
+    // recount (or an ok-bucket semi-join on the history side) breaks this.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val prefix = s"x42pin_${System.nanoTime()}"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      val batch1 = Seq(
+        (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+        .toDF("doc_id", "text")
+      Dedup.incrementalMinhashDedup(batch1, prefix, "text", "doc_id",
+        buckets = 2).unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batch2 = Seq(
+        (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3L, "phi chi psi omega aleph bet gimel dalet he vav"))
+        .toDF("doc_id", "text")
+      val (sigs, banded) = Dedup.bandBatch(batch2, "text", "doc_id",
+        3, 64, 16, 42L)
+      val losers = Dedup.incrementalLoserIds(spark, sigs, banded, prefix,
+        threshold = 0.7, maxBucketSize = 1000)
+      val scans = losers.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString).mkString(",")
+      }
+      val bandScans = scans.count(_.contains(s"${prefix}_bands"))
+      val countScans = scans.count(_.contains(s"${prefix}_bucket_counts"))
+      assert(bandScans == 1,
+        s"expected exactly one _bands scan, got $bandScans in: $scans")
+      assert(countScans == 1,
+        s"expected exactly one _bucket_counts scan, got $countScans in: $scans")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      Dedup.dropIncrementalDedupState(spark, prefix)
+    }
+  }
+
   test("ICWS band-bucket shuffles carry ids, never TF structs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -119,6 +119,55 @@ class DedupOpsSpec extends SparkSpec {
     } finally Dedup.dropIncrementalDedupState(spark, prefix)
   }
 
+  test("bucket-count state equals the band-history recount, incl. after compaction") {
+    // equality law for the r10 guard: the incrementally-maintained
+    // _bucket_counts table (delta appends, bucket-local sums) must agree
+    // with the r9 formulation's full recount of _bands at every fold,
+    // before and after compaction — and a fold AFTER compaction must still
+    // reproduce the one-shot greedy dedup
+    import org.apache.spark.sql.functions.sum
+    val batch1 = docs
+    val batch2 = Seq(
+      (10L, base),
+      (11L, nearDup.replace("river", "creek")),
+      (12L, "novel second-batch content with entirely fresh vocabulary"),
+      (13L, "novel second-batch content with entirely fresh vocabulary")
+    ).toDF("doc_id", "text")
+    val batch3 = Seq(
+      (20L, base.replace("dog", "wolf")), // near dup of 0 via history
+      (21L, "third batch text with its own vocabulary about glaciers and ice")
+    ).toDF("doc_id", "text")
+    val prefix = s"bc_spec_${System.nanoTime()}"
+    def recount = spark.table(s"${prefix}_bands").groupBy("__bkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def maintained = spark.table(s"${prefix}_bucket_counts")
+      .groupBy("__bkey").agg(sum("__bcnt").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      val s1 = Dedup.incrementalMinhashDedup(batch1, prefix, "text",
+        "doc_id", threshold = 0.6, buckets = 2)
+        .select("doc_id").as[Long].collect().toSet
+      val s2 = Dedup.incrementalMinhashDedup(batch2, prefix, "text",
+        "doc_id", threshold = 0.6, buckets = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(maintained == recount)
+      Dedup.compactBucketCounts(spark, prefix, buckets = 2)
+      assert(maintained == recount)
+      val ct = spark.table(s"${prefix}_bucket_counts")
+      assert(ct.count() == ct.select("__bkey").distinct().count(),
+        "compaction must leave one row per bucket key")
+      val s3 = Dedup.incrementalMinhashDedup(batch3, prefix, "text",
+        "doc_id", threshold = 0.6, buckets = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(maintained == recount)
+      val oneShot = Dedup.minhashDedup(
+        batch1.unionByName(batch2).unionByName(batch3), "text", "doc_id",
+        threshold = 0.6).select("doc_id").as[Long].collect().toSet
+      assert((s1 ++ s2 ++ s3) == oneShot,
+        s"incremental ${s1 ++ s2 ++ s3} != one-shot $oneShot")
+    } finally Dedup.dropIncrementalDedupState(spark, prefix)
+  }
+
   test("near-dedup is idempotent: deduping survivors changes nothing") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val once = Dedup.minhashDedup(real, "text", "doc_id", threshold = 0.8)
