@@ -95,9 +95,16 @@ object Streams {
     * jar-free versioned parquet table. The first batch initializes the
     * table; every later batch commits one new version whose pointer swap
     * is atomic, so a reader of the table always sees a complete batch
-    * boundary. Batch replays after a checkpoint recovery re-MERGE the
-    * same keys — idempotent by the upsert semantics, unlike a blind
-    * append.
+    * boundary.
+    *
+    * Replay idempotence is two-layered, like [[foreachBatchNearDedup]]: a
+    * fully-committed batch leaves a marker (`__committed/<batchId>` under
+    * the table root) and a replay with the marker present is skipped WHOLE
+    * — the table's version history is untouched, not just its row set. If
+    * the crash landed between the MERGE commit and the marker write, the
+    * replay re-MERGEs the same keys: one extra version appears but the row
+    * set converges by the upsert semantics — the fallback a blind append
+    * sink cannot offer.
     */
   def foreachBatchMerge(stream: DataFrame, tableRoot: String,
       checkpoint: String, keyCols: Seq[String])(
@@ -105,14 +112,22 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = transform(batch.toDF())
         val spark = b.sparkSession
-        if (graft.sources.VersionedTable.latestVersion(spark,
-            tableRoot) < 0)
-          graft.sources.VersionedTable.init(b, tableRoot)
-        else
-          graft.sources.VersionedTable.merge(spark, tableRoot, b, keyCols)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$tableRoot/__committed/$batchId")
+        val fsys = marker.getFileSystem(hconf)
+        if (!fsys.exists(marker)) {
+          if (graft.sources.VersionedTable.latestVersion(spark,
+              tableRoot) < 0)
+            graft.sources.VersionedTable.init(b, tableRoot)
+          else
+            graft.sources.VersionedTable.merge(spark, tableRoot, b, keyCols)
+          fsys.mkdirs(marker.getParent)
+          fsys.create(marker, true).close()
+        }
         ()
       }
       .start()

@@ -1,0 +1,130 @@
+package graft.tools
+
+import scala.io.Source
+
+/** Mechanical per-query bench regression gate.
+  *
+  * Diffs two bench artifacts (the one-line JSON `graft.Bench` emits, e.g.
+  * `BENCH_LOCAL_r8.json` vs `target/bench.json`) query-by-query and exits
+  * non-zero when any like-for-like query regressed beyond a threshold.
+  * Exists because regressions otherwise surface only via judge archaeology a
+  * round later (r9: x42 went 4.16→6.33 s and nothing at build time noticed).
+  *
+  * Comparison rules:
+  *   - only queries present in BOTH artifacts count (new queries are listed
+  *     informationally, never failed — there is no "like-for-like" baseline);
+  *   - queries faster than `minSec` in the baseline are ignored for the gate
+  *     (sub-0.2 s timings are scheduler noise, a 2x swing there is meaningless);
+  *   - a query flagged as a spread violation in EITHER artifact is reported
+  *     but does not fail the gate — its number is already self-flagged as
+  *     unconfirmed, failing on it would punish host contention, not code.
+  *
+  * Usage: tools/run.sh graft.tools.BenchDiff BENCH_LOCAL_r8.json target/bench.json [threshold]
+  */
+object BenchDiff {
+
+  /** One artifact's relevant fields. Parsing is hand-rolled against the flat
+    * shape `Bench` emits (no JSON lib on the classpath by design); it is NOT
+    * a general JSON parser and `BenchDiffSpec` pins the exact shape.
+    */
+  final case class BenchArtifact(
+      queries: Map[String, Double],
+      spreadViolations: Set[String],
+      contaminated: Boolean)
+
+  private val NumField = """"([A-Za-z0-9_]+)":(-?[0-9.eE+]+)""".r
+
+  /** Extract the object literal following `"<key>":` assuming no nested
+    * braces inside (true for Bench's flat maps).
+    */
+  private def objectBody(json: String, key: String): String = {
+    val start = json.indexOf("\"" + key + "\":{")
+    if (start < 0) return ""
+    val open = json.indexOf('{', start)
+    val close = json.indexOf('}', open)
+    if (close < 0) "" else json.substring(open + 1, close)
+  }
+
+  def parse(json: String): BenchArtifact = {
+    val qs = NumField.findAllMatchIn(objectBody(json, "queries"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val viol = {
+      val start = json.indexOf("\"spread_violations\":[")
+      if (start < 0) Set.empty[String]
+      else {
+        val open = json.indexOf('[', start)
+        val close = json.indexOf(']', open)
+        """"([^"]+)"""".r.findAllMatchIn(json.substring(open + 1, close))
+          .map(_.group(1)).toSet
+      }
+    }
+    BenchArtifact(qs, viol, json.contains("\"contaminated\":true"))
+  }
+
+  final case class Row(name: String, prev: Double, curr: Double,
+      ratio: Double, gated: Boolean, suspect: Boolean)
+
+  final case class Diff(rows: Seq[Row], added: Seq[String], removed: Seq[String],
+      failures: Seq[Row]) {
+    def ok: Boolean = failures.isEmpty
+  }
+
+  /** Pure diff logic, spec-covered. `threshold` is the like-for-like
+    * regression ratio that fails the gate; `minSec` the baseline floor below
+    * which a query is too fast to gate on.
+    */
+  def diff(prev: BenchArtifact, curr: BenchArtifact,
+      threshold: Double = 1.5, minSec: Double = 0.2): Diff = {
+    val common = prev.queries.keySet intersect curr.queries.keySet
+    val suspects = prev.spreadViolations ++ curr.spreadViolations
+    val rows = common.toSeq.sorted.map { n =>
+      val (p, c) = (prev.queries(n), curr.queries(n))
+      val ratio = if (p > 0) c / p else Double.PositiveInfinity
+      val suspect = suspects.contains(n)
+      Row(n, p, c, ratio, gated = p >= minSec && !suspect, suspect)
+    }
+    Diff(
+      rows = rows,
+      added = (curr.queries.keySet -- prev.queries.keySet).toSeq.sorted,
+      removed = (prev.queries.keySet -- curr.queries.keySet).toSeq.sorted,
+      failures = rows.filter(r => r.gated && r.ratio > threshold))
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    if (args.length < 2) {
+      System.err.println("usage: BenchDiff <prev.json> <curr.json> [threshold]")
+      sys.exit(2)
+    }
+    def load(p: String) = {
+      val src = Source.fromFile(p); try parse(src.mkString) finally src.close()
+    }
+    val (prev, curr) = (load(args(0)), load(args(1)))
+    val threshold = args.lift(2).map(_.toDouble).getOrElse(1.5)
+    val d = diff(prev, curr, threshold)
+    val interesting = d.rows.filter(r => r.ratio > 1.2 || r.ratio < 0.8)
+    println(f"${"query"}%-28s ${"prev"}%8s ${"curr"}%8s ${"ratio"}%7s")
+    for (r <- d.rows) {
+      val flag =
+        if (r.gated && r.ratio > threshold) " REGRESSION"
+        else if (r.suspect) " (spread-suspect)"
+        else if (!r.gated) " (below floor)"
+        else ""
+      if (interesting.contains(r) || flag.contains("REGRESSION"))
+        println(f"${r.name}%-28s ${r.prev}%8.2f ${r.curr}%8.2f ${r.ratio}%7.2f$flag")
+    }
+    if (d.added.nonEmpty) println(s"new queries (not gated): ${d.added.mkString(", ")}")
+    if (d.removed.nonEmpty) println(s"removed queries: ${d.removed.mkString(", ")}")
+    val pTot = d.rows.map(_.prev).sum
+    val cTot = d.rows.map(_.curr).sum
+    println(f"like-for-like total: prev $pTot%.1fs curr $cTot%.1fs (${cTot / pTot}%.2fx)")
+    if (curr.contaminated)
+      println("NOTE: current artifact self-flags contaminated:true — rerun on a quiet host")
+    if (!d.ok) {
+      System.err.println(s"FAIL: ${d.failures.size} quer${if (d.failures.size == 1) "y" else "ies"} " +
+        s"regressed >${threshold}x like-for-like: ${d.failures.map(_.name).mkString(", ")}")
+      sys.exit(1)
+    }
+    println(s"OK: no like-for-like regression >${threshold}x")
+  }
+}

@@ -67,6 +67,89 @@ class CappedCollectSpec extends SparkSpec {
       Seq("alpha", "beta"))
   }
 
+  test("deserialized buffers own their bytes: merge-after-deserialize is alias-safe") {
+    // `deserialize` keeps values as UnsafeRow VIEWS into the input byte
+    // array (zero-copy by design). That is only sound if every caller hands
+    // the buffer a byte array nobody reuses — which Spark's
+    // TypedImperativeAggregate contract guarantees (UnsafeRow.getBinary
+    // copies). This test pins the failure mode the design note claims
+    // cannot happen: mutate the source bytes AFTER deserialize and show the
+    // values DO alias (documenting why unique ownership is load-bearing),
+    // then show merge-after-deserialize of two independently-owned buffers
+    // preserves exact content.
+    val s = CappedCollect(
+      BoundReference(0, org.apache.spark.sql.types.StringType,
+        nullable = true), 10)
+    def bufOf(vs: String*) = {
+      val b = s.createAggregationBuffer()
+      vs.foreach(v => s.update(b, InternalRow(UTF8String.fromString(v))))
+      b
+    }
+    // aliasing is real: corrupting the owned bytes corrupts the view
+    val bytes = s.serialize(bufOf("aaaa", "bbbb"))
+    val view = s.deserialize(bytes)
+    assert(view.map(_.toString) == Seq("aaaa", "bbbb"))
+    java.util.Arrays.fill(bytes, 0.toByte)
+    assert(view.map(_.toString) != Seq("aaaa", "bbbb"),
+      "expected views into the serialized bytes — if this fails the " +
+        "zero-copy design note in deserialize() is stale")
+    // ...and therefore each deserialize must get its own array: merging two
+    // buffers deserialized from DIFFERENT arrays never cross-contaminates
+    val left = s.deserialize(s.serialize(bufOf("left1", "left2")))
+    val right = s.deserialize(s.serialize(bufOf("right1", "right2")))
+    val merged = s.merge(left, right)
+    assert(merged.map(_.toString) ==
+      Seq("left1", "left2", "right1", "right2"))
+    assert(s.eval(merged).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .array.map(_.toString).toSeq ==
+      Seq("left1", "left2", "right1", "right2"))
+  }
+
+  test("sort-based fallback path: forced-low threshold yields uncorrupted exact results") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation once a
+    // task sees more than `fallbackThreshold` distinct groups — the path
+    // where partial buffers are serialized, spilled group-sorted, then
+    // deserialize+merge'd. Force it (threshold=2, 499 groups per task) and
+    // prove (a) the plan is ObjectHashAggregate, (b) every collected string
+    // survives serde/merge byte-exact. Values are unique per row, so any
+    // reused-buffer aliasing in the fallback merge would surface as strings
+    // that exist in no input row — set-membership is the corruption oracle.
+    val n = 4000
+    val nGroups = 499
+    val rows = (0 until n).map(i =>
+      (s"g${i % nGroups}", s"val_${i}_${"pad" * (i % 7)}"))
+    val df = rows.toDF("k", "v").repartition(4)
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val prevKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(prevKey)
+    spark.conf.set(prevKey, "2")
+    try {
+      // cap above the max group size: the result must be EXACTLY the group
+      val exact = df.groupBy("k")
+        .agg(AggExprs.collectCapped(col("v"), 64).as("arr"))
+      assert(exact.queryExecution.executedPlan.toString
+        .contains("ObjectHashAggregate"))
+      val got = exact.as[(String, Seq[String])].collect()
+        .map { case (k, arr) => k -> arr.toSet }.toMap
+      assert(got == truth)
+      // cap below the group size: size is pinned at cap+1 and every element
+      // still matches some real input value (bag-subset, no corruption)
+      val capped = df.groupBy("k")
+        .agg(AggExprs.collectCapped(col("v"), 3).as("arr"))
+        .as[(String, Seq[String])].collect()
+      assert(capped.length == nGroups)
+      capped.foreach { case (k, arr) =>
+        assert(arr.length == math.min(truth(k).size, 4))
+        assert(arr.distinct.length == arr.length, s"dup in group $k")
+        assert(arr.forall(truth(k).contains), s"corrupted value in group $k")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(prevKey, v)
+      case None => spark.conf.unset(prevKey)
+    }
+  }
+
   test("groupBy: size <= cap is exact, cap+1 is the overflow signal") {
     val df = Seq.tabulate(10)(i => ("big", i.toLong)) ++
       Seq(("two", 0L), ("two", 1L), ("one", 0L))

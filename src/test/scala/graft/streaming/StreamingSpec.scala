@@ -118,6 +118,71 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("MERGE sink kill-and-replay: replayed batch leaves versions and rows unchanged") {
+    // Same crash window as the near-dedup replay spec, applied to the
+    // versioned-table MERGE sink: foreachBatch committed (MERGE + marker)
+    // but the process died before the streaming checkpoint recorded the
+    // batch. On restart Spark re-fires the same batchId with the same
+    // data; the marker must skip it WHOLE — version history untouched,
+    // not merely row-set-converged.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-fbm-replay").toString + "/tbl"
+    val ck = Files.createTempDirectory("graft-fbm-replay-ck").toString
+    def start(input: MemoryStream[(Long, String)]) =
+      Streams.foreachBatchMerge(
+        input.toDF().toDF("id", "payload"), root, ck, Seq("id"))()
+    val input = MemoryStream[(Long, String)]
+    val q = start(input)
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "b2"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(): Seq[(Long, String)] = graft.sources.VersionedTable
+      .read(spark, root).orderBy("id").as[(Long, String)].collect().toSeq
+    val rows0 = rows()
+    val version0 = graft.sources.VersionedTable.latestVersion(spark, root)
+    assert(rows0 == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(version0 == 1) // one version per micro-batch
+
+    // kill: drop the batch-1 checkpoint commit (and its local-fs crc
+    // sidecar), keeping offsets — the state a crash between sink commit
+    // and checkpoint commit leaves behind
+    def dropCommit1(): Unit = {
+      assert(Files.deleteIfExists(Paths.get(ck, "commits", "1")),
+        "expected commits/1 to exist")
+      Files.deleteIfExists(Paths.get(ck, "commits", ".1.crc"))
+    }
+    dropCommit1()
+
+    // replay with the MARKER present: skipped whole — same latest version
+    // (no phantom MERGE commit), same rows
+    val q2 = start(input)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(graft.sources.VersionedTable.latestVersion(spark, root) == version0,
+      "a marker-skipped replay must not commit a new version")
+    assert(rows() == rows0)
+
+    // replay with the marker ALSO gone (crash before the marker write):
+    // the batch re-MERGEs — one extra version, but the row set converges
+    // by upsert semantics, and the marker is re-created
+    dropCommit1()
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.delete(
+      new org.apache.hadoop.fs.Path(s"$root/__committed/1"), false))
+    val q3 = start(input)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(graft.sources.VersionedTable.latestVersion(spark, root) == version0 + 1)
+    assert(rows() == rows0,
+      "a partially-committed replay must converge to the same row set")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/__committed/1")))
+  }
+
   test("streaming near-dedup removes cross-batch near-duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
