@@ -18,20 +18,12 @@ object QueriesExt {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
-  /** The events table ships with parquet TIMESTAMP(NANOS), which Spark does
-    * not read natively: sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and this loader rebuilds a microsecond timestamp (every value in the
-    * data is microsecond-aligned, so the conversion is exact; DuckDB reads
-    * the same column as its native TIMESTAMP in microseconds).
+  /** Events with `ts` normalized to a microsecond TIMESTAMP — see
+    * [[Tables.events]] for the per-encoding dispatch (nanos-as-long vs
+    * TIMESTAMP_NTZ generators).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   // ------------------------------------------------------------------ dedup
 

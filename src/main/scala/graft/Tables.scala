@@ -8,6 +8,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` normalized to a session-zone microsecond
+    * TIMESTAMP regardless of how the parquet encodes it. Generators have
+    * shipped the column both as TIMESTAMP(NANOS) — which Spark only reads
+    * via `spark.sql.legacy.parquet.nanosAsLong` as a bigint — and as plain
+    * micros, which Spark 4 surfaces as TIMESTAMP_NTZ. Every value is
+    * microsecond-aligned and sessions run in UTC, so both rewrites are
+    * exact and agree with DuckDB's native read of the same file.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   /** Ensure a frame about to enter a CPU-dominant kernel stage (ICWS /
     * MinHash signatures, hashed-n-gram training) runs with at least the
     * session's default parallelism.

@@ -247,11 +247,27 @@ object Dedup {
       .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Verify with ONE more shingle pass, not two (same shape as the
-    // weighted path): unpivot each pair into (pair, side, id) rows, probe
-    // the shingle frame once, regroup — the regroup shuffle carries only
-    // CANDIDATE docs' shingle arrays, and the full-corpus shingle-hash
-    // evaluation runs once instead of once per join side.
+    // Verify WITHOUT a second full-corpus shingle pass: unpivot each pair
+    // into (pair, side, id) rows, probe a shingle frame restricted to
+    // CANDIDATE docs, regroup. The restriction is a semi-join on candidate
+    // ids placed BELOW the shingle projection, so the verify branch
+    // tokenizes/hashes only dup-bounded candidate rows — at 100 TB that
+    // turns "second shingle pass over the corpus" into "shingle pass over
+    // the candidates". No broadcast hint: candidates are dup-bounded, not
+    // absolutely bounded, so AQE picks broadcast when they're few (the
+    // common case — then the corpus side never shuffles) and a shuffled
+    // semi-join otherwise (text shuffles, same bytes the old __sh arrays
+    // shuffled, but the kernel still runs only over candidates). Both this
+    // branch and `pairSides` hang off the SAME `pairIds` dropDuplicates
+    // exchange (branches diverge only ABOVE it, unlike the pre-count
+    // variant [[bucketPairs]] rejects), so ReuseExchange evaluates the
+    // banded kernel once — pinned by PlanQualitySpec.
+    val candIds = pairIds
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val candSets = df.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shCol.as("__sh"))
     val pairSides = pairIds
       .select(struct(col("id_a"), col("id_b")).as("__pk"),
         explode(array(
@@ -261,7 +277,7 @@ object Dedup {
       .select(col("__pk"), col("__s.__side").as("__side"),
         col("__s." + idCol).as(idCol))
     val pairs = pairSides
-      .join(withSets.select(col(idCol), col("__sh")), Seq(idCol))
+      .join(candSets, Seq(idCol))
       .groupBy(col("__pk"))
       .agg(max(when(col("__side") === "a", col("__sh"))).as("__sh_a"),
         max(when(col("__side") === "b", col("__sh"))).as("__sh_b"))
@@ -806,13 +822,19 @@ object Dedup {
       .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Verify with ONE more TF pass, not two: the TF expression (tokenize +
-    // shingle-hash + sort + aggregate) dominates this operator's CPU, and
-    // the classic pairIds⋈tfA⋈tfB tail would stream the full-corpus TF
-    // evaluation once per side. Instead unpivot each pair into two
-    // (pair, side, id) rows, probe `withTf` once (pair side broadcasts —
-    // it's candidates, not corpus), and reassemble the two sides with a
-    // groupBy whose shuffle carries only the CANDIDATE docs' TF structs.
+    // Verify WITHOUT a second full-corpus TF pass: the TF expression
+    // (tokenize + shingle-hash + sort + aggregate) dominates this
+    // operator's CPU, so the verify probe restricts to CANDIDATE docs
+    // with a semi-join on candidate ids placed BELOW the TF projection —
+    // same shape and same ReuseExchange/AQE rationale as
+    // [[minhashCandidates]]: the banded kernel evaluates once, and the
+    // verify branch TF-encodes only dup-bounded candidate rows.
+    val candIds = pairIds
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val candTf = df.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleTf(col(textCol), shingleK).as("__tf"))
     val pairSides = pairIds
       .select(struct(col("id_a"), col("id_b")).as("__pk"),
         explode(array(
@@ -821,7 +843,7 @@ object Dedup {
           .as("__s"))
       .select(col("__pk"), col("__s.__side").as("__side"),
         col("__s." + idCol).as(idCol))
-    pairSides.join(withTf, Seq(idCol))
+    pairSides.join(candTf, Seq(idCol))
       .groupBy(col("__pk"))
       .agg(max(when(col("__side") === "a", col("__tf"))).as("__tf_a"),
         max(when(col("__side") === "b", col("__tf"))).as("__tf_b"))

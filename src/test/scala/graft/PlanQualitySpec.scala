@@ -127,6 +127,13 @@ class PlanQualitySpec extends SparkSpec {
       val ps = p.toString
       assert(!ps.contains("Window"), ps.take(3000))
       assert(ps.contains("collect_capped"), ps.take(3000))
+      // the verify probe restricts the shingle re-evaluation to CANDIDATE
+      // docs via a semi-join below the shingle projection, and both verify
+      // branches hang off the same pairIds exchange: a single band-keyed
+      // exchange above plus a ReusedExchange here proves the banded kernel
+      // ran once and the corpus was never shingled a second time
+      assert(ps.contains("ReusedExchange"), ps.take(3000))
+      assert(ps.contains("LeftSemi"), ps.take(3000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

@@ -33,8 +33,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("date-partitioned layout prunes partitions on read") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Tables.events(spark, sfDir)
     Layout.writeDatePartitioned(ev, "target/events_parted", "ts")
     val jan2 = Layout.readPartitioned(spark, "target/events_parted")
       .filter(col("event_date") === "2024-01-02")

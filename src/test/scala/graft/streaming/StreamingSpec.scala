@@ -16,8 +16,7 @@ class StreamingSpec extends SparkSpec {
   private lazy val streamDir: String = {
     val d = "target/stream_in"
     // rebuild the events table as proper micro timestamps for streaming
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Tables.events(spark, sfDir)
     ev.write.mode("overwrite").parquet(d)
     d
   }
