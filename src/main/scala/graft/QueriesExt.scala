@@ -875,16 +875,25 @@ object QueriesExt {
     // gate would collapse the funnel to ~6% in stage 1, leaving nothing
     // for the later stages to prove. QualityFilter keeps the input
     // columns, so survivors project straight off it — no second scan.
+    // Decontamination FUSES into this same first pass: the 13-gram hit
+    // count ([[TextPipeline.contaminationHits]]) is a per-doc predicate
+    // independent of the dedup outcome, so it rides the stage-1 projection
+    // as a cached boolean and stage 4 is a filter on the cached column —
+    // no dedicated decontam scan or join over the stage-3 survivors. (The
+    // kernel also runs over docs stages 2-3 later drop — a few extra
+    // hash-loops during a pass that is reading the text anyway, traded
+    // for a whole survivor-set read + join at stage 4.)
+    val clean = !(TextPipeline.contaminationHits(docs, bench, "text")
+      .get >= 1)
     val kept1 = graft.operators.QualityFilter(docs, "text",
       graft.operators.QualityFilter.Config(langs = Set.empty))
-      .select(docs.columns.map(col): _*).persist()
+      .select(docs.columns.map(col) :+ clean.as("__clean"): _*).persist()
     val kept2 = Dedup.exact(kept1, "text", "doc_id").persist()
     val kept3 = Dedup.minhashDedup(kept2, "text", "doc_id",
       threshold = 0.8).persist()
-    val kept4 = kept3.join(
-      TextPipeline.flagContaminated(kept3, bench, "text", "doc_id")
-        .filter(!col("contaminated")).select("doc_id"),
-      Seq("doc_id"), "left_semi").persist()
+    // no persist: kept4 is a row-local filter over cached kept3 — caching
+    // it again would just copy kept3's survivors into a second storage pass
+    val kept4 = kept3.filter(col("__clean"))
     // budget under the surviving token mass and a small window size, so
     // sampling genuinely drops docs and chunking genuinely splits them —
     // survivors of the dup-word filter skew short
@@ -908,7 +917,7 @@ object QueriesExt {
     // the eager counts above materialized every stage; the caches are dead
     // the moment the last count returns — release them here or they squat
     // executor storage memory for the rest of the process
-    Seq(kept1, kept2, kept3, kept4, kept5).foreach(_.unpersist())
+    Seq(kept1, kept2, kept3, kept5).foreach(_.unpersist())
     counts
       .toDF("stage", "n")
       .orderBy("stage")

@@ -207,6 +207,85 @@ case class SimHashOfHashesExpr(child: Expression)
   override def prettyName: String = "simhash64_of_hashes"
 }
 
+/** Count of elements of a 64-bit-hash array present in a FIXED hash set —
+  * the probe side of broadcast-set semi-join semantics collapsed into one
+  * scalar expression. Exists for benchmark decontamination
+  * ([[graft.operators.TextPipeline.flagContaminated]]): the benchmark
+  * n-gram set is small by definition, so probing it per document replaces
+  * a per-n-gram `posexplode` + broadcast join + per-doc count aggregate
+  * (one output row per corpus n-gram — the only corpus-wide row expansion
+  * in that stage) with a single projection over the corpus scan.
+  *
+  * The set rides in the expression itself (serialized with the task
+  * binary, broadcast once per stage — same wire cost as a broadcast
+  * relation); the open-addressing probe table is built lazily once per
+  * deserialized instance, giving O(1) membership per n-gram with zero
+  * boxing.
+  */
+case class LongSetCountExpr(child: Expression, set: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"long_set_count expects array<bigint>, got ${t.catalogString}")
+  }
+
+  // Open-addressing linear-probe table at <= 50% load; slot value 0L means
+  // empty, so membership of the value 0 itself is tracked out of band.
+  @transient private lazy val (table, mask, hasZero) = {
+    var cap = 16
+    while (cap < set.length * 2) cap <<= 1
+    val t = new Array[Long](cap)
+    val m = cap - 1
+    var zero = false
+    var i = 0
+    while (i < set.length) {
+      val v = set(i)
+      if (v == 0L) zero = true
+      else {
+        var p = mix(v) & m
+        while (t(p) != 0L && t(p) != v) p = (p + 1) & m
+        t(p) = v
+      }
+      i += 1
+    }
+    (t, m, zero)
+  }
+
+  // splitmix64 finalizer: full-avalanche scramble so xxhash64 values that
+  // share low bits don't cluster probe chains
+  @inline private def mix(v: Long): Int = {
+    var z = v * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    (z ^ (z >>> 27)).toInt
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      if (h == 0L) { if (hasZero) hits += 1 }
+      else {
+        var p = mix(h) & mask
+        while (table(p) != 0L && table(p) != h) p = (p + 1) & mask
+        if (table(p) == h) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "long_set_count"
+}
+
 object TextHashExprs {
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(
@@ -221,4 +300,8 @@ object TextHashExprs {
 
   def simhash64OfHashes(hashes: Column): Column =
     ColumnBridge.column(SimHashOfHashesExpr(ColumnBridge.expression(hashes)))
+
+  def longSetCount(hashes: Column, set: Array[Long]): Column =
+    ColumnBridge.column(
+      LongSetCountExpr(ColumnBridge.expression(hashes), set))
 }

@@ -247,40 +247,37 @@ object Dedup {
       .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Verify WITHOUT a second full-corpus shingle pass: unpivot each pair
-    // into (pair, side, id) rows, probe a shingle frame restricted to
-    // CANDIDATE docs, regroup. The restriction is a semi-join on candidate
-    // ids placed BELOW the shingle projection, so the verify branch
-    // tokenizes/hashes only dup-bounded candidate rows — at 100 TB that
-    // turns "second shingle pass over the corpus" into "shingle pass over
-    // the candidates". No broadcast hint: candidates are dup-bounded, not
+    // Verify WITHOUT a second full-corpus shingle pass: restrict a shingle
+    // frame to CANDIDATE docs with a semi-join on candidate ids placed
+    // BELOW the shingle projection, so the verify branch tokenizes/hashes
+    // only dup-bounded candidate rows — at 100 TB that turns "second
+    // shingle pass over the corpus" into "shingle pass over the
+    // candidates". No broadcast hint: candidates are dup-bounded, not
     // absolutely bounded, so AQE picks broadcast when they're few (the
-    // common case — then the corpus side never shuffles) and a shuffled
-    // semi-join otherwise (text shuffles, same bytes the old __sh arrays
-    // shuffled, but the kernel still runs only over candidates). Both this
-    // branch and `pairSides` hang off the SAME `pairIds` dropDuplicates
-    // exchange (branches diverge only ABOVE it, unlike the pre-count
-    // variant [[bucketPairs]] rejects), so ReuseExchange evaluates the
-    // banded kernel once — pinned by PlanQualitySpec.
+    // common case — then the corpus side never shuffles) and shuffled
+    // joins otherwise. `candSets` then joins onto the pair list once per
+    // side — two plain equi-joins, no unpivot/regroup (the regroup's
+    // exchange carried shingle arrays and bought nothing: the shuffled
+    // fallback moves the same array bytes either way, and the broadcast
+    // case builds `candSets` ONCE and reuses it for both sides via
+    // ReuseExchange). All three references to `pairIds` hang off the SAME
+    // dropDuplicates exchange (branches diverge only ABOVE it, unlike the
+    // pre-count variant [[bucketPairs]] rejects), so ReuseExchange
+    // evaluates the banded kernel once — pinned by PlanQualitySpec.
+    // no .distinct() on candIds: the left-semi probe hash-dedups its build
+    // side, so a distinct here is a whole extra exchange + aggregate for
+    // rows the join deduplicates anyway (2x pairs vs ~1.3x pairs of
+    // dup-bounded shuffle volume is noise; the exchange round-trip is not)
     val candIds = pairIds
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
     val candSets = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shCol.as("__sh"))
-    val pairSides = pairIds
-      .select(struct(col("id_a"), col("id_b")).as("__pk"),
-        explode(array(
-          struct(lit("a").as("__side"), col("id_a").as(idCol)),
-          struct(lit("b").as("__side"), col("id_b").as(idCol))))
-          .as("__s"))
-      .select(col("__pk"), col("__s.__side").as("__side"),
-        col("__s." + idCol).as(idCol))
-    val pairs = pairSides
-      .join(candSets, Seq(idCol))
-      .groupBy(col("__pk"))
-      .agg(max(when(col("__side") === "a", col("__sh"))).as("__sh_a"),
-        max(when(col("__side") === "b", col("__sh"))).as("__sh_b"))
+    val pairs = pairIds
+      .join(candSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")),
+        Seq("id_a"))
+      .join(candSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")),
+        Seq("id_b"))
 
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
     val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
@@ -288,8 +285,7 @@ object Dedup {
       .withColumn("jaccard",
         when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
-      .select(col("__pk.id_a").as("id_a"), col("__pk.id_b").as("id_b"),
-        col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Near-dedup: remove every doc that is a near-duplicate (jaccard >=
@@ -300,10 +296,12 @@ object Dedup {
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    // no .distinct() on losers: the anti join hash-dedups its build side;
+    // a distinct would add an exchange + aggregate to save dup-bounded
+    // build rows the join collapses for free
     val losers = minhashCandidates(df, textCol, idCol, shingleK, numHashes,
       bands, threshold, seed = seed)
       .select(col("id_b").as(idCol))
-      .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -829,30 +827,23 @@ object Dedup {
     // same shape and same ReuseExchange/AQE rationale as
     // [[minhashCandidates]]: the banded kernel evaluates once, and the
     // verify branch TF-encodes only dup-bounded candidate rows.
+    // no .distinct() on candIds, and two plain equi-joins instead of an
+    // unpivot/regroup — same reasoning as [[minhashCandidates]]'s verify
     val candIds = pairIds
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-      .distinct()
     val candTf = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleTf(col(textCol), shingleK).as("__tf"))
-    val pairSides = pairIds
-      .select(struct(col("id_a"), col("id_b")).as("__pk"),
-        explode(array(
-          struct(lit("a").as("__side"), col("id_a").as(idCol)),
-          struct(lit("b").as("__side"), col("id_b").as(idCol))))
-          .as("__s"))
-      .select(col("__pk"), col("__s.__side").as("__side"),
-        col("__s." + idCol).as(idCol))
-    pairSides.join(candTf, Seq(idCol))
-      .groupBy(col("__pk"))
-      .agg(max(when(col("__side") === "a", col("__tf"))).as("__tf_a"),
-        max(when(col("__side") === "b", col("__tf"))).as("__tf_b"))
+    pairIds
+      .join(candTf.select(col(idCol).as("id_a"), col("__tf").as("__tf_a")),
+        Seq("id_a"))
+      .join(candTf.select(col(idCol).as("id_b"), col("__tf").as("__tf_b")),
+        Seq("id_b"))
       .withColumn("wjaccard", weightedJaccard(
         col("__tf_a.hashes"), col("__tf_a.weights"),
         col("__tf_b.hashes"), col("__tf_b.weights")))
       .filter(col("wjaccard") >= threshold)
-      .select(col("__pk.id_a").as("id_a"), col("__pk.id_b").as("id_b"),
-        col("wjaccard"))
+      .select(col("id_a"), col("id_b"), col("wjaccard"))
   }
 
   /** Weighted-Jaccard near-dedup: greedy min-id survivor rule over
@@ -861,10 +852,10 @@ object Dedup {
   def weightedMinhashDedup(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    // no .distinct() on losers — see [[minhashDedup]]
     val losers = weightedMinhashCandidates(df, textCol, idCol, shingleK,
       numHashes, bands, threshold, seed = seed)
       .select(col("id_b").as(idCol))
-      .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -935,8 +926,8 @@ object Dedup {
       maxBucketSize)
       .filter(hammingDist(col("__pair_a.sim"), col("__pair_b.sim"))
         <= maxHamming)
+      // no .distinct() on losers — see [[minhashDedup]]
       .select(col("__pair_b.id").as(idCol))
-      .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -53,19 +53,67 @@ object TextPipeline {
     * dropped before training.
     *
     * Scale shape: the benchmark n-gram set is small by definition
-    * (benchmarks are thousands of documents, not billions) — it is
-    * DISTINCT-reduced and broadcast, so the corpus side is one scan with a
-    * broadcast semi-join-style probe + per-doc count; the corpus never
-    * shuffles text, only (id, hit) pairs into the final count.
-    * N-grams ride as 8-byte xxhash64 values ([[Dedup.shingleHashes]]'s
-    * native expression): documents shorter than `n` tokens hash as one
-    * whole-document shingle, so short benchmark docs still decontaminate
-    * their exact copies.
+    * (benchmarks are thousands of documents, not billions). When its
+    * DISTINCT hash set fits `maxSetNgrams` (default 4M entries = 32 MB,
+    * well inside task-binary broadcast territory) it is collected once and
+    * probed per document by a native set-membership expression
+    * ([[graft.functions.expr.LongSetCountExpr]]) — the whole stage is ONE
+    * corpus projection: no per-n-gram `posexplode` (the only corpus-wide
+    * row expansion this stage otherwise has), no join, no count aggregate,
+    * no second corpus pass for the zero-hit left join. A benchmark too big
+    * for the bound falls back to the equivalent explode + broadcast-join +
+    * count shape, which never materializes the set on the driver. Either
+    * way the corpus never shuffles text — n-grams ride as 8-byte xxhash64
+    * values ([[Dedup.shingleHashes]]'s native expression): documents
+    * shorter than `n` tokens hash as one whole-document shingle, so short
+    * benchmark docs still decontaminate their exact copies.
     */
   def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1, maxSetNgrams: Int = 4 << 20): DataFrame = {
+    contaminationHits(corpus, benchmark, textCol, n, maxSetNgrams) match {
+      case Some(hits) =>
+        // two-step select: n_hits references the shingle kernel once;
+        // CollapseProject keeps non-cheap expressions single-evaluation, so
+        // `contaminated` reuses the count instead of re-running the kernel
+        corpus
+          .select(col(idCol), hits.as("n_hits"))
+          .select(col(idCol), col("n_hits"),
+            (col("n_hits") >= minHits).as("contaminated"))
+      case None => flagContaminatedJoin(corpus, benchmark, textCol, idCol,
+        n, minHits)
+    }
+  }
+
+  /** The per-document contamination hit count as a fusable COLUMN —
+    * `Some(column)` counting benchmark `n`-grams in `textCol`, or `None`
+    * when the benchmark's distinct n-gram set exceeds `maxSetNgrams` (then
+    * only [[flagContaminated]]'s join shape applies). Because the count
+    * depends ONLY on the document and the benchmark set, a pipeline can
+    * evaluate it in an EARLIER stage's projection (e.g. alongside quality
+    * signals in the first corpus pass) and apply the decontamination
+    * filter later as a cached-column predicate — no dedicated decontam
+    * scan or join. EAGER: collects the (small by definition) benchmark
+    * set, bounded to 8(maxSetNgrams+1) driver bytes by limit-probing.
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int = 13,
+      maxSetNgrams: Int = 4 << 20): Option[Column] = {
     // shinglesOf: textCol may be raw text or a shared pre-tokenized array
+    val bh = benchmark
+      .select(explode(Dedup.shinglesOf(benchmark, textCol, n)).as("__h"))
+      .distinct()
+    // bounded probe: limit(max+1) caps driver memory at 8(max+1) bytes and
+    // answers "does it fit" in the same job that fetches the set
+    val probe = bh.limit(maxSetNgrams + 1).collect()
+    if (probe.length <= maxSetNgrams)
+      Some(graft.functions.expr.TextHashExprs.longSetCount(
+        Dedup.shinglesOf(corpus, textCol, n), probe.map(_.getLong(0))))
+    else None
+  }
+
+  private def flagContaminatedJoin(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int, minHits: Int): DataFrame = {
     val bh = benchmark
       .select(explode(Dedup.shinglesOf(benchmark, textCol, n)).as("__h"))
       .distinct()

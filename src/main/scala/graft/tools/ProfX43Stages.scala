@@ -35,9 +35,11 @@ object ProfX43Stages {
       val t0 = System.nanoTime()
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val bench = docs.filter(col("doc_id") < 20)
+      val clean = !(TextPipeline.contaminationHits(docs, bench, "text")
+        .get >= 1)
       val kept1 = QualityFilter(docs, "text",
         QualityFilter.Config(langs = Set.empty))
-        .select(docs.columns.map(col): _*).persist()
+        .select(docs.columns.map(col) :+ clean.as("__clean"): _*).persist()
       timed("0_all count")(docs.count())
       timed("1_quality")(kept1.count())
       val kept2 = Dedup.exact(kept1, "text", "doc_id").persist()
@@ -45,10 +47,7 @@ object ProfX43Stages {
       val kept3 = Dedup.minhashDedup(kept2, "text", "doc_id",
         threshold = 0.8).persist()
       timed("3_neardup")(kept3.count())
-      val kept4 = kept3.join(
-        TextPipeline.flagContaminated(kept3, bench, "text", "doc_id")
-          .filter(!col("contaminated")).select("doc_id"),
-        Seq("doc_id"), "left_semi").persist()
+      val kept4 = kept3.filter(col("__clean"))
       timed("4_decontam")(kept4.count())
       val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
       val kept5 = Sampling.mixtureSample(kept4, "text", "doc_id", "source",
@@ -57,7 +56,7 @@ object ProfX43Stages {
       val chunks = TextPipeline.chunkByTokens(kept5, "text", "doc_id",
         chunkSize = 16, overlap = 4)
       timed("6_chunks")(chunks.count())
-      Seq(kept1, kept2, kept3, kept4, kept5).foreach(_.unpersist())
+      Seq(kept1, kept2, kept3, kept5).foreach(_.unpersist())
       println(f"  TOTAL                  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
     }
     spark.stop()

@@ -287,14 +287,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("decontamination broadcasts the benchmark n-gram set") {
+  test("decontamination probes the benchmark n-gram set in one projection") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.operators.TextPipeline.flagContaminated(docs,
       docs.filter(org.apache.spark.sql.functions.col("doc_id") < 20),
       "text", "doc_id", n = 13)
     val p = plan(df)
-    // the corpus side probes a broadcast: no sort-merge join, and no
-    // corpus-text exchange — n-grams ride as 8-byte hashes
+    // in-set benchmark: the whole stage is scan -> project (set membership
+    // via long_set_count) — no join, no explode, no exchange, and the
+    // shingle kernel appears exactly once (CollapseProject must not
+    // duplicate it into the `contaminated` derivation)
+    assert(p.contains("long_set_count"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+    assert("shingle_hashes".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("decontamination falls back to a broadcast join past the set bound") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextPipeline.flagContaminated(docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 20),
+      "text", "doc_id", n = 13, maxSetNgrams = 1)
+    val p = plan(df)
+    // oversize benchmark: the corpus side probes a broadcast — no
+    // sort-merge join, no corpus-text exchange, n-grams as 8-byte hashes
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(p.contains("shingle_hashes"), p.take(3000))

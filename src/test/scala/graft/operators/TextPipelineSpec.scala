@@ -48,6 +48,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(1)._2 == 3L)
   }
 
+  test("decontamination set-probe and join fallback agree exactly") {
+    val corpus = Seq(
+      (0L, "one two three four five six seven"),
+      (1L, "zero one two three four five six seven eight"), // 4 shared 4-grams
+      (2L, "totally different words here now indeed"),
+      (3L, "six seven eight nine ten"), // 1 shared 4-gram w/ doc 1? no: bench is doc 0
+      (4L, "three four five six seven and more") // shared interior 4-grams
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 0L)
+    val fast = TextPipeline.flagContaminated(corpus, bench, "text", "doc_id",
+      n = 4).orderBy("doc_id").collect().toSeq
+    val slow = TextPipeline.flagContaminated(corpus, bench, "text", "doc_id",
+      n = 4, maxSetNgrams = 1).orderBy("doc_id").collect().toSeq
+    assert(fast == slow)
+    assert(fast.exists(_.getBoolean(2)) && fast.exists(!_.getBoolean(2)))
+  }
+
   test("short-doc fallback: sub-n benchmark docs still catch exact copies") {
     val corpus = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other text"))
       .toDF("doc_id", "text")
