@@ -846,6 +846,25 @@ object QueriesExt {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(50)
 
+  /** BM25 seed-query retrieval ([[graft.operators.TextRank]]): score the
+    * corpus against a deterministic 8-term query — the first 8 distinct
+    * tokens of doc 0 — and emit the top 10 by (4dp-rounded score, id).
+    * The 4dp rounding is the cross-engine contract: the summation order
+    * over terms is fixed in both engines, but `ln` may differ at ulp
+    * scale, and ordering by the ROUNDED score keeps the top-k cut
+    * identical on both sides.
+    */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val row0 = docs.filter(col("doc_id") === 0)
+      .select(TextFunctions.tokens(col("text")).as("__t")).head()
+    val terms = row0.getSeq[String](0).distinct.take(8).toArray
+    graft.operators.TextRank.bm25(docs, "text", "doc_id", terms)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
   /** End-to-end corpus-preparation funnel — the capstone composition a
     * training-data pipeline actually runs, each stage an already-verified
     * operator: quality/language filter (x25 semantics) → exact dedup (x01)
@@ -1160,7 +1179,8 @@ object QueriesExt {
     "x50_image_neardup" -> imageNearDup _,
     "x51_nfc_fingerprint" -> nfcFingerprint _,
     "x52_bpe_pairs" -> bpePairCounts _,
-    "x53_partitioned_skipping" -> partitionedSkipping _)
+    "x53_partitioned_skipping" -> partitionedSkipping _,
+    "x54_bm25" -> bm25Retrieval _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1522,6 +1542,41 @@ object QueriesExt {
         | TRUE AS compose_skips, TRUE AS match_ok
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+    // BM25: full replica — query-term derivation (first 8 distinct tokens
+    // of doc 0), document frequencies, Okapi scoring, 4dp-rounded ordering
+    "x54_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS tk FROM documents
+        |), q AS (
+        | SELECT tok FROM (
+        |  SELECT tok, MIN(ord) AS fo FROM (
+        |   SELECT unnest(tk) AS tok, generate_subscripts(tk, 1) AS ord
+        |   FROM toks WHERE doc_id = 0) GROUP BY tok)
+        | ORDER BY fo LIMIT 8
+        |), stats AS (
+        | SELECT COUNT(*) AS n,
+        |  CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks
+        |), tf AS (
+        | SELECT toks.doc_id, q.tok,
+        |  len(list_filter(toks.tk, x -> x = q.tok)) AS tf,
+        |  len(toks.tk) AS dl
+        | FROM toks CROSS JOIN q
+        |), df AS (
+        | SELECT tok, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfq
+        | FROM tf GROUP BY tok
+        |), scored AS (
+        | SELECT tf.doc_id,
+        |  SUM(ln(1 + (stats.n - df.dfq + 0.5) / (df.dfq + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS s,
+        |  SUM(tf.tf) AS hits
+        | FROM tf JOIN df USING (tok) CROSS JOIN stats
+        | GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, round(s, 4) AS score FROM scored WHERE hits > 0
+        |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

@@ -286,6 +286,52 @@ case class LongSetCountExpr(child: Expression, set: Array[Long])
   override def prettyName: String = "long_set_count"
 }
 
+/** Per-term occurrence counts of a token array against a FIXED term list —
+  * the tf vector of a bounded query vocabulary (BM25 retrieval,
+  * [[graft.operators.TextRank]]), as `array<bigint>` aligned with `terms`.
+  * One hash-probe pass over the tokens (O(|doc|), independent of |terms|)
+  * instead of |terms| filter-lambda scans; token values probe the map as
+  * zero-copy UTF8String views.
+  */
+case class TermCountsExpr(child: Expression, terms: Array[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"term_counts expects array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
+    var i = 0
+    while (i < terms.length) {
+      m.putIfAbsent(UTF8String.fromString(terms(i)), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](terms.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val ix = index.get(toks.getUTF8String(i))
+      if (ix != null) out(ix.intValue()) += 1L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "term_counts"
+}
+
 object TextHashExprs {
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(
@@ -304,4 +350,8 @@ object TextHashExprs {
   def longSetCount(hashes: Column, set: Array[Long]): Column =
     ColumnBridge.column(
       LongSetCountExpr(ColumnBridge.expression(hashes), set))
+
+  def termCounts(tokens: Column, terms: Array[String]): Column =
+    ColumnBridge.column(
+      TermCountsExpr(ColumnBridge.expression(tokens), terms))
 }
