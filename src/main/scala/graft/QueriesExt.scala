@@ -846,6 +846,24 @@ object QueriesExt {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(50)
 
+  /** Cross-corpus exact dedup ([[Dedup.crossExactDedup]]): reference =
+    * docs with doc_id divisible by 3; corpus = the rest PLUS re-tagged
+    * copies (doc_id + 1e6) of the reference docs below id 30 — planted
+    * overlap so the bloom-pruned anti join removes rows at EVERY scale
+    * (the corpus's own cross-split exact dups appear only at sf0.1).
+    * Survivors are corpus docs whose text never appears in the reference.
+    */
+  def crossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val planted = ref.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted)
+    Dedup.crossExactDedup(corpus, ref, "text", "doc_id")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 seed-query retrieval ([[graft.operators.TextRank]]): score the
     * corpus against a deterministic 8-term query — the first 8 distinct
     * tokens of doc 0 — and emit the top 10 by (4dp-rounded score, id).
@@ -1180,7 +1198,8 @@ object QueriesExt {
     "x51_nfc_fingerprint" -> nfcFingerprint _,
     "x52_bpe_pairs" -> bpePairCounts _,
     "x53_partitioned_skipping" -> partitionedSkipping _,
-    "x54_bm25" -> bm25Retrieval _)
+    "x54_bm25" -> bm25Retrieval _,
+    "x55_cross_dedup" -> crossDedup _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1577,6 +1596,19 @@ object QueriesExt {
         |)
         |SELECT doc_id, round(s, 4) AS score FROM scored WHERE hits > 0
         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    // cross-corpus dedup: text-equality semantics (the 64-bit-hash
+    // convention of the Spark side collides with ~2^-64 probability)
+    "x55_cross_dedup" ->
+      """WITH ref AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |), corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM ref WHERE doc_id < 30
+        |)
+        |SELECT c.doc_id FROM corpus c WHERE NOT EXISTS (
+        |  SELECT 1 FROM ref a WHERE a.text = c.text)
+        |ORDER BY doc_id""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

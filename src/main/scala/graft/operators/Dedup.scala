@@ -37,6 +37,54 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Cross-corpus exact dedup: drop every `corpus` document whose text
+    * appears in `reference` — the fine-tuning-vs-pretraining overlap
+    * removal (and eval-set exact leakage check) of a training-data
+    * pipeline. Unlike [[exact]] this removes nothing WITHIN `corpus`;
+    * compose both for a full clean.
+    *
+    * Scale shape — bloom-pruned anti join: the reference collapses to a
+    * driver-built [[org.apache.spark.util.sketch.BloomFilter]] over
+    * 64-bit content hashes (two reference passes: count for sizing unless
+    * `expectedRefItems` is given, then the filter aggregate), and the
+    * probe rides the corpus scan row-locally. Bloom negatives — the
+    * overwhelming majority at real overlap rates — are PROVEN unique
+    * (no false negatives) and never shuffle; only bloom positives
+    * (true dups + fpp) enter the exact hash anti join that kills false
+    * positives, so the shuffled volume is overlap-bounded, not
+    * corpus-bounded. At 1% fpp the filter costs ~1.2 bytes/reference doc:
+    * fine to 10^8-10^9 docs; past `maxBloomItems` the operator falls back
+    * to the plain hash anti join (same result, corpus-wide shuffle) —
+    * at that reference scale the broadcast would dominate.
+    *
+    * Same 64-bit-collision convention as [[exact]]: equality is hash
+    * equality; a 2^-64 collision drops a unique doc.
+    */
+  def crossExactDedup(corpus: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, fpp: Double = 0.01,
+      expectedRefItems: Long = -1L,
+      maxBloomItems: Long = 1L << 28): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val refHashes = reference.select(h.as("__h"))
+    val nRef =
+      if (expectedRefItems > 0) expectedRefItems else refHashes.count()
+    if (nRef == 0) return corpus
+    if (nRef > maxBloomItems) {
+      // reference too big for a driver bloom: one exact anti join
+      return corpus.withColumn("__h", h)
+        .join(refHashes, Seq("__h"), "left_anti").drop("__h")
+    }
+    val bloom = refHashes.stat.bloomFilter("__h", nRef, fpp)
+    val probe =
+      graft.functions.expr.BloomExprs.mightContainLong(h, bloom)
+    // bloom negatives are proven-unique: scan-local, never shuffled
+    val clean = corpus.filter(!probe)
+    // bloom positives verify exactly (kills the fpp false positives)
+    val survivedCands = corpus.filter(probe).withColumn("__h", h)
+      .join(refHashes, Seq("__h"), "left_anti").drop("__h")
+    clean.unionByName(survivedCands)
+  }
+
   /** Normalized exact dedup: same, over whitespace/case-normalized text. */
   def normalized(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = TextFunctions.fingerprint64(col(textCol))

@@ -337,6 +337,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(ids.contains(0L) && ids.contains(3L))
   }
 
+  test("crossExactDedup removes reference overlap, keeps within-corpus dups") {
+    val ref = Seq((100L, "shared text one"), (101L, "shared text two"),
+      (102L, "reference only")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "shared text one"), // in reference -> dropped
+      (2L, "corpus only a"),
+      (3L, "corpus only a"), // within-corpus dup -> BOTH kept (cross-only)
+      (4L, "shared text two"), // in reference -> dropped
+      (5L, "corpus only b")).toDF("doc_id", "text")
+    val got = Dedup.crossExactDedup(corpus, ref, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L, 5L))
+  }
+
+  test("crossExactDedup: FP-heavy bloom and anti-join fallback agree exactly") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val ref = spark.range(50L).select($"id".as("doc_id"),
+      concat(lit("ref doc "), $"id").as("text"))
+    val corpus = spark.range(200L).select(($"id" + 1000L).as("doc_id"),
+      // ids 1000..1049 duplicate reference texts, the rest are unique
+      when($"id" < 50, concat(lit("ref doc "), $"id"))
+        .otherwise(concat(lit("corpus doc "), $"id")).as("text"))
+    // fpp 0.5: the bloom waves many uniques through as candidates; the
+    // exact verify must kill every false positive
+    val viaBloom = Dedup.crossExactDedup(corpus, ref, "text", "doc_id",
+      fpp = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    // maxBloomItems=0 forces the plain anti-join fallback
+    val viaAnti = Dedup.crossExactDedup(corpus, ref, "text", "doc_id",
+      maxBloomItems = 0L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBloom == viaAnti)
+    assert(viaBloom == (1050L until 1200L).toSeq)
+  }
+
   test("simhashDedup drops degenerate band buckets under maxBucketSize") {
     // identical docs: every (band, chunk) becomes one mega-bucket — the
     // templated-corpus shape that would go O(n^2) unguarded
