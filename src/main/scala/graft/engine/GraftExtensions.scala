@@ -79,5 +79,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "weighted_jaccard(hashesA, weightsA, hashesB, weightsB) - exact " +
           "sum-min/sum-max similarity of two sparse weight vectors"),
       (args: Seq[Expression]) => WeightedJaccardExpr(args)))
+
+    ext.injectFunction((
+      FunctionIdentifier("long_set_count"),
+      info("long_set_count",
+        "long_set_count(hashes, set) - count of array<bigint> elements " +
+          "present in a constant bigint array (broadcast-set probe)"),
+      (args: Seq[Expression]) => {
+        val set = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toLongArray()
+          case other => throw new IllegalArgumentException(
+            s"long_set_count: second argument must be a constant " +
+              s"array<bigint>, got $other")
+        }
+        LongSetCountExpr(args.head, set)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("term_counts"),
+      info("term_counts",
+        "term_counts(tokens, terms) - per-term occurrence counts of an " +
+          "array<string> against a constant term list"),
+      (args: Seq[Expression]) => {
+        val terms = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toArray[org.apache.spark.unsafe.types.UTF8String](
+              org.apache.spark.sql.types.StringType).map(_.toString)
+          case other => throw new IllegalArgumentException(
+            s"term_counts: second argument must be a constant " +
+              s"array<string>, got $other")
+        }
+        TermCountsExpr(args.head, terms)
+      }))
   }
 }

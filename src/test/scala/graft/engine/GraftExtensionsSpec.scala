@@ -57,4 +57,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getInt(1) == 2) // "x y" and "y x"
   }
+
+  test("long_set_count and term_counts are callable from SQL") {
+    val r = spark.sql(
+      "SELECT long_set_count(array(1L, 2L, 3L, 2L), array(2L, 9L)) AS c," +
+        " term_counts(array('a','b','a'), array('a','z')) AS tc")
+      .head()
+    assert(r.getLong(0) == 2L) // both occurrences of 2 count
+    assert(r.getSeq[Long](1) == Seq(2L, 0L))
+  }
 }
