@@ -846,6 +846,54 @@ object QueriesExt {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(50)
 
+  /** Cluster-balanced diversity sampling, law-checked
+    * ([[Similarity.diversitySampleWith]], perCluster=20 over 16 cells):
+    * k-means cell assignment and per-cell prototypicality are
+    * engine-specific floats, so the constant DuckDB oracle verifies the
+    * LAWS a correct selection cannot break — every cell within its cap,
+    * every cell exactly full (min(cell size, cap) picks), picks distinct
+    * and a subset of the corpus, and within every cell the worst PICKED
+    * prototypicality >= the best UNPICKED one (the defining property of
+    * top-k selection; a broken ranking, a lost merge, or a Window-to-agg
+    * refactor bug flips it). n_corpus anchors the row to data DuckDB can
+    * replicate.
+    */
+  def diversitySampleLaws(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cap = 20
+    val (picksDf, assignedDf) = graft.operators.Similarity
+      .diversitySampleWith(emb, perCluster = cap, nClusters = 16)
+    val picks = picksDf.persist()
+    val assigned = assignedDf.persist()
+    val overall = picks.agg(count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("nd")).head()
+    val subsetViolations = picks
+      .join(assigned.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    val perCell = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("ncell"))
+      .join(picks.groupBy("cell").agg(count(lit(1)).as("npick"),
+        min("proto").as("minp")), Seq("cell"), "left")
+      .join(assigned.join(picks.select("vec_id"), Seq("vec_id"), "left_anti")
+        .groupBy("cell").agg(max("proto").as("maxu")), Seq("cell"), "left")
+    val laws = perCell.agg(
+      sum(when(coalesce(col("npick"), lit(0L)) >
+        least(col("ncell"), lit(cap.toLong)), 1L).otherwise(0L)).as("over"),
+      sum(when(coalesce(col("npick"), lit(0L)) <
+        least(col("ncell"), lit(cap.toLong)), 1L).otherwise(0L)).as("under"),
+      sum(when(col("maxu").isNotNull && col("minp") < col("maxu"), 1L)
+        .otherwise(0L)).as("proto_bad")).head()
+    picks.unpersist(); assigned.unpersist()
+    import spark.implicits._
+    Seq((emb.count(),
+      laws.getLong(0) == 0L,
+      laws.getLong(1) == 0L,
+      laws.getLong(2) == 0L,
+      overall.getLong(0) == overall.getLong(1),
+      subsetViolations == 0L))
+      .toDF("n_corpus", "cap_ok", "full_ok", "proto_ok", "distinct_ok",
+        "subset_ok")
+  }
+
   /** Cross-corpus exact dedup ([[Dedup.crossExactDedup]]): reference =
     * docs with doc_id divisible by 3; corpus = the rest PLUS re-tagged
     * copies (doc_id + 1e6) of the reference docs below id 30 — planted
@@ -1199,7 +1247,8 @@ object QueriesExt {
     "x52_bpe_pairs" -> bpePairCounts _,
     "x53_partitioned_skipping" -> partitionedSkipping _,
     "x54_bm25" -> bm25Retrieval _,
-    "x55_cross_dedup" -> crossDedup _)
+    "x55_cross_dedup" -> crossDedup _,
+    "x56_diversity_sample" -> diversitySampleLaws _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1609,6 +1658,13 @@ object QueriesExt {
         |SELECT c.doc_id FROM corpus c WHERE NOT EXISTS (
         |  SELECT 1 FROM ref a WHERE a.text = c.text)
         |ORDER BY doc_id""".stripMargin,
+    // diversity sampling: cluster structure is engine-specific — the
+    // oracle pins the selection laws (booleans) + the corpus anchor
+    "x56_diversity_sample" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+        | TRUE AS cap_ok, TRUE AS full_ok, TRUE AS proto_ok,
+        | TRUE AS distinct_ok, TRUE AS subset_ok
+        |FROM embeddings""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),

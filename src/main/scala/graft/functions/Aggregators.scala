@@ -283,6 +283,78 @@ object Aggregators {
   def bottomK(elemHash: Column, k: Int): Column =
     udaf(new BottomK(k), Encoders.scalaLong).apply(elemHash)
 
+  /** Bounded per-group top-k selector: keeps the `k` best `(score, id)`
+    * pairs per group, "best" = highest score with smallest-id tiebreak
+    * (NaN scores never win). Buffer is two parallel arrays kept best-first
+    * and hard-capped at k in reduce, merge, AND finish — the no-Window
+    * per-group top-k: `row_number().over(partitionBy(group))` funnels a hot
+    * group's every row into one sort task, while this shuffles one <= k
+    * buffer per (partition, group). The selection rule is total, so the
+    * result is deterministic under any partitioning.
+    */
+  class TopByScore(k: Int) extends Aggregator[(Double, Long),
+      (Array[Double], Array[Long]), (Array[Double], Array[Long])] {
+    require(k > 0)
+
+    override def zero: (Array[Double], Array[Long]) =
+      (Array.empty[Double], Array.empty[Long])
+
+    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    private def insert(buf: (Array[Double], Array[Long]), s: Double,
+        id: Long): (Array[Double], Array[Long]) = {
+      val (ss, ids) = buf
+      val n = ss.length
+      if (s != s) return buf // NaN: never selected
+      var pos = 0
+      while (pos < n && better(ss(pos), ids(pos), s, id)) pos += 1
+      if (pos >= k) return buf
+      val m = math.min(n + 1, k)
+      val os = new Array[Double](m)
+      val oi = new Array[Long](m)
+      System.arraycopy(ss, 0, os, 0, pos)
+      System.arraycopy(ids, 0, oi, 0, pos)
+      os(pos) = s
+      oi(pos) = id
+      System.arraycopy(ss, pos, os, pos + 1, m - pos - 1)
+      System.arraycopy(ids, pos, oi, pos + 1, m - pos - 1)
+      (os, oi)
+    }
+
+    override def reduce(buf: (Array[Double], Array[Long]),
+        in: (Double, Long)): (Array[Double], Array[Long]) =
+      insert(buf, in._1, in._2)
+
+    override def merge(a: (Array[Double], Array[Long]),
+        b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+      var out = a
+      var i = 0
+      while (i < b._1.length) { out = insert(out, b._1(i), b._2(i)); i += 1 }
+      out
+    }
+
+    override def finish(buf: (Array[Double], Array[Long])):
+        (Array[Double], Array[Long]) = buf
+
+    override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+      Encoders.tuple(doubleArrayEnc, longArrayEnc)
+    override def outputEncoder: Encoder[(Array[Double], Array[Long])] =
+      Encoders.tuple(doubleArrayEnc, longArrayEnc)
+  }
+
+  private def doubleArrayEnc: Encoder[Array[Double]] =
+    ExpressionEncoder(AgnosticEncoders.ArrayEncoder(
+      AgnosticEncoders.PrimitiveDoubleEncoder, containsNull = false))
+
+  /** Per-group top-k as `struct(_1: array<double>, _2: array<bigint>)` —
+    * scores and ids best-first; `arrays_zip(r._1, r._2)` + explode unpacks.
+    */
+  def topByScore(score: Column, id: Column, k: Int): Column =
+    udaf(new TopByScore(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      .apply(score, id)
+
   /** Jaccard estimate between two MinHash-union signatures (slot agreement
     * rate) — plain Spark SQL over the aggregated arrays.
     */

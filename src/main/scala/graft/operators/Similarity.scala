@@ -777,4 +777,58 @@ object Similarity {
       .select(col("id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-balanced diversity sampling — the density-equalizing selection
+    * step of embedding-space curation (the SemDeDup/SSL-prototypes family):
+    * k-means cells partition the corpus, and each cell contributes its
+    * `perCluster` most PROTOTYPICAL members (highest cosine to the cell's
+    * own centroid, smallest-id tiebreak). Head clusters (boilerplate-dense
+    * regions) are capped to the same budget as tail clusters, so the
+    * sample covers the embedding space instead of its density peaks.
+    *
+    * Scale shape: centroids train on a bounded sample ([[Pq.lloyd]], cost
+    * independent of corpus size); assignment + prototypicality is ONE
+    * shuffle-free projection ([[graft.functions.expr.PqExprs
+    * .centroidCosines]]: norm computed once, centroids baked into the
+    * expression); selection is ONE aggregation with the bounded
+    * [[graft.functions.Aggregators.TopByScore]] buffer — the shuffle
+    * carries one <= perCluster buffer per (partition, cell), never a
+    * cell's membership, and no Window ever sorts a hot cell in one task.
+    * Output: (idCol, cell, proto) — deterministic for a fixed seed under
+    * any partitioning.
+    */
+  def diversitySample(corpus: DataFrame, perCluster: Int,
+      nClusters: Int = 16, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", trainSample: Int = 10000): DataFrame =
+    diversitySampleWith(corpus, perCluster, nClusters, seed, idCol, vecCol,
+      trainSample)._1
+
+  /** [[diversitySample]] plus the full per-row assignment frame
+    * (id, cell, proto) — for law verification and diagnostics; both frames
+    * derive from the SAME trained centroids.
+    */
+  def diversitySampleWith(corpus: DataFrame, perCluster: Int,
+      nClusters: Int = 16, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainSample: Int = 10000): (DataFrame, DataFrame) = {
+    require(perCluster > 0)
+    val sample = trainVectors(corpus, idCol, vecCol, trainSample)
+    val centroids = Pq.lloyd(sample, nClusters, iters = 5, seed = seed)
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__scores",
+        graft.functions.expr.PqExprs.centroidCosines(col(vecCol), centroids))
+      .select(col(idCol),
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1)
+          .cast("int").as("cell"),
+        array_max(col("__scores")).as("proto"))
+    val picks = assigned
+      .groupBy(col("cell"))
+      .agg(graft.functions.Aggregators.topByScore(
+        col("proto"), col(idCol), perCluster).as("__top"))
+      .select(col("cell"),
+        explode(arrays_zip(col("__top._1"), col("__top._2"))).as("__p"))
+      .select(col("__p._2").cast("long").as(idCol), col("cell"),
+        col("__p._1").as("proto"))
+    (picks, assigned)
+  }
 }

@@ -22,6 +22,44 @@ class AggregatorsSpec extends SparkSpec {
     assert(viaAgg.toSeq == viaExpr.toSeq)
   }
 
+  test("topByScore keeps the k best with smallest-id ties, any partitioning") {
+    // group A: scores 0..9 on ids 100..109, plus a tie pair at score 9.0
+    val rows = ((0 until 10).map(i => ("A", i.toDouble, 100L + i)) ++
+      Seq(("A", 9.0, 50L), ("B", 1.0, 7L), ("B", Double.NaN, 8L)))
+      .toDF("g", "s", "id")
+    def run(parts: Int): Map[String, Seq[(Double, Long)]] = rows
+      .repartition(parts)
+      .groupBy("g")
+      .agg(Aggregators.topByScore($"s", $"id", 3).as("t"))
+      .select($"g", $"t._1", $"t._2")
+      .as[(String, Seq[Double], Seq[Long])].collect()
+      .map { case (g, ss, ids) => g -> ss.zip(ids) }.toMap
+    val one = run(1)
+    // best-first: score 9 tie broken toward id 50, then 109, then 8.0/108
+    assert(one("A") == Seq((9.0, 50L), (9.0, 109L), (8.0, 108L)))
+    // NaN never selected; group smaller than k returns all it has
+    assert(one("B") == Seq((1.0, 7L)))
+    assert(run(7) == one)
+  }
+
+  test("diversitySample: per-cell cap, prototypical-first, covers tail cells") {
+    // two well-separated planted clusters in 4-d, sizes 30 and 3
+    val vecs =
+      (0 until 30).map(i => (i.toLong,
+        Array(10f + i * 0.01f, 0f, 0f, 1f))) ++
+      (0 until 3).map(i => (1000L + i, Array(0f, -10f - i * 0.01f, 0f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val picks = graft.operators.Similarity
+      .diversitySample(df, perCluster = 5, nClusters = 2, trainSample = 100)
+      .as[(Long, Int, Double)].collect()
+    val byCell = picks.groupBy(_._2)
+    assert(byCell.size == 2) // both planted clusters represented
+    assert(byCell.values.forall(_.length <= 5))
+    // the dense cluster is capped at 5; the sparse one keeps all 3
+    assert(picks.count(_._1 < 1000L) == 5)
+    assert(picks.count(_._1 >= 1000L) == 3)
+  }
+
   test("minhashUnion is repartition-invariant (algebraic merge)") {
     val rows = (1L to 500L).map(h => ((h % 3).toString, h)).toDF("g", "h")
     def run(parts: Int) = rows.repartition(parts)
