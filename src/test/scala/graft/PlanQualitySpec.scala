@@ -317,6 +317,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("shingle_hashes"), p.take(3000))
   }
 
+  test("cross-corpus dedup probes the bloom scan-locally; only candidates join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Dedup.crossExactDedup(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+    val p = plan(df)
+    // the bloom probe rides the corpus scan (a Filter, not a join), and
+    // the exact verify of bloom positives joins WITHOUT sort-merge — the
+    // proven-unique bulk reaches the union through no exchange at all
+    assert(p.contains("bloom_might_contain"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Union"), p.take(3000))
+  }
+
   test("chunking is exchange-free: tokenize + slices + explode only") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.operators.TextPipeline.chunkByTokens(docs, "text",
