@@ -846,6 +846,43 @@ object QueriesExt {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(50)
 
+  /** Token-distribution drift between two corpus slices — the
+    * over/under-represented-vocabulary report a pipeline monitors when a
+    * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
+    * sources src0-9 (reference) vs src10-19 (candidate); for every token,
+    * relative frequencies p (candidate) and q (reference) derive from
+    * EXACT counts, and the report is the 20 most drifted tokens by
+    * |p - q|, with a total (diff, token) order so the cut is stable.
+    * Per-token arithmetic only — two exact-integer divisions and a
+    * subtraction, identical IEEE in any engine — so the oracle compares
+    * FULL doubles, no rounding contract needed.
+    *
+    * Scale shape: two word-count aggregations (map-side combined, the
+    * shuffle carries (token, long)), one full outer join on token, a
+    * 20-row TakeOrdered. Nothing corpus-sized crosses the wire.
+    */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def counts(side: DataFrame) = side
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val isRef = col("source").isin((0 until 10).map(k => s"src$k"): _*)
+    val ref = counts(docs.filter(isRef))
+    val cand = counts(docs.filter(!isRef))
+    val refTot = ref.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    val candTot = cand.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    cand.select(col("token"), col("cnt").as("c_cnt"))
+      .join(ref.select(col("token"), col("cnt").as("r_cnt")), Seq("token"),
+        "full_outer")
+      .select(col("token"),
+        (coalesce(col("c_cnt"), lit(0L)) / candTot).as("p"),
+        (coalesce(col("r_cnt"), lit(0L)) / refTot).as("q"))
+      .withColumn("drift", abs(col("p") - col("q")))
+      .orderBy(desc("drift"), col("token"))
+      .limit(20)
+      .select(col("token"), col("p"), col("q"), col("drift"))
+  }
+
   /** Cluster-balanced diversity sampling, law-checked
     * ([[Similarity.diversitySampleWith]], perCluster=20 over 16 cells):
     * k-means cell assignment and per-cell prototypicality are
@@ -1248,7 +1285,8 @@ object QueriesExt {
     "x53_partitioned_skipping" -> partitionedSkipping _,
     "x54_bm25" -> bm25Retrieval _,
     "x55_cross_dedup" -> crossDedup _,
-    "x56_diversity_sample" -> diversitySampleLaws _)
+    "x56_diversity_sample" -> diversitySampleLaws _,
+    "x57_token_drift" -> tokenDrift _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1665,6 +1703,32 @@ object QueriesExt {
         | TRUE AS cap_ok, TRUE AS full_ok, TRUE AS proto_ok,
         | TRUE AS distinct_ok, TRUE AS subset_ok
         |FROM embeddings""".stripMargin,
+    // token drift: exact counts -> two divisions + subtraction per token,
+    // deterministic IEEE in both engines, full-double comparison
+    "x57_token_drift" ->
+      """WITH toks AS (
+        | SELECT source, unnest(list_filter(
+        |   string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0)) AS token FROM documents
+        |), ref AS (
+        | SELECT token, COUNT(*) AS cnt FROM toks
+        | WHERE source IN ('src0','src1','src2','src3','src4','src5',
+        |   'src6','src7','src8','src9') GROUP BY token
+        |), cand AS (
+        | SELECT token, COUNT(*) AS cnt FROM toks
+        | WHERE source NOT IN ('src0','src1','src2','src3','src4','src5',
+        |   'src6','src7','src8','src9') GROUP BY token
+        |), tot AS (
+        | SELECT (SELECT CAST(SUM(cnt) AS DOUBLE) FROM ref) AS rt,
+        |        (SELECT CAST(SUM(cnt) AS DOUBLE) FROM cand) AS ct
+        |)
+        |SELECT token,
+        | COALESCE(cand.cnt, 0) / tot.ct AS p,
+        | COALESCE(ref.cnt, 0) / tot.rt AS q,
+        | abs(COALESCE(cand.cnt, 0) / tot.ct
+        |   - COALESCE(ref.cnt, 0) / tot.rt) AS drift
+        |FROM cand FULL OUTER JOIN ref USING (token) CROSS JOIN tot
+        |ORDER BY drift DESC, token LIMIT 20""".stripMargin,
     "x39_decontam" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
