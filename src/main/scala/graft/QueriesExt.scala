@@ -846,6 +846,30 @@ object QueriesExt {
       .orderBy(desc("cnt"), asc("pair"))
       .limit(50)
 
+  /** Range (band) join ([[graft.operators.RangeJoin.bandJoin]]): every
+    * (error, click) pair of the SAME user within +-6 hours — incident
+    * correlation over the events stream. The bucketized equi-join keyed on
+    * (12h time bucket, user) replaces the BroadcastNestedLoop + filter
+    * Spark would otherwise plan for the range predicate; DuckDB replays
+    * the inequality join exactly.
+    */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 21600000000L // 6h in micros
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("tsu").as("err_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tsu").as("click_ts"))
+    graft.operators.RangeJoin.bandJoin(errors, clicks, "err_ts", "click_ts",
+      tol, extraKeys = Seq("user_id"))
+      .select(col("err_id"), col("click_id"))
+      .orderBy("err_id", "click_id")
+  }
+
   /** Token-distribution drift between two corpus slices — the
     * over/under-represented-vocabulary report a pipeline monitors when a
     * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
@@ -1286,7 +1310,8 @@ object QueriesExt {
     "x54_bm25" -> bm25Retrieval _,
     "x55_cross_dedup" -> crossDedup _,
     "x56_diversity_sample" -> diversitySampleLaws _,
-    "x57_token_drift" -> tokenDrift _)
+    "x57_token_drift" -> tokenDrift _,
+    "x58_range_join" -> rangeJoinEvents _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1703,6 +1728,14 @@ object QueriesExt {
         | TRUE AS cap_ok, TRUE AS full_ok, TRUE AS proto_ok,
         | TRUE AS distinct_ok, TRUE AS subset_ok
         |FROM embeddings""".stripMargin,
+    // band join: the inequality-join replica is exact (integer micros)
+    "x58_range_join" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 21600000000
+        |   AND epoch_us(e.ts) + 21600000000
+        |ORDER BY err_id, click_id""".stripMargin,
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison
     "x57_token_drift" ->
