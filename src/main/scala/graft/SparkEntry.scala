@@ -18,12 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesExt.queries
+    QueriesCore.queries ++ QueriesExt.queries ++ QueriesSketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (LSH/hash-based operators) get the
     * driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles ++ QueriesExt.oracles
+    QueriesCore.oracles ++ QueriesExt.oracles ++ QueriesSketch.oracleSql
 }
