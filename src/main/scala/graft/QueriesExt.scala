@@ -1031,9 +1031,14 @@ object QueriesExt {
     // for a whole survivor-set read + join at stage 4.)
     val clean = !(TextPipeline.contaminationHits(docs, bench, "text")
       .get >= 1)
+    // keep QualityFilter's n_tokens annotation alongside the original
+    // columns: stage 5's source-mass pass reuses it instead of
+    // re-tokenizing every survivor (the one cross-stage reuse that
+    // measured as a win — see the tokenization-sharing note above)
     val kept1 = graft.operators.QualityFilter(docs, "text",
       graft.operators.QualityFilter.Config(langs = Set.empty))
-      .select(docs.columns.map(col) :+ clean.as("__clean"): _*).persist()
+      .select(docs.columns.map(col) ++
+        Seq(col("n_tokens"), clean.as("__clean")): _*).persist()
     val kept2 = Dedup.exact(kept1, "text", "doc_id").persist()
     val kept3 = Dedup.minhashDedup(kept2, "text", "doc_id",
       threshold = 0.8).persist()
@@ -1045,7 +1050,8 @@ object QueriesExt {
     // survivors of the dup-word filter skew short
     val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
     val kept5 = Sampling.mixtureSample(kept4, "text", "doc_id", "source",
-      weights, tokenBudget = 500L).persist()
+      weights, tokenBudget = 500L,
+      tokenCountCol = Some("n_tokens")).persist()
     val chunks = TextPipeline.chunkByTokens(kept5, "text", "doc_id",
       chunkSize = 16, overlap = 4)
     // eager counts, in funnel order: each count materializes its stage's

@@ -76,12 +76,19 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, textCol: String, idCol: String,
       sourceCol: String, targetWeights: Map[String, Double],
-      tokenBudget: Long): DataFrame = {
+      tokenBudget: Long, tokenCountCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // tokensOf: textCol may be raw text or a shared pre-tokenized array
-    val toks = size(graft.functions.TextFunctions.tokensOf(df, textCol))
-      .cast("long")
+    // tokensOf: textCol may be raw text or a shared pre-tokenized array;
+    // a caller that already carries a token COUNT (e.g. QualityFilter's
+    // n_tokens annotation upstream in a funnel) names it via
+    // tokenCountCol and the mass pass skips tokenization entirely
+    val toks = tokenCountCol match {
+      case Some(c) => col(c).cast("long")
+      case None =>
+        size(graft.functions.TextFunctions.tokensOf(df, textCol))
+          .cast("long")
+    }
     val srcTokens = df.groupBy(col(sourceCol))
       .agg(sum(toks).as("__tokens"))
       .as[(String, Long)].collect()

@@ -39,7 +39,8 @@ object ProfX43Stages {
         .get >= 1)
       val kept1 = QualityFilter(docs, "text",
         QualityFilter.Config(langs = Set.empty))
-        .select(docs.columns.map(col) :+ clean.as("__clean"): _*).persist()
+        .select(docs.columns.map(col) ++
+          Seq(col("n_tokens"), clean.as("__clean")): _*).persist()
       timed("0_all count")(docs.count())
       timed("1_quality")(kept1.count())
       val kept2 = Dedup.exact(kept1, "text", "doc_id").persist()
@@ -51,7 +52,8 @@ object ProfX43Stages {
       timed("4_decontam")(kept4.count())
       val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
       val kept5 = Sampling.mixtureSample(kept4, "text", "doc_id", "source",
-        weights, tokenBudget = 500L).persist()
+        weights, tokenBudget = 500L,
+        tokenCountCol = Some("n_tokens")).persist()
       timed("5_sample")(kept5.count())
       val chunks = TextPipeline.chunkByTokens(kept5, "text", "doc_id",
         chunkSize = 16, overlap = 4)
