@@ -973,6 +973,80 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus NEAR-dedup ([[Dedup.crossMinhashDedup]]): same
+    * reference/corpus split as x55, but the planted overlap is
+    * near-verbatim, not exact — reference docs below id 30 re-enter the
+    * corpus with three appended tokens (shingle Jaccard n/(n+3) ≈ 0.9+
+    * for typical lengths, where the 16×4 LSH s-curve is deterministic;
+    * SHORT planted docs fall below 0.8 and legitimately survive). The
+    * oracle replays the split and the exact-Jaccard >= 0.8 rule natively,
+    * so LSH recall on every qualifying cross pair — planted AND the
+    * corpus's natural near-dups that straddle the split — is under test.
+    */
+  def crossNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val planted = ref.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft cross probe")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted)
+    Dedup.crossMinhashDedup(corpus, ref, "text", "doc_id", threshold = 0.8)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprint overlap ([[graft.operators.Winnow]], the MOSS
+    * span-copy detector): document pairs sharing >= 2 window-min k-gram
+    * fingerprints. Fully portable (MD5 gram hashes, lexicographic window
+    * minima) — the oracle replays the entire selection, so the winnowing
+    * pipeline (grams → hashes → window minima → distinct → overlap join)
+    * is value-checked end to end.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.overlapPairs(
+      t(spark, dir, "documents"), "text", "doc_id",
+      k = 4, w = 4, minShared = 2)
+      .orderBy("id_a", "id_b")
+
+  /** All-pairs shingle-TF cosine similarity
+    * ([[graft.operators.TextRank.shingleCosinePairs]]): pairs at
+    * cosine >= 0.5 with the exact integer dot product. maxDf = 20
+    * exercises the posting-cap path at sf0.1 (max observed df 25) while
+    * the survivor set is cap-invariant there — the dropped ubiquitous
+    * shingles contribute to no >= 0.5 pair.
+    */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.shingleCosinePairs(
+      t(spark, dir, "documents"), "text", "doc_id",
+      shingleK = 3, maxDf = 20, minSim = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Ordered 3-step event funnel ([[graft.operators.Funnel]]):
+    * view → click → purchase with a 24-hour per-step attribution window,
+    * exact integer-microsecond edges.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversion(events(spark, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention ([[graft.operators.Retention]]): users
+    * grouped by first-activity week, distinct-active counts per week
+    * offset, exact integer period flooring + one exact ratio per cell.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.cohorts(events(spark, dir), "user_id", "ts")
+      .orderBy("cohort_period", "period_offset")
+
+  /** Per-document top-5 TF-IDF keywords
+    * ([[graft.operators.TextRank.tfidfKeywords]]): exact integer tf/df,
+    * smoothed idf behind 4dp rounding, term-string tiebreak — the fully
+    * total-ordered selection the oracle replays.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.tfidfKeywords(
+      t(spark, dir, "documents"), "text", "doc_id", k = 5)
+      .orderBy("doc_id", "rank")
+
   /** BM25 seed-query retrieval ([[graft.operators.TextRank]]): score the
     * corpus against a deterministic 8-term query — the first 8 distinct
     * tokens of doc 0 — and emit the top 10 by (4dp-rounded score, id).
@@ -1317,7 +1391,13 @@ object QueriesExt {
     "x55_cross_dedup" -> crossDedup _,
     "x56_diversity_sample" -> diversitySampleLaws _,
     "x57_token_drift" -> tokenDrift _,
-    "x58_range_join" -> rangeJoinEvents _)
+    "x58_range_join" -> rangeJoinEvents _,
+    "x63_cross_neardup" -> crossNearDedup _,
+    "x64_winnow_overlap" -> winnowOverlap _,
+    "x65_cosine_pairs" -> cosinePairs _,
+    "x66_event_funnel" -> eventFunnel _,
+    "x67_retention" -> retentionCohorts _,
+    "x68_tfidf_keywords" -> tfidfKeywords _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1727,6 +1807,196 @@ object QueriesExt {
         |SELECT c.doc_id FROM corpus c WHERE NOT EXISTS (
         |  SELECT 1 FROM ref a WHERE a.text = c.text)
         |ORDER BY doc_id""".stripMargin,
+    // cross-corpus NEAR dedup: exact cross shingle-Jaccard replica of the
+    // x55 split (planted copies carry 3 appended tokens)
+    "x63_cross_neardup" ->
+      """WITH refd AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |), corp AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, text || ' graft cross probe' FROM refd
+        | WHERE doc_id < 30
+        |), exc AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM corp))
+        |), exr AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM refd))
+        |), szc AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY 1),
+        |szr AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY 1),
+        |inter AS (
+        | SELECT c.doc_id AS cid, r.doc_id AS rid, count(*) AS i
+        | FROM exc c JOIN exr r ON c.g = r.g GROUP BY 1, 2
+        |)
+        |SELECT doc_id FROM corp WHERE doc_id NOT IN (
+        |  SELECT cid FROM inter
+        |  JOIN szc ON szc.doc_id = cid JOIN szr ON szr.doc_id = rid
+        |  WHERE CAST(i AS DOUBLE) / (szc.n + szr.n - i) >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
+    // winnowing: full selection replay — 4-token grams, MD5 hashes,
+    // lexicographic min per 4-hash window, distinct per doc, overlap join
+    "x64_winnow_overlap" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t FROM documents
+        |), grams AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(t) >= 4 THEN
+        |    list_transform(range(1, len(t) - 2),
+        |      i -> md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |           || ' ' || t[CAST(i AS INT)+2] || ' '
+        |           || t[CAST(i AS INT)+3]))
+        |  ELSE [md5(array_to_string(t, ' '))] END AS h
+        | FROM toks
+        |), sel AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(h) >= 4 THEN
+        |    list_distinct(list_transform(range(1, len(h) - 2),
+        |      j -> list_aggregate(h[CAST(j AS INT):CAST(j AS INT)+3],
+        |        'min')))
+        |  ELSE [list_aggregate(h, 'min')] END AS fps
+        | FROM grams
+        |), fp AS (
+        | SELECT doc_id, unnest(fps) AS f FROM sel
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(count(*) AS BIGINT) AS shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // all-pairs shingle-TF cosine: integer dot/norms, one final IEEE
+    // division per pair — bit-identical across engines
+    "x65_cosine_pairs" ->
+      """WITH tf AS MATERIALIZED (
+        | SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(s) AS g FROM (
+        |   SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t) - 1),
+        |        i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |             || ' ' || t[CAST(i AS INT)+2])
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |   FROM (SELECT doc_id, list_filter(
+        |          string_split_regex(trim(text), '\s+'),
+        |          tk -> length(tk) > 0) AS t FROM documents)))
+        | GROUP BY 1, 2
+        |), dfq AS (
+        | SELECT g, count(*) AS df FROM tf GROUP BY 1
+        |), kept AS (
+        | SELECT tf.doc_id, tf.g, tf.c FROM tf JOIN dfq USING (g)
+        | WHERE dfq.df <= 20
+        |), nrm AS (
+        | SELECT doc_id, SUM(c*c) AS n2 FROM kept GROUP BY 1
+        |), dots AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.c*b.c) AS dot
+        | FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+        | CAST(dot AS DOUBLE)
+        |   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        |FROM dots JOIN nrm na ON na.doc_id = id_a
+        |          JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE CAST(dot AS DOUBLE)
+        |   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // weekly retention: integer floor-division cohorting (// floors in
+    // DuckDB), distinct actives per (cohort, offset), exact ratio
+    "x67_retention" ->
+      """WITH wp AS (
+        | SELECT user_id AS u, epoch_us(ts) // 604800000000 AS p
+        | FROM events
+        |), fp AS (
+        | SELECT u, MIN(p) AS p0 FROM wp GROUP BY 1
+        |), act AS (
+        | SELECT wp.u, fp.p0, wp.p - fp.p0 AS off
+        | FROM wp JOIN fp ON wp.u = fp.u
+        |), cells AS (
+        | SELECT p0, off, COUNT(DISTINCT u) AS n_active
+        | FROM act GROUP BY 1, 2
+        |), sizes AS (
+        | SELECT p0, COUNT(*) AS cohort_size FROM fp GROUP BY 1
+        |)
+        |SELECT CAST(p0 * 604800 AS BIGINT) AS cohort_period,
+        | CAST(off AS BIGINT) AS period_offset,
+        | CAST(n_active AS BIGINT) AS n_active,
+        | CAST(cohort_size AS BIGINT) AS cohort_size,
+        | CAST(n_active AS DOUBLE) / cohort_size AS retention
+        |FROM cells JOIN sizes USING (p0)
+        |ORDER BY cohort_period, period_offset""".stripMargin,
+    // per-doc top-5 tf-idf keywords: exact integer tf/df, smoothed idf
+    // behind 4dp rounding, term tiebreak — fully total-ordered selection
+    "x68_tfidf_keywords" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0)) AS term FROM documents
+        |), tf AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        | SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        | SELECT COUNT(*) AS n FROM documents
+        |), scored AS (
+        | SELECT doc_id, term, tf, df,
+        |  round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS score
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |), ranked AS (
+        | SELECT doc_id, term, tf, df, score, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        | FROM scored
+        |)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+    // event funnel: first-qualifying chain with exact micros window edges
+    "x66_event_funnel" ->
+      """WITH t1 AS (
+        | SELECT user_id, MIN(ts) AS t1 FROM events
+        | WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        | SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        | JOIN t1 ON e.user_id = t1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |   AND epoch_us(e.ts) - epoch_us(t1.t1) <= 86400000000
+        | GROUP BY 1
+        |), t3 AS (
+        | SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        | JOIN t2 ON e.user_id = t2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |   AND epoch_us(e.ts) - epoch_us(t2.t2) <= 86400000000
+        | GROUP BY 1
+        |)
+        |SELECT
+        | (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+        |   AS n_users,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_s1,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_s12,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_s123,
+        | CASE WHEN (SELECT COUNT(*) FROM t1) > 0 THEN
+        |   CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+        |     / (SELECT COUNT(*) FROM t1) ELSE 0.0 END AS rate_s2,
+        | CASE WHEN (SELECT COUNT(*) FROM t2) > 0 THEN
+        |   CAST((SELECT COUNT(*) FROM t3) AS DOUBLE)
+        |     / (SELECT COUNT(*) FROM t2) ELSE 0.0 END AS rate_s3""".stripMargin,
     // diversity sampling: cluster structure is engine-specific — the
     // oracle pins the selection laws (booleans) + the corpus anchor
     "x56_diversity_sample" ->

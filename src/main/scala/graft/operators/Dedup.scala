@@ -353,6 +353,90 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus near-duplicate candidate pairs: corpus docs within
+    * MinHash-LSH banding distance of a REFERENCE doc, exact-verified to
+    * `(corpus_id, ref_id, jaccard)` with jaccard >= `threshold`. This is
+    * the near-dup analogue of [[crossExactDedup]] — the decontamination /
+    * benchmark-overlap primitive where byte equality is too strict
+    * (near-verbatim test-set rephrasings, whitespace-mangled license
+    * text), and the n-gram containment probe ([[TextPipeline]]) too loose
+    * (it fires on any shared 13-gram; this requires whole-document
+    * resemblance).
+    *
+    * Scale shape (asymmetric by design — reference = a benchmark/holdout
+    * set, orders of magnitude smaller than the corpus):
+    *  - both sides band with the SAME seed (signatures must agree), each
+    *    banded stream carrying only (bkey, id) — 16 bytes a row;
+    *  - reference buckets aggregate under the capped-collect guard (no
+    *    task ever buffers more than `maxBucketSize`+1 ref ids of one
+    *    bucket; over-cap boilerplate buckets drop, same policy as
+    *    [[minhashCandidates]]), and the corpus band stream equi-joins
+    *    against them — AQE broadcasts the aggregated reference side in
+    *    the common case, so the 100 TB corpus side NEVER shuffles;
+    *  - candidate pairs are dup-bounded; shingle sets for exact
+    *    verification join in via semi-join-restricted frames, so neither
+    *    corpus re-tokenization nor shingle arrays ever cover more than
+    *    the candidates.
+    */
+  def crossMinhashCandidates(corpus: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (_, corpusBanded) = bandBatch(
+      graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol)),
+      textCol, idCol, shingleK, numHashes, bands, seed)
+    val (_, refBanded) = bandBatch(
+      reference.select(col(idCol), col(textCol)),
+      textCol, idCol, shingleK, numHashes, bands, seed)
+
+    val refBuckets = refBanded.groupBy(col("__bkey"))
+      .agg(graft.functions.expr.AggExprs
+        .collectCapped(col("id"), maxBucketSize).as("__rids"))
+      .filter(size(col("__rids")) <= maxBucketSize)
+    val pairIds = corpusBanded
+      .join(refBuckets, Seq("__bkey"))
+      .select(col("id").as("__cid"), explode(col("__rids")).as("__rid"))
+      .dropDuplicates("__cid", "__rid")
+
+    val shC = shinglesOf(corpus, textCol, shingleK)
+    val shR = shinglesOf(reference, textCol, shingleK)
+    val corpusSets = corpus.select(col(idCol), col(textCol))
+      .join(pairIds.select(col("__cid").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__cid"), shC.as("__sh_c"))
+    val refSets = reference.select(col(idCol), col(textCol))
+      .join(pairIds.select(col("__rid").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__rid"), shR.as("__sh_r"))
+    val pairs = pairIds
+      .join(corpusSets, Seq("__cid"))
+      .join(refSets, Seq("__rid"))
+
+    val inter = size(array_intersect(col("__sh_c"), col("__sh_r")))
+    val union = size(col("__sh_c")) + size(col("__sh_r")) - inter
+    pairs
+      .withColumn("jaccard",
+        when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__cid").as("corpus_id"), col("__rid").as("ref_id"),
+        col("jaccard"))
+  }
+
+  /** Cross-corpus near-dedup: corpus docs that are NOT a near-duplicate
+    * (jaccard >= `threshold`) of any reference doc. Unlike the in-corpus
+    * [[minhashDedup]] there is no survivor ordering rule — the reference
+    * side is never kept, so every matched corpus doc drops.
+    */
+  def crossMinhashDedup(corpus: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000, seed: Long = 42L): DataFrame = {
+    val losers = crossMinhashCandidates(corpus, reference, textCol, idCol,
+      shingleK, numHashes, bands, threshold, maxBucketSize, seed)
+      .select(col("corpus_id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Incremental (batch-folding) near-dedup: dedup each arriving batch
     * against EVERYTHING seen so far, with survivors provably equal to the
     * one-shot greedy [[minhashDedup]] over the concatenated corpus — a doc

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-funnel conversion: of the users who performed step 1, how
+  * many went on to step 2 AFTER it, and step 3 after that — the product
+  * analytics staple (view → click → purchase), which is also the shape of
+  * multi-stage data-collection audits ("crawled → parsed → kept").
+  *
+  * Strictly ordered semantics: a step counts only if its event is strictly
+  * later than the chosen instance of the previous step, and the chosen
+  * instance is always the EARLIEST qualifying one (first view; first click
+  * after that view; first purchase after that click). Earliest-qualifying
+  * is the standard greedy funnel rule and is provably optimal for "did the
+  * user complete the sequence": picking any later instance of a step can
+  * only shrink the window for the steps after it.
+  *
+  * Scale shape: three per-user hash aggregations, each with map-side
+  * partial aggregation, chained by co-partitioned joins — every exchange
+  * hashes on `userCol`, so AQE/EnsureRequirements inserts ONE shuffle of
+  * the events table per step and reuses the user-keyed partitioning for
+  * the joins (no window functions, no per-user sorts, no event buffering:
+  * state per user is one timestamp per step). The final rollup is a
+  * single-row global aggregate. At 100 TB of events this is 3 shuffles of
+  * (user, ts) pairs pre-filtered to one event type each — the step
+  * filters prune the scan before any exchange.
+  */
+object Funnel {
+
+  /** One-row funnel report over `events`: `n_users`, per-step completion
+    * counts (`n_s1`, `n_s12`, `n_s123`) and exact-ratio conversion rates.
+    * `steps` are event-type names in funnel order (exactly 3 for the
+    * 3-step report). A step converts only within `windowSeconds` of the
+    * previous step's chosen instance (the standard attribution window);
+    * the comparison is exact integer microsecond arithmetic, so the
+    * window edge is engine-portable.
+    */
+  def conversion(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      windowSeconds: Long = 24L * 3600): DataFrame = {
+    require(steps.length == 3, "3-step funnel")
+    val Seq(s1, s2, s3) = steps
+    val winUs = windowSeconds * 1000000L
+    def within(later: Column, earlier: Column): Column =
+      later > earlier &&
+        unix_micros(later) - unix_micros(earlier) <= winUs
+    // first step-1 event per user
+    val t1 = events.filter(col(typeCol) === s1)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
+    // first step-2 event strictly after (and within the window of) the
+    // user's first step-1
+    val t2 = events.filter(col(typeCol) === s2)
+      .join(t1, Seq(userCol))
+      .filter(within(col(tsCol), col("__t1")))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t2"))
+    // first step-3 event strictly after that step-2, within the window
+    val t3 = events.filter(col(typeCol) === s3)
+      .join(t2, Seq(userCol))
+      .filter(within(col(tsCol), col("__t2")))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t3"))
+
+    // one declarative plan, no driver-side counts: the step frames chain
+    // with user-co-partitioned left joins (t1 ⊇ t2 ⊇ t3 by construction),
+    // collapse to one row, and cross-join the single-row distinct-user
+    // count — two single-row broadcast sides, zero eager jobs here.
+    val funnel = t1
+      .join(t2.select(col(userCol), col("__t2")), Seq(userCol), "left")
+      .join(t3.select(col(userCol), col("__t3")), Seq(userCol), "left")
+      .agg(
+        count(lit(1)).as("n_s1"),
+        count(col("__t2")).as("n_s12"),
+        count(col("__t3")).as("n_s123"))
+    events.agg(countDistinct(col(userCol)).as("n_users"))
+      .crossJoin(funnel)
+      .withColumn("rate_s2",
+        when(col("n_s1") > 0,
+          col("n_s12").cast("double") / col("n_s1")).otherwise(0.0))
+      .withColumn("rate_s3",
+        when(col("n_s12") > 0,
+          col("n_s123").cast("double") / col("n_s12")).otherwise(0.0))
+  }
+}

@@ -66,4 +66,112 @@ object TextRank {
       .filter(aggregate(col("__tf"), lit(0L), _ + _) > 0)
       .select(col(idCol), score.as("score"))
   }
+
+  /** All-pairs document cosine similarity over term-frequency shingle
+    * vectors, via an inverted-index join (the Bayardo/DISCO all-pairs
+    * shape): `(id_a, id_b, dot, cosine)` with `id_a < id_b` and
+    * cosine >= `minSim`. The complement of the [[graft.operators.Dedup]]
+    * Jaccard family — cosine weights repeated shingles by multiplicity, so
+    * it separates "same template, different fill" from "same text twice"
+    * where set-Jaccard scores both alike.
+    *
+    * Cross-engine exactness by construction: every accumulated quantity is
+    * an integer (dot = Σ tf_a·tf_b, per-doc norm² = Σ tf², both BIGINT —
+    * associative, scheduling-independent), and the only floating point is
+    * ONE final `dot / sqrt(double(n2_a)·double(n2_b))` per pair — IEEE
+    * correctly-rounded ops on exactly-representable inputs, bit-identical
+    * in any engine. An idf weighting would make every partial sum a
+    * scheduling-ordered double accumulation; its curation job — damping
+    * ubiquitous shingles — is done exactly by `maxDf` instead.
+    *
+    * Scale shape: `maxDf` bounds every posting list, so the self-join
+    * emits at most df²/2 pairs per shingle — the df cap is to the
+    * inverted-index join exactly what the bucket cap is to LSH, and it
+    * drops precisely the near-zero-idf boilerplate shingles a weighted
+    * variant would discount anyway. Shuffles carry (hash, id, tf) — never
+    * text. The df filter reuses the groupBy(g) partitioning for its join
+    * back onto postings (no extra exchange of the posting stream).
+    */
+  def shingleCosinePairs(corpus: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, maxDf: Int = 100,
+      minSim: Double = 0.5): DataFrame = {
+    val tfStruct = Dedup.shingleTf(col(textCol), shingleK)
+    val postings = graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__id"), tfStruct.as("__tf"))
+      .select(col("__id"),
+        explode(arrays_zip(col("__tf.hashes"), col("__tf.weights")))
+          .as("__e"))
+      .select(col("__id"), col("__e.hashes").as("__g"),
+        col("__e.weights").cast("long").as("__c"))
+    val keptTerms = postings.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__g"))
+    val kept = postings.join(keptTerms, Seq("__g"))
+    val norms = kept.groupBy(col("__id"))
+      .agg(sum(col("__c") * col("__c")).as("__n2"))
+    val dots = kept.select(col("__g"), col("__id").as("id_a"),
+        col("__c").as("__ca"))
+      .join(kept.select(col("__g"), col("__id").as("id_b"),
+        col("__c").as("__cb")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("dot"))
+    dots
+      .join(norms.select(col("__id").as("id_a"), col("__n2").as("__na")),
+        Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__n2").as("__nb")),
+        Seq("id_b"))
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .filter(col("cosine") >= minSim)
+      .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
+  }
+
+  /** Per-document top-`k` TF-IDF keywords as
+    * `(idCol, term, tf, df, score, rank)` — the classic salient-term
+    * extractor (corpus labeling, topic tagging, index-term selection).
+    * idf is the smoothed `ln((N + 1)/(df + 1))`, positive for every
+    * non-universal term; `score` is 4dp-rounded BEFORE ranking and ties
+    * break on the term string, so the selection is total-ordered and
+    * cross-engine reproducible (both tf and df are exact integers; the
+    * single `ln`+division sits behind the rounding, the x54 BM25
+    * contract).
+    *
+    * Scale shape: tokens shuffle ONCE as (id, term) pairs to build exact
+    * per-doc tf (map-side combined); df aggregates the already-deduped
+    * (id, term) stream on term (combiner-backed, no distinct-expansion);
+    * N joins in as a broadcast single-row aggregate, keeping the plan
+    * fully declarative (no eager driver collect). The per-doc top-k
+    * window partitions on the DOCUMENT id — per-partition size is
+    * bounded by document length, so unlike a per-bucket LSH sort this
+    * window has no hot-key failure mode at corpus scale.
+    */
+  def tfidfKeywords(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokensOf(corpus, textCol)
+    val tf = graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = corpus.select(col(idCol)).agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          log((col("__n") + lit(1)).cast("double") /
+            (col("df") + lit(1)).cast("double")), 4))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -386,4 +386,43 @@ class DedupOpsSpec extends SparkSpec {
       maxHamming = 3, bands = 4)
     assert(full.count() == 1L)
   }
+
+  test("crossMinhashDedup drops near-verbatim reference overlap, keeps " +
+      "dissimilar docs and within-corpus near-dups") {
+    // 40 distinct tokens -> 38 3-shingles; the corpus near-copy appends
+    // two tokens (J = 38/40 = 0.95, deterministically over the 16x4
+    // s-curve), the paraphrase swaps every other token (J << 0.7)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val ref = Seq((100L, base), (101L, "unrelated reference body"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, base + " extra tail"),          // near-copy of ref -> dropped
+      (2L, base),                          // exact copy of ref -> dropped
+      (3L, (1 to 40).map(i =>
+        if (i % 2 == 0) s"swp$i" else s"tok$i").mkString(" ")), // J~0.0
+      (4L, "corpus only document body"),
+      (5L, "corpus only document body"))   // within-corpus dup: BOTH kept
+      .toDF("doc_id", "text")
+    val got = Dedup.crossMinhashDedup(corpus, ref, "text", "doc_id",
+      threshold = 0.7).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 4L, 5L))
+  }
+
+  test("crossMinhashCandidates reports the exact jaccard and respects " +
+      "the threshold") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val ref = Seq((9L, base)).toDF("doc_id", "text")
+    val corpus = Seq((1L, base + " x y")).toDF("doc_id", "text")
+    val rows = Dedup.crossMinhashCandidates(corpus, ref, "text", "doc_id",
+      threshold = 0.9).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("corpus_id") == 1L &&
+      r.getAs[Long]("ref_id") == 9L)
+    // 38 shared shingles of 40 in the copy (2 appended tokens -> 2 new)
+    assert(math.abs(r.getAs[Double]("jaccard") - 38.0 / 40.0) < 1e-12)
+    // a higher threshold excludes the same pair
+    assert(Dedup.crossMinhashCandidates(corpus, ref, "text", "doc_id",
+      threshold = 0.96).count() == 0L)
+  }
 }

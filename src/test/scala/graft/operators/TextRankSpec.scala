@@ -67,4 +67,70 @@ class TextRankSpec extends SparkSpec {
       .as[Seq[Long]].collect().toSet
     assert(got == Set(Seq(3L, 1L, 0L), Seq(1L, 0L, 0L), Seq(0L, 0L, 0L)))
   }
+
+  test("shingleCosinePairs matches the hand-computed tf cosine") {
+    // doc1 3-shingle tf: {abc:2, bca:1, cab:1}; doc2: {abc:3, bca:2,
+    // cab:2}; doc3 disjoint. dot(1,2)=2*3+1*2+1*2=10, |1|²=6, |2|²=17
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c a b c a b c"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val rows = TextRank.shingleCosinePairs(docs, "text", "doc_id",
+      shingleK = 3, maxDf = 100, minSim = 0.5).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("dot") == 10L)
+    assert(r.getAs[Double]("cosine") == 10.0 / math.sqrt(6.0 * 17.0))
+  }
+
+  test("tfidfKeywords matches the hand-computed smoothed tf-idf with " +
+      "term tiebreak") {
+    // N=3; df: apple 2, banana/cherry/durian 1
+    // idf = ln((N+1)/(df+1)): apple ln(4/3), others ln(2)
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val got = TextRank.tfidfKeywords(docs, "text", "doc_id", k = 5)
+      .orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toSeq
+    val ln43x2 = BigDecimal(2.0 * math.log(4.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // 0.5754
+    val ln43 = BigDecimal(math.log(4.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // 0.2877
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // 0.6931
+    assert(got === Seq(
+      (1L, "banana", 1L, 1L, ln2, 1L),
+      (1L, "apple", 2L, 2L, ln43x2, 2L),
+      (2L, "cherry", 1L, 1L, ln2, 1L),
+      (2L, "apple", 1L, 2L, ln43, 2L),
+      (3L, "durian", 1L, 1L, ln2, 1L)))
+  }
+
+  test("tfidfKeywords: k truncates per document; equal scores break " +
+      "ties on the term string") {
+    // both terms appear once in the one doc and once corpus-wide: equal
+    // score, so rank order must be alphabetical
+    val docs = Seq((1L, "zebra aardvark")).toDF("doc_id", "text")
+    val top1 = TextRank.tfidfKeywords(docs, "text", "doc_id", k = 1)
+      .collect()
+    assert(top1.length == 1)
+    assert(top1(0).getAs[String]("term") == "aardvark")
+  }
+
+  test("shingleCosinePairs: maxDf drops ubiquitous shingles before the " +
+      "pair join") {
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // every shared shingle has df=2 > maxDf=1 -> no posting survives the
+    // cap -> no pair, regardless of how similar the documents are
+    assert(TextRank.shingleCosinePairs(docs, "text", "doc_id",
+      shingleK = 3, maxDf = 1, minSim = 0.0).count() == 0L)
+  }
 }
