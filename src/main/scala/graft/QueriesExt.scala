@@ -1047,6 +1047,63 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Full BPE tokenizer training ([[graft.operators.Bpe]]): 6 greedy
+    * merge rounds over the corpus word-frequency table; the oracle
+    * replays every round in unrolled SQL (pair counting + total-ordered
+    * winner + greedy leftmost application via anchored string rewriting).
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainDf(spark, t(spark, dir, "documents"),
+      "text", numMerges = 6).orderBy("rank")
+
+  /** Unrolled K-round DuckDB replica of [[bpeTrain]]. Symbols encode as
+    * middle-dot-anchored tokens (`·sym·`, space-joined), so one SQL
+    * `replace` of `·l· ·r·` with `·lr·` IS greedy leftmost-non-
+    * overlapping merge application: matches can't share characters, and
+    * `replace` resumes after each match — exactly the kernel's rule.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH wf AS (
+        | SELECT token AS w, COUNT(*) AS f FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+        |    '\s+'), tk -> length(tk) > 0)) AS token FROM documents)
+        | GROUP BY 1
+        |), e0 AS (
+        | SELECT f, array_to_string(list_transform(
+        |   range(1, length(w) + 1),
+        |   i -> chr(183) || w[CAST(i AS INT)] || chr(183)), ' ') AS e
+        | FROM wf
+        |)""".stripMargin
+    for (step <- 1 to k) {
+      val prev = s"e${step - 1}"
+      sb ++=
+        s""", m$step AS (
+           | SELECT l, r, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+           |  SELECT f,
+           |   replace(s[CAST(i AS INT)], chr(183), '') AS l,
+           |   replace(s[CAST(i AS INT) + 1], chr(183), '') AS r
+           |  FROM (
+           |   SELECT f, s, unnest(range(1, len(s))) AS i
+           |   FROM (SELECT f, string_split(e, ' ') AS s FROM $prev)))
+           | GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+           |), e$step AS (
+           | SELECT f, replace(e,
+           |  (SELECT chr(183) || l || chr(183) || ' ' || chr(183) || r
+           |    || chr(183) FROM m$step),
+           |  (SELECT chr(183) || l || r || chr(183) FROM m$step)) AS e
+           | FROM $prev
+           |)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (1 to k).map(step =>
+      s" SELECT CAST($step AS BIGINT) AS rank, l AS lhs, r AS rhs, cnt" +
+        s" FROM m$step").mkString("\n UNION ALL\n")
+    sb ++= "\n) ORDER BY rank"
+    sb.result()
+  }
+
   /** BM25 seed-query retrieval ([[graft.operators.TextRank]]): score the
     * corpus against a deterministic 8-term query — the first 8 distinct
     * tokens of doc 0 — and emit the top 10 by (4dp-rounded score, id).
@@ -1397,7 +1454,8 @@ object QueriesExt {
     "x65_cosine_pairs" -> cosinePairs _,
     "x66_event_funnel" -> eventFunnel _,
     "x67_retention" -> retentionCohorts _,
-    "x68_tfidf_keywords" -> tfidfKeywords _)
+    "x68_tfidf_keywords" -> tfidfKeywords _,
+    "x69_bpe_train" -> bpeTrain _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -1967,6 +2025,8 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // BPE training: all 6 rounds replayed in unrolled SQL
+    "x69_bpe_train" -> bpeOracleSql(6),
     // event funnel: first-qualifying chain with exact micros window edges
     "x66_event_funnel" ->
       """WITH t1 AS (
