@@ -379,4 +379,66 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("*(1)"), p.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("winnow overlap is kernel + capped aggregation, no window (x64)") {
+    val p = plan(QueriesExt.queries("x64_winnow_overlap")(spark, sfDir))
+    // selection is ONE native kernel pass (never the HOF formulation the
+    // optimizer inlines per-window), postings cap via collect_capped
+    assert(p.contains("winnow_fingerprints"), p.take(3000))
+    assert(p.contains("collect_capped"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000)) // pairs expand locally
+  }
+
+  test("cross near-dedup caps reference buckets; no window (x63)") {
+    val df = graft.operators.Dedup.crossMinhashDedup(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(200),
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
+      "text", "doc_id")
+    val p = plan(df)
+    assert(p.contains("collect_capped"), p.take(3000))
+    assert(p.contains("minhash_signature"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("funnel pushes every step's type filter into its scan; " +
+      "no window, no per-user sort (x66)") {
+    val df = QueriesExt.queries("x66_event_funnel")(spark, sfDir)
+    val p = plan(df)
+    for (step <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$step)"), p.take(4000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("retention aggregates partially before both exchanges; " +
+      "no window (x67)") {
+    val p = plan(QueriesExt.queries("x67_retention")(spark, sfDir))
+    assert(!p.contains("Window"), p.take(3000))
+    // the per-user first-period and the (cohort, offset) distinct both
+    // map-side combine: a partial HashAggregate below each exchange
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      p.take(3000))
+  }
+
+  test("tfidf keyword rank filter becomes a WindowGroupLimit (x68)") {
+    val p = plan(QueriesExt.queries("x68_tfidf_keywords")(spark, sfDir))
+    // rank <= k pushes a per-partition group limit BELOW the window sort,
+    // so no task ever sorts more than k+carry rows per doc group twice
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("cosine postings evaluate the shingle-tf kernel once (x65)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val postings = docs
+      .select(col("doc_id").as("__id"),
+        graft.operators.Dedup.shingleTf(col("text"), 3).as("__tf"))
+      .select(col("__id"), explode(arrays_zip(
+        col("__tf.hashes"), col("__tf.weights"))).as("__e"))
+    // the two struct-field extracts must NOT each inline a kernel copy
+    // (the CollapseProject duplication class — see WinnowFingerprintsExpr)
+    val p = postings.queryExecution.optimizedPlan.toString
+    assert("shingle_tf".r.findAllIn(p).length == 1, p.take(3000))
+  }
 }
