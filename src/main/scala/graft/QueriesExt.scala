@@ -1056,13 +1056,25 @@ object QueriesExt {
     graft.operators.Bpe.trainDf(spark, t(spark, dir, "documents"),
       "text", numMerges = 6).orderBy("rank")
 
+  /** Corpus token histogram after encoding with the 6 learned merges
+    * ([[graft.operators.Bpe.encodeTokens]]): top 30 vocabulary entries of
+    * the trained tokenizer. Exercises the one-kernel multi-merge encoder
+    * against the oracle's final training round state.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 6)
+    graft.operators.Bpe.encodeTokens(docs, "text", merges)
+      .orderBy(desc("cnt"), asc("token")).limit(30)
+  }
+
   /** Unrolled K-round DuckDB replica of [[bpeTrain]]. Symbols encode as
     * middle-dot-anchored tokens (`·sym·`, space-joined), so one SQL
     * `replace` of `·l· ·r·` with `·lr·` IS greedy leftmost-non-
     * overlapping merge application: matches can't share characters, and
     * `replace` resumes after each match — exactly the kernel's rule.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeStepsCte(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
       """WITH wf AS (
@@ -1096,13 +1108,25 @@ object QueriesExt {
            | FROM $prev
            |)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM (\n"
-    sb ++= (1 to k).map(step =>
-      s" SELECT CAST($step AS BIGINT) AS rank, l AS lhs, r AS rhs, cnt" +
-        s" FROM m$step").mkString("\n UNION ALL\n")
-    sb ++= "\n) ORDER BY rank"
     sb.result()
   }
+
+  private def bpeOracleSql(k: Int): String =
+    bpeStepsCte(k) + "\nSELECT * FROM (\n" +
+      (1 to k).map(step =>
+        s" SELECT CAST($step AS BIGINT) AS rank, l AS lhs, r AS rhs, cnt" +
+          s" FROM m$step").mkString("\n UNION ALL\n") +
+      "\n) ORDER BY rank"
+
+  private def bpeEncodeOracleSql(k: Int, topN: Int): String =
+    bpeStepsCte(k) +
+      s"""
+         |SELECT token, cnt FROM (
+         | SELECT replace(s, chr(183), '') AS token,
+         |  CAST(SUM(f) AS BIGINT) AS cnt
+         | FROM (SELECT f, unnest(string_split(e, ' ')) AS s FROM e$k)
+         | GROUP BY 1)
+         |ORDER BY cnt DESC, token LIMIT $topN""".stripMargin
 
   /** BM25 seed-query retrieval ([[graft.operators.TextRank]]): score the
     * corpus against a deterministic 8-term query — the first 8 distinct
@@ -1455,7 +1479,8 @@ object QueriesExt {
     "x66_event_funnel" -> eventFunnel _,
     "x67_retention" -> retentionCohorts _,
     "x68_tfidf_keywords" -> tfidfKeywords _,
-    "x69_bpe_train" -> bpeTrain _)
+    "x69_bpe_train" -> bpeTrain _,
+    "x70_bpe_encode" -> bpeEncode _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2027,6 +2052,8 @@ object QueriesExt {
         |ORDER BY doc_id, rank""".stripMargin,
     // BPE training: all 6 rounds replayed in unrolled SQL
     "x69_bpe_train" -> bpeOracleSql(6),
+    // BPE encoding: the trained tokenizer's top-30 vocabulary histogram
+    "x70_bpe_encode" -> bpeEncodeOracleSql(6, 30),
     // event funnel: first-qualifying chain with exact micros window edges
     "x66_event_funnel" ->
       """WITH t1 AS (

@@ -99,6 +99,70 @@ case class BpeApplyExpr(child: Expression, left: String, right: String)
   override def prettyName: String = "bpe_apply"
 }
 
+/** A full learned merge table applied in rank order — one greedy
+  * leftmost pass per merge, K passes per row ([[BpeApplyExpr]] folded),
+  * exactly the symbol states the training loop visited. One expression
+  * instead of K chained projections so the intermediate symbol arrays
+  * never materialize as columns (and can't be re-inlined by the
+  * optimizer — the [[WinnowFingerprintsExpr]] lesson).
+  */
+case class BpeEncodeExpr(child: Expression,
+    merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val pairs: Array[(UTF8String, UTF8String,
+      UTF8String)] =
+    merges.map { case (l, r) =>
+      (UTF8String.fromString(l), UTF8String.fromString(r),
+        UTF8String.fromString(l + r))
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    var n = in.numElements()
+    var cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = in.getUTF8String(i).copy(); i += 1 }
+    var m = 0
+    while (m < pairs.length && n >= 2) {
+      val (l, r, lr) = pairs(m)
+      val next = new Array[UTF8String](n)
+      var o = 0
+      i = 0
+      while (i < n) {
+        if (i + 1 < n && cur(i).equals(l) && cur(i + 1).equals(r)) {
+          next(o) = lr
+          i += 2
+        } else {
+          next(o) = cur(i)
+          i += 1
+        }
+        o += 1
+      }
+      cur = next
+      n = o
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    i = 0
+    while (i < n) { out(i) = cur(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "bpe_encode"
+}
+
 object BpeExprs {
   def codePointSymbols(word: Column): Column =
     ColumnBridge.column(
@@ -107,4 +171,8 @@ object BpeExprs {
   def bpeApply(symbols: Column, left: String, right: String): Column =
     ColumnBridge.column(
       BpeApplyExpr(ColumnBridge.expression(symbols), left, right))
+
+  def bpeEncode(symbols: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(
+      BpeEncodeExpr(ColumnBridge.expression(symbols), merges))
 }

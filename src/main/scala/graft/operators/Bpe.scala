@@ -97,4 +97,33 @@ object Bpe {
       .map(m => (m.rank.toLong, m.lhs, m.rhs, m.count))
       .toDF("rank", "lhs", "rhs", "cnt")
   }
+
+  /** Tokenize the corpus with a learned merge table and return the
+    * resulting token histogram `(token, cnt)` — counts weighted by word
+    * frequency, i.e. the vocabulary statistics of the encoded corpus.
+    * Encoding applies the merges in rank order, one greedy leftmost pass
+    * each, inside ONE kernel ([[graft.functions.expr.BpeEncodeExpr]]) —
+    * exactly the symbol states the training fold visited, so
+    * `encodeTokens(c, train(c, k))`'s histogram is the training loop's
+    * final state (the x70 oracle replays both from the same SQL rounds).
+    *
+    * Scale shape: same as training minus the loop — one corpus-sized
+    * word-count shuffle, then a vocabulary-sized projection + explode +
+    * combiner-backed sum. The merge table rides the task binary.
+    */
+  def encodeTokens(corpus: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = graft.Tables.widenForKernel(
+        corpus.select(col(textCol)), col(textCol))
+      .select(explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    words
+      .select(col("__f"),
+        graft.functions.expr.BpeExprs.bpeEncode(
+          graft.functions.expr.BpeExprs.codePointSymbols(col("__w")),
+          merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))).as("__s"))
+      .select(col("__f"), explode(col("__s")).as("token"))
+      .groupBy(col("token")).agg(sum(col("__f")).as("cnt"))
+  }
 }

@@ -590,4 +590,118 @@ object Streams {
           out.result().iterator
       }
   }
+
+  final case class FunnelEvt(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Buffered step events awaiting finalization. `minStep1Us` is
+    * Long.MaxValue until the user's first step-1 event arrives; `evs` are
+    * (tsMicros, stepIndex) pairs, pruned to the qualifying horizon.
+    */
+  final case class FunnelBuf(minStep1Us: Long, maxSeenUs: Long,
+      evs: Seq[(Long, Int)])
+
+  /** One finalized funnel outcome per user: `reached` = deepest step
+    * completed under the greedy earliest-qualifying rule (0 = no step-1
+    * event at all); `t*_us` are the chosen instants, -1 when unreached.
+    */
+  final case class FunnelReach(user_id: Long, reached: Long, t1_us: Long,
+      t2_us: Long, t3_us: Long)
+
+  /** The greedy earliest-qualifying chain over buffered (tsMicros, step)
+    * events — the SAME rule as the batch [[graft.operators.Funnel]]:
+    * step k's chosen instant is the earliest step-k event strictly after
+    * the chosen step-(k-1) instant and within `winUs` of it.
+    */
+  private[streaming] def greedyChain(evs: Seq[(Long, Int)], nSteps: Int,
+      winUs: Long): Array[Long] = {
+    val chosen = Array.fill(nSteps)(-1L)
+    var prev = -1L
+    var k = 0
+    var go = true
+    while (k < nSteps && go) {
+      var best = Long.MaxValue
+      evs.foreach { case (ts, s) =>
+        if (s == k && ts < best &&
+            (k == 0 || (ts > prev && ts - prev <= winUs))) best = ts
+      }
+      if (best == Long.MaxValue) go = false
+      else { chosen(k) = best; prev = best; k += 1 }
+    }
+    chosen
+  }
+
+  /** Streaming event funnel: per-user buffered step events, finalized by
+    * an event-time timer once the watermark proves the chain's horizon
+    * closed — every user emitted exactly once with the outcome the batch
+    * [[graft.operators.Funnel]] would compute over the same events
+    * (parity spec in `StreamingSpec`).
+    *
+    * Exactness under late data needs buffering, not a (t1,t2,t3) triple:
+    * a late-arriving EARLIER step-1 event legally rewrites the whole
+    * chain, and a pre-t1 step-2 event may become qualifying when it does
+    * — only watermark expiry makes any choice final. State stays bounded:
+    * only step-typed events are buffered, events later than
+    * `minStep1 + (nSteps-1)·window` can never qualify and are pruned on
+    * every update (sound under t1 decreases — the horizon only shrinks),
+    * and the timer evicts the whole buffer at
+    * `max(minStep1 + horizon, maxSeen) + watermark slack`.
+    */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+      windowSeconds: Long, watermark: String = "1 hour")
+      : Dataset[FunnelReach] = {
+    import org.apache.spark.sql.Encoders
+    require(steps.size == 3, "3-step funnel (FunnelReach has 3 slots)")
+    implicit val evEnc = Encoders.product[FunnelEvt]
+    implicit val stEnc = Encoders.product[FunnelBuf]
+    implicit val outEnc = Encoders.product[FunnelReach]
+    val stepIdx = steps.zipWithIndex.toMap
+    val winUs = windowSeconds * 1000000L
+    val horizonUs = (steps.size - 1).toLong * winUs
+
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type")).as[FunnelEvt]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelBuf, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[FunnelEvt],
+            state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val c = greedyChain(st.evs, steps.size, winUs)
+            Iterator.single(FunnelReach(user,
+              c.count(_ >= 0L).toLong, c(0), c(1), c(2)))
+          } else {
+            var st = state.getOption
+              .getOrElse(FunnelBuf(Long.MaxValue, Long.MinValue, Seq.empty))
+            val incoming = it.map { e =>
+              (e.ts.getTime * 1000L, stepIdx(e.event_type))
+            }.toSeq
+            val minS1 = incoming.foldLeft(st.minStep1Us) {
+              case (m, (ts, 0)) => math.min(m, ts)
+              case (m, _) => m
+            }
+            val maxSeen = incoming.foldLeft(st.maxSeenUs) {
+              case (m, (ts, _)) => math.max(m, ts)
+            }
+            val keep = (st.evs ++ incoming).filter { case (ts, _) =>
+              minS1 == Long.MaxValue || ts <= minS1 + horizonUs
+            }
+            st = FunnelBuf(minS1, maxSeen, keep)
+            state.update(st)
+            // finalize once the watermark proves no chain event can still
+            // arrive: past the horizon end (or past every seen event while
+            // no step-1 exists yet)
+            val deadlineUs =
+              if (minS1 == Long.MaxValue) maxSeen else minS1 + horizonUs
+            // a timer must sit strictly above the current watermark
+            state.setTimeoutTimestamp(math.max(deadlineUs / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** [[Bpe]] — greedy BPE tokenizer training. The Sennrich toy corpus
@@ -47,6 +49,41 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "go go go stop")).toDF("doc_id", "text")
     val got = Bpe.train(docs, "text", numMerges = 1)
     assert(got.head === Bpe.Merge(1, "g", "o", 3L))
+  }
+
+  test("encodeTokens with the learned merges reproduces the training " +
+      "loop's final symbol state") {
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 4)
+    val got = Bpe.encodeTokens(docs, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 4's merge is (low, er), so lower -> [lower] whole;
+    // low->[low], newest->[n,e,w,e,s,t]
+    assert(got === Map("low" -> 3L, "lower" -> 2L, "e" -> 2L,
+      "n" -> 1L, "w" -> 1L, "s" -> 1L, "t" -> 1L))
+  }
+
+  test("the multi-merge encode kernel equals chained single applies") {
+    import graft.functions.expr.BpeExprs
+    val words = Seq("banana", "bandana", "ban", "a").toDF("w")
+    val merges = Seq(("a", "n"), ("b", "an"), ("an", "a"))
+    val viaKernel = words.select(col("w"),
+      BpeExprs.bpeEncode(BpeExprs.codePointSymbols(col("w")), merges)
+        .as("s"))
+    val viaChain = words.select(col("w"),
+      merges.foldLeft(BpeExprs.codePointSymbols(col("w"))) {
+        case (c, (l, r)) => BpeExprs.bpeApply(c, l, r)
+      }.as("s"))
+    val a = viaKernel.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = viaChain.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a === b)
+    assert(a("banana") === Seq("ban", "ana"))
+    assert(a("a") === Seq("a"))
   }
 
   test("the training loop releases every persisted frame") {

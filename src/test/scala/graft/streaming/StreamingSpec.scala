@@ -563,4 +563,94 @@ class StreamingSpec extends SparkSpec {
         s"session mismatch for user ${s.user_id} seq ${s.session_seq}")
     }
   }
+
+  test("streaming funnel matches the batch funnel, including a " +
+      "late-arriving earlier step-1 that rewrites a chain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type")
+    val out = Streams.streamingFunnel(df,
+      Seq("view", "click", "purchase"), windowSeconds = 3600,
+      watermark = "4 hours")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    // batch 1: u1 full in-order chain; u3's LATER chain arrives first;
+    // u4 never views; u5's click misses the window
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:15:00"), "click"),
+      (4L, ts("2024-01-01 09:00:00"), "click"),
+      (4L, ts("2024-01-01 09:30:00"), "purchase"),
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, ts("2024-01-01 11:30:00"), "click"))
+    q.processAllAvailable()
+    // batch 2: u2's lone view; u3's EARLIER events (inside the 4h
+    // watermark slack) — the true chain is 08:00/08:20/09:00, which a
+    // (t1,t2,t3)-only state that had committed to 10:00/10:15 would miss
+    input.addData(
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:20:00"), "click"),
+      (3L, ts("2024-01-01 09:00:00"), "purchase"))
+    q.processAllAvailable()
+    // sentinels: push the watermark past every user's horizon so the
+    // event-time timers finalize. They must be STEP-typed: Catalyst
+    // pushes the event-type filter BELOW the EventTimeWatermark node, so
+    // a non-step event would be dropped before it could advance the
+    // watermark (in production real step traffic advances it). User 999's
+    // own funnel (a lone view) finalizes after the last sentinel.
+    input.addData((999L, ts("2024-01-01 23:00:00"), "view"))
+    q.processAllAvailable()
+    input.addData((999L, ts("2024-01-02 12:00:00"), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_stream")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got === Map(
+      1L -> ((3L, us("2024-01-01 10:00:00"), us("2024-01-01 10:30:00"),
+        us("2024-01-01 11:00:00"))),
+      2L -> ((1L, us("2024-01-01 09:00:00"), -1L, -1L)),
+      3L -> ((3L, us("2024-01-01 08:00:00"), us("2024-01-01 08:20:00"),
+        us("2024-01-01 09:00:00"))),
+      4L -> ((0L, -1L, -1L, -1L)),
+      5L -> ((1L, us("2024-01-01 10:00:00"), -1L, -1L)),
+      // the first sentinel view finalizes once the second pushes the
+      // watermark past its horizon (the second's own funnel stays open)
+      999L -> ((1L, us("2024-01-01 23:00:00"), -1L, -1L))))
+    // parity with the batch operator over the same step events
+    val stepEvents = spark.table("funnel_stream").sparkSession.createDataFrame(
+      Seq(
+        (1L, ts("2024-01-01 10:00:00"), "view"),
+        (1L, ts("2024-01-01 10:30:00"), "click"),
+        (1L, ts("2024-01-01 11:00:00"), "purchase"),
+        (3L, ts("2024-01-01 10:00:00"), "view"),
+        (3L, ts("2024-01-01 10:15:00"), "click"),
+        (4L, ts("2024-01-01 09:00:00"), "click"),
+        (4L, ts("2024-01-01 09:30:00"), "purchase"),
+        (5L, ts("2024-01-01 10:00:00"), "view"),
+        (5L, ts("2024-01-01 11:30:00"), "click"),
+        (2L, ts("2024-01-01 09:00:00"), "view"),
+        (3L, ts("2024-01-01 08:00:00"), "view"),
+        (3L, ts("2024-01-01 08:20:00"), "click"),
+        (3L, ts("2024-01-01 09:00:00"), "purchase"),
+        (999L, ts("2024-01-01 23:00:00"), "view"),
+        (999L, ts("2024-01-02 12:00:00"), "view")))
+      .toDF("user_id", "ts", "event_type")
+    val b = graft.operators.Funnel.conversion(stepEvents, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"),
+      windowSeconds = 3600).collect()(0)
+    assert(b.getAs[Long]("n_s1") === got.values.count(_._1 >= 1L).toLong)
+    assert(b.getAs[Long]("n_s12") === got.values.count(_._1 >= 2L).toLong)
+    assert(b.getAs[Long]("n_s123") === got.values.count(_._1 >= 3L).toLong)
+  }
 }
