@@ -1047,6 +1047,16 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Shingle-containment pairs ([[graft.operators.Dedup
+    * .containmentPairs]]): quote/excerpt detection at
+    * shared / min(|A|,|B|) >= 0.5 — exact integer counts, one IEEE
+    * division per pair, full DuckDB replica.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      t(spark, dir, "documents"), "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
   /** Full BPE tokenizer training ([[graft.operators.Bpe]]): 6 greedy
     * merge rounds over the corpus word-frequency table; the oracle
     * replays every round in unrolled SQL (pair counting + total-ordered
@@ -1480,7 +1490,8 @@ object QueriesExt {
     "x67_retention" -> retentionCohorts _,
     "x68_tfidf_keywords" -> tfidfKeywords _,
     "x69_bpe_train" -> bpeTrain _,
-    "x70_bpe_encode" -> bpeEncode _)
+    "x70_bpe_encode" -> bpeEncode _,
+    "x71_containment" -> containmentPairs _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2050,6 +2061,35 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // containment: exact distinct-shingle intersections over string
+    // shingles (engine side hashes them — x55's 2^-64 collision
+    // convention), one division per pair
+    "x71_containment" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM documents))
+        |), sz AS (
+        | SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        |), inter AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        | FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2
+        |)
+        |SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS shared,
+        | CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        | CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = ia
+        |           JOIN sz sb ON sb.doc_id = ib
+        |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // BPE training: all 6 rounds replayed in unrolled SQL
     "x69_bpe_train" -> bpeOracleSql(6),
     // BPE encoding: the trained tokenizer's top-30 vocabulary histogram

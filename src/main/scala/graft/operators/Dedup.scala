@@ -422,6 +422,49 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Shingle-containment pairs: documents whose smaller shingle set is
+    * mostly inside the other's — `shared / min(|A|, |B|) >= threshold` —
+    * the quote/excerpt/superset detector. This is the case BOTH Jaccard
+    * tiers miss by construction: a paragraph quoted inside a 100×-larger
+    * document has Jaccard ≈ |small|/|big| ≈ 0.01 (no near-dup threshold
+    * reaches it), and winnowing ([[graft.operators.Winnow]]) localizes
+    * copied spans but reports fingerprint hits, not the set-containment
+    * score dedup policies threshold on.
+    *
+    * Scale shape (the x64/x65 inverted-index discipline): per-doc
+    * DISTINCT shingle hashes explode as (hash, id) — 16 bytes a row,
+    * never text; per-hash postings aggregate under the capped-collect
+    * guard (boilerplate shingles carried by more than `maxPostings` docs
+    * drop with the overflow signal — no task buffers more than cap+1
+    * ids); pairs expand locally from surviving postings; set sizes join
+    * back by id. Counts are exact integers; the one division per pair is
+    * the only float. The oracle replays string shingles — the 64-bit
+    * hash convention collides with ~2^-64 probability (x55's documented
+    * tradeoff) while keeping 100 TB shuffles narrow.
+    */
+  def containmentPairs(corpus: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxPostings: Int = 1000): DataFrame = {
+    val postings = graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__cid"),
+        explode(shinglesOf(corpus, textCol, shingleK)).as("__g"))
+    val sizes = postings.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("__n"))
+    bucketPairs(postings, Seq("__g"), col("__cid"), maxPostings)
+      .groupBy(col("__pair_a"), col("__pair_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .join(sizes.select(col("__cid").as("__pair_a"),
+        col("__n").as("size_a")), Seq("__pair_a"))
+      .join(sizes.select(col("__cid").as("__pair_b"),
+        col("__n").as("size_b")), Seq("__pair_b"))
+      .withColumn("containment", col("shared").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"),
+        col("shared"), col("size_a"), col("size_b"), col("containment"))
+  }
+
   /** Cross-corpus near-dedup: corpus docs that are NOT a near-duplicate
     * (jaccard >= `threshold`) of any reference doc. Unlike the in-corpus
     * [[minhashDedup]] there is no survivor ordering rule — the reference

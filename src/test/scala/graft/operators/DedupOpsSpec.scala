@@ -387,6 +387,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(full.count() == 1L)
   }
 
+  test("containmentPairs finds an excerpt whole-doc Jaccard misses") {
+    // doc2 = a contiguous 8-token slice of doc1: its 6 shingles are ALL
+    // in doc1 (containment 1.0) while Jaccard is 6/28 ~ 0.21
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 17).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, big), (2L, excerpt)).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(df, "text", "doc_id",
+      threshold = 0.8).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === ((1L, 2L, 6L, 28L, 6L, 1.0)))
+    // the Jaccard tier must NOT flag this pair as a near-dup
+    assert(Dedup.minhashCandidates(df, "text", "doc_id",
+      threshold = 0.7).count() == 0L)
+  }
+
+  test("containmentPairs: threshold edges and the posting-cap guard") {
+    // shared shingles {cde, def} = 2; the SMALLER set is doc1's 5
+    // shingles -> containment 2/5 = 0.4 exactly
+    val df = Seq(
+      (1L, "a b c d e f g"), // shingles: abc bcd cde def efg
+      (2L, "c d e f x y z w")) // cde def efx fxy xyz yzw
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id",
+      threshold = 0.4).collect()
+    assert(got.length == 1 && got(0).getDouble(5) === 0.4)
+    assert(Dedup.containmentPairs(df, "text", "doc_id",
+      threshold = 0.41).count() == 0L)
+    // identical docs beyond the cap: every posting overflows and drops
+    val many = (1L to 6L).map(i => (i, "same text in every doc here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(many, "text", "doc_id",
+      threshold = 0.5, maxPostings = 4).count() == 0L)
+    assert(Dedup.containmentPairs(many, "text", "doc_id",
+      threshold = 0.5).count() == 15L)
+  }
+
   test("crossMinhashDedup drops near-verbatim reference overlap, keeps " +
       "dissimilar docs and within-corpus near-dups") {
     // 40 distinct tokens -> 38 3-shingles; the corpus near-copy appends
