@@ -1047,6 +1047,16 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Kneser-Ney bigram LM scoring ([[graft.operators.NgramLm
+    * .scoreDocsKneserNey]]): interpolated absolute-discount smoothing
+    * with continuation probabilities, exact counts behind one 6dp-rounded
+    * mean-log per doc (the x46 contract).
+    */
+  def ngramLmKneserNey(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.scoreDocsKneserNey(
+      t(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** Shingle-containment pairs ([[graft.operators.Dedup
     * .containmentPairs]]): quote/excerpt detection at
     * shared / min(|A|,|B|) >= 0.5 — exact integer counts, one IEEE
@@ -1491,7 +1501,8 @@ object QueriesExt {
     "x68_tfidf_keywords" -> tfidfKeywords _,
     "x69_bpe_train" -> bpeTrain _,
     "x70_bpe_encode" -> bpeEncode _,
-    "x71_containment" -> containmentPairs _)
+    "x71_containment" -> containmentPairs _,
+    "x72_ngram_lm_kn" -> ngramLmKneserNey _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2199,6 +2210,55 @@ object QueriesExt {
         |   AND list_cosine_similarity(c.embedding, q.embedding) < 0.45)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // Kneser-Ney: same bigram derivation as x46, plus the three
+    // continuation-type counts; formula textually parallel to the Spark
+    // side so 6dp rounding absorbs only libm ulps
+    "x72_ngram_lm_kn" ->
+      """WITH lt AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> length(tk) > 0) AS t
+        | FROM documents
+        |), ex AS MATERIALIZED (
+        | SELECT doc_id, u.i AS pos, u.w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'i': i, 'w': t[CAST(i AS INT)]})) AS u FROM lt)
+        |), vocab AS MATERIALIZED (
+        | SELECT w FROM ex GROUP BY w
+        | ORDER BY COUNT(*) DESC, w ASC LIMIT 4096
+        |), m AS MATERIALIZED (
+        | SELECT e.doc_id, e.pos,
+        |  CASE WHEN v.w IS NULL THEN '<unk>' ELSE e.w END AS mw
+        | FROM ex e LEFT JOIN vocab v ON e.w = v.w
+        |), bgd AS MATERIALIZED (
+        | SELECT doc_id, w1, w2 FROM (
+        |  SELECT doc_id, mw AS w1,
+        |   lead(mw) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM m) WHERE w2 IS NOT NULL
+        |), bgc AS MATERIALIZED (
+        | SELECT w1, w2, COUNT(*) AS b FROM bgd GROUP BY 1, 2
+        |), uc AS (
+        | SELECT w1, COUNT(*) AS u FROM bgd GROUP BY 1
+        |), fo AS (
+        | SELECT w1, COUNT(*) AS f FROM bgc GROUP BY 1
+        |), ctx AS (
+        | SELECT w2, COUNT(*) AS p FROM bgc GROUP BY 1
+        |), tt AS (
+        | SELECT COUNT(*) AS t FROM bgc
+        |), ds AS (
+        | SELECT bgd.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+        |  ROUND(AVG(ln(
+        |    greatest(CAST(b AS DOUBLE) - 0.75, 0.0) / CAST(u AS DOUBLE)
+        |    + 0.75 * CAST(f AS DOUBLE) / CAST(u AS DOUBLE)
+        |      * (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)))), 6) AS lp
+        | FROM bgd JOIN bgc USING (w1, w2) JOIN uc USING (w1)
+        |   JOIN fo USING (w1) JOIN ctx USING (w2) CROSS JOIN tt
+        | GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        | lp AS avg_logp_kn
+        |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "x46_ngram_lm" ->
       """WITH lt AS (
         | SELECT doc_id,

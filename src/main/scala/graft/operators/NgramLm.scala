@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 
-/** Corpus-trained token-bigram language model for perplexity-style quality
+/** Corpus-trained token-bigram language models for perplexity-style quality
   * filtering (the CCNet / Wenzek et al. 2020 signal: documents whose LM
   * score is far from the corpus norm are boilerplate or noise). Training
   * and scoring are one pass each over exact counts, so the whole
@@ -16,21 +16,31 @@ import graft.functions.TextFunctions
   *    token asc) — a total order, no sampling; everything else maps to
   *    `<unk>`;
   *  - bigram counts B(w1,w2) and prefix counts U(w1) over mapped tokens;
-  *  - P(w2|w1) = (B + 1) / (U + V + 1) (add-one smoothing over the
-  *    vocab+unk event space);
+  *  - [[scoreDocs]]: P(w2|w1) = (B + 1) / (U + V + 1) (add-one smoothing
+  *    over the vocab+unk event space);
+  *  - [[scoreDocsKneserNey]]: interpolated Kneser-Ney with absolute
+  *    discount D — P = max(B-D,0)/U + (D·N1+(w1,•)/U)·(N1+(•,w2)/N1+(•,•))
+  *    — the standard production smoothing, whose continuation probability
+  *    scores a token by how many CONTEXTS it follows rather than raw
+  *    frequency (the "San Francisco" effect: "francisco" is frequent but
+  *    predictable, so its continuation mass is tiny);
   *  - doc score = mean ln P over its bigrams, rounded to 6dp (libm `ln`
   *    differs across engines only in final ulps; the rounding absorbs it).
   *
   * Scale shape: counts are partial-aggregated groupBys over (8-byte-ish)
   * token keys; the scoring join keys on (w1,w2) against a counts table
   * bounded by the corpus's distinct mapped bigrams (≤ (V+1)^2); the
-  * vocabulary join broadcasts. No driver collect beyond the V-row
-  * vocabulary.
+  * vocabulary join broadcasts. KN adds two more bounded count tables
+  * (per-prefix fan-out, per-suffix context count) and one scalar
+  * (distinct bigram types) — same join discipline. No driver collect
+  * beyond the V-row vocabulary.
   */
 object NgramLm {
 
-  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
-      vocabSize: Int = 4096): DataFrame = {
+  /** Per-document mapped-bigram stream `(idCol, __w1, __w2)` — shared
+    * front of both scorers. */
+  private def bigrams(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(TextFunctions.tokens(lower(col(textCol))))
         .as(Seq("__pos", "__w")))
@@ -44,12 +54,16 @@ object NgramLm {
       .select(col(idCol), col("__pos"),
         when(col("__in_vocab"), col("__w")).otherwise(lit("<unk>"))
           .as("__m"))
-    val bg = mapped
+    mapped
       .withColumn("__m2", lead(col("__m"), 1)
         .over(Window.partitionBy(idCol).orderBy("__pos")))
       .filter(col("__m2").isNotNull)
       .select(col(idCol), col("__m").as("__w1"), col("__m2").as("__w2"))
+  }
 
+  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 4096): DataFrame = {
+    val bg = bigrams(df, textCol, idCol, vocabSize)
     val bCounts = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__b"))
     val uCounts = bg.groupBy("__w1").agg(count(lit(1)).as("__u"))
 
@@ -66,5 +80,45 @@ object NgramLm {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
+  }
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 formulation) with fixed absolute discount `discount`.
+    * Scoring the training corpus itself means every scored bigram has
+    * B >= 1, so the discounted term is well-defined and the probability
+    * strictly positive. Output: `(idCol, n_bigrams, avg_logp_kn)`.
+    */
+  def scoreDocsKneserNey(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 4096, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount in (0,1)")
+    val bg = bigrams(df, textCol, idCol, vocabSize)
+    val bCounts = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__b"))
+    val uCounts = bg.groupBy("__w1").agg(count(lit(1)).as("__u"))
+    // continuation statistics, all over bigram TYPES (distinct pairs):
+    // fan-out N1+(w1,•), context count N1+(•,w2), total types N1+(•,•)
+    val fanOut = bCounts.groupBy("__w1").agg(count(lit(1)).as("__f"))
+    val contexts = bCounts.groupBy("__w2").agg(count(lit(1)).as("__p"))
+    val totalTypes = bCounts.agg(count(lit(1)).as("__t"))
+
+    val p =
+      greatest(col("__b").cast("double") - lit(discount), lit(0.0)) /
+        col("__u").cast("double") +
+        lit(discount) * col("__f").cast("double") /
+          col("__u").cast("double") *
+          (col("__p").cast("double") / col("__t").cast("double"))
+    val scored = bg
+      .join(bCounts, Seq("__w1", "__w2"))
+      .join(uCounts, Seq("__w1"))
+      .join(fanOut, Seq("__w1"))
+      .join(contexts, Seq("__w2"))
+      .crossJoin(broadcast(totalTypes))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)), 6).as("avg_logp_kn"))
+
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp_kn"))
   }
 }
