@@ -1047,6 +1047,24 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Homoglyph-robust dedup ([[graft.operators.Dedup.homoglyphDedup]]):
+    * docs below id 25 re-enter with Latin a/e/o swapped for Cyrillic
+    * lookalikes plus a zero-width-space salt — byte-different, shingle-
+    * different, visually identical. The skeleton collapses every plant
+    * back onto its original; the oracle replays the mapping verbatim.
+    */
+  def homoglyphDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("\u200B"),
+          translate(col("text"), "aeo",
+            "\u0430\u0435\u043E")).as("text"))
+    graft.operators.Dedup.homoglyphDedup(
+      docs.unionByName(planted), "text", "doc_id")
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Kneser-Ney bigram LM scoring ([[graft.operators.NgramLm
     * .scoreDocsKneserNey]]): interpolated absolute-discount smoothing
     * with continuation probabilities, exact counts behind one 6dp-rounded
@@ -1502,7 +1520,8 @@ object QueriesExt {
     "x69_bpe_train" -> bpeTrain _,
     "x70_bpe_encode" -> bpeEncode _,
     "x71_containment" -> containmentPairs _,
-    "x72_ngram_lm_kn" -> ngramLmKneserNey _)
+    "x72_ngram_lm_kn" -> ngramLmKneserNey _,
+    "x73_homoglyph_dedup" -> homoglyphDedupQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2072,6 +2091,27 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // homoglyph dedup: skeleton replayed as a replace chain over exactly
+    // the planted confusables (the corpus is ASCII otherwise), then the
+    // x02 ws/case normalization, min-id per group
+    "x73_homoglyph_dedup" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 3000000,
+        |  chr(8203) || translate(text, 'aeo',
+        |    chr(1072) || chr(1077) || chr(1086))
+        | FROM documents WHERE doc_id < 25
+        |), sk AS (
+        | SELECT doc_id, lower(trim(regexp_replace(
+        |   replace(replace(replace(replace(text,
+        |     chr(1072), 'a'), chr(1077), 'e'), chr(1086), 'o'),
+        |     chr(8203), ''),
+        |   '\s+', ' ', 'g'))) AS s
+        | FROM corpus
+        |)
+        |SELECT MIN(doc_id) AS doc_id FROM sk GROUP BY s
+        |ORDER BY doc_id""".stripMargin,
     // containment: exact distinct-shingle intersections over string
     // shingles (engine side hashes them — x55's 2^-64 collision
     // convention), one division per pair

@@ -37,6 +37,31 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Homoglyph-robust exact dedup: keep the smallest `idCol` per
+    * confusable-SKELETON-identical text
+    * ([[graft.functions.expr.ConfusableSkeletonExpr]] composed over the
+    * x02 whitespace/case normalization). Catches the adversarial
+    * duplicate class plain normalization misses — spam/SEO copies that
+    * swap Latin letters for identical-looking Cyrillic/Greek code points
+    * or salt text with zero-width joiners to slip past exact and shingle
+    * dedup alike (the shingles differ bytewise too). Same scale shape as
+    * [[exact]]: the shuffle key is the 64-bit hash of the skeleton.
+    */
+  def homoglyphDedup(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    // skeleton FIRST: zero-width strips and exotic-space mappings must
+    // land before whitespace collapsing sees the text
+    val skeleton = lower(trim(regexp_replace(
+      graft.functions.expr.ConfusableExprs.confusableSkeleton(
+        col(textCol)), "\\s+", " ")))
+    val winners = df
+      .select(col(idCol), xxhash64(skeleton).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Cross-corpus exact dedup: drop every `corpus` document whose text
     * appears in `reference` — the fine-tuning-vs-pretraining overlap
     * removal (and eval-set exact leakage check) of a training-data

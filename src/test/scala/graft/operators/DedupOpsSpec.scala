@@ -387,6 +387,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(full.count() == 1L)
   }
 
+  test("homoglyphDedup collapses confusable-evasion copies exact dedup " +
+      "keeps apart") {
+    val df = Seq(
+      (1L, "free crypto wallet bonus now"),
+      // Cyrillic о/е swaps + zero-width joiner salt
+      (2L, "free crypt\u043E wallet b\u043Enus n\u043Ew\u200D"),
+      // fullwidth letters + no-break space
+      (3L, "\uFF46ree\u00A0crypto wallet bonus now"),
+      // Greek capital Omicron after uppercase (lower() runs post-skeleton)
+      (4L, "free crypt\u039F wallet bonus now"),
+      (5L, "a genuinely different document"))
+      .toDF("doc_id", "text")
+    val skel = Dedup.homoglyphDedup(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(skel === Seq(1L, 5L))
+    // byte-exact dedup sees five distinct texts
+    assert(Dedup.exact(df, "text", "doc_id").count() === 5L)
+  }
+
   test("containmentPairs finds an excerpt whole-doc Jaccard misses") {
     // doc2 = a contiguous 8-token slice of doc1: its 6 shingles are ALL
     // in doc1 (containment 1.0) while Jaccard is 6/28 ~ 0.21
