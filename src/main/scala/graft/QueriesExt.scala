@@ -1047,6 +1047,26 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Blocked fuzzy entity matching ([[graft.operators
+    * .EntityResolution]]): customer-name pairs within 1 Levenshtein edit
+    * via three complementary blocking passes (prefix-16, suffix-3,
+    * skip-position-16) — for the fixed 18-char names the pass set is
+    * PROVABLY lossless for substitution distance 1 (every character
+    * position is outside at least one key), which
+    * `EntityResolutionSpec` checks against the brute-force cross join.
+    */
+  def customerFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val keys = Seq(
+      substring(col("c_name"), 1, 16),
+      substring(col("c_name"), -3, 3),
+      concat(substring(col("c_name"), 1, 15),
+        substring(col("c_name"), 17, 2)))
+    graft.operators.EntityResolution.fuzzyMatches(
+      c, "c_name", "c_custkey", keys, maxDistance = 1)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Homoglyph-robust dedup ([[graft.operators.Dedup.homoglyphDedup]]):
     * docs below id 25 re-enter with Latin a/e/o swapped for Cyrillic
     * lookalikes plus a zero-width-space salt — byte-different, shingle-
@@ -1521,7 +1541,8 @@ object QueriesExt {
     "x70_bpe_encode" -> bpeEncode _,
     "x71_containment" -> containmentPairs _,
     "x72_ngram_lm_kn" -> ngramLmKneserNey _,
-    "x73_homoglyph_dedup" -> homoglyphDedupQ _)
+    "x73_homoglyph_dedup" -> homoglyphDedupQ _,
+    "x74_fuzzy_match" -> customerFuzzyMatch _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2091,6 +2112,26 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // blocked fuzzy match: same three blocking passes + exact levenshtein
+    "x74_fuzzy_match" ->
+      """WITH c AS (
+        | SELECT c_custkey AS id, c_name AS n FROM customer
+        |), b AS (
+        | SELECT 0 AS pass, substr(n, 1, 16) AS bk, id FROM c
+        | UNION ALL SELECT 1, substr(n, -3, 3), id FROM c
+        | UNION ALL SELECT 2, substr(n, 1, 15) || substr(n, 17, 2), id
+        |  FROM c
+        |), pr AS (
+        | SELECT DISTINCT least(a.id, b2.id) AS ia,
+        |  greatest(a.id, b2.id) AS ib
+        | FROM b a JOIN b b2
+        |  ON a.pass = b2.pass AND a.bk = b2.bk AND a.id < b2.id
+        |)
+        |SELECT ia AS id_a, ib AS id_b, ca.n AS name_a, cb.n AS name_b,
+        | CAST(levenshtein(ca.n, cb.n) AS BIGINT) AS distance
+        |FROM pr JOIN c ca ON ca.id = ia JOIN c cb ON cb.id = ib
+        |WHERE levenshtein(ca.n, cb.n) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // homoglyph dedup: skeleton replayed as a replace chain over exactly
     // the planted confusables (the corpus is ASCII otherwise), then the
     // x02 ws/case normalization, min-id per group

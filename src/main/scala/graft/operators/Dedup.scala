@@ -234,7 +234,7 @@ object Dedup {
     * Equal payloads (duplicate ids in a dirty input) are dropped, matching
     * the self-join's strict `a < b`.
     */
-  private def bucketPairs(banded: DataFrame, keys: Seq[String],
+  private[operators] def bucketPairs(banded: DataFrame, keys: Seq[String],
       payload: Column, maxBucketSize: Int): DataFrame = {
     val keyCols = keys.map(col)
     val collected = banded
