@@ -1047,6 +1047,15 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** TextRank keyword centrality ([[graft.operators.TextRank
+    * .textrankKeywords]]): 3 damped-PageRank iterations over the token
+    * co-occurrence graph, top-20 by 6dp-rounded score. The oracle
+    * unrolls all three iterations in SQL with mirrored arithmetic.
+    */
+  def textrankCentrality(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.textrankKeywords(
+      t(spark, dir, "documents"), "text", topK = 20)
+
   /** Blocked fuzzy entity matching ([[graft.operators
     * .EntityResolution]]): customer-name pairs within 1 Levenshtein edit
     * via three complementary blocking passes (prefix-16, suffix-3,
@@ -1542,7 +1551,8 @@ object QueriesExt {
     "x71_containment" -> containmentPairs _,
     "x72_ngram_lm_kn" -> ngramLmKneserNey _,
     "x73_homoglyph_dedup" -> homoglyphDedupQ _,
-    "x74_fuzzy_match" -> customerFuzzyMatch _)
+    "x74_fuzzy_match" -> customerFuzzyMatch _,
+    "x75_textrank" -> textrankCentrality _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2112,6 +2122,65 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // textrank: token co-occurrence PageRank, 3 unrolled iterations with
+    // mirrored double arithmetic behind 6dp rounding
+    "x75_textrank" ->
+      """WITH ex AS MATERIALIZED (
+        | SELECT doc_id, u.i AS pos, u.w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'i': i, 'w': t[CAST(i AS INT)]})) AS u
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      tk -> length(tk) > 0) AS t FROM documents))
+        |), vocab AS MATERIALIZED (
+        | SELECT w FROM ex GROUP BY w
+        | ORDER BY COUNT(*) DESC, w ASC LIMIT 4096
+        |), bg AS MATERIALIZED (
+        | SELECT w AS a, w2 AS b FROM (
+        |  SELECT doc_id, pos, w,
+        |   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM ex)
+        | WHERE w2 IS NOT NULL AND w <> w2
+        |  AND w IN (SELECT w FROM vocab) AND w2 IN (SELECT w FROM vocab)
+        |), ed AS MATERIALIZED (
+        | SELECT src, dst, COUNT(*) AS wt FROM (
+        |  SELECT a AS src, b AS dst FROM bg
+        |  UNION ALL SELECT b AS src, a AS dst FROM bg)
+        | GROUP BY 1, 2
+        |), dg AS MATERIALIZED (
+        | SELECT src, SUM(wt) AS deg FROM ed GROUP BY 1
+        |), nn AS (
+        | SELECT COUNT(*) AS n FROM dg
+        |), p0 AS (
+        | SELECT src AS nd, CAST(1.0 AS DOUBLE) / n AS pr
+        | FROM dg CROSS JOIN nn
+        |), p1 AS MATERIALIZED (
+        | SELECT dst AS nd,
+        |  (1.0 - CAST(0.85 AS DOUBLE)) / any_value(nn.n)
+        |   + CAST(0.85 AS DOUBLE) * SUM(
+        |      CAST(wt AS DOUBLE) / CAST(deg AS DOUBLE) * pr) AS pr
+        | FROM ed JOIN dg USING (src) JOIN p0 ON p0.nd = ed.src
+        |  CROSS JOIN nn
+        | GROUP BY dst
+        |), p2 AS MATERIALIZED (
+        | SELECT dst AS nd,
+        |  (1.0 - CAST(0.85 AS DOUBLE)) / any_value(nn.n)
+        |   + CAST(0.85 AS DOUBLE) * SUM(
+        |      CAST(wt AS DOUBLE) / CAST(deg AS DOUBLE) * pr) AS pr
+        | FROM ed JOIN dg USING (src) JOIN p1 ON p1.nd = ed.src
+        |  CROSS JOIN nn
+        | GROUP BY dst
+        |), p3 AS (
+        | SELECT dst AS nd,
+        |  (1.0 - CAST(0.85 AS DOUBLE)) / any_value(nn.n)
+        |   + CAST(0.85 AS DOUBLE) * SUM(
+        |      CAST(wt AS DOUBLE) / CAST(deg AS DOUBLE) * pr) AS pr
+        | FROM ed JOIN dg USING (src) JOIN p2 ON p2.nd = ed.src
+        |  CROSS JOIN nn
+        | GROUP BY dst
+        |)
+        |SELECT nd AS token, ROUND(pr, 6) AS score FROM p3
+        |ORDER BY ROUND(pr, 6) DESC, nd ASC LIMIT 20""".stripMargin,
     // blocked fuzzy match: same three blocking passes + exact levenshtein
     "x74_fuzzy_match" ->
       """WITH c AS (

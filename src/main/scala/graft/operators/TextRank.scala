@@ -129,6 +129,99 @@ object TextRank {
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
   }
 
+  /** TextRank proper (Mihalcea & Tarau 2004): PageRank over the token
+    * co-occurrence graph — corpus-level salient terms by graph
+    * centrality, the unsupervised complement of [[tfidfKeywords]]'
+    * frequency weighting (a token ranks high by being adjacent to other
+    * well-connected tokens, not by raw count). Returns the top `topK`
+    * tokens as `(token, score)` with the 6dp-rounded PageRank.
+    *
+    * Graph: nodes = the top-`vocabSize` tokens (total-ordered cut, as
+    * [[NgramLm]]); edges = ADJACENT token pairs (both endpoints in
+    * vocab, self-loops dropped), symmetrized with occurrence-count
+    * weights. `iterations` damped-PageRank steps from the uniform
+    * vector: PR(i) = (1-d)/N + d·Σ_j w_ji/wdeg(j)·PR(j).
+    *
+    * Scale + determinism contract (the eager-bounded-collect pattern of
+    * [[bm25]] / the x29 classifier): the corpus collapses ONCE to the
+    * vocabulary-sized edge table (one bigram shuffle, persisted and
+    * released before return); each iteration is an edge-keyed join +
+    * combiner-backed sum over that table — never the corpus; the ONLY
+    * driver materialization is the final ≤ vocabSize PR vector. Edge
+    * weights and degrees are exact longs; per-node contribution sums
+    * are double additions whose scheduling order can differ across
+    * engines by final ulps — the 6dp rounding absorbs that (the
+    * x46/x54 convention).
+    */
+  def textrankKeywords(corpus: DataFrame, textCol: String, topK: Int = 20,
+      vocabSize: Int = 4096, damping: Double = 0.85,
+      iterations: Int = 3): DataFrame = {
+    require(topK >= 1 && iterations >= 1, "topK, iterations >= 1")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // materialize the per-document id BEFORE the generator: inside the
+    // same projection as posexplode, monotonically_increasing_id would
+    // advance per OUTPUT row and break adjacency (every token its own
+    // "document"); nondeterministic projections don't collapse, so the
+    // withColumn boundary is safe
+    val toks = corpus.select(col(textCol))
+      .withColumn("__doc", monotonically_increasing_id())
+      .select(col("__doc"),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("__pos", "__w")))
+    val vocab = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
+      .select(col("__w"), lit(true).as("__v"))
+    val marked = toks.join(broadcast(vocab), Seq("__w"), "left")
+      .select(col("__doc"), col("__pos"), col("__w"), col("__v"))
+    val bg = marked
+      .withColumn("__w2", lead(col("__w"), 1)
+        .over(Window.partitionBy("__doc").orderBy("__pos")))
+      .withColumn("__v2", lead(col("__v"), 1)
+        .over(Window.partitionBy("__doc").orderBy("__pos")))
+      .filter(col("__v") && col("__v2") && col("__w") =!= col("__w2"))
+      .select(col("__w").as("__a"), col("__w2").as("__b"))
+    val edges = bg.select(col("__a").as("__src"), col("__b").as("__dst"))
+      .unionAll(bg.select(col("__b").as("__src"), col("__a").as("__dst")))
+      .groupBy("__src", "__dst").agg(count(lit(1)).as("__wt"))
+      .persist()
+    try {
+      val wdeg = edges.groupBy(col("__src"))
+        .agg(sum(col("__wt")).as("__deg"))
+      val nodes = wdeg.select(col("__src").as("__n"))
+      val n = nodes.count()
+      if (n == 0) return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
+      var pr = nodes.select(col("__n"), lit(1.0 / n).as("__pr"))
+      for (_ <- 1 to iterations) {
+        val contrib = edges
+          .join(wdeg, Seq("__src"))
+          .join(pr.select(col("__n").as("__src"), col("__pr")),
+            Seq("__src"))
+          .select(col("__dst").as("__n"),
+            (col("__wt").cast("double") / col("__deg").cast("double") *
+              col("__pr")).as("__c"))
+          .groupBy(col("__n")).agg(sum(col("__c")).as("__s"))
+        // symmetric edges: every node has inbound mass, no coalesce
+        pr = contrib.select(col("__n"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("__s"))
+            .as("__pr"))
+      }
+      import spark.implicits._
+      val top = pr
+        .select(col("__n").as("token"), round(col("__pr"), 6).as("score"))
+        .orderBy(desc("score"), asc("token"))
+        .limit(topK)
+        .as[(String, Double)].collect().toSeq
+      top.toDF("token", "score")
+    } finally edges.unpersist()
+  }
+
   /** Per-document top-`k` TF-IDF keywords as
     * `(idCol, term, tf, df, score, rank)` — the classic salient-term
     * extractor (corpus labeling, topic tagging, index-term selection).
