@@ -1047,6 +1047,28 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Cross-corpus containment decontamination ([[graft.operators.Dedup
+    * .crossContainment]]): reference docs below id 60 re-enter the
+    * corpus BURIED in 40 tokens of padding — Jaccard drops toward
+    * |ref|/|host| (x63's threshold never fires) while ref-side
+    * containment stays exactly 1.0. Full exact oracle over the x55
+    * split.
+    */
+  def crossContainmentQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val planted = ref.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" " + QueriesExt.containPad)).as("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted)
+    graft.operators.Dedup.crossContainment(corpus, ref, "text", "doc_id",
+      threshold = 0.8)
+      .orderBy("corpus_id", "ref_id")
+  }
+
+  private[graft] val containPad: String =
+    (1 to 40).map(i => s"pad$i").mkString(" ")
+
   /** TextRank keyword centrality ([[graft.operators.TextRank
     * .textrankKeywords]]): 3 damped-PageRank iterations over the token
     * co-occurrence graph, top-20 by 6dp-rounded score. The oracle
@@ -1552,7 +1574,8 @@ object QueriesExt {
     "x72_ngram_lm_kn" -> ngramLmKneserNey _,
     "x73_homoglyph_dedup" -> homoglyphDedupQ _,
     "x74_fuzzy_match" -> customerFuzzyMatch _,
-    "x75_textrank" -> textrankCentrality _)
+    "x75_textrank" -> textrankCentrality _,
+    "x76_cross_containment" -> crossContainmentQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2122,6 +2145,51 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // cross containment: exact ref-side containment over string shingles
+    // on the padded-plant split
+    "x76_cross_containment" -> (
+      """WITH refd AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |), corp AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL
+        | SELECT doc_id + 2000000, text || ' """ + containPad +
+        """' FROM refd WHERE doc_id < 60
+        |), shc AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM corp))
+        |), shr AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM refd))
+        |), szr AS (
+        | SELECT doc_id, count(*) AS n FROM shr GROUP BY 1
+        |), inter AS (
+        | SELECT c.doc_id AS cid, r.doc_id AS rid, count(*) AS i
+        | FROM shc c JOIN shr r ON c.g = r.g GROUP BY 1, 2
+        |)
+        |SELECT cid AS corpus_id, rid AS ref_id, CAST(i AS BIGINT)
+        |  AS shared,
+        | CAST(szr.n AS BIGINT) AS ref_size,
+        | CAST(i AS DOUBLE) / szr.n AS containment
+        |FROM inter JOIN szr ON szr.doc_id = rid
+        |WHERE CAST(i AS DOUBLE) / szr.n >= 0.8
+        |ORDER BY corpus_id, ref_id""").stripMargin,
     // textrank: token co-occurrence PageRank, 3 unrolled iterations with
     // mirrored double arithmetic behind 6dp rounding
     "x75_textrank" ->

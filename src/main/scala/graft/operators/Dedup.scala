@@ -490,6 +490,52 @@ object Dedup {
         col("shared"), col("size_a"), col("size_b"), col("containment"))
   }
 
+  /** Cross-corpus containment flags: corpus documents that CONTAIN a
+    * reference (benchmark/holdout) document — shared distinct shingles
+    * over the REFERENCE doc's shingle count >= `threshold` — as
+    * `(corpus_id, ref_id, shared, ref_size, containment)`. This is the
+    * leakage shape both cross tiers miss: a benchmark item pasted into a
+    * larger page scores Jaccard ≈ |ref|/|page| (x63 never fires) and may
+    * dodge the fixed 13-gram probe's n-gram length (x39), while its
+    * containment is ≈ 1.0 regardless of the host document's size.
+    *
+    * Scale shape: both sides explode DISTINCT shingle hashes; the
+    * reference posting list per hash aggregates under the capped-collect
+    * guard (a boilerplate shingle shared by > `maxPostings` reference
+    * docs drops with the overflow signal — documented recall bound, the
+    * LSH-bucket policy); the corpus stream equi-joins the aggregated
+    * (hash → ref ids) frame — broadcastable for benchmark-sized
+    * references, so the corpus never shuffles; pair shared-counts and
+    * the ref-size join are candidate-bounded.
+    */
+  def crossContainment(corpus: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3,
+      threshold: Double = 0.8, maxPostings: Int = 1000): DataFrame = {
+    val cPost = graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__cid"),
+        explode(shinglesOf(corpus, textCol, shingleK)).as("__g"))
+    val rPost = reference.select(col(idCol).as("__rid"),
+      explode(shinglesOf(reference, textCol, shingleK)).as("__g"))
+    val rSizes = rPost.groupBy(col("__rid"))
+      .agg(count(lit(1)).as("ref_size"))
+    val rBuckets = rPost.groupBy(col("__g"))
+      .agg(graft.functions.expr.AggExprs
+        .collectCapped(col("__rid"), maxPostings).as("__rids"))
+      .filter(size(col("__rids")) <= maxPostings)
+    cPost
+      .join(rBuckets, Seq("__g"))
+      .select(col("__cid"), explode(col("__rids")).as("__rid"))
+      .groupBy(col("__cid"), col("__rid"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .join(rSizes, Seq("__rid"))
+      .withColumn("containment", col("shared").cast("double") /
+        col("ref_size").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("__cid").as("corpus_id"), col("__rid").as("ref_id"),
+        col("shared"), col("ref_size"), col("containment"))
+  }
+
   /** Cross-corpus near-dedup: corpus docs that are NOT a near-duplicate
     * (jaccard >= `threshold`) of any reference doc. Unlike the in-corpus
     * [[minhashDedup]] there is no survivor ordering rule — the reference

@@ -444,6 +444,30 @@ class DedupOpsSpec extends SparkSpec {
       threshold = 0.5).count() == 15L)
   }
 
+  test("crossContainment flags a benchmark doc buried in a larger page " +
+      "that Jaccard decontam misses") {
+    val bench = (1 to 10).map(i => s"q$i").mkString(" ") // 8 shingles
+    val filler1 = (1 to 20).map(i => s"f$i").mkString(" ")
+    val filler2 = (1 to 20).map(i => s"g$i").mkString(" ")
+    val ref = Seq((100L, bench)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"$filler1 $bench $filler2"), // host page: leakage
+      (2L, s"$filler1 $filler2"))        // clean
+      .toDF("doc_id", "text")
+    val rows = Dedup.crossContainment(corpus, ref, "text", "doc_id",
+      threshold = 0.8).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("corpus_id") == 1L &&
+      r.getAs[Long]("ref_id") == 100L)
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(r.getAs[Long]("shared") === r.getAs[Long]("ref_size"))
+    // whole-doc Jaccard of the pair is ~8/50 — the near-dup cross tier
+    // (exact verify at threshold 0.8) cannot flag it
+    assert(Dedup.crossMinhashCandidates(corpus, ref, "text", "doc_id",
+      threshold = 0.8).count() == 0L)
+  }
+
   test("crossMinhashDedup drops near-verbatim reference overlap, keeps " +
       "dissimilar docs and within-corpus near-dups") {
     // 40 distinct tokens -> 38 3-shingles; the corpus near-copy appends
