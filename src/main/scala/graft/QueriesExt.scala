@@ -1047,6 +1047,24 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Banned-phrase audit ([[graft.operators.TextPipeline
+    * .flagBannedPhrases]]): the lexicon is doc 0's first 8 distinct
+    * bigram phrases (derivation replayed by the oracle, the x54
+    * convention), counted per document by one Aho-Corasick pass.
+    */
+  def bannedPhrases(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks0 = docs.filter(col("doc_id") === 0)
+      .select(TextFunctions.tokens(col("text")).as("__t")).head()
+      .getSeq[String](0)
+    val phrases =
+      toks0.sliding(2).map(_.mkString(" ")).toSeq.distinct.take(8)
+    graft.operators.TextPipeline.flagBannedPhrases(
+      docs.select(col("doc_id"), col("text")), "text", phrases)
+      .select(col("doc_id"), col("n_banned"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-corpus containment decontamination ([[graft.operators.Dedup
     * .crossContainment]]): reference docs below id 60 re-enter the
     * corpus BURIED in 40 tokens of padding — Jaccard drops toward
@@ -1575,7 +1593,8 @@ object QueriesExt {
     "x73_homoglyph_dedup" -> homoglyphDedupQ _,
     "x74_fuzzy_match" -> customerFuzzyMatch _,
     "x75_textrank" -> textrankCentrality _,
-    "x76_cross_containment" -> crossContainmentQ _)
+    "x76_cross_containment" -> crossContainmentQ _,
+    "x77_banned_phrases" -> bannedPhrases _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2145,6 +2164,26 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // banned phrases: doc-0 bigram lexicon derivation + per-doc distinct
+    // substring-presence counts
+    "x77_banned_phrases" ->
+      """WITH t0 AS (
+        | SELECT list_filter(string_split_regex(trim(text), '\s+'),
+        |   tk -> length(tk) > 0) AS t
+        | FROM documents WHERE doc_id = 0
+        |), ph AS (
+        | SELECT p FROM (
+        |  SELECT p, MIN(i) AS fo FROM (
+        |   SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] AS p, i
+        |   FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t0))
+        |  GROUP BY p)
+        | ORDER BY fo LIMIT 8
+        |)
+        |SELECT d.doc_id,
+        | CAST(SUM(CASE WHEN contains(d.text, ph.p) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_banned
+        |FROM documents d CROSS JOIN ph
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // cross containment: exact ref-side containment over string shingles
     // on the padded-plant split
     "x76_cross_containment" -> (

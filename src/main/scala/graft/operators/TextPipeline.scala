@@ -85,6 +85,21 @@ object TextPipeline {
     }
   }
 
+  /** Per-document banned-phrase audit: `(all input columns, n_banned)`
+    * where `n_banned` counts the DISTINCT `phrases` occurring as
+    * substrings of `textCol` — policy lexicons, license-boilerplate
+    * markers, blocklists. One Aho-Corasick automaton pass per document
+    * ([[graft.functions.expr.MultiPatternHitCountExpr]]): O(|doc|)
+    * independent of lexicon size, where per-phrase `contains` scans the
+    * corpus |phrases| times; the lexicon rides the task binary. Filter
+    * on `n_banned` for the drop policy.
+    */
+  def flagBannedPhrases(corpus: DataFrame, textCol: String,
+      phrases: Seq[String]): DataFrame =
+    corpus.withColumn("n_banned",
+      graft.functions.expr.MultiPatternExprs.multiPatternHits(
+        col(textCol), phrases))
+
   /** The per-document contamination hit count as a fusable COLUMN —
     * `Some(column)` counting benchmark `n`-grams in `textCol`, or `None`
     * when the benchmark's distinct n-gram set exceeds `maxSetNgrams` (then
