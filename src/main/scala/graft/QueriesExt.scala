@@ -1047,6 +1047,13 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Session path analysis ([[graft.operators.Sessionize.topPaths]]):
+    * top-10 "user journey" event-type sequences (first 5 steps per
+    * 30-minute-gap session, (ts,id)-ordered), with exact counts.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.topPaths(events(spark, dir))
+
   /** Banned-phrase audit ([[graft.operators.TextPipeline
     * .flagBannedPhrases]]): the lexicon is doc 0's first 8 distinct
     * bigram phrases (derivation replayed by the oracle, the x54
@@ -1594,7 +1601,8 @@ object QueriesExt {
     "x74_fuzzy_match" -> customerFuzzyMatch _,
     "x75_textrank" -> textrankCentrality _,
     "x76_cross_containment" -> crossContainmentQ _,
-    "x77_banned_phrases" -> bannedPhrases _)
+    "x77_banned_phrases" -> bannedPhrases _,
+    "x78_session_paths" -> sessionPaths _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2164,6 +2172,26 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // session paths: x10's gaps-and-islands + ordered type sequences
+    "x78_session_paths" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM flagged
+        |), p AS (
+        | SELECT array_to_string(list_slice(
+        |   list(event_type ORDER BY ts, event_id), 1, 5), ' > ') AS path
+        | FROM sess GROUP BY user_id, session_seq
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions FROM p
+        |GROUP BY path ORDER BY sessions DESC, path LIMIT 10""".stripMargin,
     // banned phrases: doc-0 bigram lexicon derivation + per-doc distinct
     // substring-presence counts
     "x77_banned_phrases" ->

@@ -50,4 +50,36 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"))
+
+  /** Top-`topK` session paths: the first `maxLen` event types of each
+    * session in (ts, id) order joined with " > ", counted across all
+    * sessions — the product-analytics "user journey" report (and, for a
+    * collection pipeline, the dominant crawl/processing traces).
+    *
+    * Determinism: within-session order is the total (ts, id) order; the
+    * path string truncates at `maxLen`; ranking is (sessions DESC, path
+    * ASC) — all exact. Scale: the per-session collect is bounded by
+    * `maxLen` AFTER the sort-truncate, but the sort buffers one SESSION
+    * (gap-bounded, the session contract) — same per-user shape as
+    * [[apply]]'s window; the path histogram then aggregates
+    * combiner-backed on the path string, and the final top-k is a
+    * TakeOrdered.
+    */
+  def topPaths(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type", gapSeconds: Long = 1800L,
+      maxLen: Int = 5, topK: Int = 10): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen, topK >= 1")
+    val paths = apply(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(collect_list(struct(unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__eid"), col(typeCol).as("__t"))).as("__evs"))
+      .select(array_join(
+        slice(transform(array_sort(col("__evs")), e => e("__t")),
+          1, maxLen), " > ").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("sessions"))
+      .orderBy(desc("sessions"), asc("path"))
+      .limit(topK)
+  }
 }

@@ -5,6 +5,33 @@ import java.sql.Timestamp
 import graft.SparkSpec
 
 class SessionizeSpec extends SparkSpec {
+
+  test("topPaths: (ts,id)-ordered sequences, maxLen truncation, " +
+      "deterministic ranking") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(s: Long) = new Timestamp(s * 1000L)
+    // u1 session: view>click>buy; u2 TWO sessions (40min gap):
+    // view>click then buy; u3: six events truncate at maxLen 3;
+    // same-ts tie in u1 ordered by event_id
+    val ev = Seq(
+      (1L, 10L, at(0), "view"), (1L, 11L, at(0), "click"),
+      (1L, 12L, at(60), "buy"),
+      (2L, 20L, at(0), "view"), (2L, 21L, at(100), "click"),
+      (2L, 22L, at(100 + 2400), "buy"),
+      (3L, 30L, at(0), "a"), (3L, 31L, at(1), "b"), (3L, 32L, at(2), "c"),
+      (3L, 33L, at(3), "d"), (3L, 34L, at(4), "e"), (3L, 35L, at(5), "f"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessionize.topPaths(ev, gapSeconds = 1800L, maxLen = 3,
+        topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "view > click > buy" -> 1L, // u1 (tie broken by event_id)
+      "view > click" -> 1L,       // u2 session 1
+      "buy" -> 1L,                // u2 session 2
+      "a > b > c" -> 1L))         // u3 truncated at 3
+  }
+
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
