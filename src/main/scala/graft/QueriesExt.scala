@@ -1047,6 +1047,14 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Trailing z-score anomaly detection ([[graft.operators.Anomaly]]):
+    * hourly event-type volumes scored against their trailing 24h window
+    * — exact counts behind one 6dp-rounded mean/z per row.
+    */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.hourlyZScores(events(spark, dir))
+      .orderBy("event_type", "period_start")
+
   /** Session path analysis ([[graft.operators.Sessionize.topPaths]]):
     * top-10 "user journey" event-type sequences (first 5 steps per
     * 30-minute-gap session, (ts,id)-ordered), with exact counts.
@@ -1602,7 +1610,8 @@ object QueriesExt {
     "x75_textrank" -> textrankCentrality _,
     "x76_cross_containment" -> crossContainmentQ _,
     "x77_banned_phrases" -> bannedPhrases _,
-    "x78_session_paths" -> sessionPaths _)
+    "x78_session_paths" -> sessionPaths _,
+    "x79_event_anomalies" -> eventAnomalies _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2172,6 +2181,38 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // hourly anomaly z-scores: exact trailing sums, mirrored derived
+    // arithmetic behind 6dp rounding
+    "x79_event_anomalies" ->
+      """WITH counts AS (
+        | SELECT event_type AS k,
+        |  (epoch_us(ts) // 3600000000) * 3600 AS p, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2
+        |), tr AS (
+        | SELECT k, p, n,
+        |  COUNT(n) OVER w AS tn, SUM(n) OVER w AS ts_,
+        |  SUM(n * n) OVER w AS tq
+        | FROM counts
+        | WINDOW w AS (PARTITION BY k ORDER BY p
+        |   RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+        |)
+        |SELECT k AS event_type, CAST(p AS BIGINT) AS period_start,
+        | CAST(n AS BIGINT) AS n,
+        | CAST(coalesce(tn, 0) AS BIGINT) AS trail_n,
+        | CASE WHEN tn >= 6 THEN
+        |   round(CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+        | END AS trail_mean,
+        | CASE WHEN tn >= 6 AND greatest(
+        |    CAST(tq AS DOUBLE) / CAST(tn AS DOUBLE)
+        |     - (CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE))
+        |       * (CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE)), 0.0) > 0.0
+        |  THEN round((CAST(n AS DOUBLE)
+        |     - CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE))
+        |   / sqrt(greatest(CAST(tq AS DOUBLE) / CAST(tn AS DOUBLE)
+        |     - (CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE))
+        |       * (CAST(ts_ AS DOUBLE) / CAST(tn AS DOUBLE)), 0.0)), 6)
+        | END AS z
+        |FROM tr ORDER BY event_type, period_start""".stripMargin,
     // session paths: x10's gaps-and-islands + ordered type sequences
     "x78_session_paths" ->
       """WITH flagged AS (
