@@ -1047,6 +1047,15 @@ object QueriesExt {
       t(spark, dir, "documents"), "text", "doc_id", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Event-type Markov transition matrix ([[graft.operators.Funnel
+    * .transitionMatrix]]): exact consecutive-pair counts per user in
+    * total (ts,id) order, one exact-ratio probability per cell.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitionMatrix(events(spark, dir),
+      "user_id", "ts", "event_id", "event_type")
+      .orderBy("cur", "next")
+
   /** Trailing z-score anomaly detection ([[graft.operators.Anomaly]]):
     * hourly event-type volumes scored against their trailing 24h window
     * — exact counts behind one 6dp-rounded mean/z per row.
@@ -1611,7 +1620,8 @@ object QueriesExt {
     "x76_cross_containment" -> crossContainmentQ _,
     "x77_banned_phrases" -> bannedPhrases _,
     "x78_session_paths" -> sessionPaths _,
-    "x79_event_anomalies" -> eventAnomalies _)
+    "x79_event_anomalies" -> eventAnomalies _,
+    "x80_event_transitions" -> eventTransitions _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2181,6 +2191,23 @@ object QueriesExt {
         | CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // markov transitions: exact pair counts + one exact-ratio division
+    "x80_event_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS cur,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next
+        | FROM events
+        |), pc AS (
+        | SELECT cur, next, COUNT(*) AS n FROM seq
+        | WHERE next IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        | SELECT cur, SUM(n) AS t FROM pc GROUP BY 1
+        |)
+        |SELECT pc.cur, pc.next, CAST(pc.n AS BIGINT) AS n,
+        | CAST(pc.n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |FROM pc JOIN tot USING (cur)
+        |ORDER BY cur, next""".stripMargin,
     // hourly anomaly z-scores: exact trailing sums, mirrored derived
     // arithmetic behind 6dp rounding
     "x79_event_anomalies" ->

@@ -28,6 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `(cur, next, n, p)` where `n` counts consecutive (ts, id)-ordered
+    * event-type pairs across all users and `p = n / Σ_cur n` is the
+    * empirical next-event probability. The funnel/path reports answer
+    * "did the journey happen"; this is the generative summary behind
+    * them (and the input to expected-path / dropout simulations).
+    *
+    * Determinism: the within-user order is total, counts are exact, `p`
+    * is one division of exact longs — bit-identical cross-engine.
+    * Scale: one user-keyed window (per-partition size = a user's event
+    * count), then a combiner-backed pair count whose cardinality is
+    * |types|² — the per-cur normalizer joins on that tiny frame.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("cur"), col("__next").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, Seq("cur"))
+      .select(col("cur"), col("next"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("p"))
+  }
+
   /** One-row funnel report over `events`: `n_users`, per-step completion
     * counts (`n_s1`, `n_s12`, `n_s123`) and exact-ratio conversion rates.
     * `steps` are event-type names in funnel order (exactly 3 for the

@@ -71,6 +71,32 @@ class FunnelSpec extends SparkSpec {
     assert(got === ((2L, 2L, 1L, 0L)))
   }
 
+  test("transition matrix: exact pair counts and row-normalized " +
+      "probabilities, per-user sequences never mix") {
+    val df = Seq(
+      // u1: view > click > view > buy ; u2: view > view
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:02:00"), "view"),
+      (1L, 13L, ts("2024-01-01 10:03:00"), "buy"),
+      (2L, 20L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 21L, ts("2024-01-01 10:05:00"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.transitionMatrix(df, "user_id", "ts", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // from view: click 1, buy 1 (u1 pos3), view 1 (u2) -> p = 1/3 each;
+    // from click: view 1 -> p = 1.0. u2's last view chains to NOTHING
+    // from u1 (partitions don't mix)
+    assert(got === Map(
+      ("view", "click") -> ((1L, 1.0 / 3.0)),
+      ("view", "buy") -> ((1L, 1.0 / 3.0)),
+      ("view", "view") -> ((1L, 1.0 / 3.0)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
   test("rates are exact ratios and zero-guarded") {
     val df = Seq((1L, ts("2024-01-01 10:00:00"), "purchase"))
       .toDF("user_id", "ts", "event_type")
