@@ -428,6 +428,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("cross containment broadcasts capped reference buckets; the " +
+      "corpus side never sort-merges (x76)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Dedup.crossContainment(
+      docs.limit(300), docs.limit(50), "text", "doc_id")
+    val p = plan(df)
+    assert(p.contains("collect_capped"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("banned-phrase audit is one exchange-free kernel projection (x77)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextPipeline.flagBannedPhrases(
+      docs, "text", Seq("merge slow", "batch stream"))
+    val p = plan(df)
+    assert(p.contains("multi_pattern_hits"), p.take(3000))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("anomaly scoring windows over period series, partial-aggregated " +
+      "counts below the exchange (x79)") {
+    val df = graft.operators.Anomaly.hourlyZScores(
+      graft.Tables.events(spark, sfDir))
+    val p = plan(df)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.indexOf("HashAggregate", exchange) > exchange,
+      p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("transition matrix broadcasts the per-cur normalizer (x80)") {
+    val df = graft.operators.Funnel.transitionMatrix(
+      graft.Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+      "event_type")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("cosine postings evaluate the shingle-tf kernel once (x65)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
