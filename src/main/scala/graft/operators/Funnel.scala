@@ -58,9 +58,10 @@ object Funnel {
   }
 
   /** One-row funnel report over `events`: `n_users`, per-step completion
-    * counts (`n_s1`, `n_s12`, `n_s123`) and exact-ratio conversion rates.
-    * `steps` are event-type names in funnel order (exactly 3 for the
-    * 3-step report). A step converts only within `windowSeconds` of the
+    * counts (`n_s1`, `n_s12`, `n_s123`, … — the name concatenates the
+    * step indices reached) and exact-ratio conversion rates
+    * `rate_s2..rate_sK`. `steps` are event-type names in funnel order,
+    * any length >= 1. A step converts only within `windowSeconds` of the
     * previous step's chosen instance (the standard attribution window);
     * the comparison is exact integer microsecond arithmetic, so the
     * window edge is engine-portable.
@@ -68,45 +69,51 @@ object Funnel {
   def conversion(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       windowSeconds: Long = 24L * 3600): DataFrame = {
-    require(steps.length == 3, "3-step funnel")
-    val Seq(s1, s2, s3) = steps
+    require(steps.nonEmpty, "at least one funnel step")
     val winUs = windowSeconds * 1000000L
     def within(later: Column, earlier: Column): Column =
       later > earlier &&
         unix_micros(later) - unix_micros(earlier) <= winUs
-    // first step-1 event per user
-    val t1 = events.filter(col(typeCol) === s1)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t1"))
-    // first step-2 event strictly after (and within the window of) the
-    // user's first step-1
-    val t2 = events.filter(col(typeCol) === s2)
-      .join(t1, Seq(userCol))
-      .filter(within(col(tsCol), col("__t1")))
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t2"))
-    // first step-3 event strictly after that step-2, within the window
-    val t3 = events.filter(col(typeCol) === s3)
-      .join(t2, Seq(userCol))
-      .filter(within(col(tsCol), col("__t2")))
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t3"))
+    // step k's frame: the earliest step-k event strictly after (and
+    // within the window of) the user's chosen step-(k-1) instance
+    val stepFrames = steps.zipWithIndex
+      .foldLeft(List.empty[(DataFrame, String)]) {
+        case (acc, (s, i)) =>
+          val c = s"__t${i + 1}"
+          val base = events.filter(col(typeCol) === s)
+          val frame = acc match {
+            case Nil =>
+              base.groupBy(col(userCol)).agg(min(col(tsCol)).as(c))
+            case (prev, prevCol) :: _ =>
+              base.join(prev.select(col(userCol), col(prevCol)),
+                  Seq(userCol))
+                .filter(within(col(tsCol), col(prevCol)))
+                .groupBy(col(userCol)).agg(min(col(tsCol)).as(c))
+          }
+          (frame, c) :: acc
+      }.reverse
 
     // one declarative plan, no driver-side counts: the step frames chain
-    // with user-co-partitioned left joins (t1 ⊇ t2 ⊇ t3 by construction),
+    // with user-co-partitioned left joins (t1 ⊇ t2 ⊇ … by construction),
     // collapse to one row, and cross-join the single-row distinct-user
     // count — two single-row broadcast sides, zero eager jobs here.
-    val funnel = t1
-      .join(t2.select(col(userCol), col("__t2")), Seq(userCol), "left")
-      .join(t3.select(col(userCol), col("__t3")), Seq(userCol), "left")
-      .agg(
-        count(lit(1)).as("n_s1"),
-        count(col("__t2")).as("n_s12"),
-        count(col("__t3")).as("n_s123"))
-    events.agg(countDistinct(col(userCol)).as("n_users"))
-      .crossJoin(funnel)
-      .withColumn("rate_s2",
-        when(col("n_s1") > 0,
-          col("n_s12").cast("double") / col("n_s1")).otherwise(0.0))
-      .withColumn("rate_s3",
-        when(col("n_s12") > 0,
-          col("n_s123").cast("double") / col("n_s12")).otherwise(0.0))
+    val names = (1 to steps.size).map(k => "n_s" + (1 to k).mkString(""))
+    val joined = stepFrames.tail.foldLeft(stepFrames.head._1) {
+      case (acc, (f, c)) =>
+        acc.join(f.select(col(userCol), col(c)), Seq(userCol), "left")
+    }
+    val aggExprs = stepFrames.zipWithIndex.map {
+      case ((_, _), 0) => count(lit(1)).as(names(0))
+      case ((_, c), i) => count(col(c)).as(names(i))
+    }
+    val funnel = joined.agg(aggExprs.head, aggExprs.tail: _*)
+    (2 to steps.size).foldLeft(
+      events.agg(countDistinct(col(userCol)).as("n_users"))
+        .crossJoin(funnel)) { (acc, k) =>
+      acc.withColumn(s"rate_s$k",
+        when(col(names(k - 2)) > 0,
+          col(names(k - 1)).cast("double") / col(names(k - 2)))
+          .otherwise(0.0))
+    }
   }
 }

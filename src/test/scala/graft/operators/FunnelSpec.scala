@@ -71,6 +71,29 @@ class FunnelSpec extends SparkSpec {
     assert(got === ((2L, 2L, 1L, 0L)))
   }
 
+  test("N-step generalization: a 4-step funnel chains greedily and a " +
+      "1-step funnel reports reach only") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:10:00"), "b"),
+      (1L, ts("2024-01-01 10:20:00"), "c"),
+      (1L, ts("2024-01-01 10:30:00"), "d"),
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:10:00"), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val four = Funnel.conversion(df, "user_id", "ts", "event_type",
+      Seq("a", "b", "c", "d")).collect()(0)
+    assert(four.getAs[Long]("n_s1") === 2L)
+    assert(four.getAs[Long]("n_s12") === 2L)
+    assert(four.getAs[Long]("n_s123") === 1L)
+    assert(four.getAs[Long]("n_s1234") === 1L)
+    assert(four.getAs[Double]("rate_s4") === 1.0)
+    val one = Funnel.conversion(df, "user_id", "ts", "event_type",
+      Seq("b")).collect()(0)
+    assert(one.getAs[Long]("n_s1") === 2L)
+    assert(!one.schema.fieldNames.contains("rate_s2"))
+  }
+
   test("transition matrix: exact pair counts and row-normalized " +
       "probabilities, per-user sequences never mix") {
     val df = Seq(
