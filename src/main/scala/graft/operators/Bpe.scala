@@ -78,7 +78,10 @@ object Bpe {
           val next = syms
             .select(col("__f"), BpeExprs.bpeApply(col("__s"), l, r).as("__s"))
             .persist()
-          next.count() // materialize before releasing the parent
+          // materialize before releasing the parent; if the job fails,
+          // release NEXT too (the finally only covers the current frame)
+          try next.count()
+          catch { case t: Throwable => next.unpersist(); throw t }
           syms.unpersist()
           syms = next
           rank += 1
