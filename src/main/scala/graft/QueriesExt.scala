@@ -1081,8 +1081,10 @@ object QueriesExt {
     val toks0 = docs.filter(col("doc_id") === 0)
       .select(TextFunctions.tokens(col("text")).as("__t")).head()
       .getSeq[String](0)
-    val phrases =
-      toks0.sliding(2).map(_.mkString(" ")).toSeq.distinct.take(8)
+    // filter(size == 2): sliding(2) on a 1-token list yields one size-1
+    // window, which the oracle's range-based pair derivation never emits
+    val phrases = toks0.sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSeq.distinct.take(8)
     graft.operators.TextPipeline.flagBannedPhrases(
       docs.select(col("doc_id"), col("text")), "text", phrases)
       .select(col("doc_id"), col("n_banned"))
@@ -1193,10 +1195,12 @@ object QueriesExt {
     * against the oracle's final training round state.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 6)
-    graft.operators.Bpe.encodeTokens(docs, "text", merges)
-      .orderBy(desc("cnt"), asc("token")).limit(30)
+    import spark.implicits._
+    // single-pass form: the training fold's final symbol state IS the
+    // encoded corpus — no second tokenize+shuffle of the corpus
+    val (_, vocab) = graft.operators.Bpe.trainWithVocab(
+      t(spark, dir, "documents"), "text", numMerges = 6, vocabTopK = 30)
+    vocab.toDF("token", "cnt")
   }
 
   /** Unrolled K-round DuckDB replica of [[bpeTrain]]. Symbols encode as
@@ -1204,6 +1208,11 @@ object QueriesExt {
     * `replace` of `·l· ·r·` with `·lr·` IS greedy leftmost-non-
     * overlapping merge application: matches can't share characters, and
     * `replace` resumes after each match — exactly the kernel's rule.
+    * ASSUMES no corpus word contains U+00B7 itself (the anchor char) —
+    * true for this generator's ASCII corpus and asserted by the x73
+    * oracle's identical assumption; a corpus with interpunct words would
+    * need a different anchor codepoint here (the ENGINE kernel has no
+    * such restriction).
     */
   private def bpeStepsCte(k: Int): String = {
     val sb = new StringBuilder

@@ -45,7 +45,21 @@ object Bpe {
     * candidate counting). Stops early if no adjacent pair remains.
     */
   def train(corpus: DataFrame, textCol: String,
-      numMerges: Int): Seq[Merge] = {
+      numMerges: Int): Seq[Merge] =
+    trainWithVocab(corpus, textCol, numMerges, vocabTopK = 0)._1
+
+  /** [[train]] plus the FINAL symbol-state token histogram — the encoded
+    * corpus's vocabulary statistics — harvested from the loop's last
+    * persisted frame before release. This is the zero-extra-pass form of
+    * `encodeTokens(c, train(c, k))`: the training fold's final state IS
+    * the encoding, so the second corpus tokenize+shuffle a separate
+    * encode pass would pay never happens. The histogram returns
+    * driver-side as the top `vocabTopK` (token, count) rows by
+    * (count DESC, token ASC) — bounded like every eager collect here;
+    * `vocabTopK = 0` skips the harvest (plain training).
+    */
+  def trainWithVocab(corpus: DataFrame, textCol: String, numMerges: Int,
+      vocabTopK: Int): (Seq[Merge], Seq[(String, Long)]) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val words = graft.Tables.widenForKernel(
         corpus.select(col(textCol)), col(textCol))
@@ -87,8 +101,15 @@ object Bpe {
           rank += 1
         }
       }
+      val vocab =
+        if (vocabTopK <= 0) Seq.empty[(String, Long)]
+        else syms
+          .select(col("__f"), explode(col("__s")).as("token"))
+          .groupBy(col("token")).agg(sum(col("__f")).as("cnt"))
+          .orderBy(desc("cnt"), asc("token")).limit(vocabTopK)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      (merges.result(), vocab)
     } finally syms.unpersist()
-    merges.result()
   }
 
   /** [[train]] as a DataFrame `(rank, lhs, rhs, cnt)` for the query

@@ -667,9 +667,11 @@ object Dedup {
       idCol: String, shingleK: Int, numHashes: Int, bands: Int,
       seed: Long): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
+    // shinglesOf, not shingleHashes: banding must accept the same
+    // pre-tokenized / pre-hashed inputs its exact-verify tail does
     val batchSigs = batch
       .select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleK).as("__sh"))
+        shinglesOf(batch, textCol, shingleK).as("__sh"))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes, seed))
     val batchBanded = batchSigs
       .select(col("id"),

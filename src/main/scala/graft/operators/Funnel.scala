@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * later than the chosen instance of the previous step, and the chosen
   * instance is always the EARLIEST qualifying one (first view; first click
   * after that view; first purchase after that click). Earliest-qualifying
-  * is the standard greedy funnel rule and is provably optimal for "did the
-  * user complete the sequence": picking any later instance of a step can
-  * only shrink the window for the steps after it.
+  * is the standard greedy ATTRIBUTION rule, not a completion maximizer: a
+  * later intermediate instance shifts (not shrinks) the next step's
+  * window, so a user can complete some valid chain yet not convert under
+  * this rule — `FunnelSpec`'s greedy-anchor test pins exactly that case
+  * as intended behavior.
   *
   * Scale shape: three per-user hash aggregations, each with map-side
   * partial aggregation, chained by co-partitioned joins — every exchange

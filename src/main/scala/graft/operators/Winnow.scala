@@ -73,18 +73,9 @@ object Winnow {
       maxPostings: Int = 1000): DataFrame = {
     val fps = fingerprints(df, textCol, idCol, k, w)
       .select(col(idCol), explode(col("fingerprints")).as("__fp"))
-    val collected = fps.groupBy(col("__fp"))
-      .agg(graft.functions.expr.AggExprs
-        .collectCapped(col(idCol), maxPostings).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxPostings))
-    collected
-      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__a")))
-      .select(col("__a"),
-        explode(slice(col("__ids"), col("__i") + lit(2),
-          size(col("__ids")) - col("__i") - lit(1))).as("__b"))
-      .select(least(col("__a"), col("__b")).as("id_a"),
-        greatest(col("__a"), col("__b")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
+    // same capped-postings + local pair expansion as the LSH buckets
+    Dedup.bucketPairs(fps, Seq("__fp"), col(idCol), maxPostings)
+      .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("long").as("shared"))
       .filter(col("shared") >= minShared)

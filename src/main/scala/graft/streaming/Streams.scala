@@ -633,9 +633,14 @@ object Streams {
 
   /** Streaming event funnel: per-user buffered step events, finalized by
     * an event-time timer once the watermark proves the chain's horizon
-    * closed — every user emitted exactly once with the outcome the batch
-    * [[graft.operators.Funnel]] would compute over the same events
-    * (parity spec in `StreamingSpec`).
+    * closed — one row per user PER ACTIVITY EPOCH: state is evicted at
+    * finalization (keeping per-user tombstones forever would grow state
+    * with every user ever seen), so a user whose events resume after
+    * their funnel finalized starts a NEW funnel and emits a new outcome
+    * row. Batch parity ([[graft.operators.Funnel]], spec'd in
+    * `StreamingSpec`) therefore holds per epoch — exactly-once-per-user
+    * when each user's activity fits one horizon, which is what the
+    * attribution-window contract assumes.
     *
     * Exactness under late data needs buffering, not a (t1,t2,t3) triple:
     * a late-arriving EARLIER step-1 event legally rewrites the whole
@@ -677,8 +682,12 @@ object Streams {
           } else {
             var st = state.getOption
               .getOrElse(FunnelBuf(Long.MaxValue, Long.MinValue, Seq.empty))
+            // exact micros (getTime alone truncates to ms — the batch
+            // funnel compares unix_micros, and window-edge decisions at
+            // sub-ms resolution must agree)
             val incoming = it.map { e =>
-              (e.ts.getTime * 1000L, stepIdx(e.event_type))
+              (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000L, stepIdx(e.event_type))
             }.toSeq
             val minS1 = incoming.foldLeft(st.minStep1Us) {
               case (m, (ts, 0)) => math.min(m, ts)

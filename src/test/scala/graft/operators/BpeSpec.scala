@@ -66,6 +66,19 @@ class BpeSpec extends SparkSpec {
       "n" -> 1L, "w" -> 1L, "s" -> 1L, "t" -> 1L))
   }
 
+  test("trainWithVocab's harvested histogram equals a separate encode " +
+      "pass with the learned merges") {
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.trainWithVocab(docs, "text",
+      numMerges = 4, vocabTopK = 50)
+    val separate = Bpe.encodeTokens(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(vocab.toSet === separate)
+    assert(merges === Bpe.train(docs, "text", numMerges = 4))
+  }
+
   test("the multi-merge encode kernel equals chained single applies") {
     import graft.functions.expr.BpeExprs
     val words = Seq("banana", "bandana", "ban", "a").toDF("w")

@@ -444,6 +444,26 @@ class DedupOpsSpec extends SparkSpec {
       threshold = 0.5).count() == 15L)
   }
 
+  test("crossMinhashDedup accepts pre-tokenized columns and agrees " +
+      "with the raw-string path") {
+    import org.apache.spark.sql.functions.{col, split}
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq((1L, base + " extra tail"),
+      (2L, "entirely different corpus body here"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.crossMinhashDedup(corpus, ref, "text", "doc_id",
+      threshold = 0.7).select("doc_id").as[Long].collect().sorted.toSeq
+    val tokCorpus = corpus.select(col("doc_id"),
+      split(col("text"), " ").as("text"))
+    val tokRef = ref.select(col("doc_id"),
+      split(col("text"), " ").as("text"))
+    val pre = Dedup.crossMinhashDedup(tokCorpus, tokRef, "text", "doc_id",
+      threshold = 0.7).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(raw === pre)
+    assert(raw === Seq(2L))
+  }
+
   test("crossContainment flags a benchmark doc buried in a larger page " +
       "that Jaccard decontam misses") {
     val bench = (1 to 10).map(i => s"q$i").mkString(" ") // 8 shingles
