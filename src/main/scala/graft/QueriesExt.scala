@@ -1071,6 +1071,104 @@ object QueriesExt {
   def sessionPaths(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sessionize.topPaths(events(spark, dir))
 
+  /** SCD Type-2 dimension build ([[graft.operators.Scd.scd2]]): each
+    * user's event stream becomes attribute-regime intervals over the
+    * tracked `event_type` — a new interval opens per (ts, event_id)-
+    * ordered change, closes at the next open, last one per key stays
+    * current. The oracle replays the lag-filter-lead pipeline verbatim.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.scd2(events(spark, dir), "user_id",
+      Seq("event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("segment"),
+        col("eff_from"), col("eff_to"), col("is_current"), col("version"))
+      .orderBy("user_id", "version")
+
+  /** EWMA volume smoothing ([[graft.operators.Anomaly.ewmaSmooth]]):
+    * hourly per-type counts smoothed by the alpha=0.2 recurrence inside
+    * the [[graft.functions.expr.EwmaScanExpr]] scan kernel; the oracle
+    * replays the identical left-fold as a DuckDB recursive CTE (bitwise
+    * IEEE agreement behind 6dp rounding).
+    */
+  def eventEwma(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.ewmaSmooth(events(spark, dir))
+      .orderBy("event_type", "period_start")
+
+  /** PCA over the embedding corpus ([[graft.operators.Pca]]): one
+    * distributed moments pass + driver Jacobi solve, k=8 of 64 dims,
+    * then a second pass proving the model laws hold against the data:
+    * eigenvalues descend, kept components are orthonormal, per-component
+    * variance of the kernel-projected corpus equals its eigenvalue, and
+    * explained ratios sum below 1. `trace` (= total variance, Σ all 64
+    * eigenvalues) is the data-dependent value the oracle re-derives
+    * per-dimension in SQL; 4dp absorbs partition-merge-order ulps.
+    */
+  def pcaEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    val vecs = t(spark, dir, "embeddings")
+    val k = 8
+    val model = Pca.fit(vecs, "embedding", k, dim = 64)
+    val eps = 1e-6
+    val monotone = model.eigenvalues.sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1) - eps)
+    val orthonormal = (0 until k).forall { i =>
+      (i until k).forall { j =>
+        val dot = model.components(i).zip(model.components(j))
+          .map { case (a, b) => a * b }.sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+      }
+    }
+    // second corpus pass: population variance of each projected
+    // coordinate must reproduce the model's eigenvalue
+    val proj = vecs.select(
+      Pca.project(col("embedding"), model).as("p"))
+    val varRow = proj.select((0 until k).map(i =>
+      var_pop(col("p")(i)).as(s"v$i")): _*).head()
+    val projVarOk = (0 until k).forall { i =>
+      math.abs(varRow.getDouble(i) - model.eigenvalues(i)) <=
+        eps * math.max(1.0, model.eigenvalues(i))
+    }
+    val explainedOk = {
+      val r = model.explainedRatios
+      r.forall(x => x > 0.0 && x < 1.0) && r.sum < 1.0 + eps
+    }
+    import spark.implicits._
+    Seq((model.n, model.dim.toLong, math.rint(model.trace * 1e4) / 1e4,
+      monotone, orthonormal, projVarOk, explainedOk))
+      .toDF("n_vecs", "dim", "trace", "monotone_ok", "orthonormal_ok",
+        "projvar_ok", "explained_ok")
+  }
+
+  /** Cross-format round trip ([[graft.sources.Formats]]): documents
+    * written to and read back from ORC and JSON Lines, fingerprinted
+    * (order-insensitive Σ xxhash64 over all columns) against the parquet
+    * original — one row per format with the count, byte totals the
+    * oracle re-derives from parquet, and the Spark-side losslessness
+    * verdict.
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Formats
+    val docs = t(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft-x84")
+    try {
+      val base = Formats.fingerprint(docs)
+      import spark.implicits._
+      Seq("orc", "json").map { fmt =>
+        val back = Formats.roundTrip(spark, docs, s"$root/$fmt", fmt)
+        val r = back.agg(count(lit(1)), sum(col("n_chars")),
+          sum(length(col("text")))).head()
+        (fmt, r.getLong(0), r.getLong(1), r.getLong(2),
+          Formats.fingerprint(back).compareTo(base) == 0)
+      }.toDF("format", "n", "sum_chars", "sum_text_len", "lossless")
+        .orderBy("format")
+    } finally {
+      // the result frame above is already materialized (driver rows), so
+      // deleting the scratch dir here is safe
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+  }
+
   /** Banned-phrase audit ([[graft.operators.TextPipeline
     * .flagBannedPhrases]]): the lexicon is doc 0's first 8 distinct
     * bigram phrases (derivation replayed by the oracle, the x54
@@ -1630,7 +1728,11 @@ object QueriesExt {
     "x77_banned_phrases" -> bannedPhrases _,
     "x78_session_paths" -> sessionPaths _,
     "x79_event_anomalies" -> eventAnomalies _,
-    "x80_event_transitions" -> eventTransitions _)
+    "x80_event_transitions" -> eventTransitions _,
+    "x81_scd2_dimension" -> scd2Dimension _,
+    "x82_event_ewma" -> eventEwma _,
+    "x83_pca_embeddings" -> pcaEmbeddings _,
+    "x84_format_roundtrip" -> formatRoundtrip _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2201,6 +2303,68 @@ object QueriesExt {
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
     // markov transitions: exact pair counts + one exact-ratio division
+    // SCD2: the lag-change-filter + lead-close pipeline replayed verbatim
+    "x81_scd2_dimension" ->
+      """WITH ordered AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events
+        |), changes AS (
+        | SELECT user_id, event_type, ts, event_id FROM ordered
+        | WHERE prev IS NULL OR event_type != prev
+        |)
+        |SELECT user_id, event_type AS segment, ts AS eff_from,
+        | lead(ts) OVER w AS eff_to,
+        | lead(ts) OVER w IS NULL AS is_current,
+        | CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // EWMA: the kernel's exact left-fold recurrence as a recursive CTE —
+    // identical double arithmetic order, so 6dp rounding only formats
+    "x82_event_ewma" ->
+      """WITH RECURSIVE counts AS (
+        | SELECT event_type AS k,
+        |  (epoch_us(ts) // 3600000000) * 3600 AS p, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2
+        |), ord AS (
+        | SELECT k, p, n,
+        |  row_number() OVER (PARTITION BY k ORDER BY p) AS rn
+        | FROM counts
+        |), r AS (
+        | SELECT k, p, n, rn, CAST(n AS DOUBLE) AS e FROM ord WHERE rn = 1
+        | UNION ALL
+        | SELECT o.k, o.p, o.n, o.rn,
+        |  0.2 * CAST(o.n AS DOUBLE) + (1.0 - 0.2) * r.e
+        | FROM ord o JOIN r ON o.k = r.k AND o.rn = r.rn + 1
+        |)
+        |SELECT k AS event_type, CAST(p AS BIGINT) AS period_start,
+        | CAST(n AS BIGINT) AS n, round(e, 6) AS ewma
+        |FROM r ORDER BY event_type, period_start""".stripMargin,
+    // PCA: laws verified in-engine; the oracle re-derives the one
+    // data-dependent value (trace = Σ per-dimension population variance)
+    "x83_pca_embeddings" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(64 AS BIGINT) AS dim,
+        | (SELECT round(sum(v), 4) FROM (
+        |    SELECT var_pop(e) AS v FROM (
+        |      SELECT unnest(embedding) AS e,
+        |       unnest(range(len(embedding))) AS i
+        |      FROM embeddings) GROUP BY i)) AS trace,
+        | true AS monotone_ok, true AS orthonormal_ok,
+        | true AS projvar_ok, true AS explained_ok
+        |FROM embeddings""".stripMargin,
+    // format round trip: counts/lengths re-derived from the parquet
+    // original; losslessness is the Spark-side fingerprint verdict
+    "x84_format_roundtrip" ->
+      """SELECT fmt AS format, CAST(n AS BIGINT) AS n,
+        | CAST(c AS BIGINT) AS sum_chars,
+        | CAST(l AS BIGINT) AS sum_text_len, true AS lossless
+        |FROM (SELECT unnest(['json', 'orc']) AS fmt),
+        | (SELECT count(*) AS n, sum(n_chars) AS c,
+        |   sum(length(text)) AS l FROM documents)
+        |ORDER BY format""".stripMargin,
     "x80_event_transitions" ->
       """WITH seq AS (
         | SELECT event_type AS cur,

@@ -97,6 +97,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("ewma_scan"),
+      info("ewma_scan",
+        "ewma_scan(series, alpha) - running exponentially-weighted " +
+          "moving average over an ordered array<double>"),
+      (args: Seq[Expression]) => {
+        val alpha = args(1).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case f: java.lang.Float => f.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"ewma_scan: alpha must be a constant number, got $other")
+        }
+        EwmaScanExpr(args.head, alpha)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("term_counts"),
       info("term_counts",
         "term_counts(tokens, terms) - per-term occurrence counts of an " +

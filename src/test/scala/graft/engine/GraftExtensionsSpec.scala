@@ -58,6 +58,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2) // "x y" and "y x"
   }
 
+  test("ewma_scan is callable from SQL (decimal-literal alpha)") {
+    val r = spark.sql(
+      "SELECT ewma_scan(array(1.0D, 2.0D, 3.0D), 0.5) AS e").head()
+    assert(r.getSeq[Double](0) == Seq(1.0, 1.5, 2.25))
+  }
+
   test("long_set_count and term_counts are callable from SQL") {
     val r = spark.sql(
       "SELECT long_set_count(array(1L, 2L, 3L, 2L), array(2L, 9L)) AS c," +

@@ -65,4 +65,66 @@ class AnomalySpec extends SparkSpec {
     assert(h6.getDouble(4) === 4.0) // trailing mean defined
     assert(h6.isNullAt(5))          // zero variance -> no z
   }
+
+  test("ewma matches the hand-folded recurrence and seeds from the " +
+      "first observed period") {
+    // hours 0..3 counts 10, 20, 30, 40; alpha = 0.5 for exact halves
+    val ev = Seq(10, 20, 30, 40).zipWithIndex
+      .flatMap { case (k, h) => at(h.toLong, k) }
+      .toDF("ts", "event_type").select(col("event_type"), col("ts"))
+    val got = Anomaly.ewmaSmooth(ev, alpha = 0.5)
+      .orderBy("period_start").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(10L, 20L, 30L, 40L))
+    // e0=10, e1=.5*20+.5*10=15, e2=.5*30+.5*15=22.5, e3=.5*40+.5*22.5
+    assert(got.map(_.getDouble(3)).toSeq === Seq(10.0, 15.0, 22.5, 31.25))
+  }
+
+  test("ewma recurrence steps per OBSERVED period: a gap contributes " +
+      "nothing (no implicit zero-fill)") {
+    val ev = (at(0L, 8) ++ at(100L, 16))
+      .toDF("ts", "event_type").select(col("event_type"), col("ts"))
+    val got = Anomaly.ewmaSmooth(ev, alpha = 0.5)
+      .orderBy("period_start").collect()
+    assert(got.length === 2)
+    // one recurrence step across the gap: .5*16 + .5*8 = 12
+    assert(got(1).getDouble(3) === 12.0)
+  }
+
+  test("ewma types are independent series; single-period series emits " +
+      "its own count as the seed") {
+    val ev = (at(0L, 4) ++
+      Seq((new java.sql.Timestamp(0L), "view"),
+        (new java.sql.Timestamp(3600000L), "view"))
+        .flatMap { case (t, k) => Seq((t, k)) })
+      .toDF("ts", "event_type").select(col("event_type"), col("ts"))
+    val got = Anomaly.ewmaSmooth(ev, alpha = 0.2)
+      .orderBy("event_type", "period_start").collect()
+    val clicks = got.filter(_.getString(0) == "click")
+    val views = got.filter(_.getString(0) == "view")
+    assert(clicks.length === 1 && clicks(0).getDouble(3) === 4.0)
+    assert(views.length === 2 && views(0).getDouble(3) === 1.0)
+    // 0.2*1 + 0.8*1 = 1.0
+    assert(views(1).getDouble(3) === 1.0)
+  }
+
+  test("ewma_scan kernel: exact left fold, empty array, null-element " +
+      "rejection") {
+    import graft.functions.expr.SeriesExprs
+    val df = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("xs")
+    val got = df.select(SeriesExprs.ewmaScan(col("xs"), 0.5).as("e"))
+      .head().getSeq[Double](0)
+    assert(got === Seq(1.0, 1.5, 2.25))
+    val empty = Seq(Tuple1(Array.empty[Double])).toDF("xs")
+    assert(empty.select(SeriesExprs.ewmaScan(col("xs"), 0.5))
+      .head().getSeq[Double](0).isEmpty)
+    val bad = Seq(Tuple1(Array[java.lang.Double](1.0, null, 3.0)))
+      .toDF("xs")
+    val e = intercept[Exception] {
+      bad.select(SeriesExprs.ewmaScan(col("xs"), 0.5)).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      ((t.getMessage != null && t.getMessage.contains("ewma_scan")) ||
+        mentions(t.getCause))
+    assert(mentions(e))
+  }
 }

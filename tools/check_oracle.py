@@ -13,7 +13,13 @@ import duckdb
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # normalize datetime resolution: Spark parquet reads back as [ns],
+    # DuckDB emits [us]; assert_frame_equal(check_exact=True) compares
+    # raw int64s across resolutions and mass-fails identical frames
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
