@@ -1169,6 +1169,34 @@ object QueriesExt {
     }
   }
 
+  /** Market-basket association rules ([[graft.operators.MarketBasket
+    * .rules]]): parts bought together across orders — exact pair/item/
+    * transaction counts, one exact-ratio division per measure, top-100
+    * by (lift desc, antecedent, consequent).
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MarketBasket.rules(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 3L)
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(100)
+
+  /** OHLC resampling ([[graft.operators.TimeSeries.ohlcBars]]): hourly
+    * candlesticks of the event `value` stream per type — open/close by
+    * the (ts, id) total order, decimal-exact volume sum.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.ohlcBars(events(spark, dir))
+      .orderBy("event_type", "period_start")
+
+  /** PMI collocations ([[graft.operators.NgramLm.collocations]]):
+    * top-50 adjacent token pairs by pointwise mutual information with
+    * the low-count tail suppressed — the oracle replays counts and the
+    * mirrored double formula behind 6dp rounding.
+    */
+  def collocationsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.collocations(
+      t(spark, dir, "documents"), "text", "doc_id")
+
   /** Banned-phrase audit ([[graft.operators.TextPipeline
     * .flagBannedPhrases]]): the lexicon is doc 0's first 8 distinct
     * bigram phrases (derivation replayed by the oracle, the x54
@@ -1732,7 +1760,10 @@ object QueriesExt {
     "x81_scd2_dimension" -> scd2Dimension _,
     "x82_event_ewma" -> eventEwma _,
     "x83_pca_embeddings" -> pcaEmbeddings _,
-    "x84_format_roundtrip" -> formatRoundtrip _)
+    "x84_format_roundtrip" -> formatRoundtrip _,
+    "x85_assoc_rules" -> assocRules _,
+    "x86_ohlc_bars" -> ohlcBars _,
+    "x87_collocations" -> collocationsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2365,6 +2396,83 @@ object QueriesExt {
         | (SELECT count(*) AS n, sum(n_chars) AS c,
         |   sum(length(text)) AS l FROM documents)
         |ORDER BY format""".stripMargin,
+    // association rules: distinct baskets, pair counts, both rule
+    // directions, single exact-ratio divisions (no rounding needed)
+    "x85_assoc_rules" ->
+      """WITH b AS (
+        | SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem
+        |), nt AS (SELECT count(DISTINCT t) AS n_txn FROM b),
+        |ic AS (SELECT i, count(*) AS c FROM b GROUP BY 1),
+        |p AS (
+        | SELECT a.i AS ia, bb.i AS ib, count(*) AS n_ab
+        | FROM b a JOIN b bb ON a.t = bb.t AND a.i < bb.i
+        | GROUP BY 1, 2 HAVING count(*) >= 3
+        |), d AS (
+        | SELECT ia AS ante, ib AS cons, n_ab FROM p
+        | UNION ALL SELECT ib, ia, n_ab FROM p
+        |)
+        |SELECT d.ante AS antecedent, d.cons AS consequent,
+        | CAST(d.n_ab AS BIGINT) AS n_ab,
+        | CAST(ca.c AS BIGINT) AS n_ante, CAST(cb.c AS BIGINT) AS n_cons,
+        | CAST(nt.n_txn AS BIGINT) AS n_txn,
+        | CAST(d.n_ab AS DOUBLE) / CAST(nt.n_txn AS DOUBLE) AS support,
+        | CAST(d.n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+        | CAST(d.n_ab * nt.n_txn AS DOUBLE)
+        |   / CAST(ca.c * cb.c AS DOUBLE) AS lift
+        |FROM d JOIN ic ca ON ca.i = d.ante JOIN ic cb ON cb.i = d.cons
+        |CROSS JOIN nt
+        |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+    // OHLC bars: open/close via the (ts,id)-total-order row_number
+    // formulation (the engine needs no window; the oracle does)
+    "x86_ohlc_bars" ->
+      """WITH base AS (
+        | SELECT event_type AS k,
+        |  (epoch_us(ts) // 3600000000) * 3600 AS p, value AS v,
+        |  ts, event_id
+        | FROM events
+        |), rk AS (
+        | SELECT k, p, v,
+        |  row_number() OVER (PARTITION BY k, p
+        |    ORDER BY ts, event_id) AS ra,
+        |  row_number() OVER (PARTITION BY k, p
+        |    ORDER BY ts DESC, event_id DESC) AS rd
+        | FROM base
+        |)
+        |SELECT k AS event_type, CAST(p AS BIGINT) AS period_start,
+        | max(CASE WHEN ra = 1 THEN v END) AS open,
+        | max(v) AS high, min(v) AS low,
+        | max(CASE WHEN rd = 1 THEN v END) AS close,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS vsum
+        |FROM rk GROUP BY 1, 2
+        |ORDER BY event_type, period_start""".stripMargin,
+    // collocations: exact bigram/unigram/total counts + the mirrored
+    // PMI double formula behind 6dp rounding; ln (natural), not log10
+    "x87_collocations" ->
+      """WITH lt AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> length(tk) > 0) AS t
+        | FROM documents
+        |), ex AS MATERIALIZED (
+        | SELECT doc_id, u.i AS pos, u.w FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'i': i, 'w': t[CAST(i AS INT)]})) AS u FROM lt)
+        |), uni AS (SELECT w, COUNT(*) AS c FROM ex GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM ex),
+        |bg AS (
+        | SELECT w1, w2, COUNT(*) AS n_ab FROM (
+        |  SELECT doc_id, w AS w1,
+        |   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM ex) WHERE w2 IS NOT NULL
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+        | round(ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |   / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6) AS pmi
+        |FROM bg JOIN uni ca ON ca.w = bg.w1 JOIN uni cb ON cb.w = bg.w2
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "x80_event_transitions" ->
       """WITH seq AS (
         | SELECT event_type AS cur,

@@ -121,4 +121,52 @@ object NgramLm {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp_kn"))
   }
+
+  /** Collocation extraction (Church & Hanks 1990 pointwise mutual
+    * information over adjacent token pairs): the corpus phrases whose
+    * words co-occur far above chance — "new york"-style units for
+    * tokenizer seeding and index phrase detection; the unsupervised
+    * complement of raw bigram frequency (which x52/x19 already rank).
+    *
+    * `pmi(a,b) = ln( c_ab · N / (c_a · c_b) )` with c_ab the adjacent-
+    * pair count, c_a/c_b token occurrence counts, N total tokens — all
+    * exact longs from the shared bigram front; the formula evaluates in
+    * doubles with a mirrored operation order, so the oracle agrees
+    * bitwise behind 6dp rounding. `minCount` suppresses the unstable
+    * low-count tail (PMI's known pathology: a pair seen once between two
+    * hapaxes scores maximal); the final top-k is totally ordered by
+    * (pmi desc, w1, w2) — a TakeOrdered, never a global sort.
+    *
+    * Scale shape: identical to the LM scorers — one corpus-sized token
+    * explode + per-doc lead window, then everything aggregates to
+    * bigram-TYPE cardinality; N rides in as a broadcast single-row agg
+    * (the x68 convention), never a driver collect.
+    */
+  def collocations(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(lower(col(textCol))))
+        .as(Seq("__pos", "__w")))
+    val uni = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val bg = toks
+      .withColumn("__w2", lead(col("__w"), 1)
+        .over(Window.partitionBy(col(idCol)).orderBy("__pos")))
+      .filter(col("__w2").isNotNull)
+      .groupBy(col("__w").as("w1"), col("__w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bg
+      .join(broadcast(uni.select(col("__w").as("w1"),
+        col("__c").as("__ca"))), Seq("w1"))
+      .join(broadcast(uni.select(col("__w").as("w2"),
+        col("__c").as("__cb"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        col("n_ab").cast("double") * col("__n").cast("double") /
+          (col("__ca").cast("double") * col("__cb").cast("double"))), 6))
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -88,4 +88,32 @@ class NgramLmSpec extends SparkSpec {
       BigDecimal(math.log(2.25 / 3.0 + 0.75 / 3.0 * (1.0 / 4.0)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("collocations: PMI from exact counts, minCount suppresses the " +
+      "hapax tail, total-ordered top-k") {
+    // "new york" appears 3x; "the the" 4x but from a frequent token;
+    // "rare gem" once (suppressed by minCount=2)
+    val docs = Seq(
+      (1L, "new york new york the the the the"),
+      (2L, "new york the the the the rare gem"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.collocations(docs, "text", "doc_id", minCount = 2L,
+      topK = 10).collect()
+    val asMap = got.map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getDouble(3)))).toMap
+    // counts: tokens N=16; new=3, york=3, the=8; pairs: (new,york)=3,
+    // (york,new)=1(<2), (the,the)=6, (york,the)=2, (the,rare)... =1
+    assert(!asMap.contains(("rare", "gem")))
+    val (nNY, pmiNY) = asMap(("new", "york"))
+    assert(nNY === 3L)
+    assert(pmiNY === BigDecimal(math.log(3.0 * 16.0 / (3.0 * 3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val (nTT, pmiTT) = asMap(("the", "the"))
+    assert(nTT === 6L)
+    assert(pmiTT === BigDecimal(math.log(6.0 * 16.0 / (8.0 * 8.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // PMI ranks the true collocation above the frequent filler pair
+    assert(pmiNY > pmiTT)
+    assert(got.head.getString(0) === "new" && got.head.getString(1) === "york")
+  }
 }
