@@ -1197,6 +1197,56 @@ object QueriesExt {
     graft.operators.NgramLm.collocations(
       t(spark, dir, "documents"), "text", "doc_id")
 
+  /** Change-data feed ([[graft.sources.VersionedTable.changeFeed]]):
+    * build a versioned orders table, apply a deterministic merge
+    * (price-bump updates on key%10==3, negated-key inserts for
+    * key%100==7) and a delete (key%10==4), then read the v0→v2 CDC feed
+    * and aggregate it per change type — exact counts, exact key sums,
+    * decimal-exact price sums the oracle re-derives from the raw orders
+    * table with the same arithmetic. Updates must emit BOTH images.
+    */
+  def changeFeedQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-x88")
+      .toString + "/tbl"
+    try {
+      // a deterministic 1/3 slice: the CDC semantics are fully exercised
+      // by any table; the three full-table version writes are pure bench
+      // IO, so they need not be the whole fact table (oracle mirrors the
+      // slice filter)
+      val base = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      VersionedTable.init(base, root)
+      val ups = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val ins = base.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      VersionedTable.merge(spark, root, ups.unionByName(ins),
+        Seq("o_orderkey"))
+      VersionedTable.delete(spark, root,
+        base.filter(col("o_orderkey") % 10 === 4).select("o_orderkey"),
+        Seq("o_orderkey"))
+      val rows = VersionedTable.changeFeed(spark, root, 0, 2,
+        Seq("o_orderkey"))
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("price_sum"))
+        .orderBy("_change_type")
+        .collect()
+      import spark.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+        .toDF("_change_type", "n", "key_sum", "price_sum")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
   /** Banned-phrase audit ([[graft.operators.TextPipeline
     * .flagBannedPhrases]]): the lexicon is doc 0's first 8 distinct
     * bigram phrases (derivation replayed by the oracle, the x54
@@ -1763,7 +1813,8 @@ object QueriesExt {
     "x84_format_roundtrip" -> formatRoundtrip _,
     "x85_assoc_rules" -> assocRules _,
     "x86_ohlc_bars" -> ohlcBars _,
-    "x87_collocations" -> collocationsQ _)
+    "x87_collocations" -> collocationsQ _,
+    "x88_change_feed" -> changeFeedQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2396,6 +2447,34 @@ object QueriesExt {
         | (SELECT count(*) AS n, sum(n_chars) AS c,
         |   sum(length(text)) AS l FROM documents)
         |ORDER BY format""".stripMargin,
+    // CDC feed: per-change-type aggregates re-derived from raw orders
+    // with the same key filters and decimal-cast price arithmetic
+    "x88_change_feed" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        | WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT * FROM (
+        | SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        | FROM base WHERE k % 10 = 4
+        | UNION ALL
+        | SELECT 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(-k) AS BIGINT),
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        | FROM base WHERE k % 100 = 7
+        | UNION ALL
+        | SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT),
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        | FROM base WHERE k % 10 = 3
+        | UNION ALL
+        | SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT),
+        |  CAST(sum(CAST(p + 1.0 AS DECIMAL(18,2))) AS DOUBLE)
+        | FROM base WHERE k % 10 = 3
+        |) ORDER BY _change_type""".stripMargin,
     // association rules: distinct baskets, pair counts, both rule
     // directions, single exact-ratio divisions (no rounding needed)
     "x85_assoc_rules" ->

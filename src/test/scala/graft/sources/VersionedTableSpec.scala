@@ -314,4 +314,46 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, root, Some(0)).count()
     }
   }
+
+  test("changeFeed: inserts, deletes, and both update images; " +
+      "unchanged rows emit nothing") {
+    val root = freshRoot()
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "value")
+    VersionedTable.init(base, root)
+    // v1: update id=2, insert id=4
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "name", "value"),
+      Seq("id"))
+    // v2: delete id=3
+    VersionedTable.delete(spark, root, Seq(Tuple1(3L)).toDF("id"),
+      Seq("id"))
+    val feed = VersionedTable.changeFeed(spark, root, 0, 2, Seq("id"))
+      .orderBy("_change_type", "id")
+      .as[(String, Long, String, Double)].collect().toSeq
+    assert(feed === Seq(
+      ("delete", 3L, "c", 30.0),
+      ("insert", 4L, "d", 40.0),
+      ("update_postimage", 2L, "b2", 25.0),
+      ("update_preimage", 2L, "b", 20.0)))
+    // id=1 untouched -> absent; feed is direction-sensitive
+    val reverse = VersionedTable.changeFeed(spark, root, 2, 0, Seq("id"))
+    assert(reverse.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("changeFeed: null-safe diff — a null turning non-null (and the " +
+      "reverse) is an update, null keys join as equal") {
+    val root = freshRoot()
+    val base = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "name")
+    VersionedTable.init(base, root)
+    VersionedTable.merge(spark, root,
+      Seq((1L, Option("now")), (2L, Option.empty[String]))
+        .toDF("id", "name"), Seq("id"))
+    val feed = VersionedTable.changeFeed(spark, root, 0, 1, Seq("id"))
+    assert(feed.filter(col("_change_type").startsWith("update")).count()
+      === 4L)
+    assert(feed.count() === 4L)
+  }
 }
