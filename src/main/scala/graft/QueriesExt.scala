@@ -1247,6 +1247,57 @@ object QueriesExt {
     }
   }
 
+  /** Bloom point-lookup skipping ([[graft.sources.VersionedTable
+    * .readPoint]]): a lineitem slice clustered by l_orderkey keeps a
+    * per-file Bloom index on l_partkey — a column UNCORRELATED with the
+    * clustering key, so min/max stats are structurally useless for it
+    * (every file spans the full partkey range) while the bloom proves
+    * absence per file. The probe key is the least-frequent partkey
+    * (count then key tiebreak — replayed by the oracle), so it genuinely
+    * lives in few files. Laws: the bloom read touches a strict subset of
+    * files, and its values equal the plain filtered read exactly.
+    */
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-x89")
+      .toString + "/tbl"
+    try {
+      val slice = t(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+      val base = slice
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+      VersionedTable.init(base, root, statsColumns = Seq("l_orderkey"),
+        bloomColumns = Seq("l_partkey"))
+      val probeKey = slice.groupBy("l_partkey")
+        .agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c"), col("l_partkey")).limit(1)
+        .head().getLong(0)
+      def aggOf(df: DataFrame) = df
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty_sum")).head()
+      val viaBloom = aggOf(
+        VersionedTable.readPoint(spark, root, "l_partkey", probeKey))
+      val plain = aggOf(
+        VersionedTable.read(spark, root)
+          .filter(col("l_partkey") === probeKey))
+      val (readFiles, totalFiles) = VersionedTable.bloomPruneCounts(
+        spark, root, "l_partkey", probeKey)
+      import spark.implicits._
+      Seq((probeKey, viaBloom.getLong(0), viaBloom.getDouble(1),
+        readFiles > 0 && readFiles < totalFiles,
+        viaBloom.getLong(0) == plain.getLong(0) &&
+          viaBloom.getDouble(1) == plain.getDouble(1)))
+        .toDF("probe_key", "n", "qty_sum", "bloom_skips", "match_ok")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
   /** Banned-phrase audit ([[graft.operators.TextPipeline
     * .flagBannedPhrases]]): the lexicon is doc 0's first 8 distinct
     * bigram phrases (derivation replayed by the oracle, the x54
@@ -1814,7 +1865,8 @@ object QueriesExt {
     "x85_assoc_rules" -> assocRules _,
     "x86_ohlc_bars" -> ohlcBars _,
     "x87_collocations" -> collocationsQ _,
-    "x88_change_feed" -> changeFeedQ _)
+    "x88_change_feed" -> changeFeedQ _,
+    "x89_bloom_skipping" -> bloomSkipping _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2447,6 +2499,23 @@ object QueriesExt {
         | (SELECT count(*) AS n, sum(n_chars) AS c,
         |   sum(length(text)) AS l FROM documents)
         |ORDER BY format""".stripMargin,
+    // bloom skipping: probe-key derivation + point-lookup values
+    // re-derived from raw lineitem; skip/match laws in-engine
+    "x89_bloom_skipping" ->
+      """WITH slice AS (
+        | SELECT l_partkey, l_quantity FROM lineitem
+        | WHERE l_orderkey % 10 = 0
+        |), probe AS (
+        | SELECT l_partkey AS k FROM slice
+        | GROUP BY 1 ORDER BY count(*), l_partkey LIMIT 1
+        |)
+        |SELECT CAST(k AS BIGINT) AS probe_key,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS qty_sum,
+        | true AS bloom_skips, true AS match_ok
+        |FROM slice JOIN probe ON l_partkey = k
+        |GROUP BY k""".stripMargin,
     // CDC feed: per-change-type aggregates re-derived from raw orders
     // with the same key filters and decimal-cast price arithmetic
     "x88_change_feed" ->

@@ -377,4 +377,76 @@ object Aggregators {
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) / u)
   }
+
+  /** Per-group Bloom-filter bit array over pre-hashed (xxhash64) values
+    * — the per-FILE membership index behind [[graft.sources
+    * .VersionedTable]] point-lookup skipping, where min/max stats are
+    * structurally useless (a column uncorrelated with the clustering key
+    * spans its full range in every file). Standard double hashing
+    * (Kirsch-Mitzenmacher): probe i sets bit `(h1 + i·h2) mod numBits`,
+    * shared verbatim by [[BloomBits.contains]] so build and probe cannot
+    * drift. Merge is bitwise OR — algebraic, map-side combined; the
+    * shuffle carries one numBits/8-byte buffer per (partition, group).
+    *
+    * No false negatives ever (a miss is PROOF of absence — what makes
+    * skip-reads sound); false positives only add files to a read, never
+    * rows to a result (the exact predicate re-filters).
+    */
+  class BloomBits(numBits: Int, numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+    require(numHashes >= 1, "numHashes must be >= 1")
+
+    override def zero: Array[Long] = new Array[Long](numBits / 64)
+
+    override def reduce(bits: Array[Long], h: Long): Array[Long] = {
+      BloomBits.set(bits, h, numHashes)
+      bits
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(bits: Array[Long]): Array[Long] = bits
+    override def bufferEncoder: Encoder[Array[Long]] = longArrayEnc
+    override def outputEncoder: Encoder[Array[Long]] = longArrayEnc
+  }
+
+  object BloomBits {
+    @inline private def probe(h: Long, i: Int, numBits: Int): Int = {
+      val h2 = (h >>> 32) | 1L // odd second hash
+      (((h + i * h2) & Long.MaxValue) % numBits).toInt
+    }
+
+    private[graft] def set(bits: Array[Long], h: Long,
+        numHashes: Int): Unit = {
+      val numBits = bits.length * 64
+      var i = 0
+      while (i < numHashes) {
+        val b = probe(h, i, numBits)
+        bits(b >> 6) |= 1L << (b & 63)
+        i += 1
+      }
+    }
+
+    /** Driver-side membership probe against a built bit array. */
+    def contains(bits: Array[Long], h: Long, numHashes: Int): Boolean = {
+      val numBits = bits.length * 64
+      var i = 0
+      while (i < numHashes) {
+        val b = probe(h, i, numBits)
+        if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** DataFrame-facing bloom-bits aggregate over a pre-hashed column. */
+  def bloomBits(hash: Column, numBits: Int, numHashes: Int): Column =
+    udaf(new BloomBits(numBits, numHashes), Encoders.scalaLong)(hash)
 }

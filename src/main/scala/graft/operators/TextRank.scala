@@ -199,9 +199,13 @@ object TextRank {
             org.apache.spark.sql.types.DoubleType))))
       var pr = nodes.select(col("__n"), lit(1.0 / n).as("__pr"))
       for (_ <- 1 to iterations) {
+        // wdeg and pr are vocabulary-sized (<= vocabSize rows): broadcast
+        // both so each iteration is exchange-free up to its contribution
+        // aggregation — without the hint the optimizer plans the joins as
+        // shuffles on the edge table's statistics
         val contrib = edges
-          .join(wdeg, Seq("__src"))
-          .join(pr.select(col("__n").as("__src"), col("__pr")),
+          .join(broadcast(wdeg), Seq("__src"))
+          .join(broadcast(pr.select(col("__n").as("__src"), col("__pr"))),
             Seq("__src"))
           .select(col("__dst").as("__n"),
             (col("__wt").cast("double") / col("__deg").cast("double") *

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal versioned parquet table with keyed MERGE upserts and time
@@ -45,6 +45,8 @@ object VersionedTable {
 
   private def statsColsPath(root: String) = new Path(root, "_STATS_COLS")
 
+  private def bloomColsPath(root: String) = new Path(root, "_BLOOM_COLS")
+
   private def partitionColsPath(root: String) =
     new Path(root, "_PARTITION_COLS")
 
@@ -85,6 +87,12 @@ object VersionedTable {
   def statsColumns(spark: SparkSession, root: String): Seq[String] =
     readConfig(spark, statsColsPath(root))
 
+  /** Columns with per-file Bloom membership indexes configured at
+    * [[init]]; empty when none.
+    */
+  def bloomColumns(spark: SparkSession, root: String): Seq[String] =
+    readConfig(spark, bloomColsPath(root))
+
   /** Compute per-file (min, max, row count) for `cols` over the parquet
     * files in `dataDir` and write them as `<dataDir>/_stats` — an
     * underscore-prefixed directory, so ordinary reads of the version
@@ -96,38 +104,82 @@ object VersionedTable {
     * aggregation job re-scanning the just-written (page-cache-warm)
     * version instead of harvesting footers during the write.
     */
-  private def writeFileStats(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): Unit = {
-    val df = spark.read.parquet(dataDir)
-    val present = cols.filter(df.columns.contains)
-    if (present.isEmpty) return
-    val aggs = count(lit(1)).as("n_rows") +: present.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    // `file` is the path RELATIVE to the version directory (the part after
-    // the stage / v=N segment): partitioned layouts nest files under
-    // partition directories where bare names collide across partitions,
-    // and the stage directory renames away at commit. Strip the KNOWN
-    // dataDir prefix literally (scheme-qualified or raw) — a pattern match
-    // over the whole path mis-splits when a parent directory itself looks
-    // like /v=N/ (e.g. a table rooted under /data/v=2/tbl). The legacy
-    // segment regex remains only as a last-resort fallback for a
-    // differently-encoded URI.
-    // locate the scheme-free absolute dataDir path inside the (possibly
-    // scheme-prefixed) input_file_name — immune to file:/ vs file:///
-    // rendering differences
+  /** The data-file path RELATIVE to the version directory (the part after
+    * the stage / v=N segment): partitioned layouts nest files under
+    * partition directories where bare names collide across partitions,
+    * and the stage directory renames away at commit. Strip the KNOWN
+    * dataDir prefix literally (scheme-qualified or raw) — a pattern match
+    * over the whole path mis-splits when a parent directory itself looks
+    * like /v=N/ (e.g. a table rooted under /data/v=2/tbl). The legacy
+    * segment regex remains only as a last-resort fallback for a
+    * differently-encoded URI. Locating the scheme-free absolute dataDir
+    * path inside the (possibly scheme-prefixed) input_file_name is immune
+    * to file:/ vs file:/// rendering differences.
+    */
+  private def relFileCol(spark: SparkSession, dataDir: String): Column = {
     val dirPath = fs(spark, dataDir).makeQualified(new Path(dataDir))
       .toUri.getPath.stripSuffix("/") + "/"
     val fn = input_file_name()
     val idx = locate(dirPath, fn)
-    val rel = when(idx > 0,
+    when(idx > 0,
         fn.substr(idx + lit(dirPath.length), lit(Int.MaxValue)))
       .otherwise(regexp_replace(fn,
         "^.*?/(v=[0-9]+|\\.stage-[^/]+)/", ""))
-    df.groupBy(rel.as("file"))
+  }
+
+  /** Build BOTH per-file indexes (`_stats` min/max, `_bloom` membership)
+    * in ONE scan of the just-written version — index maintenance is a
+    * full-version read, so fusing the aggregations halves its IO at any
+    * scale. Either list may be empty; each sidecar only materializes for
+    * the columns actually present in this version's schema.
+    */
+  private def writeIndexes(spark: SparkSession, dataDir: String,
+      statCols: Seq[String], bloomCols: Seq[String]): Unit = {
+    val df = spark.read.parquet(dataDir)
+    val sPresent = statCols.filter(df.columns.contains)
+    val bPresent = bloomCols.filter(df.columns.contains)
+    if (sPresent.isEmpty && bPresent.isEmpty) return
+    val statAggs =
+      if (sPresent.isEmpty) Nil
+      else count(lit(1)).as("n_rows") +: sPresent.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val bloomAggs = bPresent.map(c =>
+      graft.functions.Aggregators.bloomBits(
+        xxhash64(col(c)), BloomNumBits, BloomNumHashes).as(s"bloom_$c"))
+    val aggs = statAggs ++ bloomAggs
+    val indexed = df.groupBy(relFileCol(spark, dataDir).as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_stats")
+    // file-count-sized: persist the one aggregation, project twice
+    val statNames =
+      if (sPresent.isEmpty) Nil
+      else "n_rows" +: sPresent.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    indexed.persist()
+    try {
+      if (sPresent.nonEmpty)
+        indexed.select(("file" +: statNames).map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_stats")
+      if (bPresent.nonEmpty)
+        indexed.select(("file" +: bPresent.map(c => s"bloom_$c")).map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_bloom")
+    } finally indexed.unpersist()
   }
+
+  /** Bloom sidecar geometry: 2^17 bits (16 KB) x 5 probes per (file,
+    * column) — ~1% fpp at 10^4 distinct values per file, still useful an
+    * order of magnitude past that. A thousand-file version carries a
+    * ~16 MB sidecar — the same driver-read class as a format-native
+    * manifest/checkpoint.
+    */
+  private val BloomNumBits = 1 << 17
+  private val BloomNumHashes = 5
+
+  // `_bloom` sidecar: per-(file, column) Bloom bit arrays over xxhash64
+  // of the column — the membership index for POINT lookups on columns
+  // where min/max is structurally useless (any column uncorrelated with
+  // the clustering key spans its full range in every file). Published
+  // atomically with the data via the stage rename, like `_stats`; built
+  // by [[writeIndexes]] in the same scan.
 
   /** Per-file stats of a version (file, n_rows, min_/max_ per configured
     * column). Fails if the table keeps no stats.
@@ -218,6 +270,81 @@ object VersionedTable {
         .filter(pred)
   }
 
+  /** Data-file names (version-relative) whose Bloom bits might contain
+    * `value` on `column`, or None when the version keeps no usable bloom
+    * for the column (degrade to a plain read, the [[pruningStats]]
+    * discipline). The probe hash comes from a one-row LOCAL Spark job so
+    * build and probe share Spark's own xxhash64 bit-for-bit — no
+    * driver-side reimplementation to drift. The sidecar is file-count
+    * sized (16 KB per file-column), the same driver-read class as a
+    * format-native manifest.
+    */
+  private def bloomCandidates(spark: SparkSession, root: String, v: Int,
+      column: String, value: Any): Option[Seq[String]] = {
+    if (!bloomColumns(spark, root).contains(column)) return None
+    val bloomPath = new Path(s"$root/v=$v/_bloom")
+    if (!fs(spark, root).exists(bloomPath)) return None
+    val bl = spark.read.parquet(bloomPath.toString)
+    if (!bl.columns.contains(s"bloom_$column")) return None
+    val h = spark.range(1).select(xxhash64(lit(value)).as("h"))
+      .head().getLong(0)
+    val files = bl.select(col("file"), col(s"bloom_$column"))
+      .collect()
+      .filter { r =>
+        graft.functions.Aggregators.BloomBits.contains(
+          r.getSeq[Long](1).toArray, h, BloomNumHashes)
+      }
+      .map(_.getString(0)).toSeq
+    Some(files)
+  }
+
+  /** Point lookup `column == value` over a version, skipping every data
+    * file whose Bloom index proves the value absent. Composes with the
+    * min/max stats index when the column carries one too (candidates
+    * intersect); degrades to a plain filtered read when neither exists.
+    * False positives only widen the file list — the exact predicate
+    * re-filters — so results always equal the plain read.
+    */
+  def readPoint(spark: SparkSession, root: String, column: String,
+      value: Any, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"no such table: $root")
+    val pred = col(column) === lit(value)
+    val fromBloom = bloomCandidates(spark, root, v, column, value)
+    val fromStats =
+      if (statsColumns(spark, root).contains(column))
+        pruningStats(spark, root, v, column).map(_.filter(
+          col(s"max_$column") >= lit(value) &&
+            col(s"min_$column") <= lit(value))
+          .select("file").collect().map(_.getString(0)).toSeq)
+      else None
+    val files = (fromBloom, fromStats) match {
+      case (None, None) => return read(spark, root, Some(v)).filter(pred)
+      case (Some(b), Some(s)) => b.intersect(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+    }
+    if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
+    else spark.read.option("basePath", s"$root/v=$v")
+      .parquet(files.map(f => s"$root/v=$v/$f"): _*)
+      .filter(pred)
+  }
+
+  /** (files scanned, files total) for a [[readPoint]] lookup — the
+    * bloom-skip observability twin of [[pruneCounts]]. (total, total)
+    * when no index is usable.
+    */
+  def bloomPruneCounts(spark: SparkSession, root: String, column: String,
+      value: Any, version: Option[Int] = None): (Long, Long) = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    require(v >= 0, s"no such table: $root")
+    val total = read(spark, root, Some(v)).inputFiles.length.toLong
+    bloomCandidates(spark, root, v, column, value) match {
+      case Some(files) => (files.length.toLong, total)
+      case None => (total, total)
+    }
+  }
+
   /** (files scanned, files total) for the range over a version — the
     * skip-ratio observability hook readers alert on. For a column without
     * configured stats the answer mirrors [[readRange]]'s no-skip
@@ -306,10 +433,10 @@ object VersionedTable {
     val stage = new Path(root,
       s".stage-v$next-${java.util.UUID.randomUUID()}")
     writeData(df, stage.toString, partitionColumns(spark, root))
-    // stats ride the stage directory into the commit rename: they are
-    // published atomically with the data files they index
-    val statCols = statsColumns(spark, root)
-    if (statCols.nonEmpty) writeFileStats(spark, stage.toString, statCols)
+    // stats + blooms ride the stage directory into the commit rename:
+    // they are published atomically with the data files they index
+    writeIndexes(spark, stage.toString,
+      statsColumns(spark, root), bloomColumns(spark, root))
     def conflict(now: Int): Nothing = {
       f.delete(stage, true)
       throw new ConcurrentCommitException(
@@ -339,16 +466,18 @@ object VersionedTable {
     */
   def init(df: DataFrame, root: String,
       statsColumns: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Int = {
+      partitionBy: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     require(latestVersion(spark, root) < 0, s"table already exists: $root")
     if (statsColumns.nonEmpty)
       writeConfig(spark, statsColsPath(root), statsColumns)
     if (partitionBy.nonEmpty)
       writeConfig(spark, partitionColsPath(root), partitionBy)
+    if (bloomColumns.nonEmpty)
+      writeConfig(spark, bloomColsPath(root), bloomColumns)
     writeData(df, s"$root/v=0", partitionBy)
-    if (statsColumns.nonEmpty)
-      writeFileStats(spark, s"$root/v=0", statsColumns)
+    writeIndexes(spark, s"$root/v=0", statsColumns, bloomColumns)
     commitPointer(spark, root, 0)
     0
   }

@@ -195,4 +195,32 @@ class AggregatorsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
     assert(plan.split("ObjectHashAggregate").length >= 3, plan.take(2000))
   }
+
+  test("bloom bits: zero false negatives ever, low false positives at " +
+      "design load, repartition-invariant") {
+    import org.apache.spark.sql.functions.xxhash64
+    val numBits = 1 << 12
+    val k = 5
+    val members = (0L until 300L).map(i => ("g", i))
+    def buildBits(parts: Int): Array[Long] =
+      members.toDF("g", "v").repartition(parts)
+        .groupBy("g")
+        .agg(Aggregators.bloomBits(xxhash64($"v"), numBits, k).as("b"))
+        .head().getSeq[Long](1).toArray
+    val bits = buildBits(1)
+    assert(bits.sameElements(buildBits(7)), "merge must equal union")
+    // driver-side probe hashes must come from the SAME xxhash64
+    val hashes = members.toDF("g", "v")
+      .select($"v", xxhash64($"v").as("h"))
+      .collect().map(r => r.getLong(1))
+    hashes.foreach(h =>
+      assert(Aggregators.BloomBits.contains(bits, h, k),
+        "false negative — bloom contract broken"))
+    // non-members: fpp at 300 items in 4096 bits ~ 2%; allow generous 10%
+    val nonHashes = ((1000L until 2000L).map(i => Tuple1(i)))
+      .toDF("v").select(xxhash64($"v")).collect().map(_.getLong(0))
+    val fp = nonHashes.count(h =>
+      Aggregators.BloomBits.contains(bits, h, k))
+    assert(fp < 100, s"false-positive rate implausibly high: $fp/1000")
+  }
 }

@@ -315,6 +315,34 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom point lookup: files without the value skip, values equal " +
+      "the plain read, and the index survives merge commits") {
+    val root = freshRoot()
+    // 4 files of disjoint ids; "tag" values deliberately uncorrelated
+    // with the id clustering (the case min/max cannot prune)
+    val base = (0L until 400L).map(i => (i, s"tag${i % 97}"))
+      .toDF("id", "tag")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.init(base, root, statsColumns = Seq("id"),
+      bloomColumns = Seq("tag"))
+    // a tag present in exactly one row -> at most 1 + fp files read
+    VersionedTable.merge(spark, root,
+      Seq((1000L, "unique-needle")).toDF("id", "tag"), Seq("id"))
+    val (read, total) = VersionedTable.bloomPruneCounts(spark, root,
+      "tag", "unique-needle")
+    assert(total >= 4 && read < total,
+      s"expected a strict skip, got $read/$total")
+    val got = VersionedTable.readPoint(spark, root, "tag", "unique-needle")
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(1000L))
+    // absent value: zero rows, never an error; bloom may read 0 files
+    assert(VersionedTable.readPoint(spark, root, "tag", "no-such").count()
+      === 0L)
+    // no-index column degrades to a plain read with (total, total)
+    val (r2, t2) = VersionedTable.bloomPruneCounts(spark, root, "id", 7L)
+    assert(r2 === t2)
+  }
+
   test("changeFeed: inserts, deletes, and both update images; " +
       "unchanged rows emit nothing") {
     val root = freshRoot()
