@@ -669,7 +669,11 @@ object QueriesExt {
     val root = java.nio.file.Files.createTempDirectory("graft-x49")
       .toString + "/tbl"
     try {
+    // a deterministic half slice: the skipping laws are scale-free and
+    // the three full-table version writes are pure bench IO (the x88
+    // convention; oracle mirrors the slice filter)
     val base = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 2 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
@@ -725,7 +729,10 @@ object QueriesExt {
     val root = java.nio.file.Files.createTempDirectory("graft-x53")
       .toString + "/tbl"
     try {
+      // half slice, the x49/x88 convention: the pruning laws are
+      // scale-free, the partitioned version write is pure bench IO
       val base = t(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 2 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_returnflag"))
         .repartitionByRange(6, col("l_orderkey"))
@@ -1175,7 +1182,8 @@ object QueriesExt {
     * by (lift desc, antecedent, consequent).
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MarketBasket.rules(t(spark, dir, "lineitem"),
+    graft.operators.MarketBasket.rules(
+      t(spark, dir, "lineitem").filter(col("l_orderkey") % 2 === 0),
       "l_orderkey", "l_partkey", minSupport = 3L)
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
       .limit(100)
@@ -2184,7 +2192,8 @@ object QueriesExt {
         |   CAST(COUNT(*) FILTER (WHERE l_orderkey BETWEEN 1500 AND 1599)
         |     AS DECIMAL(18,2)) AS DOUBLE) AS sum_v2,
         | TRUE AS v0_skips, TRUE AS v2_skips, TRUE AS v1_matches
-        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        | AND l_orderkey % 2 = 0""".stripMargin,
     // image dedup laws: the card construction makes byte identity
     // (id%100, (id/100)%2) and decoded-feature identity (id%100) pure id
     // arithmetic; n_undecoded = 0 is the real-decode guard
@@ -2227,7 +2236,8 @@ object QueriesExt {
         |   AS sum_price,
         | TRUE AS compose_skips, TRUE AS match_ok
         |FROM lineitem
-        |WHERE l_returnflag = 'R' AND l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
+        |WHERE l_returnflag = 'R' AND l_orderkey BETWEEN 1000 AND 2000
+        | AND l_orderkey % 2 = 0""".stripMargin,
     // BM25: full replica — query-term derivation (first 8 distinct tokens
     // of doc 0), document frequencies, Okapi scoring, 4dp-rounded ordering
     "x54_bm25" ->
@@ -2549,6 +2559,7 @@ object QueriesExt {
     "x85_assoc_rules" ->
       """WITH b AS (
         | SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem
+        | WHERE l_orderkey % 2 = 0
         |), nt AS (SELECT count(DISTINCT t) AS n_txn FROM b),
         |ic AS (SELECT i, count(*) AS c FROM b GROUP BY 1),
         |p AS (

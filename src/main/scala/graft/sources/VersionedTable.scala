@@ -150,19 +150,25 @@ object VersionedTable {
     val indexed = df.groupBy(relFileCol(spark, dataDir).as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-    // file-count-sized: persist the one aggregation, project twice
-    val statNames =
-      if (sPresent.isEmpty) Nil
-      else "n_rows" +: sPresent.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    indexed.persist()
-    try {
-      if (sPresent.nonEmpty)
+    if (bPresent.isEmpty) {
+      // single sidecar: write straight from the aggregation (one job)
+      indexed.write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_stats")
+    } else if (sPresent.isEmpty) {
+      indexed.write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_bloom")
+    } else {
+      // both: file-count-sized — persist the one aggregation (one scan
+      // of the version), project each sidecar from the cache
+      val statNames =
+        "n_rows" +: sPresent.flatMap(c => Seq(s"min_$c", s"max_$c"))
+      indexed.persist()
+      try {
         indexed.select(("file" +: statNames).map(col): _*)
           .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_stats")
-      if (bPresent.nonEmpty)
-        indexed.select(("file" +: bPresent.map(c => s"bloom_$c")).map(col): _*)
+        indexed.select(("file" +: bPresent.map(c => s"bloom_$c"))
+          .map(col): _*)
           .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/_bloom")
-    } finally indexed.unpersist()
+      } finally indexed.unpersist()
+    }
   }
 
   /** Bloom sidecar geometry: 2^17 bits (16 KB) x 5 probes per (file,
