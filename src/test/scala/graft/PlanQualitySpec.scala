@@ -484,4 +484,56 @@ class PlanQualitySpec extends SparkSpec {
     val p = postings.queryExecution.optimizedPlan.toString
     assert("shingle_tf".r.findAllIn(p).length == 1, p.take(3000))
   }
+
+  test("ewma smoothing: two key-reusing exchanges, kernel scan runs " +
+      "once per series, no window (x82)") {
+    val df = graft.operators.Anomaly.ewmaSmooth(
+      graft.Tables.events(spark, sfDir))
+    val p = plan(df)
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      p.take(3000))
+    assert("ewma_scan".r.findAllIn(
+      df.queryExecution.optimizedPlan.toString).length == 1)
+  }
+
+  test("association rules: one basket collect under the capped guard, " +
+      "no union-duplicated pair subtree, broadcast measure joins (x85)") {
+    val df = graft.operators.MarketBasket.rules(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      "l_orderkey", "l_partkey")
+    val p = plan(df)
+    // the capped guard is the ONLY basket materialization (consumers
+    // repeat the subtree in the printed plan; AQE reuses the identical
+    // exchange stages at runtime)
+    assert(p.contains("collect_capped"), p.take(3000))
+    assert(!p.contains("Union"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("change feed is ONE join: the version snapshots meet in a single " +
+      "full-outer shuffle join, images expand locally (x88 shape)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-cdc")
+      .toString + "/t"
+    try {
+      import spark.implicits._
+      val base = (0L until 100L).map(i => (i, i * 2)).toDF("id", "v")
+      graft.sources.VersionedTable.init(base, root)
+      graft.sources.VersionedTable.merge(spark, root,
+        Seq((5L, 99L)).toDF("id", "v"), Seq("id"))
+      val p = plan(graft.sources.VersionedTable.changeFeed(
+        spark, root, 0, 1, Seq("id")))
+      assert("Join FullOuter".r.findAllIn(p).length +
+        "FullOuter".r.findAllIn(p).length >= 1, p.take(3000))
+      val joins = "SortMergeJoin".r.findAllIn(p).length +
+        "ShuffledHashJoin".r.findAllIn(p).length +
+        "BroadcastHashJoin".r.findAllIn(p).length
+      assert(joins == 1, p.take(3000))
+      assert(!p.contains("Window"), p.take(3000))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
 }
