@@ -181,8 +181,13 @@ object TextRank {
         .over(Window.partitionBy("__doc").orderBy("__pos")))
       .filter(col("__v") && col("__v2") && col("__w") =!= col("__w2"))
       .select(col("__w").as("__a"), col("__w2").as("__b"))
-    val edges = bg.select(col("__a").as("__src"), col("__b").as("__dst"))
-      .unionAll(bg.select(col("__b").as("__src"), col("__a").as("__dst")))
+    // both directions from ONE bigram row: a unionAll here re-runs the
+    // whole tokenize+window subtree per branch (exchange reuse does not
+    // cover the post-exchange Window stage) — the x85 duplication class
+    val edges = bg.select(explode(array(
+        struct(col("__a").as("__src"), col("__b").as("__dst")),
+        struct(col("__b").as("__src"), col("__a").as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__wt"))
       .persist()
     try {
