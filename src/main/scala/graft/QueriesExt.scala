@@ -1140,7 +1140,11 @@ object QueriesExt {
       r.forall(x => x > 0.0 && x < 1.0) && r.sum < 1.0 + eps
     }
     import spark.implicits._
-    Seq((model.n, model.dim.toLong, math.rint(model.trace * 1e4) / 1e4,
+    // HALF_UP, matching DuckDB's round-half-away (math.rint would tie to
+    // even — a latent boundary mismatch, however improbable on a sum)
+    val trace4 = BigDecimal(model.trace)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((model.n, model.dim.toLong, trace4,
       monotone, orthonormal, projVarOk, explainedOk))
       .toDF("n_vecs", "dim", "trace", "monotone_ok", "orthonormal_ok",
         "projvar_ok", "explained_ok")

@@ -156,11 +156,15 @@ object NgramLm {
       .groupBy(col("__w").as("w1"), col("__w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
-    bg
-      .join(broadcast(uni.select(col("__w").as("w1"),
-        col("__c").as("__ca"))), Seq("w1"))
-      .join(broadcast(uni.select(col("__w").as("w2"),
-        col("__c").as("__cb"))), Seq("w2"))
+    // broadcast DIRECTION matters at scale: bg (post-minCount collocation
+    // candidates) is small, uni (ALL distinct corpus tokens) is not — a
+    // 100 TB corpus has billions of token types, so uni must stream as
+    // the probe side while bg and its enriched successor broadcast
+    val withCa = uni.select(col("__w").as("w1"), col("__c").as("__ca"))
+      .join(broadcast(bg), Seq("w1"))
+    val withBoth = uni.select(col("__w").as("w2"), col("__c").as("__cb"))
+      .join(broadcast(withCa), Seq("w2"))
+    withBoth
       .crossJoin(broadcast(total))
       .withColumn("pmi", round(log(
         col("n_ab").cast("double") * col("__n").cast("double") /

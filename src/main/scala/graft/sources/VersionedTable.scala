@@ -292,7 +292,13 @@ object VersionedTable {
     if (!fs(spark, root).exists(bloomPath)) return None
     val bl = spark.read.parquet(bloomPath.toString)
     if (!bl.columns.contains(s"bloom_$column")) return None
-    val h = spark.range(1).select(xxhash64(lit(value)).as("h"))
+    // hash the probe AT THE COLUMN'S TYPE: xxhash64 is type-sensitive
+    // (an Int literal against a bigint column hashes differently), and a
+    // wrong-typed probe would yield a FALSE NEGATIVE — the one error
+    // class a bloom index must never produce
+    val colType = read(spark, root, Some(v)).schema(column).dataType
+    val h = spark.range(1)
+      .select(xxhash64(lit(value).cast(colType)).as("h"))
       .head().getLong(0)
     val files = bl.select(col("file"), col(s"bloom_$column"))
       .collect()
@@ -550,7 +556,10 @@ object VersionedTable {
     * Semantics: records are identified by `keyCols`; a key present only
     * in `toVersion` is an insert, only in `fromVersion` a delete, and
     * present in both with any non-key column differing (null-safely) an
-    * update. Unchanged rows emit nothing.
+    * update. Unchanged rows emit nothing. A NULL-keyed record never
+    * join-matches its counterpart (standard SQL join semantics), so it
+    * surfaces as a delete + insert pair rather than an update — the same
+    * rendering Delta's CDF gives un-joinable keys.
     *
     * Scale shape: ONE full-outer shuffle join keyed on the record key —
     * both sides are version snapshots read directly from their own data

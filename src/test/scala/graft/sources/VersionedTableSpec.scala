@@ -343,6 +343,17 @@ class VersionedTableSpec extends SparkSpec {
     assert(r2 === t2)
   }
 
+  test("bloom probe hashes at the COLUMN type: an Int-typed probe " +
+      "against a bigint column must not false-negative") {
+    val root = freshRoot()
+    val base = (0L until 100L).map(i => (i, i * 10)).toDF("id", "v")
+    VersionedTable.init(base, root, bloomColumns = Seq("v"))
+    // 570 exists as a LONG; probe with a plain Int
+    val got = VersionedTable.readPoint(spark, root, "v", 570)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(57L))
+  }
+
   test("changeFeed: inserts, deletes, and both update images; " +
       "unchanged rows emit nothing") {
     val root = freshRoot()
