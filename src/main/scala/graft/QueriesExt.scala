@@ -673,7 +673,7 @@ object QueriesExt {
     // the three full-table version writes are pure bench IO (the x88
     // convention; oracle mirrors the slice filter)
     val base = t(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 2 === 0)
+      .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
@@ -2197,7 +2197,7 @@ object QueriesExt {
         |     AS DECIMAL(18,2)) AS DOUBLE) AS sum_v2,
         | TRUE AS v0_skips, TRUE AS v2_skips, TRUE AS v1_matches
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
-        | AND l_orderkey % 2 = 0""".stripMargin,
+        | AND l_orderkey % 4 = 0""".stripMargin,
     // image dedup laws: the card construction makes byte identity
     // (id%100, (id/100)%2) and decoded-feature identity (id%100) pure id
     // arithmetic; n_undecoded = 0 is the real-decode guard
