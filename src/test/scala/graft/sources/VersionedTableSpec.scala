@@ -381,6 +381,40 @@ class VersionedTableSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("changeFeed drives incremental aggregate maintenance: retract " +
+      "preimages, add postimages, equal the full recompute") {
+    val root = freshRoot()
+    val base = (0L until 50L).map(i => (i, s"g${i % 3}", i.toDouble))
+      .toDF("id", "g", "v")
+    VersionedTable.init(base, root)
+    val agg0 = VersionedTable.read(spark, root, Some(0))
+      .groupBy("g").agg(sum("v").as("s"))
+      .as[(String, Double)].collect().toMap
+    // a merge (update id=4 within g1, insert id=100 into g2) and a
+    // delete (id=9 from g0)
+    VersionedTable.merge(spark, root,
+      Seq((4L, "g1", 40.0), (100L, "g2", 7.5)).toDF("id", "g", "v"),
+      Seq("id"))
+    VersionedTable.delete(spark, root, Seq(Tuple1(9L)).toDF("id"),
+      Seq("id"))
+    // maintain: postimages and inserts ADD, preimages and deletes RETRACT
+    val deltas = VersionedTable.changeFeed(spark, root, 0, 2, Seq("id"))
+      .select(col("g"), when(col("_change_type").isin(
+          "insert", "update_postimage"), col("v"))
+        .otherwise(-col("v")).as("d"))
+      .groupBy("g").agg(sum("d").as("d"))
+      .as[(String, Double)].collect().toMap
+    val maintained = (agg0.keySet ++ deltas.keySet).map(g =>
+      g -> (agg0.getOrElse(g, 0.0) + deltas.getOrElse(g, 0.0))).toMap
+    val recomputed = VersionedTable.read(spark, root)
+      .groupBy("g").agg(sum("v").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(maintained.keySet === recomputed.keySet)
+    recomputed.foreach { case (g, s) =>
+      assert(math.abs(maintained(g) - s) < 1e-9, g)
+    }
+  }
+
   test("changeFeed: null-safe diff — a null turning non-null (and the " +
       "reverse) is an update, null keys join as equal") {
     val root = freshRoot()
