@@ -40,6 +40,32 @@ object Streams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming OHLC bars — the incremental counterpart of
+    * [[graft.operators.TimeSeries.ohlcBars]]: per (type, tumbling window)
+    * open/high/low/close of `value`, open/close picked by the
+    * (ts, event_id) total order via min_by/max_by over a struct key, so a
+    * bar is DETERMINISTIC under any arrival order — late rows within the
+    * watermark revise the same bar the batch operator would have built
+    * (parity spec'd incl. a late row that rewrites an open). All five
+    * aggregates are algebraic, so state per (type, window) is one partial
+    * bar, map-side combined like the batch plan.
+    */
+  def streamingOhlc(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("vsum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"),
+        col("vsum"))
+
   /** Sliding-window counts (window/slide), watermarked. */
   def slidingCounts(events: DataFrame, window_ : String = "1 hour",
       slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =

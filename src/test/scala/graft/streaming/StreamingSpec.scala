@@ -653,4 +653,45 @@ class StreamingSpec extends SparkSpec {
     assert(b.getAs[Long]("n_s12") === got.values.count(_._1 >= 2L).toLong)
     assert(b.getAs[Long]("n_s123") === got.values.count(_._1 >= 3L).toLong)
   }
+
+  test("streaming OHLC bars match the batch resampler over the same " +
+      "data") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val got = runToCompletion(Streams.streamingOhlc(stream), "ohlc_out")
+      .select(unix_timestamp(col("window_start")).as("period_start"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"), col("vsum"))
+      .as[(Long, String, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    val want = graft.operators.TimeSeries.ohlcBars(batchEvents)
+      .select(col("period_start"), col("event_type"), col("open"),
+        col("high"), col("low"), col("close"), col("n"), col("vsum"))
+      .as[(Long, String, Double, Double, Double, Double, Long, Double)]
+      .collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming OHLC: a late-but-within-watermark earlier row rewrites " +
+      "the bar's open, matching what batch would have built") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.streamingOhlc(df, watermark = "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_late").start()
+    input.addData((2L, ts("2024-01-01 10:30:00"), "m", 5.0),
+      (3L, ts("2024-01-01 10:45:00"), "m", 9.0))
+    q.processAllAvailable()
+    // late row EARLIER in the same bar, within the watermark
+    input.addData((1L, ts("2024-01-01 10:05:00"), "m", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val bar = spark.table("ohlc_late").head()
+    assert(bar.getAs[Double]("open") === 2.0) // the late row owns the open
+    assert(bar.getAs[Double]("close") === 9.0)
+    assert(bar.getAs[Double]("high") === 9.0)
+    assert(bar.getAs[Long]("n") === 3L)
+  }
 }
