@@ -617,6 +617,101 @@ object Streams {
       }
   }
 
+  final case class EwmaEvt(event_type: String, ts: java.sql.Timestamp)
+
+  /** Per-type smoothing state: open (periodStartSec -> exact count)
+    * pairs awaiting watermark closure, the last period already folded
+    * (Long.MinValue before any), and the running EWMA.
+    */
+  final case class EwmaBuf(pending: Seq[(Long, Long)],
+      emittedThrough: Long, ewma: Double, hasEwma: Boolean)
+
+  final case class EwmaBar(event_type: String, period_start: Long,
+      n: Long, ewma: Double)
+
+  /** Streaming EWMA volume smoothing — the incremental counterpart of
+    * [[graft.operators.Anomaly.ewmaSmooth]]. A recurrence cannot emit a
+    * period until NO earlier-period event can still arrive (a late count
+    * change would rewrite every later smoothed value), so per-type state
+    * buffers one exact count per OPEN period and an event-time timer
+    * folds periods into the running EWMA strictly in period order once
+    * the watermark passes their end — exactness under late data by
+    * construction, the streamingFunnel discipline. State per type is
+    * O(open periods) — bounded by the watermark horizon / period, never
+    * event volume. Rows older than an already-folded period (possible:
+    * flatMapGroupsWithState does not auto-drop post-watermark stragglers
+    * the way aggregations do) are DROPPED, matching what a windowed
+    * aggregation would have done.
+    *
+    * Arithmetic is the batch kernel's verbatim (`alpha·n + (1−alpha)·e`,
+    * seeded at the first observed period; 6dp HALF_UP at emit), so a
+    * closed period's bar is bit-identical to the batch operator's row —
+    * parity-spec'd.
+    */
+  def streamingEwma(events: DataFrame, periodSeconds: Long = 3600L,
+      alpha: Double = 0.2, watermark: String = "2 hours")
+      : Dataset[EwmaBar] = {
+    import org.apache.spark.sql.Encoders
+    require(periodSeconds > 0 && alpha > 0.0 && alpha <= 1.0,
+      "need a positive period and alpha in (0, 1]")
+    implicit val evEnc = Encoders.product[EwmaEvt]
+    implicit val stEnc = Encoders.product[EwmaBuf]
+    implicit val outEnc = Encoders.product[EwmaBar]
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type"), col("ts")).as[EwmaEvt]
+      .groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState[EwmaBuf, EwmaBar](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[EwmaEvt], state: GroupState[EwmaBuf]) =>
+          def fold(st: EwmaBuf, wmMs: Long): (EwmaBuf, Iterator[EwmaBar]) = {
+            val (closed, open) = st.pending.partition { case (p, _) =>
+              (p + periodSeconds) * 1000L <= wmMs
+            }
+            var e = st.ewma
+            var has = st.hasEwma
+            var thru = st.emittedThrough
+            val bars = closed.sortBy(_._1).map { case (p, n) =>
+              e = if (!has) n.toDouble else alpha * n + (1.0 - alpha) * e
+              has = true
+              thru = p
+              EwmaBar(k, p,
+                n, BigDecimal(e).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+            (EwmaBuf(open, thru, e, has), bars.iterator)
+          }
+          def arm(st: EwmaBuf): Unit =
+            if (st.pending.nonEmpty) {
+              val next = st.pending.map(_._1).min
+              state.setTimeoutTimestamp(math.max(
+                (next + periodSeconds) * 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+          if (state.hasTimedOut) {
+            val (st, bars) = fold(state.get, state.getCurrentWatermarkMs())
+            if (st.pending.isEmpty && !st.hasEwma) state.remove()
+            else { state.update(st); arm(st) }
+            bars
+          } else {
+            val st0 = state.getOption
+              .getOrElse(EwmaBuf(Seq.empty, Long.MinValue, 0.0, false))
+            val counts = scala.collection.mutable.Map(st0.pending: _*)
+            it.foreach { e =>
+              val p = Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L),
+                periodSeconds) * periodSeconds
+              // straggler past an already-folded period: drop
+              if (p > st0.emittedThrough)
+                counts(p) = counts.getOrElse(p, 0L) + 1L
+            }
+            val st = st0.copy(pending = counts.toSeq)
+            state.update(st)
+            arm(st)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class FunnelEvt(user_id: Long, ts: java.sql.Timestamp,
       event_type: String)
 

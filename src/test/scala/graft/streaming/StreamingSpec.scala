@@ -654,6 +654,64 @@ class StreamingSpec extends SparkSpec {
     assert(b.getAs[Long]("n_s123") === got.values.count(_._1 >= 3L).toLong)
   }
 
+  test("streaming EWMA matches the batch recurrence exactly for every " +
+      "watermark-closed period; late counts fold before their period " +
+      "closes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("event_type", "ts")
+    val q = Streams.streamingEwma(df, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_out").start()
+    // hour 10: 2 events; hour 11: 1 event (so far)
+    input.addData(("m", ts("2024-01-01 10:10:00")),
+      ("m", ts("2024-01-01 10:40:00")), ("m", ts("2024-01-01 11:20:00")))
+    q.processAllAvailable()
+    // LATE row for hour 11 (watermark still at 09:20) + hour 12 row
+    input.addData(("m", ts("2024-01-01 11:05:00")),
+      ("m", ts("2024-01-01 12:30:00")))
+    q.processAllAvailable()
+    // sentinel far ahead: watermark passes every real period's end
+    input.addData(("zz", ts("2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_out")
+      .filter(col("event_type") === "m")
+      .orderBy("period_start")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // batch recurrence (alpha=.2): h10 n=2 e=2; h11 n=2 (late row
+    // INCLUDED) e=.2*2+.8*2=2; h12 n=1 e=.2*1+.8*2=1.8
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000L
+    assert(got === Seq(("m", h10, 2L, 2.0),
+      ("m", h10 + 3600L, 2L, 2.0), ("m", h10 + 7200L, 1L, 1.8)))
+  }
+
+  test("streaming EWMA over the full events stream matches batch for " +
+      "every closed period (gap semantics included)") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val got = runToCompletion(
+      Streams.streamingEwma(stream.select(col("event_type"), col("ts")),
+        watermark = "2 hours").toDF(),
+      "ewma_full", mode = "append")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val want = graft.operators.Anomaly.ewmaSmooth(batchEvents)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // streaming emits exactly the batch rows for every period the final
+    // watermark closed (the unclosed tail stays in state)
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(want(k) === v, k) }
+    val wmUs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      2L * 3600L * 1000000L
+    val expectedClosed = want.keys.count { case (_, p) =>
+      (p + 3600L) * 1000000L <= wmUs
+    }
+    assert(got.size >= expectedClosed)
+  }
+
   test("streaming OHLC bars match the batch resampler over the same " +
       "data") {
     val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
