@@ -59,4 +59,25 @@ class MarketBasketSpec extends SparkSpec {
     val got = MarketBasket.rules(txns, "t", "i", minSupport = 3L)
     assert(got.count() === 0) // no pair reaches 3 co-occurrences
   }
+
+  test("randomized brute-force equality: pair counts match an exact " +
+      "in-memory model over 300 seeded transactions") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).flatMap { t =>
+      val basket = (0 until 1 + rnd.nextInt(6))
+        .map(_ => rnd.nextInt(20).toLong)
+      basket.map(i => (t.toLong, i))
+    }
+    // exact model: distinct items per txn, all unordered pairs
+    val model = rows.groupBy(_._1).values
+      .flatMap { b =>
+        val s = b.map(_._2).distinct.sorted
+        for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = MarketBasket.pairCounts(rows.toDF("t", "i"), "t", "i")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === model)
+  }
 }
