@@ -79,15 +79,23 @@ object QueriesExt {
       .select("doc_id", "text")
     val removed = docs.select("doc_id", "text")
       .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
-    // removed is a small fraction of the corpus (dup rate): broadcast IT and
-    // stream the full corpus past it, exact-verifying shingle Jaccard —
-    // never the reverse (the corpus is the 100 TB side)
-    val verified = docs.select(col("doc_id").as("__sid"),
-        col("text").as("__stext"))
-      .join(broadcast(removed.select(col("doc_id").as("__rid"),
-        col("text").as("__rtext"))),
-        col("__sid") < col("__rid"))
-      .withColumn("__j", Dedup.ngramJaccard(col("__rtext"), col("__stext")))
+    // removed is a small fraction of the corpus (dup rate): broadcast IT
+    // and stream the full corpus past it, exact-verifying shingle Jaccard
+    // — never the reverse (the corpus is the 100 TB side). Both sides
+    // pre-compute their distinct shingle-hash arrays ONCE (the minhash
+    // verify-tail pattern): per-pair ngramJaccard re-tokenized BOTH texts
+    // for every (corpus x removed) pair — tokenization, the expensive
+    // step, ran |corpus|·|removed| times instead of |corpus|+|removed|
+    val corpusH = docs.select(col("doc_id").as("__sid"),
+      Dedup.shingleHashes(col("text"), 3).as("__sh"))
+    val removedH = removed.select(col("doc_id").as("__rid"),
+      Dedup.shingleHashes(col("text"), 3).as("__rh"))
+    val inter = size(array_intersect(col("__sh"), col("__rh")))
+    val union = size(col("__sh")) + size(col("__rh")) - inter
+    val verified = corpusH
+      .join(broadcast(removedH), col("__sid") < col("__rid"))
+      .withColumn("__j",
+        when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
       .groupBy(col("__rid"))
       .agg((max(col("__j")) >= 0.5).as("__has_partner"))
     val removedOk = verified.agg(
@@ -684,22 +692,27 @@ object QueriesExt {
     VersionedTable.merge(spark, root, updates,
       Seq("l_orderkey", "l_linenumber"))
     VersionedTable.recluster(spark, root, "l_orderkey", partitions = 8)
-    def rangeAgg(v: Int) =
+    // all three versions' range aggregates in ONE job: the pruned reads
+    // union with a version tag instead of paying three action round-trips
+    def ranged(v: Int) =
       VersionedTable.readRange(spark, root, "l_orderkey", 1000, 2000,
         Some(v))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            .as("s"))
-        .head()
-    val (a0, a1, a2) = (rangeAgg(0), rangeAgg(1), rangeAgg(2))
+        .select(lit(v).as("__v"),
+          col("l_extendedprice").cast("decimal(18,2)").as("__p"))
+    val byV = ranged(0).unionByName(ranged(1)).unionByName(ranged(2))
+      .groupBy("__v")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).cast("double").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val (a0, a1, a2) = (byV(0), byV(1), byV(2))
     val (read0, tot0) = VersionedTable.pruneCounts(spark, root,
       "l_orderkey", 1000, 2000, Some(0))
     val (read2, tot2) = VersionedTable.pruneCounts(spark, root,
       "l_orderkey", 1000, 2000, Some(2))
     import spark.implicits._
-    Seq((a0.getLong(0), a0.getDouble(1), a2.getLong(0), a2.getDouble(1),
+    Seq((a0._1, a0._2, a2._1, a2._2,
       read0 > 0 && read0 < tot0, read2 > 0 && read2 < tot2,
-      a1.getLong(0) == a2.getLong(0) && a1.getDouble(1) == a2.getDouble(1)))
+      a1._1 == a2._1 && a1._2 == a2._2))
       .toDF("n_v0", "sum_v0", "n_v2", "sum_v2",
         "v0_skips", "v2_skips", "v1_matches")
     } finally {
