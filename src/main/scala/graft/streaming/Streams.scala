@@ -158,6 +158,70 @@ object Streams {
       }
       .start()
 
+  /** foreachBatch MERGE sink that ALSO maintains a downstream aggregate
+    * table incrementally from the change-data feed — the CDF consumer
+    * pattern end-to-end: each micro-batch upserts the base table, the
+    * v(before)→v(after) feed yields per-group deltas (postimages and
+    * inserts ADD, preimages and deletes RETRACT — change volume, never
+    * base-table volume), and the deltas MERGE into the aggregate table.
+    * Both tables are versioned, so a reader always sees batch-atomic
+    * states of each; replay idempotence is the [[foreachBatchMerge]]
+    * marker contract — a committed batch is skipped whole, so the
+    * aggregate never double-applies a delta.
+    */
+  def foreachBatchCdcAggregate(stream: DataFrame, tableRoot: String,
+      aggRoot: String, checkpoint: String, keyCols: Seq[String],
+      groupCol: String, valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.sources.VersionedTable
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$tableRoot/__committed/$batchId")
+        val fsys = marker.getFileSystem(hconf)
+        if (!fsys.exists(marker)) {
+          val before = VersionedTable.latestVersion(spark, tableRoot)
+          if (before < 0) VersionedTable.init(b, tableRoot)
+          else VersionedTable.merge(spark, tableRoot, b, keyCols)
+          val after = VersionedTable.latestVersion(spark, tableRoot)
+          val deltas = (if (before < 0)
+            VersionedTable.read(spark, tableRoot, Some(after))
+              .select(col(groupCol), col(valueCol).as("__d"))
+          else
+            VersionedTable.changeFeed(spark, tableRoot, before, after,
+              keyCols)
+              .select(col(groupCol),
+                when(col("_change_type").isin("insert", "update_postimage"),
+                  col(valueCol)).otherwise(-col(valueCol)).as("__d")))
+            .groupBy(groupCol)
+            .agg(sum(col("__d")).as("__delta"))
+          if (VersionedTable.latestVersion(spark, aggRoot) < 0) {
+            VersionedTable.init(
+              deltas.select(col(groupCol), col("__delta").as("agg_sum")),
+              aggRoot)
+          } else {
+            // only CHANGED groups flow into the merge (right join keeps
+            // the delta side): the upsert is delta-sized, never
+            // aggregate-table-sized
+            val current = VersionedTable.read(spark, aggRoot)
+            val updated = current
+              .join(deltas, Seq(groupCol), "right")
+              .select(col(groupCol),
+                (coalesce(col("agg_sum"), lit(0.0)) +
+                  coalesce(col("__delta"), lit(0.0))).as("agg_sum"))
+            VersionedTable.merge(spark, aggRoot, updated, Seq(groupCol))
+          }
+          fsys.mkdirs(marker.getParent)
+          fsys.create(marker, true).close()
+        }
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-duplicate dedup: each micro-batch is near-deduped
     * against every previously seen document via
     * [[graft.operators.Dedup.incrementalMinhashDedup]]'s bucketed state

@@ -654,6 +654,40 @@ class StreamingSpec extends SparkSpec {
     assert(b.getAs[Long]("n_s123") === got.values.count(_._1 >= 3L).toLong)
   }
 
+  test("CDC-maintained aggregate table tracks the base table exactly " +
+      "across streamed upserts, including value rewrites and new groups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcagg")
+    val (tbl, agg, ckpt) = (s"$root/tbl", s"$root/agg", s"$root/ckpt")
+    try {
+      val input = MemoryStream[(Long, String, Double)]
+      val q = Streams.foreachBatchCdcAggregate(
+        input.toDF().toDF("id", "g", "v"), tbl, agg, ckpt,
+        Seq("id"), "g", "v")
+      input.addData((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0))
+      q.processAllAvailable()
+      // batch 2: rewrite id=2 (a: -5 +20), move id=3 to group c
+      // (b retracts 7, c adds 7), insert id=4 into b
+      input.addData((2L, "a", 20.0), (3L, "c", 7.0), (4L, "b", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(
+        s"$agg/v=${graft.sources.VersionedTable.latestVersion(spark, agg)}")
+        .as[(String, Double)].collect().toMap
+      val want = graft.sources.VersionedTable.read(spark, tbl)
+        .groupBy("g").agg(sum("v").as("s"))
+        .as[(String, Double)].collect().toMap
+      assert(want === Map("a" -> 30.0, "b" -> 3.0, "c" -> 7.0))
+      want.foreach { case (g, s) =>
+        assert(math.abs(got(g) - s) < 1e-9, g)
+      }
+      // the aggregate table is itself versioned: one version per batch
+      assert(graft.sources.VersionedTable
+        .latestVersion(spark, agg) === 1)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("streaming EWMA matches the batch recurrence exactly for every " +
       "watermark-closed period; late counts fold before their period " +
       "closes") {
