@@ -106,34 +106,46 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-    val results = selected.map { case (name, fn) =>
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
       resetPeakHeap()
-      def runOnce(r: Int): Double = {
-        val t0 = System.nanoTime()
-        val s0 = (shuffleBytes.get, spillBytes.get, gcMillis)
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s run$r ${dt}%6.2fs " +
-          f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
-          f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB " +
-          f"gc=${(gcMillis - s0._3) / 1000.0}%5.2fs " +
-          f"peakHeap=${peakHeapBytes / 1048576}%6dMB")
-        dt
-      }
-      var dts = (1 to repeats).map(runOnce).toVector
-      // confirmation spread: second-fastest / fastest. Measures whether the
-      // recorded min is reproducible, which is the only thing min-of-k needs.
-      def confSpread(ts: Vector[Double]): Double = {
-        val s = ts.sorted
-        if (s.length < 2 || s.head <= 0.05) 1.0 else s(1) / s.head
-      }
+      val t0 = System.nanoTime()
+      val s0 = (shuffleBytes.get, spillBytes.get, gcMillis)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s run$r ${dt}%6.2fs " +
+        f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
+        f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB " +
+        f"gc=${(gcMillis - s0._3) / 1000.0}%5.2fs " +
+        f"peakHeap=${peakHeapBytes / 1048576}%6dMB")
+      dt
+    }
+    // confirmation spread: second-fastest / fastest. Measures whether the
+    // recorded min is reproducible, which is the only thing min-of-k needs.
+    def confSpread(ts: Vector[Double]): Double = {
+      val s = ts.sorted
+      if (s.length < 2 || s.head <= 0.05) 1.0 else s(1) / s.head
+    }
+    // repeats run as INTERLEAVED full passes over the suite, not
+    // back-to-back per query: the host's multi-minute degraded phases
+    // used to hit every rep of whichever alphabetical block they
+    // overlapped (an r10 artifact recorded x06-x10 at 3-5x with all
+    // three reps "corroborating" each other), while minutes-apart passes
+    // give each query `repeats` samples from DIFFERENT phases — min-of-k
+    // then dodges the pothole instead of confirming it.
+    val timings = scala.collection.mutable.Map[String, Vector[Double]]()
+    for (r <- 1 to repeats; (name, fn) <- selected)
+      timings(name) = timings.getOrElse(name, Vector.empty) :+
+        runOnce(name, fn, r)
+    val results = selected.map { case (name, fn) =>
+      var dts = timings(name)
       var retriesLeft = maxRetries
       while (repeats > 1 && confSpread(dts) > spreadLimit && retriesLeft > 0) {
         System.err.println(f"[bench] $name: min ${dts.min}%.2fs unconfirmed " +
           f"(conf spread ${confSpread(dts)}%.1fx > ${spreadLimit}%.1fx); " +
           f"cooling ${cooldownMs}ms then retrying (${retriesLeft} left)")
         Thread.sleep(cooldownMs)
-        dts :+= runOnce(repeats + (maxRetries - retriesLeft) + 1)
+        dts :+= runOnce(name, fn, repeats + (maxRetries - retriesLeft) + 1)
         retriesLeft -= 1
       }
       val spread = confSpread(dts)
