@@ -1104,6 +1104,32 @@ object QueriesExt {
         col("eff_from"), col("eff_to"), col("is_current"), col("version"))
       .orderBy("user_id", "version")
 
+  /** Point-in-time enrichment against the SCD2 dimension — the consumer
+    * the interval table exists for (Kimball's "fact joins the dimension
+    * version that was current at the fact's own timestamp"): the same
+    * event stream that built x81's intervals enriches against them via
+    * the as-of join ([[graft.operators.AsOfJoin.backward]] on eff_from,
+    * version tiebreak for zero-length tie intervals), then rolls up to
+    * (segment, event_type) counts. Scale shape: the dim build's one
+    * user-keyed shuffle plus the as-of join's one — no interval
+    * replication, no window over facts.
+    */
+  def scd2Enrichment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val dim = graft.operators.Scd.scd2(ev, "user_id",
+      Seq("event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("segment"),
+        col("eff_from"), col("version"))
+    val enriched = graft.operators.AsOfJoin.backward(
+      ev.select("user_id", "ts", "event_type"), dim,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "eff_from",
+      payload = Seq("segment"), rightTiebreak = Some("version"))
+    enriched
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("segment", "event_type")
+  }
+
   /** EWMA volume smoothing ([[graft.operators.Anomaly.ewmaSmooth]]):
     * hourly per-type counts smoothed by the alpha=0.2 recurrence inside
     * the [[graft.functions.expr.EwmaScanExpr]] scan kernel; the oracle
@@ -1891,7 +1917,8 @@ object QueriesExt {
     "x86_ohlc_bars" -> ohlcBars _,
     "x87_collocations" -> collocationsQ _,
     "x88_change_feed" -> changeFeedQ _,
-    "x89_bloom_skipping" -> bloomSkipping _)
+    "x89_bloom_skipping" -> bloomSkipping _,
+    "x90_scd2_enrichment" -> scd2Enrichment _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2464,6 +2491,30 @@ object QueriesExt {
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
     // markov transitions: exact pair counts + one exact-ratio division
+    // SCD2 enrichment: interval containment join replayed in DuckDB —
+    // containment is UNIQUE per event even at zero-length tie intervals
+    // (ts >= from AND ts < to fails for [T, T)), so the inequality join
+    // is the exact semantics the as-of + version-tiebreak implements
+    "x90_scd2_enrichment" ->
+      """WITH ordered AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events
+        |), changes AS (
+        | SELECT user_id, event_type, ts, event_id FROM ordered
+        | WHERE prev IS NULL OR event_type != prev
+        |), iv AS (
+        | SELECT user_id, event_type AS segment, ts AS eff_from,
+        |  lead(ts) OVER w AS eff_to
+        | FROM changes
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT segment, e.event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN iv
+        | ON e.user_id = iv.user_id AND e.ts >= iv.eff_from
+        | AND (iv.eff_to IS NULL OR e.ts < iv.eff_to)
+        |GROUP BY 1, 2 ORDER BY segment, e.event_type""".stripMargin,
     // SCD2: the lag-change-filter + lead-close pipeline replayed verbatim
     "x81_scd2_dimension" ->
       """WITH ordered AS (

@@ -75,6 +75,36 @@ class ScdSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).length === 2, plan)
   }
 
+  test("point-in-time enrichment law: as-of backward with version " +
+      "tiebreak equals interval containment, including at zero-length " +
+      "tie intervals (the later version owns the shared timestamp)") {
+    val dim = Scd.scd2(stream, "k", Seq("tier"), "ts", "id")
+      .select(col("k"), col("tier"), col("eff_from"), col("eff_to"),
+        col("version"))
+    val facts = stream.select(col("k"), col("ts"), col("id"))
+    val got = AsOfJoin.backward(facts, dim.drop("eff_to"),
+        keys = Seq("k"), leftTs = "ts", rightTs = "eff_from",
+        payload = Seq("tier"), rightTiebreak = Some("version"))
+      .orderBy("k", "ts", "id").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    // containment replay: for each fact, the interval with
+    // eff_from <= ts < eff_to (null eff_to = open)
+    val intervals = dim.collect().map(r => (r.getString(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3))))
+    val want = facts.collect().map { f =>
+      val (k, t, id) = (f.getString(0), f.getTimestamp(1), f.getLong(2))
+      val covering = intervals.filter { case (ik, _, from, to) =>
+        ik == k && !t.before(from) && to.forall(t.before)
+      }
+      assert(covering.length === 1, s"($k,$t) covered by ${covering.length}")
+      (k, id, covering.head._2)
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === want.toSeq)
+    // the tie key 'b': both facts at ts=1500 resolve to gold (version 2),
+    // never silver's zero-length [1500,1500)
+    assert(got.filter(_._1 == "b").forall(_._3 == "gold"))
+  }
+
   test("multi-attribute tracking: change in ANY tracked column opens") {
     val df = Seq(
       ("k", ts(1), 1L, "x", 10),
