@@ -50,10 +50,22 @@ object QueriesSketch {
   def sketchCardinality(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
     val li = t(spark, dir, "lineitem")
-    val perGroup = li
-      .groupBy(col("l_returnflag").as("grp"))
+    // HLL register state is duplicate-insensitive, so the sketch built
+    // over the DISTINCT (flag, key) pairs is bit-identical to one built
+    // over the raw rows — dedup first and every downstream aggregate
+    // (sketch, per-slice exact, global exact) runs over the pair table,
+    // whose size is bounded by |flag domain| x |key domain|, not by the
+    // fact row count. One map-side-combined shuffle replaces the two
+    // full-fact countDistinct expansions this query first shipped with.
+    val pairs = li
+      .filter(col("l_partkey").isNotNull)
+      .select(col("l_returnflag").as("grp"), col("l_partkey"))
+      .distinct()
+      .persist()
+    val perGroup = pairs
+      .groupBy(col("grp"))
       .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
-        countDistinct(col("l_partkey")).as("exact_nd"))
+        count(lit(1)).as("exact_nd"))
       .persist()
     val per = perGroup
       .select(col("grp"), col("exact_nd"),
@@ -64,7 +76,8 @@ object QueriesSketch {
       .head().getLong(0)
     perGroup.unpersist()
     val globalExact =
-      li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+      pairs.select(col("l_partkey")).distinct().count()
+    pairs.unpersist()
     val rows = per.map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2))) :+
       (("__merged__", globalExact, mergedEst))

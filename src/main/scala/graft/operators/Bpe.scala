@@ -69,6 +69,11 @@ object Bpe {
     var syms = words
       .select(col("__f"), BpeExprs.codePointSymbols(col("__w")).as("__s"))
       .persist()
+    // the parent of the CURRENT frame, kept persisted until the current
+    // frame is materialized by the next round's winner scan (one job per
+    // round instead of winner + an explicit materialize count); at most
+    // two vocabulary-sized frames are ever live
+    var parent: DataFrame = null
 
     val merges = Seq.newBuilder[Merge]
     var rank = 1
@@ -84,6 +89,8 @@ object Bpe {
           .groupBy(col("__l"), col("__r")).agg(sum(col("__f")).as("__c"))
           .orderBy(desc("__c"), asc("__l"), asc("__r"))
           .limit(1).collect()
+        // that scan materialized `syms`' persist — its parent can go now
+        if (parent != null) { parent.unpersist(); parent = null }
         if (top.isEmpty) done = true
         else {
           val l = top(0).getString(0)
@@ -92,11 +99,7 @@ object Bpe {
           val next = syms
             .select(col("__f"), BpeExprs.bpeApply(col("__s"), l, r).as("__s"))
             .persist()
-          // materialize before releasing the parent; if the job fails,
-          // release NEXT too (the finally only covers the current frame)
-          try next.count()
-          catch { case t: Throwable => next.unpersist(); throw t }
-          syms.unpersist()
+          parent = syms
           syms = next
           rank += 1
         }
@@ -109,7 +112,10 @@ object Bpe {
           .orderBy(desc("cnt"), asc("token")).limit(vocabTopK)
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       (merges.result(), vocab)
-    } finally syms.unpersist()
+    } finally {
+      if (parent != null) parent.unpersist()
+      syms.unpersist()
+    }
   }
 
   /** [[train]] as a DataFrame `(rank, lhs, rhs, cnt)` for the query
