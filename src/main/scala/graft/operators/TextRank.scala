@@ -159,28 +159,35 @@ object TextRank {
     require(topK >= 1 && iterations >= 1, "topK, iterations >= 1")
     val spark = corpus.sparkSession
     import org.apache.spark.sql.expressions.Window
-    // materialize the per-document id BEFORE the generator: inside the
-    // same projection as posexplode, monotonically_increasing_id would
-    // advance per OUTPUT row and break adjacency (every token its own
-    // "document"); nondeterministic projections don't collapse, so the
-    // withColumn boundary is safe
-    val toks = corpus.select(col(textCol))
-      .withColumn("__doc", monotonically_increasing_id())
-      .select(col("__doc"),
-        posexplode(TextFunctions.tokens(lower(col(textCol))))
-          .as(Seq("__pos", "__w")))
-    val vocab = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+    // token arrays stay row-local: adjacency is derivable per row by
+    // zipping the array against its own 1-shift (the Bpe pair-count
+    // shape), so no document id, no posexplode, and no full-token
+    // Window shuffle+sort ever exist in this plan. The two-select
+    // boundary is load-bearing: the consumer references __t four times
+    // and tokens() is non-cheap, so CollapseProject keeps the producing
+    // projection — tokens() evaluates once per row, not per reference.
+    val toksArr = corpus.select(
+      TextFunctions.tokens(lower(col(textCol))).as("__t"))
+    // persisted: both endpoint broadcasts consume it, and their differing
+    // projections defeat exchange reuse — without the persist the full
+    // corpus-tokenizing vocabulary aggregation runs once PER endpoint
+    val vocab = toksArr.select(explode(col("__t")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
-      .select(col("__w"), lit(true).as("__v"))
-    val marked = toks.join(broadcast(vocab), Seq("__w"), "left")
-      .select(col("__doc"), col("__pos"), col("__w"), col("__v"))
-    val bg = marked
-      .withColumn("__w2", lead(col("__w"), 1)
-        .over(Window.partitionBy("__doc").orderBy("__pos")))
-      .withColumn("__v2", lead(col("__v"), 1)
-        .over(Window.partitionBy("__doc").orderBy("__pos")))
-      .filter(col("__v") && col("__v2") && col("__w") =!= col("__w2"))
-      .select(col("__w").as("__a"), col("__w2").as("__b"))
+      .select(col("__w"))
+      .persist()
+    // adjacency in the ORIGINAL stream: a non-vocab token between two
+    // vocab tokens breaks the pair, which the endpoint joins reproduce
+    // (the pair exists only if BOTH raw neighbors survive the filter)
+    val bg = toksArr
+      .filter(size(col("__t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("__p"))
+      .select(col("__p.0").as("__a"), col("__p.1").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .join(broadcast(vocab.select(col("__w").as("__a"))), Seq("__a"))
+      .join(broadcast(vocab.select(col("__w").as("__b"))), Seq("__b"))
     // both directions from ONE bigram row: a unionAll here re-runs the
     // whole tokenize+window subtree per branch (exchange reuse does not
     // cover the post-exchange Window stage) — the x85 duplication class
@@ -191,10 +198,18 @@ object TextRank {
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__wt"))
       .persist()
     try {
-      val wdeg = edges.groupBy(col("__src"))
+      import spark.implicits._
+      // the rank/degree state is vocabulary-bounded (<= vocabSize rows),
+      // so it iterates DRIVER-side: each PageRank step is exactly one job
+      // over the persisted edge table joined against the broadcast local
+      // state. Chaining the steps as lazy frames instead builds a
+      // recompute pyramid — materializing step k's broadcast re-runs
+      // steps 1..k-1's contribution aggregations (they are not persisted),
+      // turning 3 iterations into ~6 edge scans.
+      val wdegLocal = edges.groupBy(col("__src"))
         .agg(sum(col("__wt")).as("__deg"))
-      val nodes = wdeg.select(col("__src").as("__n"))
-      val n = nodes.count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val n = wdegLocal.length
       if (n == 0) return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -202,33 +217,33 @@ object TextRank {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("score",
             org.apache.spark.sql.types.DoubleType))))
-      var pr = nodes.select(col("__n"), lit(1.0 / n).as("__pr"))
+      var prLocal: Map[String, Double] =
+        wdegLocal.map { case (s, _) => s -> (1.0 / n) }.toMap
       for (_ <- 1 to iterations) {
-        // wdeg and pr are vocabulary-sized (<= vocabSize rows): broadcast
-        // both so each iteration is exchange-free up to its contribution
-        // aggregation — without the hint the optimizer plans the joins as
-        // shuffles on the edge table's statistics
+        // per-edge arithmetic kept IDENTICAL to the declarative form
+        // ((wt / deg) * pr, summed per destination) so the 6dp contract
+        // is the only cross-engine tolerance in play
+        val state = wdegLocal.toSeq
+          .map { case (s, d) => (s, d, prLocal(s)) }
+          .toDF("__src", "__deg", "__pr")
         val contrib = edges
-          .join(broadcast(wdeg), Seq("__src"))
-          .join(broadcast(pr.select(col("__n").as("__src"), col("__pr"))),
-            Seq("__src"))
+          .join(broadcast(state), Seq("__src"))
           .select(col("__dst").as("__n"),
             (col("__wt").cast("double") / col("__deg").cast("double") *
               col("__pr")).as("__c"))
           .groupBy(col("__n")).agg(sum(col("__c")).as("__s"))
-        // symmetric edges: every node has inbound mass, no coalesce
-        pr = contrib.select(col("__n"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("__s"))
-            .as("__pr"))
+          .collect()
+        // symmetric edges: every node has inbound mass, no default fill
+        prLocal = contrib.map(r => r.getString(0) ->
+          ((1.0 - damping) / n + damping * r.getDouble(1))).toMap
       }
-      import spark.implicits._
-      val top = pr
+      val top = prLocal.toSeq.toDF("__n", "__pr")
         .select(col("__n").as("token"), round(col("__pr"), 6).as("score"))
         .orderBy(desc("score"), asc("token"))
         .limit(topK)
         .as[(String, Double)].collect().toSeq
       top.toDF("token", "score")
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); vocab.unpersist() }
   }
 
   /** Per-document top-`k` TF-IDF keywords as
