@@ -1130,6 +1130,35 @@ object QueriesExt {
       .orderBy("segment", "event_type")
   }
 
+  /** Concurrent-session detection via the interval x interval overlap
+    * join ([[graft.operators.RangeJoin.intervalOverlap]]): sessions of a
+    * deterministic tracked cohort (user_id % 20 == 0) paired with every
+    * OTHER user's session active at the same time (closed-interval
+    * overlap, realized as half-open on end+1us so single-event sessions
+    * still pair), rolled up per cohort user. Scale shape: both interval
+    * sets replicate only to the hour buckets they touch and the
+    * emit-once guard needs no post-join distinct — the shuffle is a hash
+    * partition on the bucket, never |sessions|^2.
+    */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessionize
+      .aggregate(events(spark, dir), gapSeconds = 1800L)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        (unix_micros(col("session_end")) + 1).as("e_us"))
+    val cohort = sess.filter(col("user_id") % 20 === 0)
+    val others = sess.filter(col("user_id") % 20 =!= 0)
+      .select(col("user_id").as("o_user"), col("s_us").as("os_us"),
+        col("e_us").as("oe_us"))
+    graft.operators.RangeJoin.intervalOverlap(
+      cohort, others, "s_us", "e_us", "os_us", "oe_us",
+      bucketWidth = 3600L * 1000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_concurrent"),
+        countDistinct(col("o_user")).as("n_users"))
+      .orderBy("user_id")
+  }
+
   /** EWMA volume smoothing ([[graft.operators.Anomaly.ewmaSmooth]]):
     * hourly per-type counts smoothed by the alpha=0.2 recurrence inside
     * the [[graft.functions.expr.EwmaScanExpr]] scan kernel; the oracle
@@ -1918,7 +1947,8 @@ object QueriesExt {
     "x87_collocations" -> collocationsQ _,
     "x88_change_feed" -> changeFeedQ _,
     "x89_bloom_skipping" -> bloomSkipping _,
-    "x90_scd2_enrichment" -> scd2Enrichment _)
+    "x90_scd2_enrichment" -> scd2Enrichment _,
+    "x91_concurrent_sessions" -> concurrentSessions _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2515,6 +2545,31 @@ object QueriesExt {
         | ON e.user_id = iv.user_id AND e.ts >= iv.eff_from
         | AND (iv.eff_to IS NULL OR e.ts < iv.eff_to)
         |GROUP BY 1, 2 ORDER BY segment, e.event_type""".stripMargin,
+    // concurrent sessions: sessionize (the x10 CTE) then an inequality
+    // overlap join — DuckDB's IEJoin evaluates the quadratic form the
+    // bucketized engine plan avoids
+    "x91_concurrent_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        | SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM flagged
+        |), iv AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        | FROM sess GROUP BY user_id, session_seq
+        |)
+        |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_concurrent,
+        | CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_users
+        |FROM iv a JOIN iv b
+        | ON a.user_id % 20 = 0 AND b.user_id % 20 != 0
+        | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     // SCD2: the lag-change-filter + lead-close pipeline replayed verbatim
     "x81_scd2_dimension" ->
       """WITH ordered AS (

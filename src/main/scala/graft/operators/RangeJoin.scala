@@ -71,4 +71,41 @@ object RangeJoin {
       bucketWidth = math.max(2 * tolerance, 1L), extraKeys)
       .drop("__start", "__end")
   }
+
+  /** Interval x interval OVERLAP join: pair every left interval
+    * `[lStart, lEnd)` with every right interval `[rStart, rEnd)` that
+    * overlaps it (half-open: `max(starts) < min(ends)`), optionally also
+    * equi-matching `extraKeys`. Both sides replicate to every bucket they
+    * touch; an overlapping pair therefore co-occurs in EVERY bucket their
+    * overlap spans, and the emit-once guard keeps only the bucket that
+    * contains the overlap's start (`greatest(lStart, rStart)`) — exact
+    * single emission with no post-join distinct, the property that keeps
+    * the output stream duplicate-free at any replication factor. Shuffle
+    * is a plain hash partition on (bucket, extraKeys):
+    * O((|L| + |R|) * spanFactor) rows; pick `bucketWidth` near the
+    * typical interval length to keep spanFactor small. Left columns pass
+    * through; right columns minus `extraKeys` pass through — alias
+    * collisions are the caller's to avoid (rename before joining).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // [start, end) touches buckets bucket(start)..bucket(end - 1); empty
+    // or inverted intervals (end <= start) replicate nowhere and so can
+    // never pair — sequence() would throw on a descending range, so they
+    // are filtered, not clamped
+    def banded(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col(s), bucketWidth),
+        bucketOf(col(e) - 1, bucketWidth))))
+    banded(left, lStart, lEnd)
+      .join(banded(right, rStart, rEnd), Seq("__bucket") ++ extraKeys)
+      .filter(greatest(col(lStart), col(rStart)) <
+        least(col(lEnd), col(rEnd)))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(lStart), col(rStart)), bucketWidth))
+      .drop("__bucket")
+  }
 }

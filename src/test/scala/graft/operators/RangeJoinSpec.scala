@@ -44,6 +44,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 7L), (3L, 9L)))
   }
 
+  test("intervalOverlap equals the naive overlap join, emits each pair " +
+      "exactly once across multi-bucket spans, and excludes " +
+      "empty/inverted and merely-touching intervals") {
+    // L1 spans many width-10 buckets; L3 is empty [50,50); L4 inverted
+    val left = Seq((1L, 0L, 35L), (2L, 12L, 14L), (3L, 50L, 50L),
+      (4L, 70L, 60L)).toDF("lid", "ls", "le")
+    // R1 overlaps L1 across buckets; R2 touches L1 end-to-start (35=35,
+    // half-open => NO pair); R3 long interval overlapping L1 and L2
+    val right = Seq((7L, 5L, 30L), (8L, 35L, 40L), (9L, -5L, 100L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le",
+        "rs", "re", bucketWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    // exactly-once: list equality after sort, not set equality
+    assert(got.sorted ===
+      List((1L, 7L), (1L, 9L), (2L, 7L), (2L, 9L)).sorted)
+    val naive = left.filter(col("le") > col("ls"))
+      .join(right.filter(col("re") > col("rs")),
+        greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet === naive)
+  }
+
+  test("intervalOverlap with extraKeys pairs only within the key") {
+    val left = Seq((1L, 10L, 0L, 100L), (2L, 20L, 0L, 100L))
+      .toDF("lid", "u", "ls", "le")
+    val right = Seq((7L, 10L, 50L, 60L), (8L, 30L, 50L, 60L))
+      .toDF("rid", "u", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le",
+        "rs", "re", bucketWidth = 10L, extraKeys = Seq("u"))
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    assert(got === List((1L, 7L)))
+  }
+
   test("the range join plans as a hash equi-join, not a nested loop") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
