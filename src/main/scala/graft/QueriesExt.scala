@@ -1159,6 +1159,17 @@ object QueriesExt {
       .orderBy("user_id")
   }
 
+  /** Label-conditioned embedding outliers ([[graft.operators.Similarity
+    * .labelOutliers]]): the 5 vectors per label least cosine-similar to
+    * their own label's exact centroid — the mislabeled-example screen.
+    * The oracle rebuilds centroids with parallel-unnest AVG and replays
+    * the 4dp-rounded rank cut.
+    */
+  def labelOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.labelOutliers(
+      t(spark, dir, "embeddings"), k = 5, dim = 64)
+      .orderBy("label", "rank")
+
   /** EWMA volume smoothing ([[graft.operators.Anomaly.ewmaSmooth]]):
     * hourly per-type counts smoothed by the alpha=0.2 recurrence inside
     * the [[graft.functions.expr.EwmaScanExpr]] scan kernel; the oracle
@@ -1948,7 +1959,8 @@ object QueriesExt {
     "x88_change_feed" -> changeFeedQ _,
     "x89_bloom_skipping" -> bloomSkipping _,
     "x90_scd2_enrichment" -> scd2Enrichment _,
-    "x91_concurrent_sessions" -> concurrentSessions _)
+    "x91_concurrent_sessions" -> concurrentSessions _,
+    "x92_label_outliers" -> labelOutliersQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2545,6 +2557,27 @@ object QueriesExt {
         | ON e.user_id = iv.user_id AND e.ts >= iv.eff_from
         | AND (iv.eff_to IS NULL OR e.ts < iv.eff_to)
         |GROUP BY 1, 2 ORDER BY segment, e.event_type""".stripMargin,
+    // label outliers: exact per-label centroid via parallel unnest,
+    // cosine against it, 4dp-rounded bottom-5 rank per label
+    "x92_label_outliers" ->
+      """WITH m AS (
+        | SELECT label, i, AVG(CAST(e AS DOUBLE)) AS mu
+        | FROM (SELECT label, unnest(embedding) AS e,
+        |   unnest(range(len(embedding))) AS i FROM embeddings)
+        | GROUP BY 1, 2
+        |), c AS (
+        | SELECT label, list(mu ORDER BY i) AS cent FROM m GROUP BY 1
+        |), s AS (
+        | SELECT e.label, e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    c.cent), 4) AS sim
+        | FROM embeddings e JOIN c USING (label)
+        |)
+        |SELECT CAST(label AS BIGINT) AS label, vec_id, sim,
+        | CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY label
+        |   ORDER BY sim ASC, vec_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     // concurrent sessions: sessionize (the x10 CTE) then an inequality
     // overlap join — DuckDB's IEJoin evaluates the quadratic form the
     // bucketized engine plan avoids

@@ -267,6 +267,45 @@ object Aggregators {
     udaf(new DenseGrad(numBuckets, withDf), Encoders.product[GradIn])
       .apply(b, g, nf, grad, stat)
 
+  /** Input row of [[VecSum]] (udaf needs a product encoder). */
+  case class VecIn(v: Array[Double])
+
+  /** [[VecSum]] buffer/output: running count + per-dimension sum. */
+  case class VecBuf(n: Long, s: Array[Double])
+
+  /** Dense vector-sum accumulator: one `Array[Double](dim)` per task
+    * sums every row's vector elementwise (count rides along for the
+    * mean). Algebraic like [[DenseGrad]], so a per-label centroid
+    * aggregation ships one fixed dim-sized buffer per (partition, label)
+    * through the shuffle — never a (label, dim, value) explosion of
+    * rows, which is dim x corpus at 100 TB.
+    */
+  class VecSum(dim: Int) extends Aggregator[VecIn, VecBuf, VecBuf] {
+    override def zero: VecBuf = VecBuf(0L, new Array[Double](dim))
+
+    override def reduce(buf: VecBuf, in: VecIn): VecBuf = {
+      val x = in.v
+      require(x.length == dim, s"vecsum: dim ${x.length} != $dim")
+      var i = 0
+      while (i < dim) { buf.s(i) += x(i); i += 1 }
+      VecBuf(buf.n + 1, buf.s)
+    }
+
+    override def merge(a: VecBuf, b: VecBuf): VecBuf = {
+      var i = 0
+      while (i < dim) { a.s(i) += b.s(i); i += 1 }
+      VecBuf(a.n + b.n, a.s)
+    }
+
+    override def finish(buf: VecBuf): VecBuf = buf
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+  }
+
+  /** DataFrame-facing vector sum over an `array<double>` column. */
+  def vecSum(dim: Int, v: Column): Column =
+    udaf(new VecSum(dim), Encoders.product[VecIn]).apply(v)
+
   /** DataFrame-facing SpaceSaving heavy hitters over a string column:
     * array<struct<item, count, err>> sorted by count desc.
     */

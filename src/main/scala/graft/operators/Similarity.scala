@@ -831,4 +831,57 @@ object Similarity {
         col("__p._1").as("proto"))
     (picks, assigned)
   }
+
+  /** Label-conditioned outlier mining — embedding-space QA for labeled
+    * training data: the `k` vectors per label LEAST similar to their own
+    * label's centroid (cosine), the standard screen for mislabeled or
+    * off-distribution examples before a labeled set is trusted.
+    *
+    * Scale shape: the per-label centroid is ONE algebraic aggregation
+    * ([[graft.functions.Aggregators.VecSum]] — a fixed dim-sized buffer
+    * per (partition, label) crosses the shuffle, never a (label, dim)
+    * row explosion); the bounded label->centroid table collects and
+    * rides the task binary into one native scoring pass
+    * ([[graft.functions.expr.PqExprs.centroidCosines]], vector norm
+    * computed once per row); per-label top-k is a rank window the
+    * optimizer executes as WindowGroupLimit — partial per-task top-k
+    * before the sort, no label's full membership in one task.
+    * Determinism: similarity is 4dp-rounded BEFORE ranking with the id
+    * tiebreak (the x54/x68 cross-engine contract — centroid sums are
+    * order-sensitive in the last ulps).
+    */
+  def labelOutliers(corpus: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0 && dim > 0, "k, dim must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = corpus
+      .select(col(labelCol).cast("long").as(labelCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col(labelCol))
+      .agg(graft.functions.Aggregators.vecSum(dim, col("__v")).as("__m"))
+      .collect() // bounded: one row per label
+      .map { r =>
+        val m = r.getStruct(1)
+        val n = m.getLong(0)
+        (r.getLong(0), m.getSeq[Double](1).map(_ / n).toArray)
+      }
+      .sortBy(_._1)
+    val centroids = cents.map(_._2)
+    val idx = cents.zipWithIndex
+      .map { case ((lbl, _), i) => (lbl, i + 1) }.toSeq
+      .toDF(labelCol, "__ci")
+    val scored = corpus
+      .join(broadcast(idx), Seq(labelCol))
+      .select(col(labelCol).cast("long").as(labelCol), col(idCol),
+        round(element_at(graft.functions.expr.PqExprs.centroidCosines(
+          col(vecCol), centroids), col("__ci")), 4).as("sim"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col(labelCol))
+        .orderBy(col("sim").asc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(labelCol), col(idCol), col("sim"), col("rank"))
+  }
 }

@@ -414,4 +414,35 @@ class SimilaritySpec extends SparkSpec {
     val hits = res.count { case (q, v) => v == q - 100000L }
     assert(hits >= 9, s"cluster-B planted recall $hits/10 too low")
   }
+
+  test("labelOutliers ranks the planted off-cluster vector first and is " +
+      "invariant to partitioning (algebraic VecSum merge)") {
+    val dim = 8
+    def vec(base: Float, noise: Float*) = {
+      val a = Array.fill(dim)(base)
+      noise.zipWithIndex.foreach { case (x, i) => a(i) += x }
+      a
+    }
+    // label 0 clusters near (1,1,...); id 99 points the opposite way;
+    // label 1 is a tight cluster with one mild wobble (id 203)
+    val rows = Seq(
+      (0L, 0L, vec(1f, 0.01f)), (1L, 0L, vec(1f, -0.02f, 0.01f)),
+      (2L, 0L, vec(1f, 0.03f)), (99L, 0L, Array.fill(dim)(-1f)),
+      (200L, 1L, vec(2f)), (201L, 1L, vec(2f, 0.01f)),
+      (202L, 1L, vec(2f, -0.01f)), (203L, 1L, vec(2f, 0.8f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(df, k = 2, dim = dim)
+      .orderBy("label", "rank")
+      .select("label", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got.filter(_._1 == 0L).map(_._2).head === 99L)
+    assert(got.filter(_._1 == 1L).map(_._2).head === 203L)
+    assert(got.map(_._3) === List(1L, 2L, 1L, 2L))
+    val repart = Similarity.labelOutliers(df.repartition(7), k = 2,
+        dim = dim)
+      .orderBy("label", "rank")
+      .select("label", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toList
+    assert(repart === got)
+  }
 }
