@@ -1702,6 +1702,39 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture resampling ([[graft.operators.Sampling
+    * .temperatureWeights]] feeding [[graft.operators.Sampling
+    * .mixtureSample]]): per-source token masses are re-weighted by
+    * `m^0.7 / Σ m^0.7` and a 20k-token budget is allocated by those
+    * weights, then applied with the portable modular keep-hash. Emits
+    * the per-source plan-vs-realized summary (mass, 6dp weight, kept
+    * docs/tokens) — the corpus mixing report. The oracle replays pow,
+    * normalization, thresholds, and the keep-hash verbatim.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val docs = t(spark, dir, "documents")
+    val withNt = docs.select(col("doc_id"), col("source"),
+      size(TextFunctions.tokensOf(docs, "text")).cast("long").as("__nt"))
+    val masses = withNt.groupBy(col("source"))
+      .agg(sum(col("__nt")).as("tok"))
+      .as[(String, Long)].collect().toMap
+    val weights = Sampling.temperatureWeights(masses, tau = 0.7)
+    val kept = Sampling.mixtureSample(withNt, "text", "doc_id", "source",
+      weights, tokenBudget = 20000L, tokenCountCol = Some("__nt"))
+    val summary = masses.toSeq.map { case (src, m) =>
+      (src, m, BigDecimal(weights(src))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("source", "n_tokens", "weight")
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("__nt")).as("kept_tokens"))
+      .join(summary, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("kept_docs"), col("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
     * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
     * stage and the match-probability law are covered by ScalaTest).
@@ -1960,7 +1993,8 @@ object QueriesExt {
     "x89_bloom_skipping" -> bloomSkipping _,
     "x90_scd2_enrichment" -> scd2Enrichment _,
     "x91_concurrent_sessions" -> concurrentSessions _,
-    "x92_label_outliers" -> labelOutliersQ _)
+    "x92_label_outliers" -> labelOutliersQ _,
+    "x93_temperature_mixture" -> temperatureMixture _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2557,6 +2591,33 @@ object QueriesExt {
         | ON e.user_id = iv.user_id AND e.ts >= iv.eff_from
         | AND (iv.eff_to IS NULL OR e.ts < iv.eff_to)
         |GROUP BY 1, 2 ORDER BY segment, e.event_type""".stripMargin,
+    // temperature mixture: pow/normalize/threshold and the modular
+    // keep-hash replayed verbatim; kept aggregates join the mass table
+    "x93_temperature_mixture" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0)) AS nt
+        | FROM documents
+        |), srct AS (
+        | SELECT source, SUM(nt) AS tok FROM t GROUP BY 1
+        |), w AS (
+        | SELECT source, tok,
+        |  pow(tok, 0.7) / (SELECT SUM(pow(tok, 0.7)) FROM srct) AS wt
+        | FROM srct
+        |), rates AS (
+        | SELECT source, tok, round(wt, 6) AS weight,
+        |  CAST(floor(least(1.0, 20000.0 * wt / tok) * 1000003) AS BIGINT)
+        |    AS thresh
+        | FROM w
+        |)
+        |SELECT r.source, CAST(r.tok AS BIGINT) AS n_tokens, r.weight,
+        | CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        | CAST(SUM(t.nt) AS BIGINT) AS kept_tokens
+        |FROM rates r JOIN t USING (source)
+        |WHERE ((t.doc_id % 1000003) * (2654435761 % 1000003)) % 1000003
+        |      < r.thresh
+        |GROUP BY 1, 2, 3 ORDER BY r.source""".stripMargin,
     // label outliers: exact per-label centroid via parallel unnest,
     // cosine against it, 4dp-rounded bottom-5 rank per label
     "x92_label_outliers" ->

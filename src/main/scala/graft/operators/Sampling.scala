@@ -101,4 +101,24 @@ object Sampling {
       .filter(sampleHash(col(idCol)) < col("__thresh"))
       .drop("__thresh")
   }
+
+  /** Temperature-scaled mixture weights (the multilingual-LM resampling
+    * rule, Conneau & Lample 2019): `w_s = m_s^tau / Σ_t m_t^tau` over the
+    * per-source masses `m_s` (token counts, byte counts). `tau = 1`
+    * reproduces the natural distribution, `tau -> 0` the uniform one;
+    * the standard 0.7 lifts low-resource sources without drowning the
+    * head. Masses arrive pre-aggregated (one groupBy collapses the
+    * corpus to #sources rows); the weight map feeds [[mixtureSample]] as
+    * its `targetWeights`. Accumulation runs in source-sorted order so
+    * the normalizer is deterministic for a given mass table.
+    */
+  def temperatureWeights(masses: Map[String, Long],
+      tau: Double): Map[String, Double] = {
+    require(tau > 0, "tau must be positive")
+    val pows = masses.toSeq.sortBy(_._1)
+      .map { case (s, m) => (s, math.pow(m.toDouble, tau)) }
+    val z = pows.map(_._2).sum
+    require(z > 0, "temperatureWeights: no positive mass")
+    pows.map { case (s, p) => (s, p / z) }.toMap
+  }
 }

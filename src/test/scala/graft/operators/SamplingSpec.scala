@@ -89,4 +89,19 @@ class SamplingSpec extends SparkSpec {
     // unlisted strata default to fraction 0
     assert(!counts.contains("es"))
   }
+
+  test("temperatureWeights: normalized, order-preserving, and flattening " +
+      "toward uniform as tau decreases") {
+    val masses = Map("a" -> 1000L, "b" -> 100L, "c" -> 10L)
+    val w7 = Sampling.temperatureWeights(masses, tau = 0.7)
+    assert(math.abs(w7.values.sum - 1.0) < 1e-12)
+    assert(w7("a") > w7("b") && w7("b") > w7("c"))
+    // tau = 1 reproduces the natural distribution exactly
+    val w1 = Sampling.temperatureWeights(masses, tau = 1.0)
+    assert(math.abs(w1("a") - 1000.0 / 1110.0) < 1e-12)
+    // lower tau lifts the tail relative to its natural share
+    val w3 = Sampling.temperatureWeights(masses, tau = 0.3)
+    assert(w3("c") > w7("c") && w7("c") > w1("c"))
+    assert(w3("a") < w7("a") && w7("a") < w1("a"))
+  }
 }
