@@ -1702,6 +1702,18 @@ object QueriesExt {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware near-dedup ([[graft.operators.Dedup
+    * .minhashDedupBest]]): each connected near-dup cluster keeps its
+    * highest-[[TextFunctions.qualityScore]] member (id tiebreak) instead
+    * of its minimum id — survivors' ids, hash-checked against the exact
+    * all-pairs-Jaccard + recursive-CTE-components + argmax replay.
+    */
+  def dedupBestQuality(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupBest(t(spark, dir, "documents"), "text", "doc_id",
+      TextFunctions.qualityScore(col("text")), threshold = 0.8)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   /** Temperature-scaled mixture resampling ([[graft.operators.Sampling
     * .temperatureWeights]] feeding [[graft.operators.Sampling
     * .mixtureSample]]): per-source token masses are re-weighted by
@@ -1714,25 +1726,35 @@ object QueriesExt {
   def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
     val docs = t(spark, dir, "documents")
+    // persisted: the mass collect, the sampler's internal mass pass, and
+    // the kept aggregation would otherwise each re-tokenize the corpus;
+    // the persisted frame is metadata-slim (id, source, count)
     val withNt = docs.select(col("doc_id"), col("source"),
       size(TextFunctions.tokensOf(docs, "text")).cast("long").as("__nt"))
-    val masses = withNt.groupBy(col("source"))
-      .agg(sum(col("__nt")).as("tok"))
-      .as[(String, Long)].collect().toMap
-    val weights = Sampling.temperatureWeights(masses, tau = 0.7)
-    val kept = Sampling.mixtureSample(withNt, "text", "doc_id", "source",
-      weights, tokenBudget = 20000L, tokenCountCol = Some("__nt"))
-    val summary = masses.toSeq.map { case (src, m) =>
-      (src, m, BigDecimal(weights(src))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toDF("source", "n_tokens", "weight")
-    kept.groupBy(col("source"))
-      .agg(count(lit(1)).as("kept_docs"),
-        sum(col("__nt")).as("kept_tokens"))
-      .join(summary, Seq("source"))
-      .select(col("source"), col("n_tokens"), col("weight"),
-        col("kept_docs"), col("kept_tokens"))
-      .orderBy("source")
+      .persist()
+    try {
+      val masses = withNt.groupBy(col("source"))
+        .agg(sum(col("__nt")).as("tok"))
+        .as[(String, Long)].collect().toMap
+      val weights = Sampling.temperatureWeights(masses, tau = 0.7)
+      val kept = Sampling.mixtureSample(withNt, "text", "doc_id", "source",
+        weights, tokenBudget = 20000L, tokenCountCol = Some("__nt"))
+      val summary = masses.toSeq.map { case (src, m) =>
+        (src, m, BigDecimal(weights(src))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("source", "n_tokens", "weight")
+      // materialize the per-source report (bounded: one row per source)
+      // before the persisted frame is released
+      val rows = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("__nt")).as("kept_tokens"))
+        .join(summary, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("kept_docs"), col("kept_tokens"))
+        .orderBy("source")
+        .as[(String, Long, Double, Long, Long)].collect().toSeq
+      rows.toDF("source", "n_tokens", "weight", "kept_docs", "kept_tokens")
+    } finally withNt.unpersist()
   }
 
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
@@ -1994,7 +2016,8 @@ object QueriesExt {
     "x90_scd2_enrichment" -> scd2Enrichment _,
     "x91_concurrent_sessions" -> concurrentSessions _,
     "x92_label_outliers" -> labelOutliersQ _,
-    "x93_temperature_mixture" -> temperatureMixture _)
+    "x93_temperature_mixture" -> temperatureMixture _,
+    "x94_dedup_best_quality" -> dedupBestQuality _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3589,6 +3612,55 @@ object QueriesExt {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT dst FROM reach WHERE src < dst)
+        |ORDER BY doc_id""".stripMargin),
+    // quality-aware CC dedup: x26's closure + per-component argmax by
+    // the x07 quality formula (score desc, id asc)
+    "x94_dedup_best_quality" -> (shingleSetSql + ", " +
+      """edges AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM sym
+        |    UNION
+        |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+        |    WHERE r.src <> s.dst
+        |  ) SELECT * FROM r
+        |), compo AS (
+        |  SELECT id, MIN(dst) AS comp FROM (
+        |    SELECT DISTINCT src AS id, src AS dst FROM sym
+        |    UNION ALL SELECT src, dst FROM reach)
+        |  GROUP BY id
+        |), q AS (
+        | SELECT doc_id,
+        |  (least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + (CASE WHEN len(toks) > 0 AND
+        |        CAST(list_sum(list_transform(toks, tk -> length(tk)))
+        |          AS DOUBLE) / len(toks) >= 2.5
+        |       AND CAST(list_sum(list_transform(toks, tk -> length(tk)))
+        |          AS DOUBLE) / len(toks) <= 12.0
+        |      THEN 1.0 ELSE 0.3 END) * 0.3
+        |   + (CASE WHEN length(text) = 0 OR
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+        |      THEN 1.0 ELSE 0.4 END) * 0.2) AS quality
+        | FROM (SELECT doc_id, text,
+        |   list_filter(string_split_regex(trim(text), '\s+'),
+        |     tk -> length(tk) > 0) AS toks FROM documents)
+        |), reps AS (
+        |  SELECT id FROM (
+        |    SELECT c.id, row_number() OVER (PARTITION BY c.comp
+        |      ORDER BY q.quality DESC, c.id ASC) AS rn
+        |    FROM compo c JOIN q ON q.doc_id = c.id)
+        |  WHERE rn = 1
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM compo)
+        |   OR doc_id IN (SELECT id FROM reps)
         |ORDER BY doc_id""".stripMargin),
     "x27_wminhash_pairs" -> (shingleTfSql + "\n" +
       """SELECT id_a, id_b,

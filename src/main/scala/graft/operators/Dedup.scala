@@ -999,6 +999,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[minhashDedupCC]] with QUALITY-aware representative selection: each
+    * near-dup cluster keeps its best document by `score` (descending,
+    * id-ascending tiebreak) instead of its minimum id — the curation
+    * choice that keeps the clean canonical page rather than whichever
+    * scrape happened to enter the corpus first. `score` is any
+    * deterministic column over `df`'s rows (e.g.
+    * [[graft.functions.TextFunctions.qualityScore]]).
+    *
+    * Scale shape: identical to [[minhashDedupCC]] up to the component
+    * frame (bounded by the dup-pair graph, orders of magnitude below the
+    * corpus); the winner per component is one max-struct hash aggregate
+    * — (score, -id) partial-combines map-side, no per-cluster sort, no
+    * window — and survivors resolve by the same anti join.
+    */
+  def minhashDedupBest(df: DataFrame, textCol: String, idCol: String,
+      score: Column, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    val pairs = minhashCandidates(df, textCol, idCol, shingleK, numHashes,
+      bands, threshold, seed = seed)
+    val comps = connectedComponents(pairs)
+    // join BEFORE scoring: the score kernel evaluates only on cluster
+    // members (bounded by the dup-pair graph), never the whole corpus
+    val scored = comps
+      .join(df.withColumn("id", col(idCol).cast("long")), Seq("id"))
+      .select(col("id"), col("comp"), score.as("__sc"))
+    // max(struct(score, -id)): score desc, then SMALLEST id wins the tie
+    val reps = scored.groupBy(col("comp"))
+      .agg(max(struct(col("__sc"), (-col("id")).as("__nid"))).as("__w"))
+      .select((-col("__w.__nid")).as("id"))
+    val losers = comps.join(reps, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------- weighted (ICWS)
 
   /** Term-frequency shingle bag of a text column:

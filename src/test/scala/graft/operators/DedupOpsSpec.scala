@@ -250,6 +250,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(!ids.contains(1L))
   }
 
+  test("minhashDedupBest keeps the highest-scoring cluster member, not " +
+      "the minimum id, with the id tiebreak on equal scores") {
+    import org.apache.spark.sql.functions.col
+    // 10/11/12 are exact dups (one cluster); score prefers 11
+    val scoredDocs = Seq(
+      (10L, base), (11L, base), (12L, base),
+      (13L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    val score = org.apache.spark.sql.functions
+      .when(col("doc_id") === 11L, 2.0).otherwise(1.0)
+    val ids = Dedup.minhashDedupBest(scoredDocs, "text", "doc_id", score,
+        shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(11L, 13L))
+    // all-equal scores: the tie resolves to the minimum id (CC parity)
+    val tied = Dedup.minhashDedupBest(scoredDocs, "text", "doc_id",
+        org.apache.spark.sql.functions.lit(1.0),
+        shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tied === Set(10L, 13L))
+  }
+
   test("shingle simhash decorrelates same-vocab shuffled docs where " +
       "unigram simhash collides") {
     // two docs over the SAME small vocabulary in different orders: near-zero
