@@ -536,4 +536,29 @@ class PlanQualitySpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root).getParentFile)
   }
+
+  test("interval overlap join is a hash equi-join on the bucket — no " +
+      "nested loop, no cartesian, no post-join distinct (x91 shape)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = (0L until 50L).map(i => (i, i * 10, i * 10 + 25))
+      .toDF("lid", "ls", "le")
+    val r = (0L until 50L).map(i => (i, i * 7, i * 7 + 40))
+      .toDF("rid", "rs", "re")
+    val p = plan(graft.operators.RangeJoin.intervalOverlap(
+      l, r, "ls", "le", "rs", "re", bucketWidth = 16L))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("HashAggregate(keys=[lid"), p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
+
+  test("label outliers: rank cut runs as WindowGroupLimit, centroids " +
+      "ride the task binary — no dim explode, no label-wide sort first " +
+      "(x92 shape)") {
+    val p = plan(QueriesExt.queries("x92_label_outliers")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000)) // no posexplode of dims
+  }
+
 }
