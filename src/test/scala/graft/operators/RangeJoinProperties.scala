@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized equivalence laws for [[RangeJoin.intervalOverlap]]: for ANY
+  * interval sets and ANY bucket width, the bucketized join must equal the
+  * naive quadratic overlap join as a MULTISET (exactly-once emission, not
+  * just set membership). Interval coordinates include negatives so the
+  * floor-bucket arithmetic is exercised on both sides of zero.
+  */
+object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val genIv: Gen[(Long, Long)] = for {
+    s <- Gen.choose(-100L, 100L)
+    len <- Gen.choose(-5L, 60L) // negative/zero length: must never pair
+  } yield (s, s + len)
+
+  private def genSide(n: Int): Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(n, genIv).map(_.zipWithIndex.map { case ((s, e), i) =>
+      (i.toLong, s, e)
+    })
+
+  private val genWidth = Gen.oneOf(1L, 3L, 7L, 16L, 64L, 1000L)
+
+  property("equals the naive overlap join as a multiset, any width") =
+    forAll(genSide(25), genSide(25), genWidth) { (ls, rs, w) =>
+      val l = ls.toDF("lid", "ls", "le")
+      val r = rs.toDF("rid", "rs", "re")
+      val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toList.sorted
+      val want = (for {
+        (li, lsv, lev) <- ls if lev > lsv
+        (ri, rsv, rev) <- rs if rev > rsv
+        if math.max(lsv, rsv) < math.min(lev, rev)
+      } yield (li, ri)).sorted
+      got == want
+    }
+
+  property("extraKeys restrict pairing to the key, still exactly once") =
+    forAll(genSide(20), genSide(20), genWidth) { (ls, rs, w) =>
+      val l = ls.map { case (i, s, e) => (i, i % 3, s, e) }
+        .toDF("lid", "k", "ls", "le")
+      val r = rs.map { case (i, s, e) => (i, i % 3, s, e) }
+        .toDF("rid", "k", "rs", "re")
+      val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", w,
+          extraKeys = Seq("k"))
+        .select("lid", "rid").as[(Long, Long)].collect().toList.sorted
+      val want = (for {
+        (li, lsv, lev) <- ls if lev > lsv
+        (ri, rsv, rev) <- rs if rev > rsv
+        if li % 3 == ri % 3
+        if math.max(lsv, rsv) < math.min(lev, rev)
+      } yield (li, ri)).sorted
+      got == want
+    }
+}
