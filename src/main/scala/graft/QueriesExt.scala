@@ -218,6 +218,23 @@ object QueriesExt {
           .as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Sliding (hopping) windows in batch: Spark's native
+    * `window(ts, "1 hour", "15 minutes")` — each event lands in exactly
+    * window/slide = 4 windows via the planner's Expand (no join, no
+    * range explosion), the batch counterpart of
+    * [[graft.streaming.Streams.slidingCounts]]. The oracle enumerates
+    * the same 4 slide offsets with integer-microsecond floor division.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
   /** Gaps-and-islands sessionization (30-minute gap). */
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.aggregate(events(spark, dir), gapSeconds = 1800L)
@@ -2017,7 +2034,8 @@ object QueriesExt {
     "x91_concurrent_sessions" -> concurrentSessions _,
     "x92_label_outliers" -> labelOutliersQ _,
     "x93_temperature_mixture" -> temperatureMixture _,
-    "x94_dedup_best_quality" -> dedupBestQuality _)
+    "x94_dedup_best_quality" -> dedupBestQuality _,
+    "x95_sliding_windows" -> eventsSliding _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2107,6 +2125,15 @@ object QueriesExt {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // sliding windows: the 4 slide offsets enumerated with exact
+    // integer-microsecond floor division (positive epochs)
+    "x95_sliding_windows" ->
+      """SELECT make_timestamp(
+        |  ((epoch_us(ts) // 900000000) - k) * 900000000) AS window_start,
+        | event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, (SELECT unnest(range(4)) AS k)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "x10_events_sessionize" ->
       """WITH flagged AS (
         | SELECT user_id, event_id, ts,
