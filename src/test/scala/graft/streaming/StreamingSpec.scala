@@ -46,6 +46,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sliding windows: streaming slidingCounts matches the batch " +
+      "window(slide) aggregation exactly (x95 parity)") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val got = runToCompletion(
+      Streams.slidingCounts(stream), "sliding_out")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+    // every event lands in exactly window/slide = 4 windows
+    assert(got.toSeq.map(_._3).sum == 4 * batchEvents.count())
+  }
+
   test("session windows produce one row per (user, gap-separated session)") {
     val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
     val got = runToCompletion(
