@@ -874,6 +874,10 @@ object Similarity {
       .map { case ((lbl, _), i) => (lbl, i + 1) }.toSeq
       .toDF(labelCol, "__ci")
     val scored = corpus
+      // null vectors are excluded from the centroid AND from ranking — a
+      // null similarity would sort NULLS FIRST under Spark's ASC and
+      // masquerade as the worst outlier (DuckDB sorts them last)
+      .where(col(vecCol).isNotNull)
       .join(broadcast(idx), Seq(labelCol))
       .select(col(labelCol).cast("long").as(labelCol), col(idCol),
         round(element_at(graft.functions.expr.PqExprs.centroidCosines(
