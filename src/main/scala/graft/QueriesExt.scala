@@ -698,7 +698,7 @@ object QueriesExt {
     // the three full-table version writes are pure bench IO (the x88
     // convention; oracle mirrors the slice filter)
     val base = t(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 4 === 0)
+      .filter(col("l_orderkey") % 8 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
@@ -759,10 +759,12 @@ object QueriesExt {
     val root = java.nio.file.Files.createTempDirectory("graft-x53")
       .toString + "/tbl"
     try {
-      // half slice, the x49/x88 convention: the pruning laws are
-      // scale-free, the partitioned version write is pure bench IO
+      // quarter slice, the x49/x88 convention: the pruning laws are
+      // scale-free (file counts and prune ratios are layout properties,
+      // not row-count properties), the partitioned version write is pure
+      // bench IO
       val base = t(spark, dir, "lineitem")
-        .filter(col("l_orderkey") % 2 === 0)
+        .filter(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_returnflag"))
         .repartitionByRange(6, col("l_orderkey"))
@@ -2363,7 +2365,7 @@ object QueriesExt {
         |     AS DECIMAL(18,2)) AS DOUBLE) AS sum_v2,
         | TRUE AS v0_skips, TRUE AS v2_skips, TRUE AS v1_matches
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
-        | AND l_orderkey % 4 = 0""".stripMargin,
+        | AND l_orderkey % 8 = 0""".stripMargin,
     // image dedup laws: the card construction makes byte identity
     // (id%100, (id/100)%2) and decoded-feature identity (id%100) pure id
     // arithmetic; n_undecoded = 0 is the real-decode guard
@@ -2407,7 +2409,7 @@ object QueriesExt {
         | TRUE AS compose_skips, TRUE AS match_ok
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_orderkey BETWEEN 1000 AND 2000
-        | AND l_orderkey % 2 = 0""".stripMargin,
+        | AND l_orderkey % 4 = 0""".stripMargin,
     // BM25: full replica — query-term derivation (first 8 distinct tokens
     // of doc 0), document frequencies, Okapi scoring, 4dp-rounded ordering
     "x54_bm25" ->
