@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling, Sessionize, Similarity, TextPipeline}
+import graft.operators.{Dedup, Dsir, Sampling, Sessionize, Similarity, TextPipeline}
 
 /** LLM-data-pipeline extension inventory (SURVEY.md §7.4): dedup family,
   * text analysis, event sessionization / streaming batch-parity, similarity
@@ -1776,6 +1776,48 @@ object QueriesExt {
     } finally withNt.unpersist()
   }
 
+  /** Per-source quota capping (RefinedWeb/C4 host-cap rule): each source
+    * keeps its `quota` best-quality documents (x07's exact quality score,
+    * id-tiebroken). Per-source report: totals, kept count, kept-id
+    * checksum, and the quality cut line. Exact DuckDB oracle — the quality
+    * formula is the already-oracle-checked x07 expression and the
+    * (quality DESC, doc_id ASC) order is total, so the kept SET matches
+    * bit-for-bit. Plan shape: `WindowGroupLimit` pre-limits each input
+    * partition to `quota` rows per source before the single exchange
+    * (pinned in `PlanQualitySpec`).
+    */
+  def sourceQuotaQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val kept = Sampling.sourceQuota(scored, "source", "doc_id",
+      col("quality"), quota = 10)
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("n_total"))
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").as("kept_id_sum"),
+        min("quality").as("min_kept_quality"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        col("kept_id_sum"), col("min_kept_quality"))
+      .orderBy("source")
+  }
+
+  /** DSIR importance-resampling selection (Xie et al. 2023) with the
+    * English slice as the target corpus: per-doc hashed-ngram importance
+    * log-weight under target-vs-raw unigram models, and the keep decision
+    * `logw > 0`. Exact DuckDB oracle — the feature hash is the portable
+    * codepoint fold (see [[graft.operators.Dsir]]) and per-bucket `ln`
+    * terms are engine-identical (x46 precedent), so only summation order
+    * drifts; the 6dp round absorbs it.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dsir.importanceWeights(docs, "text", "doc_id",
+        isTarget = col("lang") === "en", numBuckets = 4096)
+      .orderBy("doc_id")
+  }
+
   /** ICWS weighted-MinHash candidate pairs with exact weighted Jaccard
     * (rows-only: ICWS sampling is engine-specific; the exact-Jaccard verify
     * stage and the match-probability law are covered by ScalaTest).
@@ -2037,7 +2079,9 @@ object QueriesExt {
     "x92_label_outliers" -> labelOutliersQ _,
     "x93_temperature_mixture" -> temperatureMixture _,
     "x94_dedup_best_quality" -> dedupBestQuality _,
-    "x95_sliding_windows" -> eventsSliding _)
+    "x95_sliding_windows" -> eventsSliding _,
+    "x96_source_quota" -> sourceQuotaQ _,
+    "x97_dsir_select" -> dsirSelect _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -2670,6 +2714,74 @@ object QueriesExt {
         |WHERE ((t.doc_id % 1000003) * (2654435761 % 1000003)) % 1000003
         |      < r.thresh
         |GROUP BY 1, 2, 3 ORDER BY r.source""".stripMargin,
+    // source quota: x07's exact quality formula + total (quality DESC, id)
+    // row_number order — the kept set replays bit-for-bit
+    "x96_source_quota" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0) AS toks
+        | FROM documents
+        |), stats AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_chars > 0 THEN
+        |    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars
+        |   ELSE 0.0 END AS punct_ratio,
+        |  len(toks) AS n_toks,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) / len(toks)
+        |   ELSE 0.0 END AS awl
+        | FROM base
+        |), q AS (
+        | SELECT d.source, s.doc_id,
+        |  (least(CAST(s.n_toks AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + (CASE WHEN s.awl >= 2.5 AND s.awl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |   + (CASE WHEN s.punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+        |  ) AS quality
+        | FROM stats s JOIN documents d USING (doc_id)
+        |), r AS (
+        | SELECT source, doc_id, quality, row_number() OVER (
+        |   PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+        | FROM q
+        |), tot AS (
+        | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM q GROUP BY 1
+        |)
+        |SELECT r.source, t.n_total, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum,
+        | MIN(r.quality) AS min_kept_quality
+        |FROM r JOIN tot t USING (source) WHERE r.rk <= 10
+        |GROUP BY 1, 2 ORDER BY r.source""".stripMargin,
+    // DSIR: portable codepoint-fold feature hash (0-init fold == DuckDB
+    // list_reduce first-element init), add-one-smoothed target/raw unigram
+    // models, 6dp-rounded per-doc log-weight sum
+    "x97_dsir_select" ->
+      """WITH lt AS (
+        | SELECT doc_id, lang,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    tk -> regexp_matches(tk, '^[a-z]+$')) AS t
+        | FROM documents
+        |), ex AS MATERIALIZED (
+        | SELECT doc_id, lang = 'en' AS is_t,
+        |  list_reduce(list_transform(range(1, length(w) + 1),
+        |      i -> unicode(w[CAST(i AS INT)])),
+        |    (a, b) -> (a * 31 + b) % 1000003) % 4096 AS b
+        | FROM (SELECT doc_id, lang, unnest(t) AS w FROM lt)
+        |), mc AS (
+        | SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+        |  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        | FROM ex GROUP BY 1
+        |), tot AS (
+        | SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM mc
+        |), model AS (
+        | SELECT b, ln((ct + 1.0) / (nt + 4096.0))
+        |         - ln((cr + 1.0) / (nr + 4096.0)) AS lr
+        | FROM mc, tot
+        |)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        | ROUND(SUM(m.lr), 6) AS logw, ROUND(SUM(m.lr), 6) > 0.0 AS kept
+        |FROM ex e JOIN model m USING (b)
+        |GROUP BY 1 ORDER BY e.doc_id""".stripMargin,
     // label outliers: exact per-label centroid via parallel unnest,
     // cosine against it, 4dp-rounded bottom-5 rank per label
     "x92_label_outliers" ->

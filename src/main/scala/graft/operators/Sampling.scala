@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset splitting and sampling for training-data pipelines.
@@ -100,6 +101,29 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(sourceCol))
       .filter(sampleHash(col(idCol)) < col("__thresh"))
       .drop("__thresh")
+  }
+
+  /** Per-source document quota (the RefinedWeb / C4 host-capping rule): keep
+    * at most `quota` documents per source, preferring the highest
+    * `scoreCol`, id-tiebroken — so one boilerplate-heavy crawl host can't
+    * dominate the mixture no matter how many pages it contributed.
+    *
+    * Scale shape: `row_number <= k` over `(source)` is rewritten by Spark's
+    * `WindowGroupLimit` rule into a per-partition top-k BEFORE the window
+    * exchange, so the shuffle carries at most `quota` rows per source per
+    * input partition — the corpus never materializes a full per-source sort.
+    * Skew-safe by construction: the pre-limit bounds even a source holding
+    * half the corpus. The (score, id) ordering is total, so the kept set is
+    * deterministic across engines and partitionings.
+    */
+  def sourceQuota(df: DataFrame, sourceCol: String, idCol: String,
+      score: Column, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
   }
 
   /** Temperature-scaled mixture weights (the multilingual-LM resampling

@@ -104,4 +104,35 @@ class SamplingSpec extends SparkSpec {
     assert(w3("c") > w7("c") && w7("c") > w1("c"))
     assert(w3("a") < w7("a") && w7("a") < w1("a"))
   }
+
+  test("sourceQuota keeps the top-quota rows per source by (score, id)") {
+    import org.apache.spark.sql.functions._
+    // source a: 5 rows, two tied at the cut score — id breaks the tie;
+    // source b: fewer rows than the quota — all kept
+    val rows = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.5),
+      (4L, "a", 0.5), (5L, "a", 0.1),
+      (10L, "b", 0.2), (11L, "b", 0.3))
+    val df = rows.toDF("doc_id", "source", "score")
+    val kept = Sampling.sourceQuota(df, "source", "doc_id", col("score"), 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 10L, 11L))
+    // quota >= group size keeps everything
+    assert(Sampling.sourceQuota(df, "source", "doc_id", col("score"), 100)
+      .count() == rows.size)
+  }
+
+  test("sourceQuota is partition-invariant and never exceeds the quota") {
+    import org.apache.spark.sql.functions._
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val a = Sampling.sourceQuota(scored, "source", "doc_id", col("q"), 5)
+    val b = Sampling.sourceQuota(scored.repartition(17), "source", "doc_id",
+      col("q"), 5)
+    assert(a.select("doc_id").as[Long].collect().sorted.toSeq ==
+      b.select("doc_id").as[Long].collect().sorted.toSeq)
+    val maxPerSource = a.groupBy("source").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    assert(maxPerSource <= 5L)
+  }
 }
