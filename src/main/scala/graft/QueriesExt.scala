@@ -872,7 +872,8 @@ object QueriesExt {
     * TakeOrdered — no shuffle carries text.
     */
   def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    graft.Tables.widenForKernel(
+        t(spark, dir, "documents").select(col("text")), col("text"))
       .select(explode(TextFunctions.tokens(lower(col("text"))))
         .as("token"))
       // single-char tokens have no pair; without the guard Spark's

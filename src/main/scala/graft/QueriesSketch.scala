@@ -62,25 +62,27 @@ object QueriesSketch {
       .select(col("l_returnflag").as("grp"), col("l_partkey"))
       .distinct()
       .persist()
-    val perGroup = pairs
-      .groupBy(col("grp"))
-      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+    // per-group AND merged rows in ONE rollup collect: the grand-total
+    // grouping set aggregates every pair row into one sketch — identical
+    // registers to unioning the per-group sketches (HLL state is
+    // register-wise max) — so the merged estimate costs no extra job.
+    // Exact per-group counts ride along; the NULL-marked total row
+    // carries the merged estimate.
+    val per = pairs
+      .rollup(col("grp"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"),
         count(lit(1)).as("exact_nd"))
-      .persist()
-    val per = perGroup
-      .select(col("grp"), col("exact_nd"),
-        expr("hll_sketch_estimate(sk)").as("est"))
-      .collect() // bounded: one row per returnflag value (3)
-    val mergedEst = perGroup
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
-      .head().getLong(0)
-    perGroup.unpersist()
+      .collect() // bounded: one row per returnflag value (3) + total
+    // the total row's exact_nd counts (grp, key) PAIRS, not distinct keys
+    // (a key can appear under several flags) — the global exact distinct
+    // still needs its own pass over the pair table
     val globalExact =
       pairs.select(col("l_partkey")).distinct().count()
     pairs.unpersist()
-    val rows = per.map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2))) :+
-      (("__merged__", globalExact, mergedEst))
+    val rows = per.filter(!_.isNullAt(0)).toSeq.map(r =>
+      (r.getString(0), r.getLong(2), r.getLong(1))) :+
+      (("__merged__", globalExact,
+        per.find(_.isNullAt(0)).get.getLong(1)))
     rows.toSeq.toDF("grp", "exact_nd", "est")
       .select(col("grp"), col("exact_nd"),
         (abs(col("est") - col("exact_nd")) <=

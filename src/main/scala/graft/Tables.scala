@@ -73,4 +73,26 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
+
+  /** [[widenForKernel]] for kernels that sit UNDER a filter: widening alone
+    * doesn't help those, because Catalyst substitutes computed signal
+    * columns through the Project and pushes the (expensive) predicate below
+    * the repartition — back onto the undersplit scan task. A nondeterministic
+    * project column doesn't survive as a barrier either (column pruning
+    * removes it, re-enabling the push). The reliable barrier is an object
+    * serde boundary: a typed identity `map` inserts
+    * DeserializeToObject/SerializeFromObject nodes that no predicate or
+    * projection crosses. Lazy (unlike an `.rdd` round-trip, which under AQE
+    * executes the shuffle at plan-build time) at the price of one
+    * row-serde pass — noise next to the kernels this guards.
+    *
+    * No-op (no exchange, no barrier) whenever [[widenForKernel]] is: wide
+    * scans, post-shuffle frames, and cached frames keep their plans intact,
+    * so real multi-split tables at scale never pay the serde.
+    */
+  def widenBarrierForKernel(df: DataFrame, key: Column): DataFrame = {
+    val wide = widenForKernel(df, key)
+    if (wide eq df) df
+    else wide.map(identity(_))(org.apache.spark.sql.Encoders.row(wide.schema))
+  }
 }

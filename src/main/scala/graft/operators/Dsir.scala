@@ -73,8 +73,10 @@ object Dsir {
   def importanceWeights(df: DataFrame, textCol: String, idCol: String,
       isTarget: Column, numBuckets: Int = 4096): DataFrame = {
     val b = numBuckets.toDouble
-    // one explode serves both model fitting and scoring
-    val feats = df
+    // one explode serves both model fitting and scoring; widen first —
+    // the tokenize+hash kernel on an undersplit scan (single-row-group
+    // testdata: ONE task) would otherwise run the whole corpus on one core
+    val feats = graft.Tables.widenForKernel(df, col(idCol))
       .select(col(idCol), isTarget.as("__is_t"),
         explode(featureBuckets(df, textCol, numBuckets)).as("__b"))
     // raw + target histograms in one pass; ≤ numBuckets rows survive

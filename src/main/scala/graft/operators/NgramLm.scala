@@ -144,11 +144,18 @@ object NgramLm {
     */
   def collocations(df: DataFrame, textCol: String, idCol: String,
       minCount: Long = 5L, topK: Int = 50): DataFrame = {
-    val toks = df.select(col(idCol),
-      posexplode(TextFunctions.tokens(lower(col(textCol))))
-        .as(Seq("__pos", "__w")))
+    // three consumers re-run the tokenize kernel from the scan; widen so
+    // each runs at full parallelism (the repartition exchange is shared
+    // via reuse, the undersplit single-task scan pays it once)
+    val toks = graft.Tables.widenForKernel(
+        df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("__pos", "__w")))
     val uni = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
-    val total = toks.agg(count(lit(1)).as("__n"))
+    // total token count folds off the distinct-token histogram — one
+    // aggregate over token TYPES instead of a third full tokenize pass
+    val total = uni.agg(sum(col("__c")).as("__n"))
     val bg = toks
       .withColumn("__w2", lead(col("__w"), 1)
         .over(Window.partitionBy(col(idCol)).orderBy("__pos")))

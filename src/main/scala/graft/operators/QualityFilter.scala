@@ -26,7 +26,12 @@ object QualityFilter {
   /** Annotate with signals; no filtering. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df
+    // the signal expressions tokenize the text several times per row —
+    // heavy enough that an undersplit scan (single-row-group testdata:
+    // ONE task) serializes the whole corpus onto one core; widen first,
+    // with a barrier so apply()'s filter can't be pushed back below the
+    // exchange (no-op for frames that are already post-shuffle or cached)
+    graft.Tables.widenBarrierForKernel(df, t)
       .withColumn("n_tokens", TextFunctions.tokenCount(t).cast("long"))
       .withColumn("quality", TextFunctions.qualityScore(t))
       .withColumn("lang", TextFunctions.langId(t))

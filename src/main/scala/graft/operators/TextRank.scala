@@ -40,9 +40,14 @@ object TextRank {
       terms: Array[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val toks = TextFunctions.tokensOf(corpus, textCol)
-    val withTf = corpus.select(col(idCol),
-      size(toks).cast("long").as("__dl"),
-      TextHashExprs.termCounts(toks, terms).as("__tf"))
+    // both passes (corpus stats, scoring) re-run the tokenize+termCounts
+    // kernel; widen so they run at full parallelism instead of on the
+    // undersplit scan task
+    val withTf = graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        size(toks).cast("long").as("__dl"),
+        TextHashExprs.termCounts(toks, terms).as("__tf"))
     // pass 1: N, Σdl (exact long — avgdl derives in the driver, one
     // deterministic double division), df per term, in ONE aggregation
     val statAggs =
