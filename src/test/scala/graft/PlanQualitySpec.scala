@@ -561,4 +561,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Generate"), p.take(3000)) // no posexplode of dims
   }
 
+  test("source quota's rank cut runs as a WindowGroupLimit: the exchange " +
+      "carries at most quota rows per source per input partition (x96)") {
+    val p = plan(QueriesExt.queries("x96_source_quota")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("DSIR scores via a broadcast model join; the only sort-free " +
+      "hash exchanges carry bucket ints and doc-id partial sums (x97)") {
+    val p = plan(QueriesExt.queries("x97_dsir_select")(spark, sfDir))
+    // the <=numBuckets-row log-ratio model broadcasts back to the token
+    // stream — never a shuffle join against corpus-sized feature rows
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+    // both aggregations (bucket histograms, per-doc weight sums) combine
+    // map-side before their exchange
+    val firstEx = p.indexOf("Exchange hashpartitioning")
+    assert(firstEx >= 0 && p.indexOf("HashAggregate", firstEx) > firstEx,
+      p.take(3000))
+  }
+
 }
