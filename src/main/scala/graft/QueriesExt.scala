@@ -1806,11 +1806,13 @@ object QueriesExt {
 
   /** DSIR importance-resampling selection (Xie et al. 2023) with the
     * English slice as the target corpus: per-doc hashed-ngram importance
-    * log-weight under target-vs-raw unigram models, and the keep decision
-    * `logw > 0`. Exact DuckDB oracle — the feature hash is the portable
-    * codepoint fold (see [[graft.operators.Dsir]]) and per-bucket `ln`
-    * terms are engine-identical (x46 precedent), so only summation order
-    * drifts; the 6dp round absorbs it.
+    * log-weight under target-vs-raw unigram+bigram models (the paper's
+    * feature set), and the keep decision `logw > 0`. Exact DuckDB oracle —
+    * the feature hash is the portable codepoint fold (see
+    * [[graft.operators.Dsir]]; bigrams fold the space-joined pair, space
+    * = codepoint 32 in both engines) and per-bucket `ln` terms are
+    * engine-identical (x46 precedent), so only summation order drifts;
+    * the 6dp round absorbs it.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -2754,20 +2756,28 @@ object QueriesExt {
         |FROM r JOIN tot t USING (source) WHERE r.rk <= 10
         |GROUP BY 1, 2 ORDER BY r.source""".stripMargin,
     // DSIR: portable codepoint-fold feature hash (0-init fold == DuckDB
-    // list_reduce first-element init), add-one-smoothed target/raw unigram
-    // models, 6dp-rounded per-doc log-weight sum
+    // list_reduce first-element init), add-one-smoothed target/raw
+    // unigram+bigram models (bigram = space-joined pair through the same
+    // fold), 6dp-rounded per-doc log-weight sum
     "x97_dsir_select" ->
       """WITH lt AS (
         | SELECT doc_id, lang,
         |  list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |    tk -> regexp_matches(tk, '^[a-z]+$')) AS t
         | FROM documents
+        |), feats AS (
+        | SELECT doc_id, lang, unnest(t) AS w FROM lt
+        | UNION ALL
+        | SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, len(t)),
+        |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS w
+        | FROM lt
         |), ex AS MATERIALIZED (
         | SELECT doc_id, lang = 'en' AS is_t,
         |  list_reduce(list_transform(range(1, length(w) + 1),
         |      i -> unicode(w[CAST(i AS INT)])),
         |    (a, b) -> (a * 31 + b) % 1000003) % 4096 AS b
-        | FROM (SELECT doc_id, lang, unnest(t) AS w FROM lt)
+        | FROM feats
         |), mc AS (
         | SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
         |  CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct

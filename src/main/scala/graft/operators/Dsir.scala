@@ -8,8 +8,8 @@ import graft.functions.TextFunctions
 /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
   * 2023): pick pretraining documents that LOOK LIKE a small trusted target
   * corpus by importance-weighting each candidate under two hashed bag-of-
-  * ngrams unigram models, one fit on the target slice and one on the raw
-  * pool:
+  * ngrams models (unigrams + bigrams, the paper's feature set), one fit on
+  * the target slice and one on the raw pool:
   *
   *   log w(doc) = Σ_tokens [ log p_target(bucket(tok)) − log p_raw(bucket(tok)) ]
   *
@@ -52,13 +52,31 @@ object Dsir {
   /** Hashed-feature buckets of a document: lowercase, whitespace-tokenize
     * (or pass a pre-tokenized array through), keep ASCII-alpha tokens,
     * hash each. Duplicate tokens stay duplicated — these are bag counts.
+    *
+    * `maxNgram = 2` (the paper's feature set) additionally hashes every
+    * consecutive pair of SURVIVING tokens as the space-joined string
+    * `"tok1 tok2"` through the SAME codepoint fold — space is codepoint
+    * 32 in both engines (`ascii(' ')` == DuckDB `unicode(' ')`), so the
+    * oracle replays bigrams with plain `||` concatenation. Pairing after
+    * the alpha filter keeps the feature set a pure function of the
+    * filtered token sequence (punctuation/numeric noise can't break a
+    * phrase in two engines differently).
     */
-  def featureBuckets(df: DataFrame, textCol: String,
-      numBuckets: Int): Column = {
+  def featureBuckets(df: DataFrame, textCol: String, numBuckets: Int,
+      maxNgram: Int = 2): Column = {
+    require(maxNgram == 1 || maxNgram == 2, "maxNgram must be 1 or 2")
     val toks = TextFunctions.tokensOf(df, textCol)
-    transform(
-      filter(transform(toks, lower(_)), _.rlike("^[a-z]+$")),
-      tk => bucketOf(tk, numBuckets))
+    val ft = filter(transform(toks, lower(_)), _.rlike("^[a-z]+$"))
+    val uni = transform(ft, tk => bucketOf(tk, numBuckets))
+    if (maxNgram == 1) uni
+    else {
+      // zip the filtered list against itself shifted by one; greatest
+      // guards the empty/singleton doc (slice rejects negative lengths)
+      val n1 = greatest(size(ft) - 1, lit(0))
+      val bi = zip_with(slice(ft, lit(1), n1), slice(ft, lit(2), n1),
+        (a, b) => bucketOf(concat(a, lit(" "), b), numBuckets))
+      concat(uni, bi)
+    }
   }
 
   /** Per-document importance log-weights against a target slice.
@@ -66,19 +84,23 @@ object Dsir {
     * @param isTarget row predicate defining the trusted target corpus
     *                 (e.g. `col("lang") === "en"`, a curated source, a
     *                 quality-classifier-positive slice)
+    * @param maxNgram 2 (default) = the paper's hashed unigram+bigram
+    *                 features; 1 = unigram-only (cheaper, order-blind)
     * @return one row per document that has ≥1 feature:
     *         (idCol, n_feats: long, logw: double rounded to 6dp,
     *         kept: boolean = logw > 0)
     */
   def importanceWeights(df: DataFrame, textCol: String, idCol: String,
-      isTarget: Column, numBuckets: Int = 4096): DataFrame = {
+      isTarget: Column, numBuckets: Int = 4096,
+      maxNgram: Int = 2): DataFrame = {
     val b = numBuckets.toDouble
     // one explode serves both model fitting and scoring; widen first —
     // the tokenize+hash kernel on an undersplit scan (single-row-group
     // testdata: ONE task) would otherwise run the whole corpus on one core
     val feats = graft.Tables.widenForKernel(df, col(idCol))
       .select(col(idCol), isTarget.as("__is_t"),
-        explode(featureBuckets(df, textCol, numBuckets)).as("__b"))
+        explode(featureBuckets(df, textCol, numBuckets, maxNgram))
+          .as("__b"))
     // raw + target histograms in one pass; ≤ numBuckets rows survive
     val counts = feats.groupBy("__b").agg(
       count(lit(1)).as("__cr"),

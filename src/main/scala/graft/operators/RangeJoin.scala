@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch range (interval) joins — the operator family Spark expresses only
@@ -17,7 +17,24 @@ import org.apache.spark.sql.functions._
   * engines use for range-join acceleration; `bucketWidth` is that bin
   * size, and spanFactor = ceil(len/bucketWidth)+1 is the replication a
   * caller pays for intervals much longer than the bucket — pick
-  * bucketWidth near the typical interval length.
+  * bucketWidth near the typical interval length ([[bucketWidthFor]]
+  * derives one from a length quantile).
+  *
+  * Degenerate-span guard: without one, a single interval spanning the
+  * whole axis replicates to axis/bucketWidth buckets (a sequence() overflow
+  * long before it is a shuffle problem) and every bucket it lands in
+  * degrades toward all-pairs. Intervals spanning more than
+  * `maxSpanBuckets` buckets therefore route to a salted LONG-TAIL
+  * rendezvous instead of the axis tiling: the long interval replicates to
+  * a fixed set of `numSalts` salt keys (bounded, axis-independent) and
+  * every row of the OTHER side emits exactly one salt probe row
+  * (+1 row — the whole cost of the guard when no long interval exists).
+  * Each (long interval, other row) pair meets in exactly one salt bucket,
+  * so the exactly-once emission property is preserved without any
+  * post-join distinct, the work of long-interval pairs spreads across all
+  * salt partitions instead of one hot bucket, and the result is EXACT —
+  * unlike the LSH family's capped-collect guard, a join may not drop
+  * over-cap members, so the long tail is rerouted, never truncated.
   *
   * Keys are LONGS (epoch micros, positions, prices-in-cents): numeric and
   * engine-neutral; callers convert timestamps with `unix_micros`.
@@ -29,28 +46,74 @@ object RangeJoin {
 
   // (c - pmod) is an exact multiple of w, so the double division rounds to
   // the integer bucket exactly (bucket counts sit far below 2^53)
-  private def bucketOf(c: org.apache.spark.sql.Column, w: Long) =
+  private def bucketOf(c: Column, w: Long) =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  // salt-key fan-out of the long-tail rendezvous: enough keys to spread
+  // a long interval's pair work across the shuffle, bounded regardless of
+  // axis extent. Perf knob only — results are salt-count-independent.
+  private def numSalts(df: DataFrame): Long =
+    try math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 16).toLong
+    catch { case _: NumberFormatException => 64L }
+
+  private def key(kind: Int, b: Column): Column =
+    struct(lit(kind).as("k"), b.as("b"))
+
+  /** Derive a bucket width from the data: the `quantile` (default p75)
+    * interval length, so the TYPICAL interval replicates to ~1–2 buckets
+    * and only the tail pays more (and past `maxSpanBuckets`, the salted
+    * long-tail route caps even that). ONE bounded driver job
+    * (approxQuantile over the length column — Greenwald-Khanna, a few KB
+    * of sketch); call once and reuse, and persist `intervals` first if it
+    * is an expensive derived frame.
+    */
+  def bucketWidthFor(intervals: DataFrame, startCol: String, endCol: String,
+      quantile: Double = 0.75): Long = {
+    require(quantile > 0 && quantile <= 1, "quantile must be in (0, 1]")
+    val q = intervals
+      .select((col(endCol) - col(startCol)).cast("double").as("__len"))
+      .filter(col("__len") > 0)
+      .stat.approxQuantile("__len", Array(quantile), 0.01)
+    if (q.isEmpty || q(0).isNaN || q(0) < 1.0) 1L else math.round(q(0))
+  }
 
   /** Inner-join `points` to every `intervals` row whose
     * `[startCol, endCol]` (inclusive both ends) contains `pointCol`,
     * optionally also equi-matching `extraKeys` (present on both sides —
     * e.g. a user/tenant id, which further prunes buckets). Output carries
     * the points columns plus the intervals columns minus its join keys.
+    * Intervals spanning more than `maxSpanBuckets` buckets take the
+    * salted long-tail route (see object doc) — exact, bounded
+    * replication; each point pays one extra probe row for the guard.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
-      bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
-    val iv = intervals
-      .withColumn("__bucket", explode(sequence(
-        bucketOf(col(startCol), bucketWidth),
-        bucketOf(col(endCol), bucketWidth))))
-    p.join(iv, Seq("__bucket") ++ extraKeys)
+    require(maxSpanBuckets > 0, "maxSpanBuckets must be positive")
+    val salts = numSalts(points)
+    // kind 0 = axis bucket; kind 1 = long-tail salt rendezvous. A point
+    // sits in exactly one bucket of each kind, a short interval only in
+    // kind-0 buckets, a long interval in every kind-1 salt — so every
+    // matching pair co-occurs in exactly one key and no dedup is needed.
+    val p = points.withColumn("__key", explode(array(
+      key(0, bucketOf(col(pointCol), bucketWidth)),
+      key(1, pmod(xxhash64(col(pointCol)), lit(salts))))))
+    val sb = bucketOf(col(startCol), bucketWidth)
+    val eb = bucketOf(col(endCol), bucketWidth)
+    // when() evaluates one branch per row, so the long arm never builds
+    // the (possibly sequence-overflowing) axis tiling
+    val iv = intervals.withColumn("__key", explode(
+      when(eb - sb < lit(maxSpanBuckets.toLong),
+        transform(sequence(sb, eb), b => key(0, b)))
+      .otherwise(
+        transform(sequence(lit(0L), lit(salts - 1L)), s => key(1, s)))))
+    p.join(iv, Seq("__key") ++ extraKeys)
       .filter(col(startCol) <= col(pointCol) &&
         col(pointCol) <= col(endCol))
-      .drop("__bucket")
+      .drop("__key")
   }
 
   /** Tolerance band join: pair every left row with every right row whose
@@ -58,7 +121,8 @@ object RangeJoin {
     * optionally also equi-matching `extraKeys` — "events of the same user
     * within N minutes of each other". Implemented as [[pointInInterval]]
     * with right-side intervals [r - tol, r + tol] and bucket width
-    * 2*tolerance, so each right row replicates to at most 2 buckets.
+    * 2*tolerance, so each right row replicates to at most 2 buckets
+    * (the long-tail guard never fires here by construction).
     */
   def bandJoin(left: DataFrame, right: DataFrame, leftCol: String,
       rightCol: String, tolerance: Long,
@@ -83,29 +147,62 @@ object RangeJoin {
     * the output stream duplicate-free at any replication factor. Shuffle
     * is a plain hash partition on (bucket, extraKeys):
     * O((|L| + |R|) * spanFactor) rows; pick `bucketWidth` near the
-    * typical interval length to keep spanFactor small. Left columns pass
-    * through; right columns minus `extraKeys` pass through — alias
-    * collisions are the caller's to avoid (rename before joining).
+    * typical interval length ([[bucketWidthFor]]) to keep spanFactor
+    * small. Left columns pass through; right columns minus `extraKeys`
+    * pass through — alias collisions are the caller's to avoid (rename
+    * before joining).
+    *
+    * Long-tail guard (see object doc): an interval spanning more than
+    * `maxSpanBuckets` buckets skips the axis tiling. Kind-1 keys pair
+    * LONG-left with EVERY right row (long-left replicates to all salts;
+    * every right row probes its one salt); kind-2 keys pair LONG-right
+    * with SHORT-left symmetrically (long-right × long-left is already
+    * covered by kind 1, so long-right probes kind 1 but never kind 2 from
+    * the left). The three key kinds partition the pair space, each pair
+    * meets in exactly one key, and the kind-0 emit-once bucket guard
+    * applies only to the tiled pairs — exactness and single emission hold
+    * at ANY mix of spans.
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxSpanBuckets > 0, "maxSpanBuckets must be positive")
+    val salts = numSalts(left)
+    def allSalts(kind: Int) =
+      transform(sequence(lit(0L), lit(salts - 1L)), s => key(kind, s))
+    def saltOf(s: String, e: String) =
+      pmod(xxhash64(col(s), col(e)), lit(salts))
     // [start, end) touches buckets bucket(start)..bucket(end - 1); empty
     // or inverted intervals (end <= start) replicate nowhere and so can
     // never pair — sequence() would throw on a descending range, so they
     // are filtered, not clamped
-    def banded(df: DataFrame, s: String, e: String) = df
-      .filter(col(e) > col(s))
-      .withColumn("__bucket", explode(sequence(
-        bucketOf(col(s), bucketWidth),
-        bucketOf(col(e) - 1, bucketWidth))))
-    banded(left, lStart, lEnd)
-      .join(banded(right, rStart, rEnd), Seq("__bucket") ++ extraKeys)
-      .filter(greatest(col(lStart), col(rStart)) <
-        least(col(lEnd), col(rEnd)))
-      .filter(col("__bucket") ===
-        bucketOf(greatest(col(lStart), col(rStart)), bucketWidth))
-      .drop("__bucket")
+    def keyed(df: DataFrame, s: String, e: String, idxKind: Int,
+        probeKind: Int) = {
+      val sb = bucketOf(col(s), bucketWidth)
+      val eb = bucketOf(col(e) - 1, bucketWidth)
+      val shortKeys = concat(
+        transform(sequence(sb, eb), b => key(0, b)),
+        array(key(probeKind, saltOf(s, e))))
+      // the left side indexes at kind 1 only (its pairs with ALL right
+      // rows ride right's kind-1 probes); the right side indexes at kind
+      // 2 AND probes kind 1, so long×long lands exactly once — in kind 1
+      val longKeys =
+        if (idxKind == 1) allSalts(1)
+        else concat(allSalts(2), array(key(1, saltOf(s, e))))
+      df.filter(col(e) > col(s))
+        .withColumn("__key", explode(
+          when(eb - sb < lit(maxSpanBuckets.toLong), shortKeys)
+            .otherwise(longKeys)))
+    }
+    val ovStart = greatest(col(lStart), col(rStart))
+    keyed(left, lStart, lEnd, idxKind = 1, probeKind = 2)
+      .join(keyed(right, rStart, rEnd, idxKind = 2, probeKind = 1),
+        Seq("__key") ++ extraKeys)
+      .filter(ovStart < least(col(lEnd), col(rEnd)))
+      .filter(col("__key").getField("k") =!= 0 ||
+        col("__key").getField("b") === bucketOf(ovStart, bucketWidth))
+      .drop("__key")
   }
 }

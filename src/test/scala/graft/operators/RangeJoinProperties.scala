@@ -47,6 +47,24 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
       got == want
     }
 
+  property("long-tail guard: equality holds at ANY maxSpanBuckets cap") =
+    forAll(genSide(20), genSide(20), genWidth,
+        Gen.choose(1, 8)) { (ls, rs, w, cap) =>
+      // a tiny cap forces arbitrary slices of the data down the salted
+      // long-tail route; the multiset result must not move
+      val l = ls.toDF("lid", "ls", "le")
+      val r = rs.toDF("rid", "rs", "re")
+      val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", w,
+          maxSpanBuckets = cap)
+        .select("lid", "rid").as[(Long, Long)].collect().toList.sorted
+      val want = (for {
+        (li, lsv, lev) <- ls if lev > lsv
+        (ri, rsv, rev) <- rs if rev > rsv
+        if math.max(lsv, rsv) < math.min(lev, rev)
+      } yield (li, ri)).sorted
+      got == want
+    }
+
   property("extraKeys restrict pairing to the key, still exactly once") =
     forAll(genSide(20), genSide(20), genWidth) { (ls, rs, w) =>
       val l = ls.map { case (i, s, e) => (i, i % 3, s, e) }

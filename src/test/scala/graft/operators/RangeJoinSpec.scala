@@ -78,6 +78,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === List((1L, 7L)))
   }
 
+  test("an axis-spanning interval takes the salted long-tail route: " +
+      "exact multiset, no axis tiling (overlap join)") {
+    // at bucketWidth=1 the planted interval would tile 2e12 buckets —
+    // sequence() alone would refuse long before the shuffle died. The
+    // guard must route it to the bounded salt keys and still pair it with
+    // every live right interval, exactly once.
+    val left = ((0L until 40L).map(i => (i, i * 10, i * 10 + 25)) :+
+      (999L, -1000000000000L, 1000000000000L)).toDF("lid", "ls", "le")
+    val right = (0L until 40L).map(i => (i, i * 7 - 100, i * 7 - 60))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le",
+        "rs", "re", bucketWidth = 1L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val naive = left.join(right,
+        col("le") > col("ls") && col("re") > col("rs") &&
+          greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    assert(got.sorted === naive.sorted) // multiset: exactly-once emission
+    // the spanning interval pairs with every right interval
+    assert(got.count(_._1 == 999L) == 40)
+  }
+
+  test("axis-spanning intervals route long-tail in pointInInterval too, " +
+      "mixed with short ones") {
+    val points = (0L until 50L).map(i => (i, i * 3 - 60)).toDF("pid", "x")
+    val ivs = Seq(("ALL", -2000000000000L, 2000000000000L),
+      ("A", 0L, 10L), ("B", -30L, -20L)).toDF("name", "s", "e")
+    val got = RangeJoin.pointInInterval(points, ivs, "x", "s", "e",
+        bucketWidth = 1L)
+      .select("pid", "name").as[(Long, String)].collect().toList
+    val naive = points.join(ivs,
+        col("s") <= col("x") && col("x") <= col("e"))
+      .select("pid", "name").as[(Long, String)].collect().toList
+    assert(got.sorted === naive.sorted)
+    assert(got.count(_._2 == "ALL") == 50)
+  }
+
   test("the range join plans as a hash equi-join, not a nested loop") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),

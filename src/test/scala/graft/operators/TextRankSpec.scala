@@ -46,17 +46,46 @@ class TextRankSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("bm25 scoring pass is one exchange-free projection over the corpus") {
+  test("bm25 scoring pass is join-free; undersplit input pays only the " +
+      "widen exchange") {
     // file-backed frame: a local Seq relation would constant-fold to a
-    // LocalTableScan at optimize time and hide the plan under test
+    // LocalTableScan at optimize time and hide the plan under test. The
+    // sf0.001 fixture is one parquet split, so Tables.widenForKernel
+    // deliberately injects ONE REPARTITION_BY_NUM exchange — that widen is
+    // the only exchange the plan may contain, and there is never a join.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = TextRank.bm25(docs, "text", "doc_id", Array("cat", "dog"))
     val p = df.queryExecution.executedPlan.toString
-    // the stats pass already ran (bounded collect at construction); the
-    // returned frame must score row-locally: no join, no exchange
-    assert(!p.contains("Exchange"), p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
     assert(p.contains("term_counts"), p.take(3000))
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.forall(_.contains("REPARTITION_BY_NUM")),
+      exchangeLines.mkString("\n"))
+  }
+
+  test("bm25 on a multi-split scan is exchange-free (the production-scale " +
+      "plan)") {
+    // the real claim behind widenForKernel being a no-op at 100 TB: force
+    // the same fixture to plan >= defaultParallelism splits and the widen
+    // must not fire — scoring is one row-local projection, zero exchanges
+    val conf = spark.conf
+    val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      assert(docs.rdd.getNumPartitions >=
+        spark.sparkContext.defaultParallelism)
+      val df = TextRank.bm25(docs, "text", "doc_id", Array("cat", "dog"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(!p.contains("Join"), p.take(3000))
+      assert(p.contains("term_counts"), p.take(3000))
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
   }
 
   test("term_counts aligns with its term list and counts duplicates") {
