@@ -39,6 +39,41 @@ object Multimodal {
   def asset(uri: Column, mime: Column, bytes: Column, meta: Column): Column =
     struct(uri.as("uri"), mime.as("mime"), bytes.as("bytes"), meta.as("meta"))
 
+  /** Decode in-memory bytes WITHOUT ImageIO's default file cache:
+    * `ImageIO.read(InputStream)` wraps the stream in a
+    * FileCacheImageInputStream — every already-in-memory payload pays a
+    * temp-file round trip, and 32 concurrent decode tasks contend on the
+    * temp directory (the decode kernel's measured cost was bimodal under
+    * interleaved suites for exactly this reason). An explicit
+    * MemoryCacheImageInputStream keeps the whole decode in-heap and
+    * per-task, with no global `ImageIO.setUseCache` mutation.
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream after a successful
+    // read, and ImageInputStreamImpl.close THROWS on a second close — so
+    // the safety-net close (for the no-reader/exception paths) must be
+    // quiet or it masks every successful decode as a failure
+    try javax.imageio.ImageIO.read(iis)
+    finally try iis.close() catch { case _: java.io.IOException => () }
+  }
+
+  /** Encode to in-memory PNG bytes, bypassing the file cache on the write
+    * side too (`ImageIO.write(_, _, OutputStream)` otherwise spools
+    * through a FileCacheImageOutputStream temp file).
+    */
+  private[multimodal] def writePng(
+      img: java.awt.image.RenderedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      javax.imageio.ImageIO.write(img, "png", ios)
+      ios.flush()
+    } finally ios.close()
+    bos.toByteArray
+  }
+
   /** Ingest raw media files as asset rows via Spark's binaryFile source:
     * one row per file with (uri, mime-from-extension, bytes, meta{length,
     * mtime}). `pathGlobFilter` bounds the listing (e.g. "*.jpg");
@@ -182,8 +217,7 @@ object Multimodal {
   private[multimodal] def imageKernel(bytes: Array[Byte]): Seq[Float] = {
     if (bytes == null || bytes.isEmpty) return null
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null) return null // ImageIO returns null for non-images
       val w = img.getWidth
       val h = img.getHeight
@@ -251,8 +285,7 @@ object Multimodal {
       asset.get(mimeIdx), bytes, baseMeta + ("resize_error" -> err))
     if (bytes == null || bytes.isEmpty) return passThrough("empty_payload")
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null) return passThrough("undecodable")
       val dst = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -261,9 +294,7 @@ object Multimodal {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g2.drawImage(img, 0, 0, width, height, null)
       g2.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(dst, "png", bos)
-      Row(asset.get(uriIdx), "image/png", bos.toByteArray,
+      Row(asset.get(uriIdx), "image/png", writePng(dst),
         baseMeta ++ Map("width" -> width.toString,
           "height" -> height.toString))
     } catch {
@@ -427,9 +458,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    writePng(img)
   }
 
   /** Exact payload dedup across assets: keep the first uri per content hash. */
