@@ -68,10 +68,15 @@ object QueriesSketch {
     // register-wise max) — so the merged estimate costs no extra job.
     // Exact per-group counts ride along; the NULL-marked total row
     // carries the merged estimate.
+    // the grand-total row is selected by the GROUPING flag, not by a null
+    // group value — a genuine NULL group would otherwise masquerade as
+    // the total (l_returnflag happens to be non-null in TPC-H, but the
+    // query should not depend on that)
     val per = pairs
       .rollup(col("grp"))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"),
-        count(lit(1)).as("exact_nd"))
+        count(lit(1)).as("exact_nd"),
+        grouping(col("grp")).cast("int").as("__total"))
       .collect() // bounded: one row per returnflag value (3) + total
     // the total row's exact_nd counts (grp, key) PAIRS, not distinct keys
     // (a key can appear under several flags) — the global exact distinct
@@ -79,10 +84,12 @@ object QueriesSketch {
     val globalExact =
       pairs.select(col("l_partkey")).distinct().count()
     pairs.unpersist()
-    val rows = per.filter(!_.isNullAt(0)).toSeq.map(r =>
+    val totalEst = per.find(_.getInt(3) == 1)
+      .getOrElse(sys.error("rollup produced no grand-total row"))
+      .getLong(1)
+    val rows = per.filter(_.getInt(3) == 0).toSeq.map(r =>
       (r.getString(0), r.getLong(2), r.getLong(1))) :+
-      (("__merged__", globalExact,
-        per.find(_.isNullAt(0)).get.getLong(1)))
+      (("__merged__", globalExact, totalEst))
     rows.toSeq.toDF("grp", "exact_nd", "est")
       .select(col("grp"), col("exact_nd"),
         (abs(col("est") - col("exact_nd")) <=

@@ -63,12 +63,19 @@ object Tables {
     // either implies the frame is already post-shuffle wide or makes the
     // .rdd probe unsafe — skip widening for all of them
     import org.apache.spark.sql.catalyst.plans.logical._
-    val scanOnly = df.queryExecution.optimizedPlan.collect { case p => p }
-      .forall {
-        case _: Project | _: Filter => true
-        case _: LeafNode => true
-        case _ => false
-      }
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val nodes = df.queryExecution.optimizedPlan.collect { case p => p }
+    // a cached frame already sits at its cache width (post-shuffle or
+    // scan width at persist time) — and the .rdd probe on it is not free:
+    // it builds the physical plan and pays a janino whole-stage-codegen
+    // compile just to read a partition count (measured ~0.5s per funnel
+    // stage). Skip it outright.
+    if (nodes.exists(_.isInstanceOf[InMemoryRelation])) return df
+    val scanOnly = nodes.forall {
+      case _: Project | _: Filter => true
+      case _: LeafNode => true
+      case _ => false
+    }
     if (!scanOnly) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df

@@ -30,8 +30,12 @@ object QualityFilter {
     // heavy enough that an undersplit scan (single-row-group testdata:
     // ONE task) serializes the whole corpus onto one core; widen first,
     // with a barrier so apply()'s filter can't be pushed back below the
-    // exchange (no-op for frames that are already post-shuffle or cached)
-    graft.Tables.widenBarrierForKernel(df, t)
+    // exchange (no-op for frames that are already post-shuffle or cached).
+    // Key on a cheap 64-byte prefix hash, not the full text: hashing a
+    // whole document per row just to pick a reducer is wasted work, and
+    // a prefix collision (duplicate-heavy corpora colocating) only skews
+    // a shuffle that fires on undersplit inputs in the first place
+    graft.Tables.widenBarrierForKernel(df, xxhash64(substring(t, 1, 64)))
       .withColumn("n_tokens", TextFunctions.tokenCount(t).cast("long"))
       .withColumn("quality", TextFunctions.qualityScore(t))
       .withColumn("lang", TextFunctions.langId(t))

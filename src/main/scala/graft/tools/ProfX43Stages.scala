@@ -35,8 +35,8 @@ object ProfX43Stages {
       val t0 = System.nanoTime()
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val bench = docs.filter(col("doc_id") < 20)
-      val clean = !(TextPipeline.contaminationHits(docs, bench, "text")
-        .get >= 1)
+      val clean = timed("bench_set")(
+        !(TextPipeline.contaminationHits(docs, bench, "text").get >= 1))
       val kept1 = QualityFilter(docs, "text",
         QualityFilter.Config(langs = Set.empty))
         .select(docs.columns.map(col) ++
@@ -45,20 +45,26 @@ object ProfX43Stages {
       timed("1_quality")(kept1.count())
       val kept2 = Dedup.exact(kept1, "text", "doc_id").persist()
       timed("2_exact")(kept2.count())
-      val kept3 = Dedup.minhashDedup(kept2, "text", "doc_id",
-        threshold = 0.8).persist()
+      val kept3 = timed("3_construct")(Dedup.minhashDedup(kept2, "text",
+        "doc_id", threshold = 0.8).persist())
       timed("3_neardup")(kept3.count())
       val kept4 = kept3.filter(col("__clean"))
       timed("4_decontam")(kept4.count())
       val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
-      val kept5 = Sampling.mixtureSample(kept4, "text", "doc_id", "source",
-        weights, tokenBudget = 500L,
-        tokenCountCol = Some("n_tokens")).persist()
+      val kept5 = timed("5_construct")(
+        Sampling.mixtureSample(kept4, "text", "doc_id", "source",
+          weights, tokenBudget = 500L,
+          tokenCountCol = Some("n_tokens")).persist())
       timed("5_sample")(kept5.count())
       val chunks = TextPipeline.chunkByTokens(kept5, "text", "doc_id",
         chunkSize = 16, overlap = 4)
       timed("6_chunks")(chunks.count())
-      Seq(kept1, kept2, kept3, kept5).foreach(_.unpersist())
+      timed("unpersist")(
+        Seq(kept1, kept2, kept3, kept5).foreach(_.unpersist()))
+      timed("toDF_collect") {
+        import spark.implicits._
+        Seq("a" -> 1L).toDF("stage", "n").orderBy("stage").count()
+      }
       println(f"  TOTAL                  ${(System.nanoTime() - t0) / 1e9}%6.2fs")
     }
     spark.stop()
