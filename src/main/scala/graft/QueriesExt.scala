@@ -1734,6 +1734,72 @@ object QueriesExt {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** Gopher-style n-gram repetition filters (Rae et al. 2021 §A1.1),
+    * beyond the word/bigram signals of x23: per doc, the top-n-gram
+    * character fraction for n=2,3,4 (chars covered by occurrences of the
+    * single most frequent word n-gram over the doc's chars) and the
+    * duplicate-n-gram fraction for n=5,8 (1 − distinct/total
+    * occurrences), plus the composite keep decision at Gopher's
+    * thresholds (0.20/0.18/0.16 and 0.15/0.12). One
+    * [[graft.functions.expr.NgramStatsExpr]] kernel pass per n, all
+    * row-local — tokens and n-gram strings never shuffle. Every fraction
+    * is a single IEEE division (or multiply-then-divide) of exact
+    * integers, so the DuckDB replay is bit-identical; the top-n-gram
+    * tiebreak (count desc, string asc) is binary-collation-safe on this
+    * ASCII corpus.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    def st(n: Int) =
+      graft.functions.expr.TextHashExprs.ngramStats(toks, n).as(s"s$n")
+    val stats = graft.Tables.widenForKernel(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(Seq(col("doc_id"),
+        length(col("text")).cast("double").as("nc")) ++
+        Seq(2, 3, 4, 5, 8).map(st): _*)
+    // serde barrier: each stats struct is read field-by-field several
+    // times below, and CollapseProject would otherwise inline the kernel
+    // into every field reference (one token-array walk per read)
+    val b = stats.map(identity(_))(
+      org.apache.spark.sql.Encoders.row(stats.schema))
+    def topFrac(n: Int) = {
+      val s = col(s"s$n")
+      when(s.getField("total") > 0,
+        s.getField("top_count").cast("double") *
+          length(s.getField("top_ngram")).cast("double") / col("nc"))
+        .otherwise(lit(0.0))
+    }
+    def dupFrac(n: Int) = {
+      val s = col(s"s$n")
+      when(s.getField("total") > 0,
+        lit(1.0) - s.getField("n_distinct").cast("double") /
+          s.getField("total").cast("double"))
+        .otherwise(lit(0.0))
+    }
+    b.select(col("doc_id"),
+        topFrac(2).as("top2_frac"), topFrac(3).as("top3_frac"),
+        topFrac(4).as("top4_frac"), dupFrac(5).as("dup5_frac"),
+        dupFrac(8).as("dup8_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15 &&
+          col("dup8_frac") <= 0.12)
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-safe train/val/test assignment ([[graft.operators.Sampling
+    * .leakSafeSplit]]): every near-dup component lands whole in one
+    * split, keyed by the portable hash of its min-id representative. The
+    * oracle replays the exact-Jaccard closure (the x26/x94 recursive
+    * CTE), the min-reachable representative, and the x41 keep-hash with
+    * the 100/100-permille boundaries (100000 / 200000 of 1000003).
+    */
+  def leakSafeSplits(spark: SparkSession, dir: String): DataFrame =
+    Sampling.leakSafeSplit(t(spark, dir, "documents"), "text", "doc_id",
+      threshold = 0.8)
+      .orderBy("doc_id")
+
   /** Temperature-scaled mixture resampling ([[graft.operators.Sampling
     * .temperatureWeights]] feeding [[graft.operators.Sampling
     * .mixtureSample]]): per-source token masses are re-weighted by
@@ -2084,7 +2150,9 @@ object QueriesExt {
     "x94_dedup_best_quality" -> dedupBestQuality _,
     "x95_sliding_windows" -> eventsSliding _,
     "x96_source_quota" -> sourceQuotaQ _,
-    "x97_dsir_select" -> dsirSelect _)
+    "x97_dsir_select" -> dsirSelect _,
+    "x98_gopher_repetition" -> gopherRepetition _,
+    "x99_leak_safe_splits" -> leakSafeSplits _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3730,6 +3798,56 @@ object QueriesExt {
         |   list_zip(embedding, list_reverse(embedding)),
         |   t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 6) AS dot_rev
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Gopher repetition: word n-grams via 1-based inclusive list slices,
+    // per-(doc, n) totals/distincts/top via one window pass, top tiebreak
+    // (count desc, ngram asc) — all fractions single IEEE divisions of
+    // exact integers, engine-identical without rounding
+    "x98_gopher_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    tk -> length(tk) > 0) AS tk
+        | FROM documents
+        |), ng AS (
+        | SELECT doc_id, n,
+        |  unnest(list_transform(range(1, len(tk) - n + 2),
+        |   i -> array_to_string(
+        |     tk[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' '))) AS g
+        | FROM t CROSS JOIN (SELECT unnest([2, 3, 4, 5, 8]) AS n) ns
+        | WHERE len(tk) >= n
+        |), cnt AS (
+        | SELECT doc_id, n, g, COUNT(*) AS c FROM ng GROUP BY 1, 2, 3
+        |), st AS (
+        | SELECT doc_id, n, total, dist, topc, g AS top_g FROM (
+        |  SELECT doc_id, n, g, c,
+        |   SUM(c) OVER w AS total, COUNT(*) OVER w AS dist,
+        |   MAX(c) OVER w AS topc,
+        |   row_number() OVER (PARTITION BY doc_id, n
+        |     ORDER BY c DESC, g) AS rn
+        |  FROM cnt WINDOW w AS (PARTITION BY doc_id, n)
+        | ) WHERE rn = 1
+        |), wide AS (
+        | SELECT t.doc_id,
+        |  COALESCE(MAX(CASE WHEN n = 2 THEN CAST(topc AS DOUBLE)
+        |    * CAST(length(top_g) AS DOUBLE) / nc END), 0.0) AS top2_frac,
+        |  COALESCE(MAX(CASE WHEN n = 3 THEN CAST(topc AS DOUBLE)
+        |    * CAST(length(top_g) AS DOUBLE) / nc END), 0.0) AS top3_frac,
+        |  COALESCE(MAX(CASE WHEN n = 4 THEN CAST(topc AS DOUBLE)
+        |    * CAST(length(top_g) AS DOUBLE) / nc END), 0.0) AS top4_frac,
+        |  COALESCE(MAX(CASE WHEN n = 5 THEN 1.0
+        |    - CAST(dist AS DOUBLE) / CAST(total AS DOUBLE) END),
+        |    0.0) AS dup5_frac,
+        |  COALESCE(MAX(CASE WHEN n = 8 THEN 1.0
+        |    - CAST(dist AS DOUBLE) / CAST(total AS DOUBLE) END),
+        |    0.0) AS dup8_frac
+        | FROM t LEFT JOIN st ON st.doc_id = t.doc_id
+        | GROUP BY 1
+        |)
+        |SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac,
+        | dup8_frac,
+        | (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |  AND dup5_frac <= 0.15 AND dup8_frac <= 0.12) AS keep
+        |FROM wide ORDER BY doc_id""".stripMargin,
     // NOTE composed entries below: the prelude is stripped at ITS definition
     // and concatenated — running stripMargin over an interpolated result
     // would re-strip embedded lines that begin with the `||` SQL concat
@@ -3765,6 +3883,42 @@ object QueriesExt {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT dst FROM reach WHERE src < dst)
         |ORDER BY doc_id""".stripMargin),
+    // leakage-safe splits: x26's closure -> min-reachable representative
+    // (self for singletons) -> the x41 keep-hash buckets the component;
+    // 100/100-permille boundaries = floor(1000003 * k/1000) = 100000 /
+    // 200000, matching Sampling.leakSafeSplit's integer arithmetic
+    "x99_leak_safe_splits" -> (shingleSetSql + ", " +
+      """edges AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM sym
+        |    UNION
+        |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+        |    WHERE r.src <> s.dst
+        |  ) SELECT * FROM r
+        |), compo AS (
+        |  SELECT id, MIN(dst) AS comp FROM (
+        |    SELECT DISTINCT src AS id, src AS dst FROM sym
+        |    UNION ALL SELECT src, dst FROM reach)
+        |  GROUP BY id
+        |), rep AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN compo c ON c.id = d.doc_id
+        |)
+        |SELECT doc_id, rep,
+        | CASE
+        |  WHEN ((rep % 1000003) * (2654435761 % 1000003)) % 1000003
+        |       < 100000 THEN 'test'
+        |  WHEN ((rep % 1000003) * (2654435761 % 1000003)) % 1000003
+        |       < 200000 THEN 'val'
+        |  ELSE 'train' END AS split
+        |FROM rep ORDER BY doc_id""".stripMargin),
     // quality-aware CC dedup: x26's closure + per-component argmax by
     // the x07 quality formula (score desc, id asc)
     "x94_dedup_best_quality" -> (shingleSetSql + ", " +

@@ -332,6 +332,76 @@ case class TermCountsExpr(child: Expression, terms: Array[String])
   override def prettyName: String = "term_counts"
 }
 
+/** Word n-gram repetition statistics of one token array, in one primitive
+  * pass: `struct<total, n_distinct, top_count, top_ngram>` where ngrams are
+  * the space-joined windows of `n` consecutive tokens and `top_ngram` is
+  * the most frequent one (ties broken toward the lexicographically
+  * smallest string — deterministic and binary-collation-identical across
+  * engines on ASCII corpora). Feeds the Gopher-style repetition filters
+  * (Rae et al. 2021 §A1.1): top-n-gram character fraction and duplicate
+  * n-gram fraction derive from these four numbers row-locally, so the
+  * corpus never shuffles tokens or n-gram strings — a relational
+  * formulation (explode + window) would hash-partition every token of
+  * every document.
+  */
+case class NgramStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("top_ngram", StringType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_stats expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val toks = v.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return InternalRow(0L, 0L, 0L, null)
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      counts.merge(sb.toString, 1L, java.lang.Long.sum)
+      i += 1
+    }
+    var topCount = 0L
+    var topNgram: String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > topCount ||
+          (c == topCount && e.getKey.compareTo(topNgram) < 0)) {
+        topCount = c
+        topNgram = e.getKey
+      }
+    }
+    InternalRow(m.toLong, counts.size.toLong, topCount,
+      UTF8String.fromString(topNgram))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "ngram_stats"
+}
+
 object TextHashExprs {
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(
@@ -354,4 +424,7 @@ object TextHashExprs {
   def termCounts(tokens: Column, terms: Array[String]): Column =
     ColumnBridge.column(
       TermCountsExpr(ColumnBridge.expression(tokens), terms))
+
+  def ngramStats(tokens: Column, n: Int): Column =
+    ColumnBridge.column(NgramStatsExpr(ColumnBridge.expression(tokens), n))
 }

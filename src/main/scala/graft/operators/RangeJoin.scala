@@ -57,8 +57,17 @@ object RangeJoin {
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 16).toLong
     catch { case _: NumberFormatException => 64L }
 
+  // composite rendezvous key carried as a struct through the explode,
+  // then FLATTENED to two plain join columns (__k int, __b long): a
+  // two-column hash join codegens tighter than struct equality, and the
+  // int kind column compresses to nothing in the exchange
   private def key(kind: Int, b: Column): Column =
     struct(lit(kind).as("k"), b.as("b"))
+
+  private def flatten(df: DataFrame): DataFrame = df
+    .withColumn("__k", col("__key").getField("k"))
+    .withColumn("__b", col("__key").getField("b"))
+    .drop("__key")
 
   /** Derive a bucket width from the data: the `quantile` (default p75)
     * interval length, so the TYPICAL interval replicates to ~1–2 buckets
@@ -98,22 +107,22 @@ object RangeJoin {
     // sits in exactly one bucket of each kind, a short interval only in
     // kind-0 buckets, a long interval in every kind-1 salt — so every
     // matching pair co-occurs in exactly one key and no dedup is needed.
-    val p = points.withColumn("__key", explode(array(
+    val p = flatten(points.withColumn("__key", explode(array(
       key(0, bucketOf(col(pointCol), bucketWidth)),
-      key(1, pmod(xxhash64(col(pointCol)), lit(salts))))))
+      key(1, pmod(xxhash64(col(pointCol)), lit(salts)))))))
     val sb = bucketOf(col(startCol), bucketWidth)
     val eb = bucketOf(col(endCol), bucketWidth)
     // when() evaluates one branch per row, so the long arm never builds
     // the (possibly sequence-overflowing) axis tiling
-    val iv = intervals.withColumn("__key", explode(
+    val iv = flatten(intervals.withColumn("__key", explode(
       when(eb - sb < lit(maxSpanBuckets.toLong),
         transform(sequence(sb, eb), b => key(0, b)))
       .otherwise(
-        transform(sequence(lit(0L), lit(salts - 1L)), s => key(1, s)))))
-    p.join(iv, Seq("__key") ++ extraKeys)
+        transform(sequence(lit(0L), lit(salts - 1L)), s => key(1, s))))))
+    p.join(iv, Seq("__k", "__b") ++ extraKeys)
       .filter(col(startCol) <= col(pointCol) &&
         col(pointCol) <= col(endCol))
-      .drop("__key")
+      .drop("__k", "__b")
   }
 
   /** Tolerance band join: pair every left row with every right row whose
@@ -191,18 +200,18 @@ object RangeJoin {
       val longKeys =
         if (idxKind == 1) allSalts(1)
         else concat(allSalts(2), array(key(1, saltOf(s, e))))
-      df.filter(col(e) > col(s))
+      flatten(df.filter(col(e) > col(s))
         .withColumn("__key", explode(
           when(eb - sb < lit(maxSpanBuckets.toLong), shortKeys)
-            .otherwise(longKeys)))
+            .otherwise(longKeys))))
     }
     val ovStart = greatest(col(lStart), col(rStart))
     keyed(left, lStart, lEnd, idxKind = 1, probeKind = 2)
       .join(keyed(right, rStart, rEnd, idxKind = 2, probeKind = 1),
-        Seq("__key") ++ extraKeys)
+        Seq("__k", "__b") ++ extraKeys)
       .filter(ovStart < least(col(lEnd), col(rEnd)))
-      .filter(col("__key").getField("k") =!= 0 ||
-        col("__key").getField("b") === bucketOf(ovStart, bucketWidth))
-      .drop("__key")
+      .filter(col("__k") =!= 0 ||
+        col("__b") === bucketOf(ovStart, bucketWidth))
+      .drop("__k", "__b")
   }
 }

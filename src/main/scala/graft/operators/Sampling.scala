@@ -145,4 +145,48 @@ object Sampling {
     require(z > 0, "temperatureWeights: no positive mass")
     pows.map { case (s, p) => (s, p / z) }.toMap
   }
+
+  /** Leakage-safe train/val/test assignment: split by the NEAR-DUP
+    * COMPONENT a document belongs to, not by the document itself — a
+    * doc-keyed split puts near-duplicates of training documents into the
+    * eval sets, silently inflating every held-out metric (the
+    * train/test-contamination failure mode the decontamination tier
+    * guards against, applied to the corpus's own split). Every member of
+    * a near-dup cluster lands in the SAME split by construction.
+    *
+    * Mechanism: MinHash-LSH candidate pairs at `threshold` (the
+    * [[Dedup.minhashCandidates]] pipeline, exact-Jaccard-verified) →
+    * connected components → each doc keyed by its component
+    * representative (min id; singletons by their own id) → the portable
+    * [[sampleHash]] of that representative buckets the component whole:
+    * test below `testPermille`/1000, then val below
+    * (`testPermille`+`valPermille`)/1000, train otherwise.
+    *
+    * Scale shape: the pair graph is dup-bounded (orders of magnitude
+    * below the corpus), components ride [[Dedup.connectedComponents]]'s
+    * bounded union-find / hash-to-min loop, and the final assignment is
+    * one broadcast-able left join + a row-local projection — the corpus
+    * shuffles nothing. Deterministic across runs, engines, and
+    * partitionings from ids alone.
+    *
+    * @return one row per input doc: (idCol, rep, split)
+    */
+  def leakSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, testPermille: Int = 100,
+      valPermille: Int = 100): DataFrame = {
+    require(testPermille >= 0 && valPermille >= 0 &&
+      testPermille + valPermille <= 1000, "permilles must fit in [0,1000]")
+    val pairs = Dedup.minhashCandidates(df, textCol, idCol,
+      threshold = threshold)
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    val tTest = SampleMod * testPermille / 1000L
+    val tVal = SampleMod * (testPermille + valPermille) / 1000L
+    val h = sampleHash(col("rep"))
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("rep"))
+      .withColumn("split",
+        when(h < tTest, "test").when(h < tVal, "val").otherwise("train"))
+  }
 }

@@ -135,4 +135,53 @@ class SamplingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
     assert(maxPerSource <= 5L)
   }
+
+  test("leakSafeSplit: a planted near-dup cluster lands whole in one " +
+      "split, keyed by its min id") {
+    import org.apache.spark.sql.functions._
+    // 3 near-identical docs (ids 100,101,102) + distinct singletons
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (100L, base), (101L, base + " mu"), (102L, base + " nu")) ++
+      (0L until 30L).map(i =>
+        (i, s"unique$i words ${i}x ${i}y ${i}z padder$i filler$i"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Sampling.leakSafeSplit(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val cluster = got.filter(r => r._1 >= 100L)
+    assert(cluster.size == 3)
+    assert(cluster.map(_._2).toSet == Set(100L)) // min-id representative
+    assert(cluster.map(_._3).toSet.size == 1) // one split for the cluster
+    // singletons represent themselves
+    got.filter(_._1 < 30L).foreach { case (id, rep, _) =>
+      assert(rep == id, s"doc $id")
+    }
+    // exhaustive and disjoint by construction: one row per doc
+    assert(got.map(_._1).sorted == rows.map(_._1).sorted)
+  }
+
+  test("leakSafeSplit is deterministic across partitionings and uses " +
+      "the portable keep-hash boundaries") {
+    import org.apache.spark.sql.functions._
+    val a = Sampling.leakSafeSplit(docs, "text", "doc_id")
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toMap2
+    val b = Sampling.leakSafeSplit(docs.repartition(13), "text", "doc_id")
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toMap2
+    assert(a == b)
+    // replay the hash boundary for a few docs
+    a.foreach { case (id, (rep, split)) =>
+      val h = ((rep % 1000003L) * (2654435761L % 1000003L)) % 1000003L
+      val want = if (h < 100000L) "test" else if (h < 200000L) "val"
+        else "train"
+      assert(split == want, s"doc $id")
+    }
+  }
+
+  private implicit class Tup3Ops(xs: Array[(Long, Long, String)]) {
+    def toMap2: Map[Long, (Long, String)] =
+      xs.map { case (a, b, c) => (a, (b, c)) }.toMap
+  }
 }
