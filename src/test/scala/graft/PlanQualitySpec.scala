@@ -583,4 +583,27 @@ class PlanQualitySpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("gopher repetition is kernel-local: no join, no window, no " +
+      "aggregate — only the undersplit widen and the final sort " +
+      "shuffle (x98)") {
+    val p = plan(QueriesExt.queries("x98_gopher_repetition")(spark, sfDir))
+    // the relational formulation would explode tokens and window over
+    // (doc, ngram); the kernel keeps all five signals row-local
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("ngram_stats"), p.take(3000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("REPARTITION_BY_NUM") ||
+      l.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
+
+  test("leak-safe splits assign via a hash join on the dup-bounded " +
+      "component map — no cartesian, no nested loop (x99)") {
+    val p = plan(QueriesExt.queries("x99_leak_safe_splits")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Join"), p.take(3000))
+  }
+
 }
