@@ -910,6 +910,49 @@ object QueriesExt {
       .orderBy("err_id", "click_id")
   }
 
+  /** Naive cross-entity temporal-proximity join accelerated by the
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule (x100): clicks
+    * within ±6h of ANY error — deliberately with NO equi key, the shape
+    * Spark alone can only plan as a BroadcastNestedLoopJoin — written as
+    * the plain BETWEEN condition a SQL user would type and rolled up per
+    * error-id bucket. The rule is installed idempotently for the session
+    * (it is conf-gated; `binSize` is set only around the eager
+    * computation and restored after), the aggregation collapses to 16
+    * driver rows before collect, and the oracle replays the raw
+    * inequality join in DuckDB (IEJoin evaluates the quadratic form the
+    * rewritten plan avoids).
+    */
+  def rangeJoinSqlRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val tol = 21600000000L // 6h in micros
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("tsu").as("err_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("tsu").as("click_ts"))
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RangeJoinRewrite(spark)
+    spark.conf.set("spark.graft.rangeJoin.binSize", (2 * tol).toString)
+    val rows =
+      try {
+        clicks.join(errors,
+            col("click_ts") >= col("err_ts") - tol &&
+              col("click_ts") <= col("err_ts") + tol)
+          .groupBy(pmod(col("err_id"), lit(16L)).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("click_id")).as("n_clicks"))
+          .collect() // bounded: <= 16 bucket rows
+      } finally spark.conf.unset("spark.graft.rangeJoin.binSize")
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("bucket", "n_pairs", "n_clicks")
+      .orderBy("bucket")
+  }
+
   /** Token-distribution drift between two corpus slices — the
     * over/under-represented-vocabulary report a pipeline monitors when a
     * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
@@ -2152,7 +2195,8 @@ object QueriesExt {
     "x96_source_quota" -> sourceQuotaQ _,
     "x97_dsir_select" -> dsirSelect _,
     "x98_gopher_repetition" -> gopherRepetition _,
-    "x99_leak_safe_splits" -> leakSafeSplits _)
+    "x99_leak_safe_splits" -> leakSafeSplits _,
+    "x100_rangejoin_rewrite" -> rangeJoinSqlRewrite _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3403,6 +3447,18 @@ object QueriesExt {
         | AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 21600000000
         |   AND epoch_us(e.ts) + 21600000000
         |ORDER BY err_id, click_id""".stripMargin,
+    // optimizer-rewritten BETWEEN join (no equi key): the raw inequality
+    // join replayed directly — DuckDB's IEJoin evaluates the quadratic
+    // form the RangeJoinRewrite plan avoids
+    "x100_rangejoin_rewrite" ->
+      """SELECT CAST(e.event_id % 16 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_clicks
+        |FROM events e JOIN events c
+        | ON e.event_type = 'error' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 21600000000
+        |   AND epoch_us(e.ts) + 21600000000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison
     "x57_token_drift" ->

@@ -8,7 +8,10 @@ import graft.functions.expr._
 
 /** SparkSessionExtensions hook: registers the graft native expressions as
   * SQL functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works for
-  * SQL-surface users, not just the Column API.
+  * SQL-surface users, not just the Column API, and injects the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule (conf-gated by
+  * `spark.graft.rangeJoin.binSize`) so naive BETWEEN inequality joins
+  * plan as the bucketized range join instead of a nested loop.
   *
   * Usage:
   * {{{
@@ -17,11 +20,13 @@ import graft.functions.expr._
   *   // or spark.sql.extensions=graft.engine.GraftExtensions
   * }}}
   *
-  * This is the (c)-tier Catalyst integration point (SURVEY.md §7.4); no
-  * custom LogicalPlan/Strategy is needed for the engine's surface — every
-  * whole-operator semantic (as-of join, LSH dedup, sessionization) is
-  * expressible as compositions whose physical plans Catalyst already picks
-  * well, so the extension tier stops at expressions + function registration.
+  * This is the (c)-tier Catalyst integration point (SURVEY.md §7.4). No
+  * custom physical Strategy is needed: every whole-operator semantic
+  * (as-of join, LSH dedup, sessionization) composes into plans Catalyst
+  * already picks well, so the tier stops at expressions, function
+  * registration, and the one logical rewrite whose naive form Catalyst
+  * genuinely cannot save (an inequality-only join is a nested loop
+  * without it).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -128,5 +133,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TermCountsExpr(args.head, terms)
       }))
+
+    // optimizer tier: the conf-gated range-join rewrite (see
+    // graft.plans.RangeJoinRewrite) — naive BETWEEN inequality joins plan
+    // as the bucketized equi-join instead of a BroadcastNestedLoopJoin
+    // once spark.graft.rangeJoin.binSize is set
+    ext.injectOptimizerRule(session =>
+      graft.plans.RangeJoinRewrite(session))
   }
 }

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: rewrite a naive point-in-interval inequality
+  * join — the `p.x BETWEEN i.lo AND i.hi` shape Spark can only plan as a
+  * BroadcastNestedLoopJoin (or cartesian) — into the bucketized equi-join
+  * of [[graft.operators.RangeJoin.pointInInterval]], directly on the
+  * logical plan. Users keep writing the naive SQL; the engine plans the
+  * scalable form. This is the bin-size range-join optimization production
+  * engines expose as a hint, here as a session conf:
+  *
+  *  - `spark.graft.rangeJoin.binSize` (long, required > 0 to activate):
+  *    the bucket width, in the join column's units — pick near the
+  *    typical interval length ([[graft.operators.RangeJoin
+  *    .bucketWidthFor]] derives one from a length quantile);
+  *  - `spark.graft.rangeJoin.maxSpanBuckets` (int, default 256): spans
+  *    beyond this route to the salted long-tail rendezvous (same exact
+  *    guard as the operator — see RangeJoin's scaladoc).
+  *
+  * Applicability: INNER joins whose condition contains a lower and an
+  * upper bound on the SAME expression `x` of one side, with both bounds
+  * from the other side, over int/long types, and NO equi-conjunct
+  * (`l = r`) — when an equality key exists Catalyst already hash-joins on
+  * it and this rewrite would only re-partition work it has placed. Strict
+  * bounds are accepted: the rewrite tiles the closed hull `[lo, hi]`,
+  * which is a superset, and re-applies the ORIGINAL predicates inside the
+  * matched bucket, so `<`/`<=` mixes stay exact. A point probes its own
+  * bucket of each kind exactly once and an interval indexes each key
+  * exactly once, so no pair is emitted twice and no dedup is added —
+  * the multiset result equals the nested-loop join's.
+  *
+  * The rewrite is purely logical: Generate(Explode) of the composite
+  * (kind, bucket) keys on each side, a Join whose condition is the key
+  * equality AND the original predicates, and a Project back to the
+  * original Join's output attributes — parents above see identical
+  * attribute ids and types.
+  */
+case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val BinSizeKey = "spark.graft.rangeJoin.binSize"
+  private val MaxSpanKey = "spark.graft.rangeJoin.maxSpanBuckets"
+
+  private def keyType = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("b", LongType, nullable = true)))
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  // ((c - pmod(c, w)) / w) cast long — the exact floor-bucket arithmetic
+  // RangeJoin uses (double division is exact: the numerator is an exact
+  // multiple of w and bucket counts sit far below 2^53)
+  private def bucketOf(c: Expression, w: Long): Expression = {
+    val c64 = asLong(c)
+    val sub = Subtract(c64, Pmod(c64, Literal(w)))
+    Cast(Divide(Cast(sub, DoubleType), Literal(w.toDouble)), LongType)
+  }
+
+  private def key(kind: Int, b: Expression): Expression =
+    CreateNamedStruct(Seq(Literal("k"), Literal(kind), Literal("b"), b))
+
+  private def intLongType(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  /** One bound of the range condition: `x` rel `bound`. */
+  private case class Bound(x: Expression, bound: Expression)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width =
+      try spark.conf.get(BinSizeKey, "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (width <= 0) return plan
+    val cap =
+      try spark.conf.get(MaxSpanKey, "256").toInt
+      catch { case _: NumberFormatException => 256 }
+    plan transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        rewrite(j, width, math.max(cap, 1)).getOrElse(j)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def rewrite(j: Join, width: Long, cap: Int): Option[LogicalPlan] = {
+    val Join(left, right, _, Some(cond), hint) = j
+    val conjuncts = splitConjuncts(cond)
+    // bail out when an equi-conjunct exists — Catalyst hash-joins on it
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) ||
+        (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    def fromSide(e: Expression, side: LogicalPlan): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+    // collect bounds with x on `pointSide`, bound on `ivSide`
+    def bounds(pointSide: LogicalPlan, ivSide: LogicalPlan,
+        lower: Boolean): Seq[Bound] = conjuncts.collect {
+      // lower: x >= lo | x > lo | lo <= x | lo < x
+      case GreaterThanOrEqual(x, lo) if lower &&
+        fromSide(x, pointSide) && fromSide(lo, ivSide) &&
+        intLongType(x) && intLongType(lo) => Bound(x, lo)
+      case GreaterThan(x, lo) if lower &&
+        fromSide(x, pointSide) && fromSide(lo, ivSide) &&
+        intLongType(x) && intLongType(lo) => Bound(x, lo)
+      case LessThanOrEqual(lo, x) if lower &&
+        fromSide(x, pointSide) && fromSide(lo, ivSide) &&
+        intLongType(x) && intLongType(lo) => Bound(x, lo)
+      case LessThan(lo, x) if lower &&
+        fromSide(x, pointSide) && fromSide(lo, ivSide) &&
+        intLongType(x) && intLongType(lo) => Bound(x, lo)
+      // upper: x <= hi | x < hi | hi >= x | hi > x
+      case LessThanOrEqual(x, hi) if !lower &&
+        fromSide(x, pointSide) && fromSide(hi, ivSide) &&
+        intLongType(x) && intLongType(hi) => Bound(x, hi)
+      case LessThan(x, hi) if !lower &&
+        fromSide(x, pointSide) && fromSide(hi, ivSide) &&
+        intLongType(x) && intLongType(hi) => Bound(x, hi)
+      case GreaterThanOrEqual(hi, x) if !lower &&
+        fromSide(x, pointSide) && fromSide(hi, ivSide) &&
+        intLongType(x) && intLongType(hi) => Bound(x, hi)
+      case GreaterThan(hi, x) if !lower &&
+        fromSide(x, pointSide) && fromSide(hi, ivSide) &&
+        intLongType(x) && intLongType(hi) => Bound(x, hi)
+    }
+
+    // try both orientations: points on the left, then points on the right
+    def orient(pointSide: LogicalPlan, ivSide: LogicalPlan):
+        Option[(Expression, Expression, Expression)] = {
+      val lowers = bounds(pointSide, ivSide, lower = true)
+      val uppers = bounds(pointSide, ivSide, lower = false)
+      val matched = for {
+        lo <- lowers
+        hi <- uppers
+        if lo.x.semanticEquals(hi.x)
+      } yield (lo.x, lo.bound, hi.bound)
+      matched.headOption
+    }
+
+    val salts = math.max(
+      spark.sessionState.conf.numShufflePartitions, 16).toLong
+
+    def build(pointsLeft: Boolean, x: Expression, lo: Expression,
+        hi: Expression): LogicalPlan = {
+      val (points, ivs) = if (pointsLeft) (left, right) else (right, left)
+      // points: own bucket (kind 0) + one salt probe (kind 1)
+      val pKeys = CreateArray(Seq(
+        key(0, bucketOf(x, width)),
+        key(1, Pmod(XxHash64(Seq(asLong(x)), 42L), Literal(salts)))))
+      // intervals: closed-hull tiling when short, all salts when long
+      val sb = bucketOf(lo, width)
+      val eb = bucketOf(hi, width)
+      val lv = NamedLambdaVariable("b", LongType, nullable = true)
+      // Sequence is TimeZoneAwareExpression: without a zone id it is
+      // UNRESOLVED and the optimizer's plan validation rejects the batch
+      // (the zone is irrelevant for integral sequences)
+      val tile = ArrayTransform(
+        new Sequence(sb, eb, None, Some("UTC")),
+        LambdaFunction(key(0, lv), Seq(lv)))
+      val sv = NamedLambdaVariable("s", LongType, nullable = true)
+      val saltKeys = ArrayTransform(
+        new Sequence(Literal(0L), Literal(salts - 1L), None, Some("UTC")),
+        LambdaFunction(key(1, sv), Seq(sv)))
+      val ivKeys = If(
+        LessThan(Subtract(eb, sb), Literal(cap.toLong)), tile, saltKeys)
+
+      def gen(child: LogicalPlan, keys: Expression):
+          (LogicalPlan, Attribute, Attribute) = {
+        val gOut = AttributeReference("__gkey", keyType, nullable = true)()
+        val g = Generate(Explode(keys), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(gOut), child = child)
+        val kA = Alias(GetStructField(gOut, 0, Some("k")), "__gk")()
+        val bA = Alias(GetStructField(gOut, 1, Some("b")), "__gb")()
+        (Project(child.output ++ Seq(kA, bA), g),
+          kA.toAttribute, bA.toAttribute)
+      }
+      val (pGen, pk, pb) = gen(points, pKeys)
+      val (iGen, ik, ib) = gen(ivs, ivKeys)
+      val (lGen, rGen) = if (pointsLeft) (pGen, iGen) else (iGen, pGen)
+      // key equality AND every original conjunct — the exact predicates
+      // re-filter inside the matched bucket, so strict bounds and any
+      // extra (non-equi) conditions keep their semantics
+      val newCond = (Seq(EqualTo(pk, ik), EqualTo(pb, ib)) ++ conjuncts)
+        .reduce(And)
+      Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
+    }
+
+    orient(left, right).map { case (x, lo, hi) =>
+      build(pointsLeft = true, x, lo, hi)
+    }.orElse(orient(right, left).map { case (x, lo, hi) =>
+      build(pointsLeft = false, x, lo, hi)
+    })
+  }
+}

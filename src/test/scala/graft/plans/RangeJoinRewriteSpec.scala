@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The conf-gated optimizer rewrite must (a) replace the nested-loop plan
+  * of a naive BETWEEN join with a hash equi-join on the bucket keys, and
+  * (b) preserve the join's multiset result EXACTLY — including strict
+  * bounds, extra non-equi predicates, negative coordinates, and the
+  * pathological axis-spanning interval that takes the salted long-tail
+  * route. Enabled via `spark.experimental.extraOptimizations` here (the
+  * packaged path is GraftExtensions.injectOptimizerRule); every test
+  * restores the session state it touches.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[A](binSize: Long)(f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(spark)
+    spark.conf.set("spark.graft.rangeJoin.binSize", binSize.toString)
+    try f finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.rangeJoin.binSize")
+    }
+  }
+
+  private val points = (0L until 200L).map(i => (i, i * 3 - 100))
+    .toDF("pid", "x")
+  private val ivs = ((0L until 40L).map(i => (i, i * 10 - 120, i * 10 - 80))
+    :+ (999L, -2000000000000L, 2000000000000L))
+    .toDF("iid", "lo", "hi")
+
+  private def naive: Seq[(Long, Long)] =
+    points.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+
+  test("rewrites the BETWEEN join to a hash equi-join with the exact " +
+      "multiset result (spanning interval included)") {
+    val want = naive
+    withRule(7L) {
+      val df = points.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      val got = df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want)
+    }
+  }
+
+  test("SQL surface: spark.sql BETWEEN join takes the rewrite too") {
+    points.createOrReplaceTempView("pts")
+    ivs.createOrReplaceTempView("iv")
+    try withRule(7L) {
+      val df = spark.sql(
+        "SELECT pid, iid FROM pts JOIN iv ON x BETWEEN lo AND hi")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.as[(Long, Long)].collect().toSeq.sorted == naive)
+    } finally {
+      spark.catalog.dropTempView("pts")
+      spark.catalog.dropTempView("iv")
+    }
+  }
+
+  test("strict bounds and extra non-equi predicates stay exact (hull " +
+      "tiling + original-predicate refilter)") {
+    val want = points.join(ivs,
+        col("x") > col("lo") && col("x") < col("hi") &&
+          col("pid") =!= col("iid"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(10L) {
+      val df = points.join(ivs,
+        col("x") > col("lo") && col("x") < col("hi") &&
+          col("pid") =!= col("iid"))
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted == want)
+    }
+  }
+
+  test("points on the RIGHT side of the join rewrite symmetrically") {
+    val want = ivs.join(points,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(7L) {
+      val df = ivs.join(points,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted == want)
+    }
+  }
+
+  test("joins with an equi key are left alone; rule off without the conf") {
+    // equi conjunct present -> Catalyst hash-joins on it already
+    val withKey = points.withColumn("k", col("pid") % 3)
+    val ivKey = ivs.withColumn("k", col("iid") % 3)
+    withRule(7L) {
+      val p = withKey.join(ivKey,
+          Seq("k").map(k => withKey(k) === ivKey(k)).reduce(_ && _) &&
+            col("x") >= col("lo") && col("x") <= col("hi"))
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("__gkey"), p.take(3000))
+    }
+    // conf unset -> naive plan untouched
+    val p2 = points.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p2.contains("__gkey"), p2.take(3000))
+  }
+}
