@@ -175,8 +175,13 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val saltKeys = ArrayTransform(
         new Sequence(Literal(0L), Literal(salts - 1L), None, Some("UTC")),
         LambdaFunction(key(1, sv), Seq(sv)))
+      // inverted bounds (hi < lo on a data row) must NOT reach Sequence
+      // (it throws on a descending range) — route them to the salt path,
+      // where the original predicates simply never match them
       val ivKeys = If(
-        LessThan(Subtract(eb, sb), Literal(cap.toLong)), tile, saltKeys)
+        And(GreaterThanOrEqual(eb, sb),
+          LessThan(Subtract(eb, sb), Literal(cap.toLong))),
+        tile, saltKeys)
 
       def gen(child: LogicalPlan, keys: Expression):
           (LogicalPlan, Attribute, Attribute) = {
@@ -200,10 +205,103 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
     }
 
+    // interval x interval OVERLAP shape: two cross-side inequalities on
+    // DIFFERENT left expressions — `lStart (<|<=) rEnd AND rStart (<|<=)
+    // lEnd`. (When both left expressions coincide it is the point shape,
+    // which the orientations above already claimed.)
+    def orientOverlap():
+        Option[(Expression, Expression, Expression, Expression)] = {
+      // cross-side "less" pairs in both directions
+      def less(aSide: LogicalPlan, bSide: LogicalPlan): Seq[Bound] =
+        conjuncts.collect {
+          case LessThan(a, b) if fromSide(a, aSide) && fromSide(b, bSide) &&
+            intLongType(a) && intLongType(b) => Bound(a, b)
+          case LessThanOrEqual(a, b)
+            if fromSide(a, aSide) && fromSide(b, bSide) &&
+              intLongType(a) && intLongType(b) => Bound(a, b)
+          case GreaterThan(b, a) if fromSide(a, aSide) && fromSide(b, bSide) &&
+            intLongType(a) && intLongType(b) => Bound(a, b)
+          case GreaterThanOrEqual(b, a)
+            if fromSide(a, aSide) && fromSide(b, bSide) &&
+              intLongType(a) && intLongType(b) => Bound(a, b)
+        }
+      val lr = less(left, right) // (lStart, rEnd) candidates
+      val rl = less(right, left) // (rStart, lEnd) candidates
+      val matched = for {
+        Bound(ls, re) <- lr
+        Bound(rs, le) <- rl
+        if !ls.semanticEquals(le) // same left expr => point shape, skip
+        if !rs.semanticEquals(re)
+      } yield (ls, le, rs, re)
+      matched.headOption
+    }
+
+    def buildOverlap(ls: Expression, le: Expression, rs: Expression,
+        re: Expression): LogicalPlan = {
+      def saltOf(s: Expression, e: Expression) =
+        Pmod(XxHash64(Seq(asLong(s), asLong(e)), 42L), Literal(salts))
+      def allSalts(kind: Int) = {
+        val sv = NamedLambdaVariable("s", LongType, nullable = true)
+        ArrayTransform(
+          new Sequence(Literal(0L), Literal(salts - 1L), None, Some("UTC")),
+          LambdaFunction(key(kind, sv), Seq(sv)))
+      }
+      // closed-hull tiling bucket(start)..bucket(end): superset for both
+      // strict and non-strict predicates; the originals refilter exactly
+      def keys(s: Expression, e: Expression, idxKind: Int,
+          probeKind: Int): Expression = {
+        val sb = bucketOf(s, width)
+        val eb = bucketOf(e, width)
+        val lv = NamedLambdaVariable("b", LongType, nullable = true)
+        val tile = ArrayTransform(
+          new Sequence(sb, eb, None, Some("UTC")),
+          LambdaFunction(key(0, lv), Seq(lv)))
+        val shortKeys = Concat(Seq(tile,
+          CreateArray(Seq(key(probeKind, saltOf(s, e))))))
+        // left long indexes kind 1 only (its pairs ride right's kind-1
+        // probes); right long indexes kind 2 AND probes kind 1 so
+        // long x long lands exactly once — and inverted bounds route
+        // here too, where the original predicates never match them
+        val longKeys =
+          if (idxKind == 1) allSalts(1)
+          else Concat(Seq(allSalts(2),
+            CreateArray(Seq(key(1, saltOf(s, e))))))
+        If(And(GreaterThanOrEqual(eb, sb),
+          LessThan(Subtract(eb, sb), Literal(cap.toLong))),
+          shortKeys, longKeys)
+      }
+      def gen(child: LogicalPlan, ks: Expression):
+          (LogicalPlan, Attribute, Attribute) = {
+        val gOut = AttributeReference("__gkey", keyType, nullable = true)()
+        val g = Generate(Explode(ks), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(gOut), child = child)
+        val kA = Alias(GetStructField(gOut, 0, Some("k")), "__gk")()
+        val bA = Alias(GetStructField(gOut, 1, Some("b")), "__gb")()
+        (Project(child.output ++ Seq(kA, bA), g),
+          kA.toAttribute, bA.toAttribute)
+      }
+      val (lGen, lk, lb) = gen(left, keys(ls, le, idxKind = 1,
+        probeKind = 2))
+      val (rGen, rk, rb) = gen(right, keys(rs, re, idxKind = 2,
+        probeKind = 1))
+      // tiled pairs co-occur in every bucket their overlap spans: emit
+      // only in the bucket containing the overlap start (kinds 1/2 meet
+      // in exactly one salt by construction)
+      val emitOnce = Or(Not(EqualTo(lk, Literal(0))),
+        EqualTo(lb,
+          bucketOf(Greatest(Seq(asLong(ls), asLong(rs))), width)))
+      val newCond = (Seq(EqualTo(lk, rk), EqualTo(lb, rb)) ++ conjuncts ++
+        Seq(emitOnce)).reduce(And)
+      Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
+    }
+
     orient(left, right).map { case (x, lo, hi) =>
       build(pointsLeft = true, x, lo, hi)
     }.orElse(orient(right, left).map { case (x, lo, hi) =>
       build(pointsLeft = false, x, lo, hi)
+    }).orElse(orientOverlap().map { case (ls, le, rs, re) =>
+      buildOverlap(ls, le, rs, re)
     })
   }
 }

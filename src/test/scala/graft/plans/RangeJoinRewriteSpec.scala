@@ -98,6 +98,47 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("interval-overlap shape rewrites too: l.s < r.e AND r.s < l.e, " +
+      "exact multiset incl. inverted and spanning intervals") {
+    // inverted (id 500) and axis-spanning (id 999) rows planted; strict
+    // overlap predicates
+    val l = ((0L until 60L).map(i => (i, i * 5 - 50, i * 5 - 20)) ++
+      Seq((500L, 40L, 10L), (999L, -1000000000000L, 1000000000000L)))
+      .toDF("lid", "lst", "len")
+    val r = ((0L until 60L).map(i => (i, i * 7 - 80, i * 7 - 30)) ++
+      Seq((600L, 90L, 60L))).toDF("rid", "rst", "ren")
+    val cond = col("lst") < col("ren") && col("rst") < col("len")
+    val want = l.join(r, cond)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(8L) {
+      val df = l.join(r, cond)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      val got = df.select("lid", "rid")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want)
+      // the planted inverted interval matched naive-style (the two
+      // inequalities don't require s < e) — the rewrite must keep it
+      assert(want.exists(_._1 == 500L) == got.exists(_._1 == 500L))
+      assert(got.count(_._1 == 999L) == want.count(_._1 == 999L))
+    }
+  }
+
+  test("non-strict overlap (touching intervals) stays exact under the " +
+      "closed-hull tiling") {
+    val l = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("lid", "lst", "len")
+    val r = Seq((7L, 10L, 20L), (8L, 30L, 40L)).toDF("rid", "rst", "ren")
+    val cond = col("lst") <= col("ren") && col("rst") <= col("len")
+    val want = l.join(r, cond)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(4L) {
+      val got = l.join(r, cond).select("lid", "rid")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want) // touch pairs (1,7),(2,7),(2,8) included once
+    }
+  }
+
   test("joins with an equi key are left alone; rule off without the conf") {
     // equi conjunct present -> Catalyst hash-joins on it already
     val withKey = points.withColumn("k", col("pid") % 3)
