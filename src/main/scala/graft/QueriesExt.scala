@@ -2098,6 +2098,48 @@ object QueriesExt {
           lit(0.0), (a, x) => a + x), 6).as("dot_rev"))
       .orderBy("vec_id")
 
+  /** Cross-source duplication audit: the unordered source×source matrix of
+    * near-duplicate pairs (exact 3-shingle Jaccard >= 0.8, surfaced through
+    * the x03/x04 MinHash-LSH candidate machinery and exact-verified). The
+    * dataset-composition question every corpus audit asks — which sources
+    * mirror each other — answered without ever shuffling text: the pair
+    * stream is dup-rate-bounded and carries ids only; the label join ships
+    * (id, source) pairs; the matrix is at most #sources² rows.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val lab = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(lab.toDF("id_a", "src_a"), "id_a")
+      .join(lab.toDF("id_b", "src_b"), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("dup_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  /** k-anonymity release audit ([[graft.operators.Anonymize]]): customer
+    * quasi-identifiers (nationkey, mktsegment) at k=15 with the
+    * segment→nation generalization ladder, re-aggregated from the
+    * ROW-LEVEL release so the whole generalize-then-suppress path — class
+    * sizing, ladder pooling, broadcast resolve, starred projection — is
+    * inside the hashed contract.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("string").as("nat"),
+        col("c_mktsegment").as("seg"))
+    graft.operators.Anonymize.kAnonymize(cust, Seq("nat", "seg"),
+        k = 15, ladder = Seq(Seq("seg"), Seq("nat")))
+      .groupBy("nat", "seg", "lvl")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lvl", "nat", "seg")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2196,7 +2238,9 @@ object QueriesExt {
     "x97_dsir_select" -> dsirSelect _,
     "x98_gopher_repetition" -> gopherRepetition _,
     "x99_leak_safe_splits" -> leakSafeSplits _,
-    "x100_rangejoin_rewrite" -> rangeJoinSqlRewrite _)
+    "x100_rangejoin_rewrite" -> rangeJoinSqlRewrite _,
+    "x101_source_overlap" -> sourceOverlap _,
+    "x102_k_anonymity" -> kAnonymityAudit _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3459,6 +3503,32 @@ object QueriesExt {
         | AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 21600000000
         |   AND epoch_us(e.ts) + 21600000000
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // k-anonymity: the generalize-then-suppress ladder replayed literally —
+    // level-0 class counts, window-pooled level-1/2 sizes, k=15 cuts
+    "x102_k_anonymity" ->
+      """WITH base AS (
+        | SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg
+        | FROM customer
+        |), g0 AS (
+        | SELECT nat, seg, COUNT(*) AS n0 FROM base GROUP BY 1, 2
+        |), k0 AS (SELECT nat, seg, n0 FROM g0 WHERE n0 >= 15
+        |), p1 AS (
+        | SELECT nat, seg, n0, SUM(n0) OVER (PARTITION BY nat) AS n1
+        | FROM g0 WHERE n0 < 15
+        |), k1 AS (SELECT nat, n0 FROM p1 WHERE n1 >= 15
+        |), p2 AS (
+        | SELECT n0, SUM(n0) OVER () AS n2 FROM p1 WHERE n1 < 15
+        |)
+        |SELECT nat, seg, lvl, n FROM (
+        | SELECT nat, seg, CAST(0 AS BIGINT) AS lvl,
+        |  CAST(n0 AS BIGINT) AS n FROM k0
+        | UNION ALL
+        | SELECT nat, '*', CAST(1 AS BIGINT), CAST(SUM(n0) AS BIGINT)
+        | FROM k1 GROUP BY nat
+        | UNION ALL
+        | SELECT '*', '*', CAST(2 AS BIGINT), CAST(SUM(n0) AS BIGINT)
+        | FROM p2 WHERE n2 >= 15 HAVING COUNT(*) > 0
+        |) ORDER BY lvl, nat, seg""".stripMargin,
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison
     "x57_token_drift" ->
@@ -3914,6 +3984,18 @@ object QueriesExt {
         |           JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+    // cross-source duplication matrix: exact-Jaccard pair stream at 0.8,
+    // labeled both sides, unordered (least/greatest) source pair counts
+    "x101_source_overlap" -> (shingleSetSql + "\n" +
+      """SELECT least(da.source, db.source) AS src_lo,
+        | greatest(da.source, db.source) AS src_hi,
+        | CAST(COUNT(*) AS BIGINT) AS dup_pairs
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |JOIN documents da ON da.doc_id = id_a
+        |JOIN documents db ON db.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "x04_minhash_dedup" -> (shingleSetSql + "\n" +
       """SELECT doc_id FROM documents WHERE doc_id NOT IN (
         |  SELECT id_b FROM inter
