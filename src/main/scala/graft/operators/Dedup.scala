@@ -325,18 +325,23 @@ object Dedup {
     // BELOW the shingle projection, so the verify branch tokenizes/hashes
     // only dup-bounded candidate rows — at 100 TB that turns "second
     // shingle pass over the corpus" into "shingle pass over the
-    // candidates". No broadcast hint: candidates are dup-bounded, not
-    // absolutely bounded, so AQE picks broadcast when they're few (the
-    // common case — then the corpus side never shuffles) and shuffled
-    // joins otherwise. `candSets` then joins onto the pair list once per
-    // side — two plain equi-joins, no unpivot/regroup (the regroup's
-    // exchange carried shingle arrays and bought nothing: the shuffled
-    // fallback moves the same array bytes either way, and the broadcast
-    // case builds `candSets` ONCE and reuses it for both sides via
-    // ReuseExchange). All three references to `pairIds` hang off the SAME
-    // dropDuplicates exchange (branches diverge only ABOVE it, unlike the
-    // pre-count variant [[bucketPairs]] rejects), so ReuseExchange
-    // evaluates the banded kernel once — pinned by PlanQualitySpec.
+    // candidates". `candSets` then joins onto the pair list once per
+    // side. The id-keyed repartition under it is load-bearing: the two
+    // join branches consume DIFFERENT columns (side a vs side b), so
+    // without a shared exchange Catalyst specializes each branch's
+    // projection and the semi-join + shingle kernel (and at scale the
+    // corpus SCAN under it) execute once per side — r10's x75 vocab-cut
+    // lesson. Parking candSets under one id-keyed exchange makes both
+    // branches canonicalize onto the SAME shuffle stage (AQE stage cache /
+    // ReuseExchange), so candidates are scanned and shingled exactly once
+    // in every join mode, at the price of one exchange of dup-bounded
+    // candidate rows. No broadcast hint: candidates are dup-bounded, not
+    // absolutely bounded — AQE still converts the post-shuffle joins to
+    // broadcasts when the candidate set is small. All three references to
+    // `pairIds` hang off the SAME dropDuplicates exchange (branches
+    // diverge only ABOVE it, unlike the pre-count variant [[bucketPairs]]
+    // rejects), so ReuseExchange evaluates the banded kernel once —
+    // pinned by PlanQualitySpec.
     // no .distinct() on candIds: the left-semi probe hash-dedups its build
     // side, so a distinct here is a whole extra exchange + aggregate for
     // rows the join deduplicates anyway (2x pairs vs ~1.3x pairs of
@@ -346,11 +351,14 @@ object Dedup {
     val candSets = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shCol.as("__sh"))
+      .repartition(col(idCol))
+    val ca = candSets.as("__ca")
+    val cb = candSets.as("__cb")
     val pairs = pairIds
-      .join(candSets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")),
-        Seq("id_a"))
-      .join(candSets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")),
-        Seq("id_b"))
+      .join(ca, col("id_a") === col(s"__ca.$idCol"))
+      .join(cb, col("id_b") === col(s"__cb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        col("__ca.__sh").as("__sh_a"), col("__cb.__sh").as("__sh_b"))
 
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
     val union = size(col("__sh_a")) + size(col("__sh_b")) - inter

@@ -134,6 +134,15 @@ class PlanQualitySpec extends SparkSpec {
       // ran once and the corpus was never shingled a second time
       assert(ps.contains("ReusedExchange"), ps.take(3000))
       assert(ps.contains("LeftSemi"), ps.take(3000))
+      // ... and the candidate shingle frame itself sits under ONE shared
+      // id-keyed exchange consumed by both join sides: exactly two live
+      // shingle_hashes kernels in the whole plan (banded + candSets —
+      // ReusedExchange dedups the per-side copy). Three means a branch
+      // got its own specialized semi-join + kernel (and, at scale, its
+      // own corpus scan) — the regression this pin exists to catch.
+      assert("shingle_hashes".r.findAllIn(ps).length == 2,
+        s"expected 2 shingle_hashes kernels (banded + shared candSets), " +
+          s"got ${"shingle_hashes".r.findAllIn(ps).length}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
