@@ -915,39 +915,38 @@ object QueriesExt {
     * within ±6h of ANY error — deliberately with NO equi key, the shape
     * Spark alone can only plan as a BroadcastNestedLoopJoin — written as
     * the plain BETWEEN condition a SQL user would type and rolled up per
-    * error-id bucket. The rule is installed idempotently for the session
-    * (it is conf-gated; `binSize` is set only around the eager
-    * computation and restored after), the aggregation collapses to 16
-    * driver rows before collect, and the oracle replays the raw
-    * inequality join in DuckDB (IEJoin evaluates the quadratic form the
-    * rewritten plan avoids).
+    * error-id bucket. The rule and its activating conf are installed in a
+    * CHILD session (`spark.newSession()` — shared SparkContext, isolated
+    * conf/experimental methods), so no optimizer state ever leaks into
+    * the caller's session: a concurrent query in the parent can never be
+    * rewritten mid-flight and nothing needs un-installing. The
+    * aggregation collapses to 16 driver rows before collect, and the
+    * oracle replays the raw inequality join in DuckDB (IEJoin evaluates
+    * the quadratic form the rewritten plan avoids).
     */
   def rangeJoinSqlRewrite(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
     val tol = 21600000000L // 6h in micros
-    val ev = graft.Tables.events(spark, dir)
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize", (2 * tol).toString)
+    val ev = graft.Tables.events(child, dir)
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("tsu").as("err_ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("tsu").as("click_ts"))
-    if (!spark.experimental.extraOptimizations
-        .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.RangeJoinRewrite(spark)
-    spark.conf.set("spark.graft.rangeJoin.binSize", (2 * tol).toString)
     val rows =
-      try {
-        clicks.join(errors,
-            col("click_ts") >= col("err_ts") - tol &&
-              col("click_ts") <= col("err_ts") + tol)
-          .groupBy(pmod(col("err_id"), lit(16L)).as("bucket"))
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("click_id")).as("n_clicks"))
-          .collect() // bounded: <= 16 bucket rows
-      } finally spark.conf.unset("spark.graft.rangeJoin.binSize")
+      clicks.join(errors,
+          col("click_ts") >= col("err_ts") - tol &&
+            col("click_ts") <= col("err_ts") + tol)
+        .groupBy(pmod(col("err_id"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks"))
+        .collect() // bounded: <= 16 bucket rows
     rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toDF("bucket", "n_pairs", "n_clicks")
       .orderBy("bucket")

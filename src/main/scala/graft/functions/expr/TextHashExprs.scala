@@ -335,9 +335,11 @@ case class TermCountsExpr(child: Expression, terms: Array[String])
 /** Word n-gram repetition statistics of one token array, in one primitive
   * pass: `struct<total, n_distinct, top_count, top_ngram>` where ngrams are
   * the space-joined windows of `n` consecutive tokens and `top_ngram` is
-  * the most frequent one (ties broken toward the lexicographically
-  * smallest string — deterministic and binary-collation-identical across
-  * engines on ASCII corpora). Feeds the Gopher-style repetition filters
+  * the most frequent one (ties broken toward the UTF-8 BINARY-smallest
+  * ngram — `UTF8String` byte order, the collation DuckDB/parquet binary
+  * compare uses, so determinism holds on any corpus, not just ASCII:
+  * UTF-16 code-unit order would diverge on supplementary-plane text).
+  * Feeds the Gopher-style repetition filters
   * (Rae et al. 2021 §A1.1): top-n-gram character fraction and duplicate
   * n-gram fraction derive from these four numbers row-locally, so the
   * corpus never shuffles tokens or n-gram strings — a relational
@@ -367,22 +369,27 @@ case class NgramStatsExpr(child: Expression, n: Int)
     val m = len - n + 1
     if (m <= 0)
       return InternalRow(0L, 0L, 0L, null)
-    val counts = new java.util.HashMap[String, Long]()
-    val sb = new java.lang.StringBuilder()
+    // keys stay UTF8String end-to-end: concatWs joins the window's bytes
+    // directly and compareTo is unsigned BYTE order — the cross-engine
+    // binary collation the tie-break contract promises (String.compareTo
+    // would be UTF-16 code-unit order, diverging beyond the BMP), and no
+    // per-ngram String round trip in the hot loop
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Long]()
+    val window = new Array[UTF8String](n)
     var i = 0
     while (i < m) {
-      sb.setLength(0)
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        window(j) = toks.getUTF8String(i + j)
         j += 1
       }
-      counts.merge(sb.toString, 1L, java.lang.Long.sum)
+      counts.merge(UTF8String.concatWs(sep, window: _*), 1L,
+        java.lang.Long.sum)
       i += 1
     }
     var topCount = 0L
-    var topNgram: String = null
+    var topNgram: UTF8String = null
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -393,8 +400,7 @@ case class NgramStatsExpr(child: Expression, n: Int)
         topNgram = e.getKey
       }
     }
-    InternalRow(m.toLong, counts.size.toLong, topCount,
-      UTF8String.fromString(topNgram))
+    InternalRow(m.toLong, counts.size.toLong, topCount, topNgram)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -113,9 +113,14 @@ object RangeJoin {
     val sb = bucketOf(col(startCol), bucketWidth)
     val eb = bucketOf(col(endCol), bucketWidth)
     // when() evaluates one branch per row, so the long arm never builds
-    // the (possibly sequence-overflowing) axis tiling
+    // the (possibly sequence-overflowing) axis tiling. The guard also
+    // requires eb >= sb: an INVERTED interval (end << start) has a large
+    // NEGATIVE span that would pass a span-only check and hand sequence()
+    // a huge descending range — route it to the salt arm instead, where
+    // the exact final filter rejects it (same guard the optimizer twin
+    // RangeJoinRewrite builds).
     val iv = flatten(intervals.withColumn("__key", explode(
-      when(eb - sb < lit(maxSpanBuckets.toLong),
+      when(eb >= sb && eb - sb < lit(maxSpanBuckets.toLong),
         transform(sequence(sb, eb), b => key(0, b)))
       .otherwise(
         transform(sequence(lit(0L), lit(salts - 1L)), s => key(1, s))))))

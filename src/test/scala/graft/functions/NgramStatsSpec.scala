@@ -31,6 +31,23 @@ class NgramStatsSpec extends SparkSpec {
     assert(s.getLong(2) == 1L && s.getString(3) == "x w")
   }
 
+  test("non-ASCII ties break in UTF-8 BINARY order, not UTF-16 " +
+      "code-unit order") {
+    // U+FF21 FULLWIDTH A: UTF-8 EF BC A1, UTF-16 unit 0xFF21.
+    // U+10000 LINEAR B:   UTF-8 F0 90 80 80, UTF-16 surrogates 0xD800....
+    // UTF-16 code-unit order (String.compareTo) would pick "𐀀"
+    // (0xD800 < 0xFF21); UTF-8 byte order (the oracle's and parquet's
+    // binary collation) picks "Ａ" (0xEF < 0xF0).
+    val fullwidthA = "Ａ"
+    val linearB = new String(Character.toChars(0x10000))
+    val s = Seq(Tuple1(Seq(fullwidthA, linearB))).toDF("toks")
+      .select(TextHashExprs.ngramStats(col("toks"), 1).as("s"))
+      .select("s.*").head()
+    assert(s.getLong(2) == 1L)
+    assert(s.getString(3) == fullwidthA,
+      s"expected UTF-8 binary order tie-break, got ${s.getString(3)}")
+  }
+
   test("degenerate docs: fewer tokens than n yields the empty stats row") {
     val s = stats("one two", 3)
     assert(s.getLong(0) == 0L && s.getLong(1) == 0L && s.getLong(2) == 0L)

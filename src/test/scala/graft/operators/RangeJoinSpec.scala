@@ -115,6 +115,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.count(_._2 == "ALL") == 50)
   }
 
+  test("an inverted interval (end << start) never reaches sequence(): " +
+      "routed to the salt arm and rejected by the exact filter") {
+    // before the eb >= sb guard this planted row passed the span-only
+    // check (its span is hugely NEGATIVE) and sequence(sb, eb) built a
+    // ~4e12-element descending array, killing the executor
+    val points = (0L until 20L).map(i => (i, i * 5 - 30)).toDF("pid", "x")
+    val ivs = Seq(("INV", 2000000000000L, -2000000000000L),
+      ("A", 0L, 10L), ("B", -30L, -20L)).toDF("name", "s", "e")
+    val got = RangeJoin.pointInInterval(points, ivs, "x", "s", "e",
+        bucketWidth = 1L)
+      .select("pid", "name").as[(Long, String)].collect().toList
+    val naive = points.join(ivs,
+        col("s") <= col("x") && col("x") <= col("e"))
+      .select("pid", "name").as[(Long, String)].collect().toList
+    assert(got.sorted === naive.sorted)
+    assert(!got.exists(_._2 == "INV"))
+  }
+
   test("the range join plans as a hash equi-join, not a nested loop") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
