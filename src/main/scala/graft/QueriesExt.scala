@@ -952,6 +952,63 @@ object QueriesExt {
       .orderBy("bucket")
   }
 
+  /** The TIMESTAMP-axis naive window join behind x103, exposed so the
+    * plan-pinning spec can assert on the exact frame the query
+    * aggregates: clicks joined to ±2h purchase windows with plain
+    * `BETWEEN` over TIMESTAMP columns in SQL text, in a CHILD session
+    * carrying [[graft.plans.RangeJoinRewrite]] with
+    * `binSize=auto` — the rule buckets on epoch micros and derives the
+    * width from the window side itself (p75 span via one bounded
+    * approxQuantile job).
+    */
+  def rangeJoinTimeFrame(spark: SparkSession, dir: String)
+      : (SparkSession, DataFrame) = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize", "auto")
+    val ev = graft.Tables.events(child, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"), col("ts").as("wts"))
+      .createOrReplaceTempView("graft_x103_windows")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"))
+      .createOrReplaceTempView("graft_x103_clicks")
+    // the naive SQL a user writes: TIMESTAMP BETWEEN with interval
+    // bounds, no equi key — Spark alone plans a BroadcastNestedLoopJoin
+    (child, child.sql(
+      """SELECT w.win_id, c.click_id
+        |FROM graft_x103_clicks c JOIN graft_x103_windows w
+        |  ON c.cts BETWEEN w.wts - INTERVAL '2' HOUR
+        |               AND w.wts + INTERVAL '2' HOUR""".stripMargin))
+  }
+
+  /** Temporal-window join on the TIMESTAMP axis through the optimizer
+    * rewrite (x103): clicks within ±2h of any purchase, written as naive
+    * SQL `BETWEEN` over TIMESTAMP columns — the DATE/TIMESTAMP twin of
+    * x100's epoch-long surface, proving the rule fires on the time types
+    * real queries use (the reference's only range predicate is a date
+    * window, `/root/reference/submission_Amadeu/sql/metrics.sql:11`).
+    * `binSize=auto` exercises the self-derived width path. Rolled up per
+    * purchase-id bucket (<= 8 driver rows); the oracle replays the raw
+    * inequality join in DuckDB at micro precision (`epoch_us`, matching
+    * the engine's micros-normalized TIMESTAMP).
+    */
+  def rangeJoinTimeRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val (_, joined) = rangeJoinTimeFrame(spark, dir)
+    val rows = joined
+      .groupBy(pmod(col("win_id"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"))
+      .collect() // bounded: <= 8 bucket rows
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("bucket", "n_pairs", "n_clicks")
+      .orderBy("bucket")
+  }
+
   /** Token-distribution drift between two corpus slices — the
     * over/under-represented-vocabulary report a pipeline monitors when a
     * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
@@ -2239,7 +2296,8 @@ object QueriesExt {
     "x99_leak_safe_splits" -> leakSafeSplits _,
     "x100_rangejoin_rewrite" -> rangeJoinSqlRewrite _,
     "x101_source_overlap" -> sourceOverlap _,
-    "x102_k_anonymity" -> kAnonymityAudit _)
+    "x102_k_anonymity" -> kAnonymityAudit _,
+    "x103_rangejoin_time" -> rangeJoinTimeRewrite _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3528,6 +3586,18 @@ object QueriesExt {
         | SELECT '*', '*', CAST(2 AS BIGINT), CAST(SUM(n0) AS BIGINT)
         | FROM p2 WHERE n2 >= 15 HAVING COUNT(*) > 0
         |) ORDER BY lvl, nat, seg""".stripMargin,
+    // TIMESTAMP-axis rewritten BETWEEN join: raw inequality replayed at
+    // micro precision (epoch_us), matching the engine's micros-normalized
+    // TIMESTAMP — DuckDB IEJoins the quadratic form the rewrite avoids
+    "x103_rangejoin_time" ->
+      """SELECT CAST(w.event_id % 8 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_clicks
+        |FROM events w JOIN events c
+        | ON w.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 7200000000
+        |   AND epoch_us(w.ts) + 7200000000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison
     "x57_token_drift" ->

@@ -15,19 +15,34 @@ import org.apache.spark.sql.types._
   * scalable form. This is the bin-size range-join optimization production
   * engines expose as a hint, here as a session conf:
   *
-  *  - `spark.graft.rangeJoin.binSize` (long, required > 0 to activate):
-  *    the bucket width, in the join column's units — pick near the
-  *    typical interval length ([[graft.operators.RangeJoin
-  *    .bucketWidthFor]] derives one from a length quantile);
+  *  - `spark.graft.rangeJoin.binSize` (required to activate): the bucket
+  *    width as a long > 0, in the join column's PHYSICAL units — the
+  *    column's own units for int/long, DAYS for DATE, MICROSECONDS for
+  *    TIMESTAMP — or the string `auto`, which derives the width from the
+  *    interval side itself (p75 interval length via one bounded
+  *    approxQuantile job, the [[graft.operators.RangeJoin
+  *    .bucketWidthFor]] policy), caches it per (plan, bounds) shape, and
+  *    echoes it to `spark.graft.rangeJoin.derivedBinSize` for
+  *    observability;
   *  - `spark.graft.rangeJoin.maxSpanBuckets` (int, default 256): spans
   *    beyond this route to the salted long-tail rendezvous (same exact
   *    guard as the operator — see RangeJoin's scaladoc).
   *
   * Applicability: INNER joins whose condition contains a lower and an
   * upper bound on the SAME expression `x` of one side, with both bounds
-  * from the other side, over int/long types, and NO equi-conjunct
-  * (`l = r`) — when an equality key exists Catalyst already hash-joins on
-  * it and this rewrite would only re-partition work it has placed. Strict
+  * from the other side, over int/long/DATE/TIMESTAMP axes (DATE buckets
+  * on epoch days, TIMESTAMP on epoch micros — the reference's only range
+  * predicate is a date window, so the time types are the ones real
+  * queries hit), and NO equi-conjunct (`l = r`) — when an equality key
+  * exists Catalyst already hash-joins on it and this rewrite would only
+  * re-partition work it has placed. Bound SHAPES are sanity-checked:
+  * each of `x`, `lo`, `hi` must be a deterministic expression over
+  * exactly ONE attribute built from add/subtract/multiply/cast/negate and literals
+  * (`ts - INTERVAL`, `cast(x as long) * 1000`). Anything more derived —
+  * hashes, conditionals, multi-column arithmetic — no longer looks like
+  * an interval bound; it is a generic theta join whose long hulls would
+  * replicate to every salt and could run SLOWER than the nested loop it
+  * replaces, so the rule leaves it alone. Strict
   * bounds are accepted: the rewrite tiles the closed hull `[lo, hi]`,
   * which is a superset, and re-applies the ORIGINAL predicates inside the
   * matched bucket, so `<`/`<=` mixes stay exact. A point probes its own
@@ -45,13 +60,22 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val BinSizeKey = "spark.graft.rangeJoin.binSize"
   private val MaxSpanKey = "spark.graft.rangeJoin.maxSpanBuckets"
+  private val DerivedKey = "spark.graft.rangeJoin.derivedBinSize"
 
   private def keyType = StructType(Seq(
     StructField("k", IntegerType, nullable = false),
     StructField("b", LongType, nullable = true)))
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  // physical-unit long view of an axis expression: DATE -> epoch days,
+  // TIMESTAMP -> epoch micros, int widened. Used only for bucketing and
+  // salting; the ORIGINAL typed predicates refilter, so the mapping just
+  // has to be monotone and engine-deterministic — which these are.
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case DateType => Cast(UnixDate(e), LongType)
+    case TimestampType => UnixMicros(e)
+    case _ => Cast(e, LongType)
+  }
 
   // ((c - pmod(c, w)) / w) cast long — the exact floor-bucket arithmetic
   // RangeJoin uses (double division is exact: the numerator is an exact
@@ -65,17 +89,62 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def key(kind: Int, b: Expression): Expression =
     CreateNamedStruct(Seq(Literal("k"), Literal(kind), Literal("b"), b))
 
-  private def intLongType(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+  // bucketizable axis families; a bound pair must agree (the analyzer's
+  // type coercion already guarantees it for resolved comparisons, but the
+  // matcher must not pair e.g. a day axis with a micros axis)
+  private def axisKind(e: Expression): Int = e.dataType match {
+    case IntegerType | LongType => 0
+    case DateType => 1
+    case TimestampType => 2
+    case _ => -1
+  }
+
+  /** Shape sanity check: an interval BOUND is a deterministic expression
+    * over exactly one attribute, built from arithmetic with literals and
+    * casts. Derived hulls (hashes, CASE WHEN, multi-column arithmetic)
+    * are generic theta-join conjuncts, not interval bounds — rewriting
+    * them is a perf foot-gun (long hulls replicate to every salt), so
+    * the matcher rejects them.
+    */
+  private def simpleAxis(e: Expression): Boolean = {
+    def ok(x: Expression): Boolean = x match {
+      case _: Attribute => true
+      case _: Literal => true
+      case c: Cast => ok(c.child)
+      case a: Add => ok(a.left) && ok(a.right)
+      case s: Subtract => ok(s.left) && ok(s.right)
+      case m: Multiply => ok(m.left) && ok(m.right)
+      case u: UnaryMinus => ok(u.child)
+      // date/time arithmetic with literal intervals — the `ts + INTERVAL
+      // '6' HOUR` / `date_add(d, 7)` bounds naive SQL writes (by the
+      // user-provided optimizer batch, RuntimeReplaceable `-` wrappers
+      // are already replaced with these)
+      case d @ (_: DateAdd | _: DateSub | _: DateAddInterval |
+          _: TimestampAddInterval | _: UnixDate | _: UnixMicros) =>
+        d.children.forall(ok)
+      case _ => false
+    }
+    e.deterministic && e.references.size == 1 && ok(e)
+  }
+
+  private def axisPair(x: Expression, b: Expression): Boolean = {
+    val k = axisKind(x)
+    k >= 0 && axisKind(b) == k && simpleAxis(x) && simpleAxis(b)
+  }
 
   /** One bound of the range condition: `x` rel `bound`. */
   private case class Bound(x: Expression, bound: Expression)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width =
-      try spark.conf.get(BinSizeKey, "0").toLong
-      catch { case _: NumberFormatException => 0L }
-    if (width <= 0) return plan
+    val raw = spark.conf.get(BinSizeKey, "0").trim
+    // None = auto (derive per matched join); Some(w) = explicit width
+    val width: Option[Long] =
+      if (raw.equalsIgnoreCase("auto")) None
+      else {
+        val w = try raw.toLong catch { case _: NumberFormatException => 0L }
+        if (w <= 0) return plan
+        Some(w)
+      }
     val cap =
       try spark.conf.get(MaxSpanKey, "256").toInt
       catch { case _: NumberFormatException => 256 }
@@ -85,12 +154,56 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // auto-mode width memo, keyed by the canonicalized (interval plan,
+  // bounds) shape so fixed-point optimizer passes and repeated queries
+  // over the same frame pay the one bounded stats job once. Stats-derived
+  // perf knob only — a stale entry after the underlying files change
+  // cannot affect correctness, just bucket fill.
+  @transient private lazy val widthMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, Expression, Expression), java.lang.Long]()
+
+  /** Derive the bucket width from the interval side: p75 of the positive
+    * span lengths in PHYSICAL units (days/micros/raw), the
+    * [[graft.operators.RangeJoin.bucketWidthFor]] policy, via one bounded
+    * approxQuantile job (Greenwald–Khanna sketch, a few KB to the
+    * driver). Runs DURING optimization of the outer query — safe because
+    * the derivation plan is a plain projection of one join side (its own
+    * optimization cannot re-enter this join), and failure of any kind
+    * just declines the rewrite.
+    */
+  private def deriveWidth(ivs: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] =
+    try {
+      val memoKey = (ivs.canonicalized, lo.canonicalized, hi.canonicalized)
+      // value type is java.lang.Long so an absent key stays an observable
+      // null (a scala.Long value type would silently unbox null to 0)
+      val hit = widthMemo.get(memoKey)
+      val w: Long = if (hit != null) hit.longValue else {
+        if (widthMemo.size > 100) widthMemo.clear()
+        val len = Alias(
+          Cast(Subtract(asLong(hi), asLong(lo)), DoubleType), "__len")()
+        val df = org.apache.spark.sql.graftshim.ColumnBridge
+          .ofRows(spark, Project(Seq(len), ivs))
+          .filter(org.apache.spark.sql.functions.col("__len") > 0)
+        val q = df.stat.approxQuantile("__len", Array(0.75), 0.01)
+        val derived =
+          if (q.isEmpty || q(0).isNaN || q(0) < 1.0) 1L
+          else math.round(q(0))
+        widthMemo.put(memoKey, derived)
+        derived
+      }
+      spark.conf.set(DerivedKey, w.toString)
+      Some(w)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
     case other => Seq(other)
   }
 
-  private def rewrite(j: Join, width: Long, cap: Int): Option[LogicalPlan] = {
+  private def rewrite(j: Join, confWidth: Option[Long],
+      cap: Int): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), hint) = j
     val conjuncts = splitConjuncts(cond)
     // bail out when an equi-conjunct exists — Catalyst hash-joins on it
@@ -113,29 +226,29 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // lower: x >= lo | x > lo | lo <= x | lo < x
       case GreaterThanOrEqual(x, lo) if lower &&
         fromSide(x, pointSide) && fromSide(lo, ivSide) &&
-        intLongType(x) && intLongType(lo) => Bound(x, lo)
+        axisPair(x, lo) => Bound(x, lo)
       case GreaterThan(x, lo) if lower &&
         fromSide(x, pointSide) && fromSide(lo, ivSide) &&
-        intLongType(x) && intLongType(lo) => Bound(x, lo)
+        axisPair(x, lo) => Bound(x, lo)
       case LessThanOrEqual(lo, x) if lower &&
         fromSide(x, pointSide) && fromSide(lo, ivSide) &&
-        intLongType(x) && intLongType(lo) => Bound(x, lo)
+        axisPair(x, lo) => Bound(x, lo)
       case LessThan(lo, x) if lower &&
         fromSide(x, pointSide) && fromSide(lo, ivSide) &&
-        intLongType(x) && intLongType(lo) => Bound(x, lo)
+        axisPair(x, lo) => Bound(x, lo)
       // upper: x <= hi | x < hi | hi >= x | hi > x
       case LessThanOrEqual(x, hi) if !lower &&
         fromSide(x, pointSide) && fromSide(hi, ivSide) &&
-        intLongType(x) && intLongType(hi) => Bound(x, hi)
+        axisPair(x, hi) => Bound(x, hi)
       case LessThan(x, hi) if !lower &&
         fromSide(x, pointSide) && fromSide(hi, ivSide) &&
-        intLongType(x) && intLongType(hi) => Bound(x, hi)
+        axisPair(x, hi) => Bound(x, hi)
       case GreaterThanOrEqual(hi, x) if !lower &&
         fromSide(x, pointSide) && fromSide(hi, ivSide) &&
-        intLongType(x) && intLongType(hi) => Bound(x, hi)
+        axisPair(x, hi) => Bound(x, hi)
       case GreaterThan(hi, x) if !lower &&
         fromSide(x, pointSide) && fromSide(hi, ivSide) &&
-        intLongType(x) && intLongType(hi) => Bound(x, hi)
+        axisPair(x, hi) => Bound(x, hi)
     }
 
     // try both orientations: points on the left, then points on the right
@@ -155,7 +268,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       spark.sessionState.conf.numShufflePartitions, 16).toLong
 
     def build(pointsLeft: Boolean, x: Expression, lo: Expression,
-        hi: Expression): LogicalPlan = {
+        hi: Expression, width: Long): LogicalPlan = {
       val (points, ivs) = if (pointsLeft) (left, right) else (right, left)
       // points: own bucket (kind 0) + one salt probe (kind 1)
       val pKeys = CreateArray(Seq(
@@ -215,15 +328,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       def less(aSide: LogicalPlan, bSide: LogicalPlan): Seq[Bound] =
         conjuncts.collect {
           case LessThan(a, b) if fromSide(a, aSide) && fromSide(b, bSide) &&
-            intLongType(a) && intLongType(b) => Bound(a, b)
+            axisPair(a, b) => Bound(a, b)
           case LessThanOrEqual(a, b)
             if fromSide(a, aSide) && fromSide(b, bSide) &&
-              intLongType(a) && intLongType(b) => Bound(a, b)
+              axisPair(a, b) => Bound(a, b)
           case GreaterThan(b, a) if fromSide(a, aSide) && fromSide(b, bSide) &&
-            intLongType(a) && intLongType(b) => Bound(a, b)
+            axisPair(a, b) => Bound(a, b)
           case GreaterThanOrEqual(b, a)
             if fromSide(a, aSide) && fromSide(b, bSide) &&
-              intLongType(a) && intLongType(b) => Bound(a, b)
+              axisPair(a, b) => Bound(a, b)
         }
       val lr = less(left, right) // (lStart, rEnd) candidates
       val rl = less(right, left) // (rStart, lEnd) candidates
@@ -237,7 +350,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     def buildOverlap(ls: Expression, le: Expression, rs: Expression,
-        re: Expression): LogicalPlan = {
+        re: Expression, width: Long): LogicalPlan = {
       def saltOf(s: Expression, e: Expression) =
         Pmod(XxHash64(Seq(asLong(s), asLong(e)), 42L), Literal(salts))
       def allSalts(kind: Int) = {
@@ -296,12 +409,19 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
     }
 
-    orient(left, right).map { case (x, lo, hi) =>
-      build(pointsLeft = true, x, lo, hi)
-    }.orElse(orient(right, left).map { case (x, lo, hi) =>
-      build(pointsLeft = false, x, lo, hi)
-    }).orElse(orientOverlap().map { case (ls, le, rs, re) =>
-      buildOverlap(ls, le, rs, re)
+    // auto mode resolves the width from the interval side of whichever
+    // orientation matched; a failed derivation declines the rewrite
+    def widthOr(ivs: LogicalPlan, lo: Expression, hi: Expression) =
+      confWidth.orElse(deriveWidth(ivs, lo, hi))
+
+    orient(left, right).flatMap { case (x, lo, hi) =>
+      widthOr(right, lo, hi).map(w =>
+        build(pointsLeft = true, x, lo, hi, w))
+    }.orElse(orient(right, left).flatMap { case (x, lo, hi) =>
+      widthOr(left, lo, hi).map(w =>
+        build(pointsLeft = false, x, lo, hi, w))
+    }).orElse(orientOverlap().flatMap { case (ls, le, rs, re) =>
+      widthOr(left, ls, le).map(w => buildOverlap(ls, le, rs, re, w))
     })
   }
 }

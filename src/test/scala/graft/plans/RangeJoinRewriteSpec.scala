@@ -17,13 +17,17 @@ import graft.SparkSpec
 class RangeJoinRewriteSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRule[A](binSize: Long)(f: => A): A = {
+  private def withRule[A](binSize: Long)(f: => A): A =
+    withRuleConf(binSize.toString)(f)
+
+  private def withRuleConf[A](binSize: String)(f: => A): A = {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(spark)
-    spark.conf.set("spark.graft.rangeJoin.binSize", binSize.toString)
+    spark.conf.set("spark.graft.rangeJoin.binSize", binSize)
     try f finally {
       spark.experimental.extraOptimizations = prev
       spark.conf.unset("spark.graft.rangeJoin.binSize")
+      spark.conf.unset("spark.graft.rangeJoin.derivedBinSize")
     }
   }
 
@@ -137,6 +141,95 @@ class RangeJoinRewriteSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSeq.sorted
       assert(got == want) // touch pairs (1,7),(2,7),(2,8) included once
     }
+  }
+
+  test("DATE axis: BETWEEN over date columns rewrites (buckets on epoch " +
+      "days) with the exact result") {
+    val pts = (0 until 120).map(i => (i.toLong, i))
+      .toDF("pid", "off")
+      .select(col("pid"), expr("date_add(DATE'2024-01-01', off)").as("d"))
+    val iv = (0 until 12).map(i => (i.toLong, i * 11, i * 11 + 6))
+      .toDF("iid", "s", "e")
+      .select(col("iid"),
+        expr("date_add(DATE'2024-01-01', s)").as("dlo"),
+        expr("date_add(DATE'2024-01-01', e)").as("dhi"))
+    val cond = col("d") >= col("dlo") && col("d") <= col("dhi")
+    val want = pts.join(iv, cond)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(7L) { // 7-day buckets
+      val df = pts.join(iv, cond)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted == want)
+    }
+  }
+
+  test("TIMESTAMP axis: the naive time-window join rewrites (buckets on " +
+      "epoch micros) with the exact result") {
+    val pts = (0 until 200).map(i => (i.toLong, i * 137L))
+      .toDF("pid", "m")
+      .select(col("pid"),
+        expr("timestamp_micros(m * 60000000)").as("ts")) // minutes apart
+    val iv = (0 until 15).map(i => (i.toLong, i * 900L, i * 900L + 360L))
+      .toDF("iid", "s", "e")
+      .select(col("iid"),
+        expr("timestamp_micros(s * 60000000)").as("tlo"),
+        expr("timestamp_micros(e * 60000000)").as("thi"))
+    val cond = col("ts") >= col("tlo") && col("ts") <= col("thi")
+    val want = pts.join(iv, cond)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(6L * 3600L * 1000000L) { // 6h buckets in micros
+      val df = pts.join(iv, cond)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted == want)
+    }
+  }
+
+  test("binSize=auto derives the width from the interval side (p75 " +
+      "span), pins it to derivedBinSize, and stays exact") {
+    val want = naive
+    withRuleConf("auto") {
+      val df = points.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted == want)
+      // every finite interval in `ivs` has span exactly 40; the one
+      // axis-spanning outlier sits above p75 — the derived width is 40
+      assert(spark.conf.get("spark.graft.rangeJoin.derivedBinSize") == "40")
+    }
+  }
+
+  test("generic theta bounds (multi-attribute arithmetic) are NOT " +
+      "rewritten — the shape sanity check rejects derived hulls") {
+    withRule(7L) {
+      val p = points.join(ivs,
+          col("x") >= col("lo") + col("hi") - col("hi") &&
+            col("x") <= col("hi") + col("lo") - col("lo"))
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("__gkey"), p.take(3000))
+    }
+  }
+
+  test("x103 plan pin: the naive TIMESTAMP BETWEEN SQL join plans as a " +
+      "hash equi-join under binSize=auto, and the derived width is " +
+      "observable") {
+    val (child, joined) = graft.QueriesExt.rangeJoinTimeFrame(spark, sfDir)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // ±2h windows: every span is exactly 4h of micros, so p75 == 4h
+    assert(child.conf.get("spark.graft.rangeJoin.derivedBinSize") ==
+      (4L * 3600L * 1000000L).toString)
+    // and the parent session carries none of the child's optimizer state
+    assert(!spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[RangeJoinRewrite]))
+    assert(spark.conf.get("spark.graft.rangeJoin.binSize", "unset")
+      == "unset")
   }
 
   test("joins with an equi key are left alone; rule off without the conf") {
