@@ -1009,6 +1009,50 @@ object QueriesExt {
       .orderBy("bucket")
   }
 
+  /** LEFT OUTER range join through the optimizer rewrite (x104): every
+    * click, paired with the sparse ±20-minute purchase windows covering
+    * it (purchases with event_id % 5 = 0 only, so most clicks are
+    * UNMATCHED and the null-extension path carries real weight), written
+    * as the naive SQL `LEFT JOIN ... ON ts BETWEEN lo AND hi` a user
+    * types — Spark alone plans an outer BroadcastNestedLoopJoin; the
+    * rule plans the bucketized inner join UNION the value-complemented
+    * unmatched rows. Rolled up per click bucket into total/matched/
+    * unmatched counts (<= 8 driver rows); the oracle replays the raw
+    * outer inequality join in DuckDB at micro precision.
+    */
+  def rangeJoinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    // 40-minute windows: bucket width = the window span, in micros
+    child.conf.set("spark.graft.rangeJoin.binSize",
+      (40L * 60L * 1000000L).toString)
+    val ev = graft.Tables.events(child, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    ev.filter(col("event_type") === "purchase" &&
+        pmod(col("event_id"), lit(5L)) === 0L)
+      .select(col("event_id").as("win_id"), col("ts").as("wts"))
+      .createOrReplaceTempView("graft_x104_windows")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"))
+      .createOrReplaceTempView("graft_x104_clicks")
+    val rows = child.sql(
+      """SELECT pmod(c.click_id, 8) AS bucket,
+        |  COUNT(*) AS n_rows, COUNT(w.win_id) AS n_matched,
+        |  SUM(CASE WHEN w.win_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+        |FROM graft_x104_clicks c LEFT JOIN graft_x104_windows w
+        |  ON c.cts BETWEEN w.wts - INTERVAL '20' MINUTE
+        |               AND w.wts + INTERVAL '20' MINUTE
+        |GROUP BY 1""".stripMargin)
+      .collect() // bounded: <= 8 bucket rows
+    rows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("bucket", "n_rows", "n_matched", "n_unmatched")
+      .orderBy("bucket")
+  }
+
   /** Token-distribution drift between two corpus slices — the
     * over/under-represented-vocabulary report a pipeline monitors when a
     * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
@@ -2297,7 +2341,8 @@ object QueriesExt {
     "x100_rangejoin_rewrite" -> rangeJoinSqlRewrite _,
     "x101_source_overlap" -> sourceOverlap _,
     "x102_k_anonymity" -> kAnonymityAudit _,
-    "x103_rangejoin_time" -> rangeJoinTimeRewrite _)
+    "x103_rangejoin_time" -> rangeJoinTimeRewrite _,
+    "x104_rangejoin_leftouter" -> rangeJoinLeftOuter _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3597,6 +3642,20 @@ object QueriesExt {
         | ON w.event_type = 'purchase' AND c.event_type = 'click'
         | AND epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 7200000000
         |   AND epoch_us(w.ts) + 7200000000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // LEFT OUTER rewritten BETWEEN join: raw outer inequality replayed
+    // at micro precision; sparse windows make most clicks unmatched
+    "x104_rangejoin_leftouter" ->
+      """SELECT CAST(c.event_id % 8 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(w.event_id) AS BIGINT) AS n_matched,
+        | CAST(SUM(CASE WHEN w.event_id IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_unmatched
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events
+        |  WHERE event_type = 'purchase' AND event_id % 5 = 0) w
+        | ON epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 1200000000
+        |   AND epoch_us(w.ts) + 1200000000
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison

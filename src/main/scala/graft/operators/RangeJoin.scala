@@ -130,6 +130,43 @@ object RangeJoin {
       .drop("__k", "__b")
   }
 
+  /** LEFT OUTER [[pointInInterval]]: every `points` row appears — paired
+    * with each covering interval when one exists, null-extended on the
+    * interval columns when none does. Implemented WITHOUT row ids: the
+    * unmatched set is `points` LEFT ANTI joined (null-safe, by VALUE over
+    * the full points tuple) against the distinct point-tuples of the
+    * matched pairs. Identical point rows have identical match sets, so
+    * value-based complementation IS multiset left-outer semantics — and
+    * unlike a `monotonically_increasing_id` tag, it is deterministic
+    * under re-execution of the two branches (the physical plan reuses
+    * the matched join's exchanges, so the second pass re-runs only the
+    * post-shuffle stages).
+    *
+    * Scale shape: the anti side shuffles distinct MATCHED point tuples
+    * (bounded by |points|) plus the points themselves — two hash joins,
+    * no nested loop anywhere. If the points carry wide payload columns,
+    * project them to a key + payload split before calling.
+    */
+  def pointInIntervalLeftOuter(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
+    val matched = pointInInterval(points, intervals, pointCol, startCol,
+      endCol, bucketWidth, extraKeys, maxSpanBuckets)
+    val pCols = points.columns.toSeq
+    val ivTypes = intervals.schema.map(f => f.name -> f.dataType).toMap
+    val l = points.alias("__rj_l")
+    val m = matched.select(pCols.map(col): _*).distinct().alias("__rj_m")
+    val anti = l.join(m,
+      pCols.map(c => col(s"__rj_l.$c") <=> col(s"__rj_m.$c"))
+        .reduce(_ && _), "left_anti")
+    val extended = anti.select(matched.columns.toSeq.map { c =>
+      if (pCols.contains(c)) col(c)
+      else lit(null).cast(ivTypes(c)).as(c)
+    }: _*)
+    matched.unionAll(extended)
+  }
+
   /** Tolerance band join: pair every left row with every right row whose
     * `rightCol` lies within `tolerance` of `leftCol` (|l - r| <= tol),
     * optionally also equi-matching `extraKeys` — "events of the same user

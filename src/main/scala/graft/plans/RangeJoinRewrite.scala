@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
   *    beyond this route to the salted long-tail rendezvous (same exact
   *    guard as the operator — see RangeJoin's scaladoc).
   *
-  * Applicability: INNER joins whose condition contains a lower and an
+  * Applicability: INNER joins — plus LEFT/RIGHT OUTER joins whose
+  * PRESERVED side is the points side (rewritten as the inner form UNION
+  * the value-complemented unmatched rows, null-extended; see
+  * `outerExtend`) — whose condition contains a lower and an
   * upper bound on the SAME expression `x` of one side, with both bounds
   * from the other side, over int/long/DATE/TIMESTAMP axes (DATE buckets
   * on epoch days, TIMESTAMP on epoch micros — the reference's only range
@@ -149,7 +152,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       try spark.conf.get(MaxSpanKey, "256").toInt
       catch { case _: NumberFormatException => 256 }
     plan transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) =>
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
         rewrite(j, width, math.max(cap, 1)).getOrElse(j)
     }
   }
@@ -414,14 +417,77 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     def widthOr(ivs: LogicalPlan, lo: Expression, hi: Expression) =
       confWidth.orElse(deriveWidth(ivs, lo, hi))
 
-    orient(left, right).flatMap { case (x, lo, hi) =>
-      widthOr(right, lo, hi).map(w =>
-        build(pointsLeft = true, x, lo, hi, w))
-    }.orElse(orient(right, left).flatMap { case (x, lo, hi) =>
-      widthOr(left, lo, hi).map(w =>
-        build(pointsLeft = false, x, lo, hi, w))
-    }).orElse(orientOverlap().flatMap { case (ls, le, rs, re) =>
-      widthOr(left, ls, le).map(w => buildOverlap(ls, le, rs, re, w))
-    })
+    /** Outer-extend a rewritten INNER `matched` plan back to the outer
+      * join's semantics, WITHOUT row ids: the preserved side's unmatched
+      * rows are `preserved` LEFT ANTI joined — null-safe, by VALUE over
+      * its full output tuple — against the DISTINCT preserved-tuples of
+      * `matched`, then null-extended on the other side's columns and
+      * unioned in. Identical preserved rows have identical match sets,
+      * so value-based complementation IS multiset outer semantics, and
+      * every branch is deterministic (re-executing `matched` inside the
+      * anti arm reuses its exchanges at the physical layer). The union's
+      * first child is `matched`, which already projects `j.output`, so
+      * parents keep their attribute ids.
+      */
+    def outerExtend(matched: LogicalPlan,
+        preserved: LogicalPlan): LogicalPlan = {
+      val pAttrs = preserved.output
+      val grouped = Aggregate(pAttrs,
+        pAttrs.map(a => Alias(a, a.name)()),
+        Project(pAttrs, matched))
+      val gAttrs = grouped.aggregateExpressions.map(_.toAttribute)
+      val antiCond = pAttrs.zip(gAttrs)
+        .map { case (l, r) => EqualNullSafe(l, r) }
+        .reduceLeft[Expression](And)
+      val anti = Join(preserved, grouped, LeftAnti, Some(antiCond),
+        JoinHint.NONE)
+      val nullExtended = Project(j.output.map { a =>
+        if (preserved.outputSet.contains(a)) a
+        else Alias(Literal(null, a.dataType), a.name)()
+      }, anti)
+      Union(Seq(matched, nullExtended))
+    }
+
+    // the value-based complement groups by the preserved side's full
+    // tuple — un-groupable column types (maps, variants) decline the
+    // outer rewrite instead of failing at physical planning
+    def groupable(dt: DataType): Boolean = dt match {
+      case _: MapType | _: VariantType => false
+      case st: StructType => st.fields.forall(f => groupable(f.dataType))
+      case at: ArrayType => groupable(at.elementType)
+      case _ => true
+    }
+    def outerOk(preserved: LogicalPlan): Boolean =
+      preserved.output.nonEmpty &&
+        preserved.output.forall(a => groupable(a.dataType))
+
+    // outer joins rewrite only in the orientation whose PRESERVED side
+    // is the points side (every preserved row must survive exactly once;
+    // the interval side may replicate freely). Inner joins try both
+    // orientations plus the interval-overlap shape.
+    j.joinType match {
+      case LeftOuter =>
+        if (!outerOk(left)) return None
+        orient(left, right).flatMap { case (x, lo, hi) =>
+          widthOr(right, lo, hi).map(w =>
+            outerExtend(build(pointsLeft = true, x, lo, hi, w), left))
+        }
+      case RightOuter =>
+        if (!outerOk(right)) return None
+        orient(right, left).flatMap { case (x, lo, hi) =>
+          widthOr(left, lo, hi).map(w =>
+            outerExtend(build(pointsLeft = false, x, lo, hi, w), right))
+        }
+      case _ =>
+        orient(left, right).flatMap { case (x, lo, hi) =>
+          widthOr(right, lo, hi).map(w =>
+            build(pointsLeft = true, x, lo, hi, w))
+        }.orElse(orient(right, left).flatMap { case (x, lo, hi) =>
+          widthOr(left, lo, hi).map(w =>
+            build(pointsLeft = false, x, lo, hi, w))
+        }).orElse(orientOverlap().flatMap { case (ls, le, rs, re) =>
+          widthOr(left, ls, le).map(w => buildOverlap(ls, le, rs, re, w))
+        })
+    }
   }
 }

@@ -29,6 +29,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("pointInIntervalLeftOuter equals the naive LEFT JOIN: matched " +
+      "pairs intact, unmatched points null-extended exactly once, " +
+      "duplicate point rows keep their multiplicity") {
+    // pid 4 is duplicated and unmatched; pid 2 matches two intervals;
+    // a long-tail spanning interval and an inverted one are planted
+    val points = (Seq((1L, 5L), (2L, 10L), (3L, 25L)) ++
+      Seq((4L, 99L), (4L, 99L))).toDF("pid", "x")
+    val ivs = Seq(("A", 0L, 10L), ("B", 8L, 30L), ("C", 40L, 40L),
+      ("INV", 500L, -500L)).toDF("name", "s", "e")
+    val got = RangeJoin.pointInIntervalLeftOuter(points, ivs, "x", "s",
+        "e", bucketWidth = 10L)
+      .select("pid", "name").as[(Long, Option[String])]
+      .collect().toList.sortBy(r => (r._1, r._2))
+    val naive = points.join(ivs,
+        col("s") <= col("x") && col("x") <= col("e"), "left")
+      .select("pid", "name").as[(Long, Option[String])]
+      .collect().toList.sortBy(r => (r._1, r._2))
+    assert(got == naive)
+    assert(got.count(_ == (4L, None)) == 2) // multiplicity preserved
+    assert(got.count(_._1 == 2L) == 2)      // both A and B matched
+  }
+
   test("bandJoin equals the naive |l - r| <= tol join with extra keys") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 100L))
       .toDF("lid", "u", "lt")

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fuzz harness for the [[RangeJoinRewrite]] MATCHER: random join-
+  * condition shapes over random axis types, bound styles, operand
+  * flips, strictness mixes, conjunct orders, and join types.
+  *
+  * Shared by both property objects below: [[RangeJoinRewriteFuzzPlan]]
+  * checks 1000+ shapes at the PLAN level (the rule fires exactly on the
+  * eligible shapes and never crashes the optimizer), and
+  * [[RangeJoinRewriteFuzzExec]] executes a subset end-to-end against an
+  * in-Scala multiset oracle (rule-on result == naive semantics).
+  */
+private[plans] object RangeJoinFuzz {
+
+  /** One random join-condition shape. `equiKey` and `thetaBound` make
+    * the join ineligible (the rule must decline); everything else is a
+    * style axis the matcher must be insensitive to.
+    */
+  case class Shape(axis: String, joinType: String,
+      flipLower: Boolean, flipUpper: Boolean,
+      strictLower: Boolean, strictUpper: Boolean,
+      extraPred: Boolean, equiKey: Boolean, thetaBound: Boolean,
+      shuffleSeed: Long)
+
+  val genShape: Gen[Shape] = for {
+    axis <- Gen.oneOf("long", "int", "date", "ts")
+    jt <- Gen.oneOf("inner", "left")
+    fl <- Gen.oneOf(true, false)
+    fu <- Gen.oneOf(true, false)
+    sl <- Gen.oneOf(true, false)
+    su <- Gen.oneOf(true, false)
+    ep <- Gen.oneOf(true, false)
+    eq <- Gen.frequency(3 -> false, 1 -> true)
+    th <- Gen.frequency(3 -> false, 1 -> true)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield Shape(axis, jt, fl, fu, sl, su, ep, eq, th, seed)
+
+  val genPoints: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, Gen.choose(-100L, 100L))
+      .map(_.zipWithIndex.map { case (x, i) => (i.toLong, x) })
+
+  val genIvs: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(8, Gen.zip(Gen.choose(-100L, 100L), Gen.choose(-5L, 60L)))
+      .map(_.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, s, s + len)
+      })
+
+  /** The axis mappings are monotone injections from the raw longs, so
+    * the in-Scala oracle compares the raw longs directly.
+    */
+  def axisExpr(c: org.apache.spark.sql.Column, axis: String) = axis match {
+    case "long" => c
+    case "int" => c.cast("int")
+    case "date" =>
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")), c.cast("int"))
+    case "ts" => timestamp_micros(c * lit(3600000000L))
+  }
+
+  def binSizeFor(axis: String): Long = axis match {
+    case "ts" => 7L * 3600000000L // 7 "hours" of micros
+    case _ => 7L
+  }
+
+  /** Build the join under `shape` on `session` and the eligibility
+    * verdict. Conjunct order is shuffled by the shape's seed.
+    */
+  def buildJoin(session: SparkSession, shape: Shape,
+      ps: List[(Long, Long)], is: List[(Long, Long, Long)])
+      : (DataFrame, Boolean) = {
+    import session.implicits._
+    val p = ps.toDF("pid", "xraw")
+      .select(col("pid"), axisExpr(col("xraw"), shape.axis).as("ax"),
+        pmod(col("pid"), lit(3L)).as("pk"))
+    val iv = is.toDF("iid", "lraw", "hraw")
+      .select(col("iid"), col("lraw"),
+        axisExpr(col("lraw"), shape.axis).as("alo"),
+        axisExpr(col("hraw"), shape.axis).as("ahi"),
+        pmod(col("iid"), lit(3L)).as("ik"))
+    val lower =
+      (shape.flipLower, shape.strictLower) match {
+        case (false, false) => col("ax") >= col("alo")
+        case (false, true) => col("ax") > col("alo")
+        case (true, false) => col("alo") <= col("ax")
+        case (true, true) => col("alo") < col("ax")
+      }
+    val upper =
+      (shape.flipUpper, shape.strictUpper) match {
+        case (false, false) => col("ax") <= col("ahi")
+        case (false, true) => col("ax") < col("ahi")
+        case (true, false) => col("ahi") >= col("ax")
+        case (true, true) => col("ahi") > col("ax")
+      }
+    // a theta lower bound references TWO interval attributes (same
+    // value as the plain non-strict bound, since iid - iid == 0) — the
+    // shape sanity check must refuse to treat it as an interval bound
+    val effLower =
+      if (shape.thetaBound)
+        col("ax") >= axisExpr(
+          col("lraw") + col("iid") - col("iid"), shape.axis)
+      else lower
+    val conjuncts =
+      Seq(effLower, upper) ++
+        (if (shape.extraPred) Seq(col("pid") =!= col("iid")) else Nil) ++
+        (if (shape.equiKey) Seq(col("pk") === col("ik")) else Nil)
+    val cond = new scala.util.Random(shape.shuffleSeed)
+      .shuffle(conjuncts).reduce(_ && _)
+    val joined = p.join(iv, cond, shape.joinType)
+    val eligible = !shape.equiKey && !shape.thetaBound
+    (joined.select("pid", "iid"), eligible)
+  }
+
+  /** In-Scala multiset oracle over the raw longs. */
+  def oracle(shape: Shape, ps: List[(Long, Long)],
+      is: List[(Long, Long, Long)]): List[(Long, Option[Long])] = {
+    def pairs(pid: Long, x: Long) = is.filter { case (iid, lo, hi) =>
+      val lowerOk =
+        if (shape.thetaBound) x >= lo
+        else if (shape.strictLower) x > lo else x >= lo
+      val upperOk = if (shape.strictUpper) x < hi else x <= hi
+      lowerOk && upperOk &&
+        (!shape.extraPred || pid != iid) &&
+        (!shape.equiKey || pid % 3 == iid % 3)
+    }.map(_._1)
+    ps.flatMap { case (pid, x) =>
+      val m = pairs(pid, x)
+      if (m.nonEmpty) m.map(iid => (pid, Some(iid)))
+      else if (shape.joinType == "left") List((pid, None))
+      else Nil
+    }.sortBy(r => (r._1, r._2))
+  }
+}
+
+/** 1000+ random shapes at the plan level: optimization must never throw,
+  * and the rule must fire on exactly the eligible shapes (both bounds
+  * simple and single-attribute, no equi conjunct) regardless of conjunct
+  * order, operand flips, strictness, axis type, or inner/left join type.
+  */
+object RangeJoinRewriteFuzzPlan
+    extends Properties("graft.plans.RangeJoinRewrite.fuzzPlan") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(1000)
+
+  private lazy val child = {
+    val c = SparkSpec.spark.newSession()
+    c.experimental.extraOptimizations = Seq(RangeJoinRewrite(c))
+    c
+  }
+
+  property("rewrites exactly the eligible shapes, never crashes") =
+    forAll(RangeJoinFuzz.genShape, RangeJoinFuzz.genPoints,
+        RangeJoinFuzz.genIvs) { (shape, ps, is) =>
+      child.conf.set("spark.graft.rangeJoin.binSize",
+        RangeJoinFuzz.binSizeFor(shape.axis).toString)
+      try {
+        val (df, eligible) = RangeJoinFuzz.buildJoin(child, shape, ps, is)
+        val plan = df.queryExecution.optimizedPlan.toString
+        plan.contains("__gkey") == eligible
+      } finally child.conf.unset("spark.graft.rangeJoin.binSize")
+    }
+}
+
+/** A subset of shapes executed end-to-end: the rule-on result must equal
+  * the in-Scala multiset oracle (which IS the naive join's semantics) on
+  * every style axis, including LEFT OUTER null-extension.
+  */
+object RangeJoinRewriteFuzzExec
+    extends Properties("graft.plans.RangeJoinRewrite.fuzzExec") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(100)
+
+  private lazy val child = {
+    val c = SparkSpec.spark.newSession()
+    c.experimental.extraOptimizations = Seq(RangeJoinRewrite(c))
+    c
+  }
+
+  property("rule-on multiset equals the naive semantics") =
+    forAll(RangeJoinFuzz.genShape, RangeJoinFuzz.genPoints,
+        RangeJoinFuzz.genIvs) { (shape, ps, is) =>
+      child.conf.set("spark.graft.rangeJoin.binSize",
+        RangeJoinFuzz.binSizeFor(shape.axis).toString)
+      try {
+        val (df, _) = RangeJoinFuzz.buildJoin(child, shape, ps, is)
+        val got = df.collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toList.sortBy(r => (r._1, r._2))
+        got == RangeJoinFuzz.oracle(shape, ps, is)
+      } finally child.conf.unset("spark.graft.rangeJoin.binSize")
+    }
+}

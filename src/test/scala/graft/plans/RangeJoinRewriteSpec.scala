@@ -215,6 +215,65 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("LEFT OUTER BETWEEN join rewrites: exact multiset vs the naive " +
+      "plan, unmatched points null-extended, no nested loop") {
+    // points far outside every interval guarantee unmatched rows; the
+    // axis-spanning interval exercises the salted arm under outer
+    val pts = ((0L until 80L).map(i => (i, i * 3 - 100)) ++
+      Seq((900L, 500000L), (901L, -500000L))).toDF("pid", "x")
+    // the spanning interval [−2e12, 2e12] covers even the far points, so
+    // a second frame without it forces truly unmatched rows; both naive
+    // baselines are computed BEFORE the rule is installed
+    val noSpan = ivs.filter(col("iid") =!= 999L)
+    def leftJoin(iv: DataFrame): List[(Long, Option[Long])] =
+      pts.join(iv, col("x") >= col("lo") && col("x") <= col("hi"), "left")
+        .select("pid", "iid").as[(Long, Option[Long])]
+        .collect().toList.sortBy(r => (r._1, r._2))
+    val want = leftJoin(ivs)
+    val want2 = leftJoin(noSpan)
+    withRule(7L) {
+      val df = pts.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"), "left")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      assert(leftJoin(ivs) == want)
+      val got2 = leftJoin(noSpan)
+      assert(got2 == want2)
+      assert(got2.exists(_._2.isEmpty)) // unmatched rows present
+    }
+  }
+
+  test("RIGHT OUTER with points on the right rewrites symmetrically") {
+    val pts = ((0L until 80L).map(i => (i, i * 3 - 100)) ++
+      Seq((900L, 500000L))).toDF("pid", "x")
+    val noSpan = ivs.filter(col("iid") =!= 999L)
+    val want = noSpan.join(pts,
+        col("x") >= col("lo") && col("x") <= col("hi"), "right")
+      .select("pid", "iid").as[(Long, Option[Long])]
+      .collect().toList.sortBy(r => (r._1, r._2))
+    withRule(7L) {
+      val df = noSpan.join(pts,
+        col("x") >= col("lo") && col("x") <= col("hi"), "right")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      val got = df.select("pid", "iid").as[(Long, Option[Long])]
+        .collect().toList.sortBy(r => (r._1, r._2))
+      assert(got == want)
+      assert(got.exists(_._2.isEmpty))
+    }
+  }
+
+  test("LEFT OUTER with the preserved side as INTERVALS is left alone " +
+      "(only points-preserving orientations rewrite)") {
+    withRule(7L) {
+      val p = ivs.join(points,
+          col("x") >= col("lo") && col("x") <= col("hi"), "left")
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("__gkey"), p.take(3000))
+    }
+  }
+
   test("x103 plan pin: the naive TIMESTAMP BETWEEN SQL join plans as a " +
       "hash equi-join under binSize=auto, and the derived width is " +
       "observable") {
@@ -230,6 +289,34 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .exists(_.isInstanceOf[RangeJoinRewrite]))
     assert(spark.conf.get("spark.graft.rangeJoin.binSize", "unset")
       == "unset")
+  }
+
+  test("x104 plan pin: the naive LEFT JOIN BETWEEN SQL (sparse purchase " +
+      "windows) plans without a nested loop") {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+ RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize",
+      (40L * 60L * 1000000L).toString)
+    val ev = graft.Tables.events(child, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    ev.filter(col("event_type") === "purchase" &&
+        pmod(col("event_id"), lit(5L)) === 0L)
+      .select(col("event_id").as("win_id"), col("ts").as("wts"))
+      .createOrReplaceTempView("graft_x104_windows")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"))
+      .createOrReplaceTempView("graft_x104_clicks")
+    val df = child.sql(
+      """SELECT c.click_id, w.win_id
+        |FROM graft_x104_clicks c LEFT JOIN graft_x104_windows w
+        |  ON c.cts BETWEEN w.wts - INTERVAL '20' MINUTE
+        |               AND w.wts + INTERVAL '20' MINUTE""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("__gk") || df.queryExecution.optimizedPlan
+      .toString.contains("__gkey"), p.take(3000))
   }
 
   test("joins with an equi key are left alone; rule off without the conf") {
