@@ -169,6 +169,22 @@ object Sampling {
     * shuffles nothing. Deterministic across runs, engines, and
     * partitionings from ids alone.
     *
+    * STABILITY UNDER CORPUS GROWTH (the re-crawl contract): appending
+    * documents with FRESH, LARGER ids never reassigns an existing
+    * document unless the new documents BRIDGE two of its existing
+    * near-dup components. Non-bridging growth — new singletons, new
+    * clusters among themselves, new members attaching to one existing
+    * component — leaves every existing component's min id (its
+    * representative) and therefore its split untouched; a new member
+    * joining a component inherits that component's existing split. When
+    * growth DOES merge components, the merged cluster is re-keyed by
+    * the smaller min id and lands whole in that key's split: members of
+    * the other component move — necessarily, because leakage safety
+    * requires a near-dup cluster to live in ONE split, so co-location
+    * wins over assignment stickiness. Ids that are reused or smaller
+    * than existing ones void the contract (the min-id representative
+    * could flip without any merge).
+    *
     * @return one row per input doc: (idCol, rep, split)
     */
   def leakSafeSplit(df: DataFrame, textCol: String, idCol: String,

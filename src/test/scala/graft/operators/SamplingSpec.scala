@@ -180,6 +180,82 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("leakSafeSplit stability law: non-bridging growth with fresh " +
+      "larger ids never reassigns an existing doc; a bridging merge " +
+      "re-keys the merged cluster whole") {
+    import org.apache.spark.sql.functions._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "red orange yellow green blue indigo violet umber sepia jet"
+    val corpus0 = Seq(
+      (100L, textA), (101L, textA + " mu"), (102L, textA + " nu"),
+      (50L, textB), (51L, textB + " ochre")) ++
+      (0L until 24L).map(i =>
+        (i, s"unique$i words ${i}x ${i}y ${i}z padder$i filler$i"))
+    def run(rows: Seq[(Long, String)]): Map[Long, (Long, String)] =
+      Sampling.leakSafeSplit(rows.toDF("doc_id", "text"), "text",
+          "doc_id", threshold = 0.5)
+        .select("doc_id", "rep", "split")
+        .as[(Long, Long, String)].collect().toMap2
+    val before = run(corpus0)
+
+    // stage 1 — non-bridging growth, all ids larger than any existing:
+    // new singletons, a new cluster among themselves, and one new member
+    // attaching to the textA component
+    val grown = corpus0 ++
+      (200L until 208L).map(i =>
+        (i, s"fresh$i tokens ${i}p ${i}q ${i}r pad$i fill$i")) ++
+      Seq((300L, "wholly new cluster of words one two three four five"),
+        (301L, "wholly new cluster of words one two three four six"),
+        (310L, textA + " xi")) // attaches to the {100,101,102} component
+    val after = run(grown)
+    before.foreach { case (id, repSplit) =>
+      assert(after(id) == repSplit,
+        s"doc $id reassigned by non-bridging growth: " +
+          s"$repSplit -> ${after(id)}")
+    }
+    // the attaching member inherits the existing component's assignment
+    assert(after(310L) == before(100L))
+    // the new cluster keys by ITS min id
+    assert(after(300L)._1 == 300L && after(301L)._1 == 300L)
+
+    // stage 2 — a bridging doc merges two components. Similarity is
+    // 3-token-shingle Jaccard, so the geometry is built by word
+    // substitution in 20-word texts: tA and tB differ in 2 adjacent
+    // middle words (J = 14/22 ≈ 0.64, SEPARATE at threshold 0.7); the
+    // bridge tX takes one substituted word from each (J = 15/21 ≈ 0.71
+    // to BOTH, pairing with both at 0.7). The merged cluster re-keys to
+    // min id 50 and co-locates whole in 50's split — the documented
+    // reassignment a merge forces.
+    val w20 = (1 to 20).map(i => s"word$i")
+    def mk(p10: String, p11: String): String =
+      (w20.take(9) ++ Seq(p10, p11) ++ w20.drop(11)).mkString(" ")
+    val tA = mk("alphax", "alphay")
+    val tB = mk("betax", "betay")
+    val tX = mk("betax", "alphay")
+    val corpus2 = Seq(
+      (100L, tA), (101L, tA + " mu"), (102L, tA + " nu"),
+      (50L, tB), (51L, tB + " ochre")) ++
+      (0L until 24L).map(i =>
+        (i, s"unique$i words ${i}x ${i}y ${i}z padder$i filler$i"))
+    def run07(rows: Seq[(Long, String)]): Map[Long, (Long, String)] =
+      Sampling.leakSafeSplit(rows.toDF("doc_id", "text"), "text",
+          "doc_id", threshold = 0.7)
+        .select("doc_id", "rep", "split")
+        .as[(Long, Long, String)].collect().toMap2
+    val before2 = run07(corpus2)
+    assert(before2(100L)._1 == 100L && before2(50L)._1 == 50L,
+      "clusters must start separate at threshold 0.7")
+    val merged = run07(corpus2 :+ (400L, tX))
+    val cluster = Seq(50L, 51L, 100L, 101L, 102L, 400L)
+    assert(cluster.map(id => merged(id)._1).toSet == Set(50L),
+      s"merged cluster reps: ${cluster.map(id => merged(id))}")
+    assert(cluster.map(id => merged(id)._2).toSet.size == 1,
+      "merged cluster must land whole in one split")
+    // the move is to the SURVIVING key's split: doc 100 now lives where
+    // the 50-cluster lived
+    assert(merged(100L)._2 == before2(50L)._2)
+  }
+
   private implicit class Tup3Ops(xs: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, (Long, String)] =
       xs.map { case (a, b, c) => (a, (b, c)) }.toMap
