@@ -1832,14 +1832,20 @@ object QueriesExt {
       chunkSize = 16, overlap = 4)
     // eager counts, in funnel order: each count materializes its stage's
     // persisted survivor set exactly once before the next stage builds on
-    // it — a 7-branch union would race the caches and recompute the chain
+    // it — a 7-branch union would race the caches and recompute the chain.
+    // Stages 3 and 4 fuse into ONE job: stage 4 is a row-local predicate
+    // on cached stage-3 survivors, so a conditional count rides the same
+    // aggregation that materializes kept3 (one job round-trip saved; the
+    // emitted counts are bit-identical to two separate counts)
     import spark.implicits._
+    val r34 = kept3.agg(count(lit(1)).as("n3"),
+      count(when(col("__clean"), lit(1))).as("n4")).head()
     val counts = Seq(
       "0_all" -> docs.count(),
       "1_quality_lang" -> kept1.count(),
       "2_exact_dedup" -> kept2.count(),
-      "3_near_dedup" -> kept3.count(),
-      "4_decontaminated" -> kept4.count(),
+      "3_near_dedup" -> r34.getLong(0),
+      "4_decontaminated" -> r34.getLong(1),
       "5_sampled" -> kept5.count(),
       "6_chunks" -> chunks.count())
     // the eager counts above materialized every stage; the caches are dead
