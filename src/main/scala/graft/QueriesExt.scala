@@ -1053,6 +1053,42 @@ object QueriesExt {
       .orderBy("bucket")
   }
 
+  /** DATE-axis range join through the optimizer rewrite (x105): orders
+    * joined to monthly 10-day "campaign windows" via the naive SQL
+    * `BETWEEN ws AND date_add(ws, 9)` a user types — the reference's
+    * own range predicate is exactly this date-window shape
+    * (`/root/reference/submission_Amadeu/sql/metrics.sql:11`), and
+    * before the DATE extension the rule silently left such joins as
+    * BroadcastNestedLoopJoins. `binSize=auto` derives the 9-day bucket
+    * from the window spans themselves (DATE buckets on epoch days).
+    * Revenue follows the cross-engine money contract
+    * (SUM over DECIMAL(18,2), cast back to double).
+    */
+  def rangeJoinDateRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize", "auto")
+    t(child, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_x105_orders")
+    child.sql(
+      """SELECT explode(sequence(DATE'1995-01-01', DATE'2001-08-01',
+        |  interval 1 month)) AS ws""".stripMargin)
+      .createOrReplaceTempView("graft_x105_windows")
+    child.sql(
+      """SELECT date_format(w.ws, 'yyyy-MM-dd') AS window_start,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM graft_x105_orders o JOIN graft_x105_windows w
+        |  ON o.od BETWEEN w.ws AND date_add(w.ws, 9)
+        |GROUP BY w.ws
+        |ORDER BY window_start""".stripMargin)
+  }
+
   /** Token-distribution drift between two corpus slices — the
     * over/under-represented-vocabulary report a pipeline monitors when a
     * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
@@ -2348,7 +2384,8 @@ object QueriesExt {
     "x101_source_overlap" -> sourceOverlap _,
     "x102_k_anonymity" -> kAnonymityAudit _,
     "x103_rangejoin_time" -> rangeJoinTimeRewrite _,
-    "x104_rangejoin_leftouter" -> rangeJoinLeftOuter _)
+    "x104_rangejoin_leftouter" -> rangeJoinLeftOuter _,
+    "x105_rangejoin_date" -> rangeJoinDateRewrite _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3663,6 +3700,20 @@ object QueriesExt {
         | ON epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 1200000000
         |   AND epoch_us(w.ts) + 1200000000
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // DATE-axis rewritten BETWEEN join: monthly 10-day windows replayed
+    // with a generate_series frame; money via the DECIMAL(18,2) contract
+    "x105_rangejoin_date" ->
+      """WITH w AS (SELECT CAST(unnest(generate_series(
+        |   DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH))
+        |   AS DATE) AS ws)
+        |SELECT strftime(w.ws, '%Y-%m-%d') AS window_start,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders o JOIN w
+        | ON CAST(o.o_orderdate AS DATE)
+        |   BETWEEN w.ws AND w.ws + INTERVAL 9 DAY
+        |GROUP BY w.ws ORDER BY window_start""".stripMargin,
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison
     "x57_token_drift" ->

@@ -319,6 +319,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .toString.contains("__gkey"), p.take(3000))
   }
 
+  test("x105 plan pin: the naive DATE BETWEEN SQL join (monthly windows)" +
+      " plans as a hash equi-join; auto derives the 9-day width") {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+ RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize", "auto")
+    graft.Tables.load(child, sfDir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .createOrReplaceTempView("graft_x105p_orders")
+    child.sql(
+      """SELECT explode(sequence(DATE'1995-01-01', DATE'2001-08-01',
+        |  interval 1 month)) AS ws""".stripMargin)
+      .createOrReplaceTempView("graft_x105p_windows")
+    val df = child.sql(
+      """SELECT o.o_orderkey, w.ws FROM graft_x105p_orders o
+        |JOIN graft_x105p_windows w
+        |  ON o.od BETWEEN w.ws AND date_add(w.ws, 9)""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(child.conf.get("spark.graft.rangeJoin.derivedBinSize") == "9")
+  }
+
   test("joins with an equi key are left alone; rule off without the conf") {
     // equi conjunct present -> Catalyst hash-joins on it already
     val withKey = points.withColumn("k", col("pid") % 3)
