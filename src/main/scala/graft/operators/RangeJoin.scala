@@ -187,6 +187,24 @@ object RangeJoin {
       .drop("__start", "__end")
   }
 
+  /** LEFT OUTER [[bandJoin]]: every left row appears — paired with each
+    * right row within `tolerance`, null-extended when none is. The
+    * right-side derived interval columns are dropped before the
+    * complementation, so the anti join keys on the LEFT tuple only
+    * (same value-based construction as [[pointInIntervalLeftOuter]]).
+    */
+  def bandJoinLeftOuter(left: DataFrame, right: DataFrame, leftCol: String,
+      rightCol: String, tolerance: Long,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(tolerance >= 0, "tolerance must be nonnegative")
+    val iv = right
+      .withColumn("__start", col(rightCol) - tolerance)
+      .withColumn("__end", col(rightCol) + tolerance)
+    pointInIntervalLeftOuter(left, iv, leftCol, "__start", "__end",
+      bucketWidth = math.max(2 * tolerance, 1L), extraKeys)
+      .drop("__start", "__end")
+  }
+
   /** Interval x interval OVERLAP join: pair every left interval
     * `[lStart, lEnd)` with every right interval `[rStart, rEnd)` that
     * overlaps it (half-open: `max(starts) < min(ends)`), optionally also

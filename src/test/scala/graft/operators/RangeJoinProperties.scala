@@ -65,6 +65,48 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
       got == want
     }
 
+  property("pointInIntervalLeftOuter equals the naive LEFT JOIN " +
+      "multiset at any width and long-tail cap") =
+    forAll(genSide(18), genSide(12), genWidth,
+        Gen.choose(1, 8)) { (psRaw, ivsRaw, w, cap) =>
+      // reuse the interval generator for points: (pid, x, ignored)
+      val ps = psRaw.map { case (i, s, _) => (i, s) }
+      val points = ps.toDF("pid", "x")
+      val ivs = ivsRaw.toDF("iid", "s", "e")
+      val got = RangeJoin.pointInIntervalLeftOuter(points, ivs, "x", "s",
+          "e", bucketWidth = w, maxSpanBuckets = cap)
+        .select("pid", "iid").as[(Long, Option[Long])]
+        .collect().toList.sortBy(r => (r._1, r._2))
+      val want = ps.flatMap { case (pid, x) =>
+        val m = ivsRaw.filter { case (_, s, e) => s <= x && x <= e }
+          .map(_._1)
+        if (m.nonEmpty) m.map(iid => (pid, Some(iid)))
+        else List((pid, None))
+      }.sortBy(r => (r._1, r._2))
+      got == want
+    }
+
+  property("bandJoinLeftOuter equals the naive |l - r| <= tol LEFT " +
+      "JOIN with extra keys") =
+    forAll(genSide(15), genSide(15), Gen.choose(0L, 20L)) { (ls, rs, tol) =>
+      val left = ls.map { case (i, v, _) => (i, i % 2, v) }
+        .toDF("lid", "k", "lv")
+      val right = rs.map { case (i, v, _) => (i, i % 2, v) }
+        .toDF("rid", "k", "rv")
+      val got = RangeJoin.bandJoinLeftOuter(left, right, "lv", "rv",
+          tolerance = tol, extraKeys = Seq("k"))
+        .select("lid", "rid").as[(Long, Option[Long])]
+        .collect().toList.sortBy(r => (r._1, r._2))
+      val want = ls.flatMap { case (li, lv, _) =>
+        val m = rs.filter { case (ri, rv, _) =>
+          li % 2 == ri % 2 && math.abs(lv - rv) <= tol
+        }.map(_._1)
+        if (m.nonEmpty) m.map(ri => (li, Some(ri)))
+        else List((li, None))
+      }.sortBy(r => (r._1, r._2))
+      got == want
+    }
+
   property("extraKeys restrict pairing to the key, still exactly once") =
     forAll(genSide(20), genSide(20), genWidth) { (ls, rs, w) =>
       val l = ls.map { case (i, s, e) => (i, i % 3, s, e) }
