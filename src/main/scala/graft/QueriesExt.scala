@@ -1020,8 +1020,8 @@ object QueriesExt {
     * unmatched counts (<= 8 driver rows); the oracle replays the raw
     * outer inequality join in DuckDB at micro precision.
     */
-  def rangeJoinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
+  def rangeJoinLeftOuterFrame(spark: SparkSession, dir: String)
+      : (SparkSession, DataFrame) = {
     val child = spark.newSession()
     child.experimental.extraOptimizations =
       child.experimental.extraOptimizations :+
@@ -1038,14 +1038,27 @@ object QueriesExt {
     ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts").as("cts"))
       .createOrReplaceTempView("graft_x104_clicks")
-    val rows = child.sql(
-      """SELECT pmod(c.click_id, 8) AS bucket,
-        |  COUNT(*) AS n_rows, COUNT(w.win_id) AS n_matched,
-        |  SUM(CASE WHEN w.win_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+    (child, child.sql(
+      """SELECT c.click_id, w.win_id
         |FROM graft_x104_clicks c LEFT JOIN graft_x104_windows w
         |  ON c.cts BETWEEN w.wts - INTERVAL '20' MINUTE
-        |               AND w.wts + INTERVAL '20' MINUTE
-        |GROUP BY 1""".stripMargin)
+        |               AND w.wts + INTERVAL '20' MINUTE""".stripMargin))
+  }
+
+  /** The x104 aggregation over [[rangeJoinLeftOuterFrame]] — see that
+    * helper's scaladoc for the join's construction; the frame is shared
+    * with the plan-pinning spec so the pin always covers the shipped
+    * query's exact shape.
+    */
+  def rangeJoinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val (_, joined) = rangeJoinLeftOuterFrame(spark, dir)
+    val rows = joined
+      .groupBy(pmod(col("click_id"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("win_id")).as("n_matched"),
+        sum(when(col("win_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
       .collect() // bounded: <= 8 bucket rows
     rows.toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -110,17 +110,21 @@ object RangeJoin {
     val p = flatten(points.withColumn("__key", explode(array(
       key(0, bucketOf(col(pointCol), bucketWidth)),
       key(1, pmod(xxhash64(col(pointCol)), lit(salts)))))))
+    // an INVERTED interval (end < start) can never satisfy the inclusive
+    // containment predicate, so it is FILTERED, not routed: sending it
+    // down the salt arm would pair it with every point's salt probe
+    // before the exact filter rejected it — |points| x |inverted| wasted
+    // joined rows — and letting it reach sequence() would build a huge
+    // descending tiling. NULL-bounded rows drop with it (NULL bounds
+    // never satisfy the containment predicate either). Same guard as
+    // the optimizer twin RangeJoinRewrite's point shape.
+    val proper = intervals.filter(col(endCol) >= col(startCol))
     val sb = bucketOf(col(startCol), bucketWidth)
     val eb = bucketOf(col(endCol), bucketWidth)
     // when() evaluates one branch per row, so the long arm never builds
-    // the (possibly sequence-overflowing) axis tiling. The guard also
-    // requires eb >= sb: an INVERTED interval (end << start) has a large
-    // NEGATIVE span that would pass a span-only check and hand sequence()
-    // a huge descending range — route it to the salt arm instead, where
-    // the exact final filter rejects it (same guard the optimizer twin
-    // RangeJoinRewrite builds).
-    val iv = flatten(intervals.withColumn("__key", explode(
-      when(eb >= sb && eb - sb < lit(maxSpanBuckets.toLong),
+    // the axis tiling (spans are non-negative after the filter above)
+    val iv = flatten(proper.withColumn("__key", explode(
+      when(eb - sb < lit(maxSpanBuckets.toLong),
         transform(sequence(sb, eb), b => key(0, b)))
       .otherwise(
         transform(sequence(lit(0L), lit(salts - 1L)), s => key(1, s))))))
@@ -151,6 +155,14 @@ object RangeJoin {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long, extraKeys: Seq[String] = Nil,
       maxSpanBuckets: Int = 256): DataFrame = {
+    // the value-based complement must resolve the points tuple in the
+    // joined frame by NAME — shared non-key names would be ambiguous
+    // there (the inner join tolerates them; this wrapper cannot)
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- extraKeys
+    require(shared.isEmpty,
+      "pointInIntervalLeftOuter: points and intervals share non-key " +
+        s"column(s) ${shared.mkString(", ")} — rename before joining")
     val matched = pointInInterval(points, intervals, pointCol, startCol,
       endCol, bucketWidth, extraKeys, maxSpanBuckets)
     val pCols = points.columns.toSeq

@@ -146,6 +146,11 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         val w = try raw.toLong catch { case _: NumberFormatException => 0L }
         if (w <= 0) return plan
+        // explicit width: clear any stale auto-echo so an observer never
+        // reads a previous query's derived width as if it applied here.
+        // (In auto mode with several rewritten joins the echo is
+        // last-write-wins — an observability signal, not a registry.)
+        spark.conf.unset(DerivedKey)
         Some(w)
       }
     val cap =
@@ -184,15 +189,13 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val hit = widthMemo.get(memoKey)
       val w: Long = if (hit != null) hit.longValue else {
         if (widthMemo.size > 100) widthMemo.clear()
-        val len = Alias(
-          Cast(Subtract(asLong(hi), asLong(lo)), DoubleType), "__len")()
-        val df = org.apache.spark.sql.graftshim.ColumnBridge
-          .ofRows(spark, Project(Seq(len), ivs))
-          .filter(org.apache.spark.sql.functions.col("__len") > 0)
-        val q = df.stat.approxQuantile("__len", Array(0.75), 0.01)
-        val derived =
-          if (q.isEmpty || q(0).isNaN || q(0) < 1.0) 1L
-          else math.round(q(0))
+        // delegate to the operator's policy (single source of truth for
+        // the quantile, epsilon, and degenerate-case handling): project
+        // the physical-unit bounds and hand the frame over
+        val df = org.apache.spark.sql.graftshim.ColumnBridge.ofRows(spark,
+          Project(Seq(Alias(asLong(lo), "__s")(), Alias(asLong(hi), "__e")()),
+            ivs))
+        val derived = graft.operators.RangeJoin.bucketWidthFor(df, "__s", "__e")
         widthMemo.put(memoKey, derived)
         derived
       }
@@ -272,7 +275,16 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def build(pointsLeft: Boolean, x: Expression, lo: Expression,
         hi: Expression, width: Long): LogicalPlan = {
-      val (points, ivs) = if (pointsLeft) (left, right) else (right, left)
+      val (points, rawIvs) = if (pointsLeft) (left, right) else (right, left)
+      // an INVERTED interval row (hi < lo) can never satisfy both
+      // original bounds, so it is FILTERED, not salt-routed: down the
+      // salt arm it would pair with every point's probe before the
+      // refilter rejected it (|points| x |inverted| wasted rows), and it
+      // must never reach Sequence (descending range). NULL bounds drop
+      // with it — they can't satisfy the original predicates either.
+      // (The interval-overlap shape below does NOT share this filter:
+      // its two independent inequalities CAN hold for inverted rows.)
+      val ivs = Filter(GreaterThanOrEqual(asLong(hi), asLong(lo)), rawIvs)
       // points: own bucket (kind 0) + one salt probe (kind 1)
       val pKeys = CreateArray(Seq(
         key(0, bucketOf(x, width)),
@@ -291,12 +303,9 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val saltKeys = ArrayTransform(
         new Sequence(Literal(0L), Literal(salts - 1L), None, Some("UTC")),
         LambdaFunction(key(1, sv), Seq(sv)))
-      // inverted bounds (hi < lo on a data row) must NOT reach Sequence
-      // (it throws on a descending range) — route them to the salt path,
-      // where the original predicates simply never match them
+      // spans are non-negative after the inverted-row filter above
       val ivKeys = If(
-        And(GreaterThanOrEqual(eb, sb),
-          LessThan(Subtract(eb, sb), Literal(cap.toLong))),
+        LessThan(Subtract(eb, sb), Literal(cap.toLong)),
         tile, saltKeys)
 
       def gen(child: LogicalPlan, keys: Expression):

@@ -42,20 +42,26 @@ object ProfX104X105 {
         col("od") >= col("ws") && col("od") <= date_add(col("ws"), 9))
       .agg(count(lit(1)).as("n"))
 
+    // checksum over EVERY column, not just the total: a rewrite bug that
+    // swaps a matched pair for a spurious null-extension keeps the row
+    // count but flips the matched count
+    def sumAll(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(r => (0 until r.length).map(i =>
+        (i + 1) * r.getLong(i)).sum).sum
     def ab(label: String, q: () => org.apache.spark.sql.DataFrame,
         binSize: String): Unit = {
       var t0 = System.nanoTime()
-      val naive = q().collect().map(_.getLong(0)).sum
+      val naive = sumAll(q().collect())
       val tn = (System.nanoTime() - t0) / 1e9
       spark.experimental.extraOptimizations =
         Seq(graft.plans.RangeJoinRewrite(spark))
       spark.conf.set("spark.graft.rangeJoin.binSize", binSize)
       t0 = System.nanoTime()
-      val rew = q().collect().map(_.getLong(0)).sum
+      val rew = sumAll(q().collect())
       val tr = (System.nanoTime() - t0) / 1e9
       spark.conf.unset("spark.graft.rangeJoin.binSize")
       spark.experimental.extraOptimizations = Nil
-      println(f"$label naive $tn%6.2fs rewrite $tr%6.2fs rows=$naive")
+      println(f"$label naive $tn%6.2fs rewrite $tr%6.2fs checksum=$naive")
       assert(naive == rew, s"$label mismatch: $naive vs $rew")
     }
 

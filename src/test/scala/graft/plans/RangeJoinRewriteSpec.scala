@@ -293,25 +293,9 @@ class RangeJoinRewriteSpec extends SparkSpec {
 
   test("x104 plan pin: the naive LEFT JOIN BETWEEN SQL (sparse purchase " +
       "windows) plans without a nested loop") {
-    val child = spark.newSession()
-    child.experimental.extraOptimizations =
-      child.experimental.extraOptimizations :+ RangeJoinRewrite(child)
-    child.conf.set("spark.graft.rangeJoin.binSize",
-      (40L * 60L * 1000000L).toString)
-    val ev = graft.Tables.events(child, sfDir)
-      .select(col("event_id"), col("event_type"), col("ts"))
-    ev.filter(col("event_type") === "purchase" &&
-        pmod(col("event_id"), lit(5L)) === 0L)
-      .select(col("event_id").as("win_id"), col("ts").as("wts"))
-      .createOrReplaceTempView("graft_x104_windows")
-    ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("ts").as("cts"))
-      .createOrReplaceTempView("graft_x104_clicks")
-    val df = child.sql(
-      """SELECT c.click_id, w.win_id
-        |FROM graft_x104_clicks c LEFT JOIN graft_x104_windows w
-        |  ON c.cts BETWEEN w.wts - INTERVAL '20' MINUTE
-        |               AND w.wts + INTERVAL '20' MINUTE""".stripMargin)
+    // the SAME frame the shipped query aggregates (shared helper), so
+    // this pin can never drift from the query's actual shape
+    val (_, df) = graft.QueriesExt.rangeJoinLeftOuterFrame(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
