@@ -932,6 +932,10 @@ object QueriesExt {
       child.experimental.extraOptimizations :+
         graft.plans.RangeJoinRewrite(child)
     child.conf.set("spark.graft.rangeJoin.binSize", (2 * tol).toString)
+    // this surface BENCHMARKS the rewrite path: pin it on regardless of
+    // the SF-dependent size estimate (the stats guard is for session-wide
+    // enablement; RangeJoinRewriteSpec covers its decline behavior)
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     val ev = graft.Tables.events(child, dir)
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"))
@@ -968,6 +972,8 @@ object QueriesExt {
       child.experimental.extraOptimizations :+
         graft.plans.RangeJoinRewrite(child)
     child.conf.set("spark.graft.rangeJoin.binSize", "auto")
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     val ev = graft.Tables.events(child, dir)
       .select(col("event_id"), col("event_type"), col("ts"))
     ev.filter(col("event_type") === "purchase")
@@ -1029,6 +1035,8 @@ object QueriesExt {
     // 40-minute windows: bucket width = the window span, in micros
     child.conf.set("spark.graft.rangeJoin.binSize",
       (40L * 60L * 1000000L).toString)
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     val ev = graft.Tables.events(child, dir)
       .select(col("event_id"), col("event_type"), col("ts"))
     ev.filter(col("event_type") === "purchase" &&
@@ -1083,6 +1091,11 @@ object QueriesExt {
       child.experimental.extraOptimizations :+
         graft.plans.RangeJoinRewrite(child)
     child.conf.set("spark.graft.rangeJoin.binSize", "auto")
+    // the ~80-row window side is EXACTLY the shape the stats guard
+    // declines by default (COVERAGE's BNLJ-wins counter-case); this
+    // surface exists to prove the DATE-axis rewrite, so the guard is
+    // off here and RangeJoinRewriteSpec pins the default decline
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     t(child, dir, "orders")
       .select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("od"), col("o_totalprice"))

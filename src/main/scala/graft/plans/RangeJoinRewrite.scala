@@ -26,7 +26,21 @@ import org.apache.spark.sql.types._
   *    observability;
   *  - `spark.graft.rangeJoin.maxSpanBuckets` (int, default 256): spans
   *    beyond this route to the salted long-tail rendezvous (same exact
-  *    guard as the operator — see RangeJoin's scaladoc).
+  *    guard as the operator — see RangeJoin's scaladoc);
+  *  - `spark.graft.rangeJoin.smallSideBytes` (long, default 8192; <= 0
+  *    disables): the stats-aware small-side guard. When the INTERVAL
+  *    side's optimizer size estimate (`plan.stats.sizeInBytes`, the
+  *    same estimate broadcast planning reads) is at or below this, the
+  *    rule DECLINES: a broadcast-tiny interval side makes Spark's own
+  *    BroadcastNestedLoopJoin a per-row scan over a handful of cached
+  *    rows — measured FASTER than paying this rewrite's two explodes
+  *    and a shuffle (the 80-row monthly-window counter-case in
+  *    COVERAGE.md). The guard is what makes session-wide enablement
+  *    (`binSize=auto` for every query) safe: big shapes rewrite, tiny
+  *    dims keep the plan Catalyst already chose. For the overlap shape
+  *    BOTH sides replicate, so the guard declines when EITHER side is
+  *    tiny. Size estimates, not row counts: without CBO row counts are
+  *    usually absent, while sizeInBytes is always derivable from files.
   *
   * Applicability: INNER joins — plus LEFT/RIGHT OUTER joins whose
   * PRESERVED side is the points side (rewritten as the inner form UNION
@@ -64,6 +78,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private val BinSizeKey = "spark.graft.rangeJoin.binSize"
   private val MaxSpanKey = "spark.graft.rangeJoin.maxSpanBuckets"
   private val DerivedKey = "spark.graft.rangeJoin.derivedBinSize"
+  private val SmallSideKey = "spark.graft.rangeJoin.smallSideBytes"
 
   private def keyType = StructType(Seq(
     StructField("k", IntegerType, nullable = false),
@@ -156,9 +171,12 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val cap =
       try spark.conf.get(MaxSpanKey, "256").toInt
       catch { case _: NumberFormatException => 256 }
+    val smallSide =
+      try spark.conf.get(SmallSideKey, "8192").toLong
+      catch { case _: NumberFormatException => 8192L }
     plan transformUp {
       case j @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
-        rewrite(j, width, math.max(cap, 1)).getOrElse(j)
+        rewrite(j, width, math.max(cap, 1), smallSide).getOrElse(j)
     }
   }
 
@@ -209,7 +227,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(j: Join, confWidth: Option[Long],
-      cap: Int): Option[LogicalPlan] = {
+      cap: Int, smallSide: Long): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), hint) = j
     val conjuncts = splitConjuncts(cond)
     // bail out when an equi-conjunct exists — Catalyst hash-joins on it
@@ -421,6 +439,19 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
     }
 
+    // stats-aware small-side guard: a broadcast-tiny replicating side
+    // means Spark's own BNLJ beats this rewrite's explodes + shuffle —
+    // decline and keep the plan Catalyst chose. Reads the same estimate
+    // broadcast planning does; an unobtainable estimate counts as big
+    // (the rewrite is exact either way, so erring big only trades plans).
+    // Checked BEFORE width derivation so declined joins never pay the
+    // auto-mode stats job.
+    def bigEnough(side: LogicalPlan): Boolean =
+      smallSide <= 0L || {
+        try side.stats.sizeInBytes > BigInt(smallSide)
+        catch { case scala.util.control.NonFatal(_) => true }
+      }
+
     // auto mode resolves the width from the interval side of whichever
     // orientation matched; a failed derivation declines the rewrite
     def widthOr(ivs: LogicalPlan, lo: Expression, hi: Expression) =
@@ -476,26 +507,31 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // orientations plus the interval-overlap shape.
     j.joinType match {
       case LeftOuter =>
-        if (!outerOk(left)) return None
+        if (!outerOk(left) || !bigEnough(right)) return None
         orient(left, right).flatMap { case (x, lo, hi) =>
           widthOr(right, lo, hi).map(w =>
             outerExtend(build(pointsLeft = true, x, lo, hi, w), left))
         }
       case RightOuter =>
-        if (!outerOk(right)) return None
+        if (!outerOk(right) || !bigEnough(left)) return None
         orient(right, left).flatMap { case (x, lo, hi) =>
           widthOr(left, lo, hi).map(w =>
             outerExtend(build(pointsLeft = false, x, lo, hi, w), right))
         }
       case _ =>
-        orient(left, right).flatMap { case (x, lo, hi) =>
-          widthOr(right, lo, hi).map(w =>
-            build(pointsLeft = true, x, lo, hi, w))
-        }.orElse(orient(right, left).flatMap { case (x, lo, hi) =>
-          widthOr(left, lo, hi).map(w =>
-            build(pointsLeft = false, x, lo, hi, w))
-        }).orElse(orientOverlap().flatMap { case (ls, le, rs, re) =>
-          widthOr(left, ls, le).map(w => buildOverlap(ls, le, rs, re, w))
+        orient(left, right).filter(_ => bigEnough(right))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(right, lo, hi).map(w =>
+              build(pointsLeft = true, x, lo, hi, w))
+        }.orElse(orient(right, left).filter(_ => bigEnough(left))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(left, lo, hi).map(w =>
+              build(pointsLeft = false, x, lo, hi, w))
+        }).orElse(orientOverlap()
+          // overlap replicates BOTH sides, so either side tiny declines
+          .filter(_ => bigEnough(left) && bigEnough(right))
+          .flatMap { case (ls, le, rs, re) =>
+            widthOr(left, ls, le).map(w => buildOverlap(ls, le, rs, re, w))
         })
     }
   }

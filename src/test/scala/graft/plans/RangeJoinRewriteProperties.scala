@@ -152,6 +152,8 @@ object RangeJoinRewriteFuzzPlan
   private lazy val child = {
     val c = SparkSpec.spark.newSession()
     c.experimental.extraOptimizations = Seq(RangeJoinRewrite(c))
+    // tiny generated fixtures: the stats guard must not mask eligibility
+    c.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     c
   }
 
@@ -181,6 +183,8 @@ object RangeJoinRewriteFuzzExec
   private lazy val child = {
     val c = SparkSpec.spark.newSession()
     c.experimental.extraOptimizations = Seq(RangeJoinRewrite(c))
+    // tiny generated fixtures: the stats guard must not mask eligibility
+    c.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     c
   }
 

@@ -24,10 +24,15 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(spark)
     spark.conf.set("spark.graft.rangeJoin.binSize", binSize)
+    // the fixtures here are deliberately tiny; disable the stats-aware
+    // small-side guard so the rewrite machinery under test fires (the
+    // guard's own tests below leave it at its default)
+    spark.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     try f finally {
       spark.experimental.extraOptimizations = prev
       spark.conf.unset("spark.graft.rangeJoin.binSize")
       spark.conf.unset("spark.graft.rangeJoin.derivedBinSize")
+      spark.conf.unset("spark.graft.rangeJoin.smallSideBytes")
     }
   }
 
@@ -309,6 +314,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
     child.experimental.extraOptimizations =
       child.experimental.extraOptimizations :+ RangeJoinRewrite(child)
     child.conf.set("spark.graft.rangeJoin.binSize", "auto")
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
     graft.Tables.load(child, sfDir, "orders")
       .select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("od"))
@@ -325,6 +331,77 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(child.conf.get("spark.graft.rangeJoin.derivedBinSize") == "9")
+  }
+
+  // rule installed, binSize set, but the stats guard left at (or given)
+  // a REAL threshold — the guard-behavior tests' counterpart to
+  // withRuleConf, which zeroes it
+  private def withGuardedRule[A](binSize: String,
+      smallSide: Option[String] = None)(f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite(spark)
+    spark.conf.set("spark.graft.rangeJoin.binSize", binSize)
+    smallSide.foreach(v =>
+      spark.conf.set("spark.graft.rangeJoin.smallSideBytes", v))
+    try f finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.rangeJoin.binSize")
+      spark.conf.unset("spark.graft.rangeJoin.derivedBinSize")
+      spark.conf.unset("spark.graft.rangeJoin.smallSideBytes")
+    }
+  }
+
+  test("stats guard: a broadcast-tiny interval side keeps Catalyst's " +
+      "plan at the DEFAULT threshold; zeroing the guard re-enables " +
+      "the rewrite") {
+    // the 41-row fixture is the 80-row monthly-window counter-case in
+    // miniature: BNLJ over a broadcast handful beats explodes + shuffle
+    val want = naive
+    withGuardedRule("7") {
+      val df = points.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("__gkey"), p.take(3000))
+      // declined != broken: the untouched plan is still exact
+      assert(df.select("pid", "iid").as[(Long, Long)]
+        .collect().toSeq.sorted == want)
+    }
+    withGuardedRule("7", smallSide = Some("0")) {
+      val p = points.join(ivs,
+          col("x") >= col("lo") && col("x") <= col("hi"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("__gkey"), p.take(3000))
+    }
+  }
+
+  test("stats guard: a large interval side still rewrites at the " +
+      "default threshold (only the POINTS side may be small)") {
+    // Range(4000) estimates at 32 KB — over the 8 KB default
+    val bigIvs = spark.range(4000L).select(col("id").as("iid"),
+      (col("id") * 50L).as("lo"), (col("id") * 50L + 5L).as("hi"))
+    withGuardedRule("32") {
+      val df = points.join(bigIvs,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("__gkey"), p.take(3000))
+    }
+  }
+
+  test("stats guard: the overlap shape declines when EITHER side is " +
+      "tiny (both sides replicate)") {
+    val tinyL = Seq((1L, 0L, 100L), (2L, 200L, 300L))
+      .toDF("lid", "lst", "len")
+    val bigR = spark.range(4000L).select(col("id").as("rid"),
+      (col("id") * 10L).as("rst"), (col("id") * 10L + 7L).as("ren"))
+    def overlapPlan(): String = tinyL.join(bigR,
+        col("lst") <= col("ren") && col("rst") <= col("len"))
+      .queryExecution.optimizedPlan.toString
+    withGuardedRule("16") {
+      assert(!overlapPlan().contains("__gkey"))
+    }
+    withGuardedRule("16", smallSide = Some("0")) {
+      assert(overlapPlan().contains("__gkey"))
+    }
   }
 
   test("joins with an equi key are left alone; rule off without the conf") {
