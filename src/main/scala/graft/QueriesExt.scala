@@ -1115,6 +1115,70 @@ object QueriesExt {
         |ORDER BY window_start""".stripMargin)
   }
 
+  /** One-pass table profile (x106): per-column null/cardinality/range
+    * stats over lineitem's mixed types (long, int, double, string,
+    * timestamp) from a SINGLE aggregation —
+    * [[graft.operators.Profile.columnProfile]]'s multi-distinct agg
+    * plans through one Expand + two aggregate phases, so profiling six
+    * columns costs one table scan, not six jobs (the whole-table sweep
+    * form of the reference's one-rule-at-a-time DQ checks,
+    * `/root/reference/src/pipeline.py:187-246`). The oracle replays each
+    * column's stats as a DuckDB UNION ALL branch with the shared
+    * engine-stable renderings (DECIMAL(18,2) for doubles, second-precision
+    * timestamps).
+    */
+  def columnProfileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columnProfile(t(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus", "l_shipdate"))
+      .orderBy("col_name")
+
+  /** Per-source corpus profile (x107): the multi-source quality sweep —
+    * one row per (source, column) over documents, catching a single bad
+    * feed (null-rate spike, id-cardinality collapse) in ONE job.
+    * [[graft.operators.Profile.groupedColumnProfile]] keeps the
+    * single-Expand multi-distinct plan with `source` as the grouping key:
+    * one scan + one shuffle for any number of profiled columns.
+    */
+  def groupedProfileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.groupedColumnProfile(
+        t(spark, dir, "documents"), "source",
+        Seq("doc_id", "lang", "n_chars"))
+      .orderBy("source", "col_name")
+
+  /** Numeric histogram drift (x108): did the order-price distribution
+    * move between the pre-1996 and 1996+ halves of the orders table?
+    * [[graft.operators.Profile.histogramDrift]] bins both slices on
+    * shared equi-width edges from the global min/max and emits exact
+    * per-bin counts, fractions, and the L1 gap — the
+    * population-stability check a feature pipeline runs on every new
+    * partition. All arithmetic is exact-count division and linear edge
+    * math, so DuckDB replays it bit-identically at full double width
+    * (x57 precedent).
+    */
+  def histogramDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val cut = to_timestamp(lit("1996-01-01 00:00:00"))
+    graft.operators.Profile.histogramDrift(
+        o.where(col("o_orderdate") < cut),
+        o.where(col("o_orderdate") >= cut),
+        "o_totalprice", 16)
+      .orderBy("bin")
+  }
+
+  /** Quantile profile (x109): per-column p25/p50/p75/p95 cuts over
+    * lineitem's numeric measures from ONE aggregation —
+    * [[graft.operators.Profile.quantileProfile]] (exact `percentile`;
+    * both engines interpolate `lo + (hi-lo)*(p*(n-1) - floor)`, verified
+    * bit-identical, so the oracle compares full doubles). The
+    * `approxQuantileProfile` sketch form is the fixed-memory 100 TB
+    * path with the identical output shape.
+    */
+  def quantileProfileQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.quantileProfile(t(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_name", "p")
+
   /** Token-distribution drift between two corpus slices — the
     * over/under-represented-vocabulary report a pipeline monitors when a
     * new crawl slice lands (C4/RefinedWeb-style corpus QA). Slices are
@@ -2411,7 +2475,11 @@ object QueriesExt {
     "x102_k_anonymity" -> kAnonymityAudit _,
     "x103_rangejoin_time" -> rangeJoinTimeRewrite _,
     "x104_rangejoin_leftouter" -> rangeJoinLeftOuter _,
-    "x105_rangejoin_date" -> rangeJoinDateRewrite _)
+    "x105_rangejoin_date" -> rangeJoinDateRewrite _,
+    "x106_column_profile" -> columnProfileQ _,
+    "x107_grouped_profile" -> groupedProfileQ _,
+    "x108_histogram_drift" -> histogramDriftQ _,
+    "x109_quantile_profile" -> quantileProfileQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3740,6 +3808,84 @@ object QueriesExt {
         | ON CAST(o.o_orderdate AS DATE)
         |   BETWEEN w.ws AND w.ws + INTERVAL 9 DAY
         |GROUP BY w.ws ORDER BY window_start""".stripMargin,
+    // one-pass profiler: each column's stats replayed as a UNION ALL
+    // branch; renderings match the engine's per-type contract (plain
+    // digits for integrals, DECIMAL(18,2) for doubles, second-precision
+    // timestamps, strings as-is)
+    "x106_column_profile" -> {
+      def branch(c: String, minMax: String => String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | ${minMax(s"MIN($c)")} AS min_s,
+           | ${minMax(s"MAX($c)")} AS max_s FROM lineitem""".stripMargin
+      val digits = (e: String) => s"CAST($e AS VARCHAR)"
+      val dec2 = (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+      val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      val asis = (e: String) => e
+      Seq(branch("l_orderkey", digits), branch("l_linenumber", digits),
+        branch("l_quantity", dec2), branch("l_returnflag", asis),
+        branch("l_linestatus", asis), branch("l_shipdate", ts))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // grouped profiler: same per-type renderings, GROUP BY source added
+    // to every UNION ALL branch
+    "x107_grouped_profile" -> {
+      def branch(c: String) =
+        s"""SELECT source, '$c' AS col_name,
+           | CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_s,
+           | CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM documents GROUP BY source""".stripMargin
+      Seq(branch("doc_id"), branch("lang"), branch("n_chars"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY source, col_name")
+    },
+    // histogram drift: exact counts, shared edges from global min/max,
+    // fractions are exact-count divisions and edges linear double math —
+    // bit-reproducible at full double width (x57 precedent)
+    "x108_histogram_drift" ->
+      """WITH t AS (
+        | SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |   CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0
+        |        ELSE 1 END AS s
+        | FROM orders WHERE o_totalprice IS NOT NULL),
+        |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM t),
+        |b AS (
+        | SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 16)) AS INT),
+        |   15) AS bin, s FROM t, mm),
+        |c AS (
+        | SELECT bin,
+        |  CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS count_a,
+        |  CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS count_b
+        | FROM b GROUP BY bin)
+        |SELECT bin, lo + bin * ((hi - lo) / 16) AS bin_lo,
+        | count_a, count_b,
+        | CAST(count_a AS DOUBLE) / CAST(SUM(count_a) OVER () AS DOUBLE)
+        |   AS frac_a,
+        | CAST(count_b AS DOUBLE) / CAST(SUM(count_b) OVER () AS DOUBLE)
+        |   AS frac_b,
+        | ABS(CAST(count_a AS DOUBLE) / CAST(SUM(count_a) OVER () AS DOUBLE)
+        |   - CAST(count_b AS DOUBLE) / CAST(SUM(count_b) OVER () AS DOUBLE))
+        |   AS l1
+        |FROM c, mm ORDER BY bin""".stripMargin,
+    // quantile profile: both engines interpolate lo + (hi-lo)*frac at
+    // rank p*(n-1) — verified bit-identical, full-double comparison;
+    // DuckDB's parallel unnest zips the p-list with the quantile array
+    "x109_quantile_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name,
+           | unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+           | unnest(quantile_cont(CAST($c AS DOUBLE),
+           |   [0.25, 0.5, 0.75, 0.95])) AS value
+           |FROM lineitem""".stripMargin
+      Seq(branch("l_quantity"), branch("l_extendedprice"),
+        branch("l_discount"), branch("l_tax"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, p")
+    },
     // token drift: exact counts -> two divisions + subtraction per token,
     // deterministic IEEE in both engines, full-double comparison
     "x57_token_drift" ->

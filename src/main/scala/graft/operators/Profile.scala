@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass multi-column table profiling — the "profile this table"
+  * primitive every lakehouse ingestion pipeline runs before trusting a
+  * new source (null rates, cardinalities, value ranges per column;
+  * the reference's DQ tier checks single columns one rule at a time,
+  * `/root/reference/src/pipeline.py:187-246` — this is the whole-table
+  * sweep form of the same checks).
+  *
+  * Spark-first design: ONE `agg` carrying `count` / `count(distinct)` /
+  * `min` / `max` for every profiled column. Catalyst's
+  * RewriteDistinctAggregates plans the multi-column distincts through a
+  * SINGLE Expand (one row per (row, distinct-group)) with two aggregate
+  * phases — one scan of the table, one shuffle of partially-aggregated
+  * groups, regardless of how many columns are profiled. The wide 1-row
+  * result is then unpivoted plan-side (explode over per-column structs)
+  * into the tidy (col_name, stats...) frame — no collect, no per-column
+  * jobs, no second scan.
+  *
+  * Scale: Expand multiplies the scanned rows by (#distinct columns + 1)
+  * before the partial aggregation collapses them — exact cardinalities
+  * on a 100 TB table pay that fan-out once. When estimates suffice,
+  * [[approxColumnProfile]] swaps `count(distinct)` for HLL
+  * `approx_count_distinct` (relativeSD 0.02): no Expand at all, one
+  * ordinary partial-agg pass whose shuffle carries a few-KB sketch per
+  * column — the form to run fleet-wide.
+  *
+  * min/max are rendered to strings per type so mixed-type columns share
+  * one schema, with engine-stable formats: integrals as plain digits,
+  * fractionals via DECIMAL(18,2) (two fixed places — bitwise identical
+  * across engines), timestamps as `yyyy-MM-dd HH:mm:ss`, dates as ISO,
+  * strings as themselves.
+  */
+object Profile {
+
+  private def fmt(dt: DataType, c: Column): Column = dt match {
+    case StringType => c
+    case DoubleType | FloatType | _: DecimalType =>
+      c.cast(DecimalType(18, 2)).cast(StringType)
+    case TimestampType | TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast(StringType)
+  }
+
+  private def wideAggs(df: DataFrame, cols: Seq[String],
+      distinctOf: Column => Column): (Column, Seq[Column]) = {
+    val aggs = cols.flatMap { name =>
+      val dt = df.schema(name).dataType
+      val c = col(name)
+      Seq(count(c).as(s"__${name}__nn"),
+        distinctOf(c).as(s"__${name}__nd"),
+        fmt(dt, min(c)).as(s"__${name}__min"),
+        fmt(dt, max(c)).as(s"__${name}__max"))
+    }
+    (count(lit(1)).as("__n"), aggs)
+  }
+
+  private def unpivot(wide: DataFrame, cols: Seq[String],
+      keep: Seq[String] = Nil): DataFrame =
+    wide.select(keep.map(col) :+ explode(array(cols.map { name =>
+        struct(lit(name).as("col_name"),
+          col("__n").as("n_rows"),
+          col(s"__${name}__nn").as("n_nonnull"),
+          col(s"__${name}__nd").as("n_distinct"),
+          col(s"__${name}__min").as("min_s"),
+          col(s"__${name}__max").as("max_s"))
+      }: _*)).as("p"): _*)
+      .selectExpr(keep :+ "p.*": _*)
+
+  /** Exact profile: one row per column in `cols`, from ONE aggregation
+    * pass (single Expand for all the distincts — see object scaladoc).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val (n, aggs) = wideAggs(df, cols, countDistinct(_))
+    unpivot(df.agg(n, aggs: _*), cols)
+  }
+
+  /** Estimated-cardinality profile for tables where the exact form's
+    * Expand fan-out is not worth paying: identical shape, `n_distinct`
+    * from `approx_count_distinct` (HLL++, ~2% relative error), planned
+    * as one ordinary partial-aggregated pass with NO row expansion.
+    */
+  def approxColumnProfile(df: DataFrame, cols: Seq[String],
+      relativeSD: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val (n, aggs) = wideAggs(df, cols, approx_count_distinct(_, relativeSD))
+    unpivot(df.agg(n, aggs: _*), cols)
+  }
+
+  /** Per-group profile — the per-source / per-partition quality sweep a
+    * multi-source corpus runs to catch ONE bad feed (a crawl slice whose
+    * null rate spiked, a vendor whose id cardinality collapsed) without
+    * profiling each source in its own job. Same one-aggregation design
+    * as [[columnProfile]] with `groupBy(groupCol)` in front: the
+    * multi-column distincts still plan through a single Expand (now keyed
+    * by group), so the cost is one scan + one shuffle of
+    * partially-aggregated (group, distinct-slot) rows regardless of
+    * column count. Output: one row per (group, column).
+    *
+    * Scale: group count is the new fan-in — fine for source/tenant/day
+    * keys (≤ millions of groups); for a high-cardinality groupCol the
+    * Expand multiplier applies per row exactly as in the ungrouped form,
+    * and [[approxColumnProfile]]'s HLL swap composes the same way here.
+    */
+  def groupedColumnProfile(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    require(!cols.contains(groupCol), "groupCol cannot also be profiled")
+    val (n, aggs) = wideAggs(df, cols, countDistinct(_))
+    unpivot(df.groupBy(groupCol).agg(n, aggs: _*), cols, Seq(groupCol))
+  }
+
+  /** Equi-width histogram drift between two slices of a numeric column —
+    * the distribution-monitoring primitive behind "did this quarter's
+    * price curve / doc-length curve move?" (population-stability checks
+    * on feature pipelines). Shared bin edges come from the GLOBAL
+    * min/max over both slices (or caller-pinned `bounds` — the one-pass
+    * form when the domain is known, which at 100 TB it should be); each
+    * slice's per-bin row fraction and the per-bin L1 gap
+    * `|frac_a - frac_b|` come out per bin (total-variation distance is
+    * half their sum — left to the caller so the output stays per-bin and
+    * engine-exact: counts are exact longs, fractions single exact-count
+    * divisions, edges `lo + bin*width` — no transcendentals, so results
+    * are bit-reproducible across engines, unlike a PSI/KL variant).
+    *
+    * Scale: with `bounds` given, ONE scan of the tagged union and a
+    * shuffle of ≤ nBins×partitions partial rows; without, one extra
+    * min/max scan first (all map-side). Nothing row-sized ever
+    * shuffles; the driver sees exactly two doubles.
+    */
+  /** Quantile profile — per-column percentile cuts (p25/p50/p75/p95 by
+    * default), the "what does this column's distribution look like"
+    * companion to [[columnProfile]]'s min/max. ONE aggregation carries
+    * every column's `percentile(col, array(ps))`, so the cost is one
+    * scan; arrays unpivot plan-side to tidy (col_name, p, value) rows.
+    *
+    * Scale: exact `percentile` holds a value→count map per column —
+    * memory is bounded by each column's DISTINCT count, fine for
+    * bounded-domain measures (quantities, prices, scores), wrong for
+    * unbounded ones. [[approxQuantileProfile]] is the 100 TB form:
+    * `approx_percentile` (KLL-style sketch, fixed memory at the chosen
+    * `accuracy`), identical output shape.
+    */
+  def quantileProfile(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    quantiles(df, cols, ps,
+      c => percentile(c, array(ps.map(lit): _*)))
+
+  /** Sketch-based quantile profile: same tidy shape as
+    * [[quantileProfile]] with `approx_percentile` at `1/accuracy`
+    * rank error — fixed executor memory regardless of cardinality.
+    */
+  def approxQuantileProfile(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 10000): DataFrame =
+    quantiles(df, cols, ps,
+      c => approx_percentile(c, array(ps.map(lit): _*), lit(accuracy))
+        .cast(ArrayType(DoubleType)))
+
+  private def quantiles(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double], agg: Column => Column): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles must lie in [0,1]")
+    val wide = df.agg(
+      agg(col(cols.head).cast(DoubleType)).as(s"__${cols.head}"),
+      cols.tail.map(c =>
+        agg(col(c).cast(DoubleType)).as(s"__$c")): _*)
+    wide.select(explode(array(cols.map { name =>
+        struct(lit(name).as("col_name"), col(s"__$name").as("qs"))
+      }: _*)).as("c"))
+      .select(col("c.col_name").as("col_name"),
+        posexplode(col("c.qs")).as(Seq("pos", "value")))
+      .select(col("col_name"),
+        element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        col("value"))
+  }
+
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      nBins: Int, bounds: Option[(Double, Double)] = None): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val tagged = a.select(col(valueCol).cast(DoubleType).as("__v"))
+      .where(col("__v").isNotNull).withColumn("__s", lit(0))
+      .unionAll(b.select(col(valueCol).cast(DoubleType).as("__v"))
+        .where(col("__v").isNotNull).withColumn("__s", lit(1)))
+    val (lo, hi) = bounds.getOrElse {
+      val r = tagged.agg(min(col("__v")), max(col("__v"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    require(hi > lo, s"degenerate value range [$lo,$hi]")
+    val width = (hi - lo) / nBins
+    val bin = least(floor((col("__v") - lit(lo)) / lit(width)),
+      lit(nBins - 1)).cast(IntegerType)
+    val counts = tagged.groupBy(bin.as("bin")).agg(
+      sum(when(col("__s") === 0, 1L).otherwise(0L)).as("count_a"),
+      sum(when(col("__s") === 1, 1L).otherwise(0L)).as("count_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .withColumn("frac_a",
+        col("count_a").cast(DoubleType) / sum("count_a").over(w))
+      .withColumn("frac_b",
+        col("count_b").cast(DoubleType) / sum("count_b").over(w))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        col("count_a"), col("count_b"), col("frac_a"), col("frac_b"),
+        abs(col("frac_a") - col("frac_b")).as("l1"))
+  }
+}

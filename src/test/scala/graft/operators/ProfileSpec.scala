@@ -1,0 +1,173 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The one-pass profiler must report exact per-column stats (nulls,
+  * cardinality, rendered min/max) from a single aggregation, and the
+  * approximate variant must keep the identical shape while trading the
+  * distinct expansion for HLL sketches.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("a"), Some(2.5), Some(Timestamp.valueOf("2024-01-01 10:00:00"))),
+    (2L, Some("b"), Some(1.0), None),
+    (3L, None, Some(2.5), Some(Timestamp.valueOf("2024-03-05 23:59:59"))),
+    (3L, Some("a"), None, Some(Timestamp.valueOf("2024-01-01 10:00:00"))))
+    .toDF("id", "s", "d", "ts")
+
+  test("exact profile: one row per column with hand-checked stats and " +
+      "per-type min/max renderings") {
+    val got = Profile.columnProfile(fixture, Seq("id", "s", "d", "ts"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("d", 4L, 3L, 2L, "1.00", "2.50"),
+      ("id", 4L, 4L, 3L, "1", "3"),
+      ("s", 4L, 3L, 2L, "a", "b"),
+      ("ts", 4L, 3L, 2L,
+        "2024-01-01 10:00:00", "2024-03-05 23:59:59")))
+  }
+
+  test("exact profile runs as ONE aggregation: a single Expand carries " +
+      "every distinct column; no per-column jobs or extra scans") {
+    val df = Profile.columnProfile(fixture, Seq("id", "s", "d", "ts"))
+    val p = df.queryExecution.executedPlan.toString
+    assert("(?s)Expand".r.findAllIn(p).size == 1, p.take(3000))
+    // one source: the fixture appears once in the plan (no union of
+    // per-column subplans, no repeated scan)
+    assert("LocalTableScan".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("approx profile: same shape, no Expand, HLL cardinalities close " +
+      "to exact (exact-below-sketch-width here) and all other stats " +
+      "identical") {
+    val exact = Profile.columnProfile(fixture, Seq("id", "s", "d", "ts"))
+    val approx = Profile.approxColumnProfile(fixture,
+      Seq("id", "s", "d", "ts"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = exact.orderBy("col_name").collect().toSeq
+    val a = approx.orderBy("col_name").collect().toSeq
+    // tiny cardinalities sit in HLL's exact range, so full equality holds
+    assert(a == e)
+  }
+
+  test("grouped profile: one row per (group, column) with hand-checked " +
+      "stats, still a single-Expand single-scan plan") {
+    val df = Seq(
+      ("web", 1L, Some("en")), ("web", 2L, Some("en")),
+      ("web", 2L, None),
+      ("pdf", 5L, Some("de")))
+      .toDF("src", "id", "lang")
+    val prof = Profile.groupedColumnProfile(df, "src", Seq("id", "lang"))
+    val got = prof.orderBy("src", "col_name")
+      .as[(String, String, Long, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("pdf", "id", 1L, 1L, 1L, "5", "5"),
+      ("pdf", "lang", 1L, 1L, 1L, "de", "de"),
+      ("web", "id", 3L, 3L, 2L, "1", "2"),
+      ("web", "lang", 3L, 2L, 1L, "en", "en")))
+    val p = prof.queryExecution.executedPlan.toString
+    assert("(?s)Expand".r.findAllIn(p).size == 1, p.take(3000))
+    assert("LocalTableScan".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("grouped profile refuses profiling the group column itself") {
+    intercept[IllegalArgumentException] {
+      Profile.groupedColumnProfile(fixture, "id", Seq("id", "s"))
+    }
+  }
+
+  test("quantile profile: hand-checked interpolated cuts in tidy " +
+      "(col_name, p, value) rows from one scan") {
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0).toDF("v")
+      .withColumn("w", col("v") * 10)
+    val prof = Profile.quantileProfile(df, Seq("v", "w"))
+    val got = prof.orderBy("col_name", "p")
+      .as[(String, Double, Double)].collect().toSeq
+    // rank = p*(n-1) over sorted values, linear interpolation
+    assert(got == Seq(
+      ("v", 0.25, 1.0), ("v", 0.5, 2.0), ("v", 0.75, 3.0),
+      ("v", 0.95, 3.8),
+      ("w", 0.25, 10.0), ("w", 0.5, 20.0), ("w", 0.75, 30.0),
+      ("w", 0.95, 38.0)))
+    assert("LocalTableScan".r
+      .findAllIn(prof.queryExecution.executedPlan.toString).size == 1)
+  }
+
+  test("approx quantile profile: identical shape, sketch values within " +
+      "rank tolerance of exact") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val exact = Profile.quantileProfile(df, Seq("v"))
+      .orderBy("p").as[(String, Double, Double)].collect()
+    val approx = Profile.approxQuantileProfile(df, Seq("v"))
+      .orderBy("p").as[(String, Double, Double)].collect()
+    assert(approx.map(r => (r._1, r._2)).toSeq ==
+      exact.map(r => (r._1, r._2)).toSeq)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e._3 - a._3) <= 2.0, s"$e vs $a")
+    }
+  }
+
+  test("quantile profile refuses percentiles outside [0,1]") {
+    intercept[IllegalArgumentException] {
+      Profile.quantileProfile(fixture, Seq("d"), Seq(1.5))
+    }
+  }
+
+  test("histogram drift: hand-checked bins, fractions, and L1 on a " +
+      "planted shift; max value clamps into the last bin; nulls drop") {
+    // A: values 0..3 (one per bin at nBins=4 over [0,4]); B: all 4s
+    // (global max -> clamped to bin 3) plus a null that must not count
+    val a = Seq(0.0, 1.0, 2.0, 3.0).map(Option(_)).toDF("v")
+    val b = (Seq.fill(4)(Option(4.0)) :+ (None: Option[Double])).toDF("v")
+    val got = Profile.histogramDrift(a, b, "v", 4).orderBy("bin")
+      .as[(Int, Double, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0, 0.0, 1L, 0L, 0.25, 0.0, 0.25),
+      (1, 1.0, 1L, 0L, 0.25, 0.0, 0.25),
+      (2, 2.0, 1L, 0L, 0.25, 0.0, 0.25),
+      (3, 3.0, 1L, 4L, 0.25, 1.0, 0.75)))
+  }
+
+  test("histogram drift with pinned bounds skips the min/max scan and " +
+      "bins identically to the derived-bounds run") {
+    val a = Seq(0.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 4.0).toDF("v")
+    val derived = Profile.histogramDrift(a, b, "v", 4)
+      .orderBy("bin").collect().toSeq
+    val pinned = Profile.histogramDrift(a, b, "v", 4, Some((0.0, 4.0)))
+      .orderBy("bin").collect().toSeq
+    assert(pinned == derived)
+  }
+
+  test("histogram drift refuses a degenerate value range") {
+    val a = Seq(2.0, 2.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Profile.histogramDrift(a, a, "v", 4)
+    }
+  }
+
+  test("profiling a parquet table reads ONLY the profiled columns " +
+      "(column pruning reaches the scan)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val df = Profile.columnProfile(li, Seq("l_returnflag", "l_quantity"))
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_orderkey") && !scan.contains("l_comment"),
+      scan)
+    // and the stats agree with directly-computed ones
+    val got = df.where(col("col_name") === "l_quantity")
+      .select("n_distinct").as[Long].head()
+    val want = li.select(countDistinct(col("l_quantity"))).as[Long].head()
+    assert(got == want)
+  }
+}
