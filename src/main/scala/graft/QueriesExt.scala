@@ -1115,6 +1115,65 @@ object QueriesExt {
         |ORDER BY window_start""".stripMargin)
   }
 
+  /** FULL OUTER range join through the optimizer rewrite (x110): clicks
+    * vs sparse ±5-minute purchase windows where BOTH complements carry
+    * real weight (most clicks have no covering window AND most windows
+    * cover no click). Written as the naive `FULL JOIN ... ON ts BETWEEN`
+    * SQL a user types — Spark alone plans an outer
+    * BroadcastNestedLoopJoin; the rule plans the bucketized inner core
+    * UNION the value-based complement of EACH side, null-extended.
+    * Rolled up into per-kind tallies (matched / click_only /
+    * window_only — <= 3 driver rows); the oracle replays the raw outer
+    * inequality join in DuckDB at micro precision. Shares its frame with
+    * the plan-pinning spec via [[rangeJoinFullOuterFrame]].
+    */
+  def rangeJoinFullOuterFrame(spark: SparkSession, dir: String)
+      : (SparkSession, DataFrame) = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    // 10-minute windows: bucket width = the window span, in micros
+    child.conf.set("spark.graft.rangeJoin.binSize",
+      (10L * 60L * 1000000L).toString)
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    val ev = graft.Tables.events(child, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    ev.filter(col("event_type") === "purchase" &&
+        pmod(col("event_id"), lit(5L)) === 0L)
+      .select(col("event_id").as("win_id"), col("ts").as("wts"))
+      .createOrReplaceTempView("graft_x110_windows")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"))
+      .createOrReplaceTempView("graft_x110_clicks")
+    (child, child.sql(
+      """SELECT c.click_id, w.win_id
+        |FROM graft_x110_clicks c FULL JOIN graft_x110_windows w
+        |  ON c.cts BETWEEN w.wts - INTERVAL '5' MINUTE
+        |               AND w.wts + INTERVAL '5' MINUTE""".stripMargin))
+  }
+
+  /** The x110 aggregation over [[rangeJoinFullOuterFrame]] — see that
+    * helper's scaladoc for the join's construction.
+    */
+  def rangeJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val (_, joined) = rangeJoinFullOuterFrame(spark, dir)
+    val rows = joined
+      .groupBy(when(col("click_id").isNull, "window_only")
+        .when(col("win_id").isNull, "click_only")
+        .otherwise("matched").as("kind"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("win_id")).as("n_windows"))
+      .collect() // bounded: <= 3 kind rows
+    rows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("kind", "n_rows", "n_clicks", "n_windows")
+      .orderBy("kind")
+  }
+
   /** One-pass table profile (x106): per-column null/cardinality/range
     * stats over lineitem's mixed types (long, int, double, string,
     * timestamp) from a SINGLE aggregation —
@@ -2479,7 +2538,8 @@ object QueriesExt {
     "x106_column_profile" -> columnProfileQ _,
     "x107_grouped_profile" -> groupedProfileQ _,
     "x108_histogram_drift" -> histogramDriftQ _,
-    "x109_quantile_profile" -> quantileProfileQ _)
+    "x109_quantile_profile" -> quantileProfileQ _,
+    "x110_rangejoin_fullouter" -> rangeJoinFullOuter _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3872,6 +3932,23 @@ object QueriesExt {
         |   - CAST(count_b AS DOUBLE) / CAST(SUM(count_b) OVER () AS DOUBLE))
         |   AS l1
         |FROM c, mm ORDER BY bin""".stripMargin,
+    // full-outer range join: raw outer inequality join replayed at micro
+    // precision, rolled into per-kind tallies
+    "x110_rangejoin_fullouter" ->
+      """WITH j AS (
+        | SELECT c.event_id AS click_id, w.event_id AS win_id
+        | FROM (SELECT * FROM events WHERE event_type = 'click') c
+        | FULL JOIN (SELECT * FROM events
+        |   WHERE event_type = 'purchase' AND event_id % 5 = 0) w
+        |  ON epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 300000000
+        |    AND epoch_us(w.ts) + 300000000)
+        |SELECT CASE WHEN click_id IS NULL THEN 'window_only'
+        |            WHEN win_id IS NULL THEN 'click_only'
+        |            ELSE 'matched' END AS kind,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+        | CAST(COUNT(DISTINCT win_id) AS BIGINT) AS n_windows
+        |FROM j GROUP BY 1 ORDER BY kind""".stripMargin,
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at
     // rank p*(n-1) — verified bit-identical, full-double comparison;
     // DuckDB's parallel unnest zips the p-list with the quantile array

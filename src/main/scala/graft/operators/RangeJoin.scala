@@ -179,6 +179,44 @@ object RangeJoin {
     matched.unionAll(extended)
   }
 
+  /** FULL OUTER [[pointInInterval]]: every `points` row AND every
+    * `intervals` row appears — matched pairs once each, unmatched points
+    * null-extended on the interval columns, unmatched intervals
+    * (including inverted/NULL-bounded ones, which can never match)
+    * null-extended on the point columns. Same value-based complement
+    * construction as [[pointInIntervalLeftOuter]], applied to BOTH
+    * sides against the one matched core — three hash-join branches, no
+    * nested loop, no row ids.
+    */
+  def pointInIntervalFullOuter(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- extraKeys
+    require(shared.isEmpty,
+      "pointInIntervalFullOuter: points and intervals share non-key " +
+        s"column(s) ${shared.mkString(", ")} — rename before joining")
+    val matched = pointInInterval(points, intervals, pointCol, startCol,
+      endCol, bucketWidth, extraKeys, maxSpanBuckets)
+    def extend(preserved: DataFrame, other: DataFrame): DataFrame = {
+      val pCols = preserved.columns.toSeq
+      val oTypes = other.schema.map(f => f.name -> f.dataType).toMap
+      val l = preserved.alias("__rj_l")
+      val m = matched.select(pCols.map(col): _*).distinct().alias("__rj_m")
+      val anti = l.join(m,
+        pCols.map(c => col(s"__rj_l.$c") <=> col(s"__rj_m.$c"))
+          .reduce(_ && _), "left_anti")
+      anti.select(matched.columns.toSeq.map { c =>
+        if (pCols.contains(c)) col(c)
+        else lit(null).cast(oTypes(c)).as(c)
+      }: _*)
+    }
+    matched
+      .unionAll(extend(points, intervals))
+      .unionAll(extend(intervals, points))
+  }
+
   /** Tolerance band join: pair every left row with every right row whose
     * `rightCol` lies within `tolerance` of `leftCol` (|l - r| <= tol),
     * optionally also equi-matching `extraKeys` — "events of the same user

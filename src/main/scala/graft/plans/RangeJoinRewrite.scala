@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -43,9 +43,10 @@ import org.apache.spark.sql.types._
   *    usually absent, while sizeInBytes is always derivable from files.
   *
   * Applicability: INNER joins — plus LEFT/RIGHT OUTER joins whose
-  * PRESERVED side is the points side (rewritten as the inner form UNION
-  * the value-complemented unmatched rows, null-extended; see
-  * `outerExtend`) — whose condition contains a lower and an
+  * PRESERVED side is the points side, and FULL OUTER joins (rewritten as
+  * the inner form UNION the value-complemented unmatched rows of each
+  * preserved side, null-extended; see `outerExtend`/`complement`) —
+  * whose condition contains a lower and an
   * upper bound on the SAME expression `x` of one side, with both bounds
   * from the other side, over int/long/DATE/TIMESTAMP axes (DATE buckets
   * on epoch days, TIMESTAMP on epoch micros — the reference's only range
@@ -175,7 +176,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       try spark.conf.get(SmallSideKey, "8192").toLong
       catch { case _: NumberFormatException => 8192L }
     plan transformUp {
-      case j @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter | FullOuter,
+          Some(_), _) =>
         rewrite(j, width, math.max(cap, 1), smallSide).getOrElse(j)
     }
   }
@@ -469,7 +471,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       * first child is `matched`, which already projects `j.output`, so
       * parents keep their attribute ids.
       */
-    def outerExtend(matched: LogicalPlan,
+    def complement(matched: LogicalPlan,
         preserved: LogicalPlan): LogicalPlan = {
       val pAttrs = preserved.output
       val grouped = Aggregate(pAttrs,
@@ -481,12 +483,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .reduceLeft[Expression](And)
       val anti = Join(preserved, grouped, LeftAnti, Some(antiCond),
         JoinHint.NONE)
-      val nullExtended = Project(j.output.map { a =>
+      Project(j.output.map { a =>
         if (preserved.outputSet.contains(a)) a
         else Alias(Literal(null, a.dataType), a.name)()
       }, anti)
-      Union(Seq(matched, nullExtended))
     }
+
+    def outerExtend(matched: LogicalPlan,
+        preserved: LogicalPlan): LogicalPlan =
+      Union(Seq(matched, complement(matched, preserved)))
 
     // the value-based complement groups by the preserved side's full
     // tuple — un-groupable column types (maps, variants) decline the
@@ -518,6 +523,27 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           widthOr(left, lo, hi).map(w =>
             outerExtend(build(pointsLeft = false, x, lo, hi, w), right))
         }
+      // FULL OUTER: the inner rewrite UNION the value-based complement of
+      // BOTH sides (each anti-joined against the matched set and
+      // null-extended on the other side's columns). Both sides are
+      // preserved, so both must be groupable; either orientation works
+      // for the matched core — take whichever matches, requiring the
+      // replicating interval side of that orientation to pass the
+      // small-side guard.
+      case FullOuter =>
+        if (!outerOk(left) || !outerOk(right)) return None
+        def full(matched: LogicalPlan): LogicalPlan =
+          Union(Seq(matched, complement(matched, left),
+            complement(matched, right)))
+        orient(left, right).filter(_ => bigEnough(right))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(right, lo, hi).map(w =>
+              full(build(pointsLeft = true, x, lo, hi, w)))
+        }.orElse(orient(right, left).filter(_ => bigEnough(left))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(left, lo, hi).map(w =>
+              full(build(pointsLeft = false, x, lo, hi, w)))
+        })
       case _ =>
         orient(left, right).filter(_ => bigEnough(right))
           .flatMap { case (x, lo, hi) =>

@@ -51,6 +51,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.count(_._1 == 2L) == 2)      // both A and B matched
   }
 
+  test("pointInIntervalFullOuter equals the naive FULL JOIN: matched " +
+      "pairs once, unmatched points AND unmatched intervals " +
+      "null-extended (inverted interval included), duplicates keep " +
+      "their multiplicity on both sides") {
+    // pid 4 duplicated and unmatched; interval C covers no point;
+    // INV is inverted (can never match but must appear null-extended);
+    // interval B duplicated to check interval-side multiplicity
+    val points = (Seq((1L, 5L), (2L, 10L), (3L, 25L)) ++
+      Seq((4L, 99L), (4L, 99L))).toDF("pid", "x")
+    val ivs = Seq(("A", 0L, 10L), ("B", 8L, 30L), ("B", 8L, 30L),
+      ("C", 40L, 40L), ("INV", 500L, -500L)).toDF("name", "s", "e")
+    def key(r: (Option[Long], Option[String])) = (r._1, r._2)
+    val got = RangeJoin.pointInIntervalFullOuter(points, ivs, "x", "s",
+        "e", bucketWidth = 10L)
+      .select("pid", "name").as[(Option[Long], Option[String])]
+      .collect().toList.sortBy(key)
+    val naive = points.join(ivs,
+        col("s") <= col("x") && col("x") <= col("e"), "full")
+      .select("pid", "name").as[(Option[Long], Option[String])]
+      .collect().toList.sortBy(key)
+    assert(got == naive)
+    assert(got.count(_ == (Some(4L), None)) == 2)   // dup point survives x2
+    assert(got.count(_ == (None, Some("B"))) == 0)  // B matched: no null row
+    assert(got.count(_._2 == Some("B")) == 4)       // 2 copies x 2 points
+    assert(got.contains((None, Some("C"))))         // empty interval
+    assert(got.contains((None, Some("INV"))))       // inverted surfaces
+  }
+
   test("bandJoin equals the naive |l - r| <= tol join with extra keys") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 100L))
       .toDF("lid", "u", "lt")

@@ -32,7 +32,7 @@ private[plans] object RangeJoinFuzz {
 
   val genShape: Gen[Shape] = for {
     axis <- Gen.oneOf("long", "int", "date", "ts")
-    jt <- Gen.oneOf("inner", "left")
+    jt <- Gen.oneOf("inner", "left", "full")
     fl <- Gen.oneOf(true, false)
     fu <- Gen.oneOf(true, false)
     sl <- Gen.oneOf(true, false)
@@ -117,9 +117,13 @@ private[plans] object RangeJoinFuzz {
     (joined.select("pid", "iid"), eligible)
   }
 
-  /** In-Scala multiset oracle over the raw longs. */
+  /** In-Scala multiset oracle over the raw longs — models inner, left
+    * outer (unmatched points null-extended), and full outer (unmatched
+    * points AND unmatched intervals null-extended).
+    */
   def oracle(shape: Shape, ps: List[(Long, Long)],
-      is: List[(Long, Long, Long)]): List[(Long, Option[Long])] = {
+      is: List[(Long, Long, Long)])
+      : List[(Option[Long], Option[Long])] = {
     def pairs(pid: Long, x: Long) = is.filter { case (iid, lo, hi) =>
       val lowerOk =
         if (shape.thetaBound) x >= lo
@@ -129,19 +133,30 @@ private[plans] object RangeJoinFuzz {
         (!shape.extraPred || pid != iid) &&
         (!shape.equiKey || pid % 3 == iid % 3)
     }.map(_._1)
-    ps.flatMap { case (pid, x) =>
-      val m = pairs(pid, x)
-      if (m.nonEmpty) m.map(iid => (pid, Some(iid)))
-      else if (shape.joinType == "left") List((pid, None))
+    val fromPoints: List[(Option[Long], Option[Long])] =
+      ps.flatMap { case (pid, x) =>
+        val m = pairs(pid, x)
+        if (m.nonEmpty) m.map(iid => (Option(pid), Option(iid)))
+        else if (shape.joinType == "left" || shape.joinType == "full")
+          List((Option(pid), Option.empty[Long]))
+        else Nil
+      }
+    val matchedIvs = ps.flatMap { case (pid, x) => pairs(pid, x) }.toSet
+    val fromIvs: List[(Option[Long], Option[Long])] =
+      if (shape.joinType == "full")
+        is.collect { case (iid, _, _) if !matchedIvs.contains(iid) =>
+          (Option.empty[Long], Option(iid))
+        }
       else Nil
-    }.sortBy(r => (r._1, r._2))
+    (fromPoints ++ fromIvs).sortBy(r => (r._1, r._2))
   }
 }
 
 /** 1000+ random shapes at the plan level: optimization must never throw,
   * and the rule must fire on exactly the eligible shapes (both bounds
   * simple and single-attribute, no equi conjunct) regardless of conjunct
-  * order, operand flips, strictness, axis type, or inner/left join type.
+  * order, operand flips, strictness, axis type, or inner/left/full
+  * join type.
   */
 object RangeJoinRewriteFuzzPlan
     extends Properties("graft.plans.RangeJoinRewrite.fuzzPlan") {
@@ -172,7 +187,7 @@ object RangeJoinRewriteFuzzPlan
 
 /** A subset of shapes executed end-to-end: the rule-on result must equal
   * the in-Scala multiset oracle (which IS the naive join's semantics) on
-  * every style axis, including LEFT OUTER null-extension.
+  * every style axis, including LEFT and FULL OUTER null-extension.
   */
 object RangeJoinRewriteFuzzExec
     extends Properties("graft.plans.RangeJoinRewrite.fuzzExec") {
@@ -196,7 +211,8 @@ object RangeJoinRewriteFuzzExec
       try {
         val (df, _) = RangeJoinFuzz.buildJoin(child, shape, ps, is)
         val got = df.collect()
-          .map(r => (r.getLong(0),
+          .map(r => (
+            if (r.isNullAt(0)) None else Some(r.getLong(0)),
             if (r.isNullAt(1)) None else Some(r.getLong(1))))
           .toList.sortBy(r => (r._1, r._2))
         got == RangeJoinFuzz.oracle(shape, ps, is)

@@ -269,6 +269,34 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("FULL OUTER BETWEEN join rewrites: exact multiset vs the naive " +
+      "plan, both complements populated, no nested loop") {
+    val pts = ((0L until 80L).map(i => (i, i * 3 - 100)) ++
+      Seq((900L, 500000L), (901L, -500000L))).toDF("pid", "x")
+    // noSpan plus an interval covering no point and an INVERTED interval
+    // (matches nothing; full-outer must surface it null-extended)
+    val iv = ivs.filter(col("iid") =!= 999L)
+      .unionAll(Seq((998L, 700000L, 700010L), (997L, 100L, -100L))
+        .toDF("iid", "lo", "hi"))
+    def fullJoin(): List[(Option[Long], Option[Long])] =
+      pts.join(iv, col("x") >= col("lo") && col("x") <= col("hi"), "full")
+        .select("pid", "iid").as[(Option[Long], Option[Long])]
+        .collect().toList.sortBy(r => (r._1, r._2))
+    val want = fullJoin()
+    withRule(7L) {
+      val df = pts.join(iv,
+        col("x") >= col("lo") && col("x") <= col("hi"), "full")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      val got = fullJoin()
+      assert(got == want)
+      assert(got.exists(_._2.isEmpty)) // unmatched points present
+      assert(got.exists(_._1.isEmpty)) // unmatched intervals present
+      assert(got.contains((None: Option[Long], Some(997L)))) // inverted
+    }
+  }
+
   test("LEFT OUTER with the preserved side as INTERVALS is left alone " +
       "(only points-preserving orientations rewrite)") {
     withRule(7L) {
@@ -301,6 +329,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
     // the SAME frame the shipped query aggregates (shared helper), so
     // this pin can never drift from the query's actual shape
     val (_, df) = graft.QueriesExt.rangeJoinLeftOuterFrame(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("__gk") || df.queryExecution.optimizedPlan
+      .toString.contains("__gkey"), p.take(3000))
+  }
+
+  test("x110 plan pin: the naive FULL JOIN BETWEEN SQL (sparse purchase " +
+      "windows) plans without a nested loop") {
+    val (_, df) = graft.QueriesExt.rangeJoinFullOuterFrame(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -11,7 +11,10 @@
 #        SPARK_GRAFT_ONLY to gate a subset while iterating.
 set -e
 cd "$(dirname "$0")/.."
-BASE=$(ls BENCH_LOCAL_r*.json 2>/dev/null | sort -t_ -k2.2 -n | tail -1)
+# numeric sort on the round number: a lexicographic (or mis-keyed) sort
+# ranks r8 above r13 and silently diffs against a stale baseline
+BASE=$(ls BENCH_LOCAL_r*.json 2>/dev/null \
+  | sed 's/.*_r\([0-9]*\)\.json/\1 &/' | sort -n | tail -1 | cut -d' ' -f2)
 if [ -z "$BASE" ]; then echo "no BENCH_LOCAL_r*.json baseline" >&2; exit 2; fi
 : "${SPARK_GRAFT_SF_DIR:=/root/testdata/sf0.1}"
 : "${SPARK_GRAFT_REPEATS:=5}"
