@@ -1174,6 +1174,41 @@ object QueriesExt {
       .orderBy("kind")
   }
 
+  /** Keyed table reconciliation (x111): orders vs a deterministically
+    * perturbed copy (keys % 13 dropped, totalprice bumped on keys % 7,
+    * negated-key rows added) — the exact diff a migration runs before
+    * cutover. [[graft.operators.Reconcile.diffSummary]] classifies every
+    * key via ONE full-outer hash join and counts per-column value diffs
+    * among both-present rows in the same pass; the oracle replays the
+    * join and null-safe comparisons verbatim in DuckDB.
+    */
+  def reconcileDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val perturbed = o
+      .filter(pmod(col("o_orderkey"), lit(13L)) =!= 0L)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(11L)) === 0L)
+        .withColumn("o_orderkey", -col("o_orderkey")))
+    graft.operators.Reconcile.diffSummary(o, perturbed, Seq("o_orderkey"))
+      .orderBy("metric")
+  }
+
+  /** Portable column checksums (x112): per-column multiset fingerprints
+    * of lineitem from ONE aggregation —
+    * [[graft.operators.Reconcile.columnChecksums]]'s engine-portable
+    * encoding (exact numeric canonicalizations; the DSIR codepoint fold
+    * for strings) summed order-independently, so the 100 TB form
+    * compares two tables by comparing a handful of longs. The oracle
+    * replays every encoding verbatim in DuckDB.
+    */
+  def columnChecksumsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Reconcile.columnChecksums(t(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate"))
+      .orderBy("col_name")
+
   /** One-pass table profile (x106): per-column null/cardinality/range
     * stats over lineitem's mixed types (long, int, double, string,
     * timestamp) from a SINGLE aggregation —
@@ -2539,7 +2574,9 @@ object QueriesExt {
     "x107_grouped_profile" -> groupedProfileQ _,
     "x108_histogram_drift" -> histogramDriftQ _,
     "x109_quantile_profile" -> quantileProfileQ _,
-    "x110_rangejoin_fullouter" -> rangeJoinFullOuter _)
+    "x110_rangejoin_fullouter" -> rangeJoinFullOuter _,
+    "x111_reconcile_diff" -> reconcileDiffQ _,
+    "x112_column_checksums" -> columnChecksumsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3949,6 +3986,76 @@ object QueriesExt {
         | CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
         | CAST(COUNT(DISTINCT win_id) AS BIGINT) AS n_windows
         |FROM j GROUP BY 1 ORDER BY kind""".stripMargin,
+    // keyed reconciliation: the full-outer join and the null-safe
+    // per-column comparisons replayed verbatim (IS DISTINCT FROM ==
+    // Spark's negated <=>); the perturbation is deterministic in both
+    // engines (integer modulus, +1.0 exact in double)
+    "x111_reconcile_diff" ->
+      """WITH b AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 13 <> 0
+        | UNION ALL
+        | SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (
+        | SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+        |  a.o_custkey IS DISTINCT FROM b.o_custkey AS d0,
+        |  a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS d1,
+        |  a.o_totalprice IS DISTINCT FROM b.o_totalprice AS d2,
+        |  a.o_orderdate IS DISTINCT FROM b.o_orderdate AS d3,
+        |  a.o_orderpriority IS DISTINCT FROM b.o_orderpriority AS d4
+        | FROM orders a FULL JOIN b ON a.o_orderkey = b.o_orderkey),
+        |m AS (
+        | SELECT 'only_in_a' AS metric, CAST(SUM(CASE WHEN kb IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+        | UNION ALL SELECT 'only_in_b', CAST(SUM(CASE WHEN ka IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        | UNION ALL SELECT 'in_both', CAST(SUM(CASE WHEN ka IS NOT NULL
+        |   AND kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j
+        | UNION ALL SELECT 'diff:o_custkey', CAST(SUM(CASE WHEN ka IS
+        |   NOT NULL AND kb IS NOT NULL AND d0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) FROM j
+        | UNION ALL SELECT 'diff:o_orderstatus', CAST(SUM(CASE WHEN ka
+        |   IS NOT NULL AND kb IS NOT NULL AND d1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) FROM j
+        | UNION ALL SELECT 'diff:o_totalprice', CAST(SUM(CASE WHEN ka
+        |   IS NOT NULL AND kb IS NOT NULL AND d2 THEN 1 ELSE 0 END)
+        |   AS BIGINT) FROM j
+        | UNION ALL SELECT 'diff:o_orderdate', CAST(SUM(CASE WHEN ka
+        |   IS NOT NULL AND kb IS NOT NULL AND d3 THEN 1 ELSE 0 END)
+        |   AS BIGINT) FROM j
+        | UNION ALL SELECT 'diff:o_orderpriority', CAST(SUM(CASE WHEN ka
+        |   IS NOT NULL AND kb IS NOT NULL AND d4 THEN 1 ELSE 0 END)
+        |   AS BIGINT) FROM j)
+        |SELECT metric, n FROM m ORDER BY metric""".stripMargin,
+    // portable column checksums: every encoding replayed verbatim —
+    // integral/epoch moduli, DECIMAL(18,2) cents, and the DSIR codepoint
+    // fold for strings (list_reduce's first-element init == folding from
+    // 0, since 0*31 + c = c)
+    "x112_column_checksums" -> {
+      def branch(c: String, enc: String) =
+        s"""SELECT '$c' AS col_name,
+           | CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           | CAST(COALESCE(SUM($enc), 0) AS BIGINT) AS checksum
+           |FROM lineitem""".stripMargin
+      val fold = (c: String) =>
+        s"""CASE WHEN length($c) = 0 THEN 0 ELSE
+           | list_reduce(list_transform(range(1, length($c) + 1),
+           |   i -> unicode($c[CAST(i AS INT)])),
+           |  (a, b) -> (a * 31 + b) % 1000003) END""".stripMargin
+      Seq(branch("l_orderkey", "l_orderkey % 1000003"),
+        branch("l_linenumber", "l_linenumber % 1000003"),
+        branch("l_quantity",
+          "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " % 1000003"),
+        branch("l_returnflag", fold("l_returnflag")),
+        branch("l_shipdate", "epoch_us(l_shipdate) % 1000003"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at
     // rank p*(n-1) — verified bit-identical, full-double comparison;
     // DuckDB's parallel unnest zips the p-list with the quantile array

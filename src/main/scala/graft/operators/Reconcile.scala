@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table reconciliation — the "did my rewritten pipeline produce the same
+  * table?" primitives a migration or backfill runs before cutting over
+  * (the reference's DQ tier checks one table against RULES,
+  * `/root/reference/src/pipeline.py:187-246`; these check one table
+  * against ANOTHER TABLE).
+  *
+  * Two tiers, matching how reconciliation is actually run:
+  *
+  *  - [[diffSummary]]: the exact keyed diff — a FULL OUTER join on the
+  *    key columns, classifying every key as only-in-A / only-in-B /
+  *    present-in-both, and counting, per payload column, the both-present
+  *    rows whose values differ (null-safe). One shuffle per side (hash on
+  *    the key) + a scalar aggregation; payload never re-shuffles after
+  *    the join. This is the form that NAMES what differs.
+  *  - [[columnChecksums]]: the cheap no-join fingerprint — per column,
+  *    an order-independent multiset checksum (sum of a deterministic
+  *    per-value encoding) computed in ONE aggregation pass with no
+  *    shuffle beyond the scalar agg. Run it on both tables (fleet-wide,
+  *    100 TB form), compare the tiny outputs; only on mismatch pay the
+  *    keyed diff. The encoding is deliberately engine-portable (the
+  *    DuckDB oracle replays it verbatim): numerics canonicalize exactly
+  *    (doubles via DECIMAL(18,2) cents, dates via epoch day, timestamps
+  *    via epoch micros) and strings fold `(h*31 + codepoint) % 1000003`
+  *    over their characters — the [[Dsir]] fold, portable for
+  *    basic-plane text (both engines index characters and agree on BMP
+  *    codepoints; astral-plane strings are the caller's to exclude).
+  *
+  * Keys are expected unique per table (reconciliation presumes a key);
+  * duplicate keys join multiplicatively, as in any keyed diff.
+  */
+object Reconcile {
+
+  /** Keyed full-outer diff of two same-schema frames: one tidy row per
+    * metric — `only_in_a` / `only_in_b` / `in_both` key counts, then
+    * `diff:<col>` = both-present rows where that payload column differs
+    * (null-safe inequality). Equal frames yield all-zero diffs.
+    */
+  def diffSummary(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      "frames must share a schema; reconcile columns, not shapes")
+    val payload = a.columns.filterNot(keys.contains).toSeq
+    val fa = a.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"__a_$c")): _*).withColumn("__pa", lit(1))
+    val fb = b.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"__b_$c")): _*).withColumn("__pb", lit(1))
+    val j = fa.join(fb, keys, "full_outer")
+    val both = col("__pa").isNotNull && col("__pb").isNotNull
+    def ct(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val aggs =
+      Seq(ct(col("__pb").isNull).as("m0_only_in_a"),
+        ct(col("__pa").isNull).as("m1_only_in_b"),
+        ct(both).as("m2_in_both")) ++
+      payload.zipWithIndex.map { case (c, i) =>
+        ct(both && !(col(s"__a_$c") <=> col(s"__b_$c"))).as(s"d${i}_$c")
+      }
+    val names = Seq("only_in_a", "only_in_b", "in_both") ++
+      payload.map(c => s"diff:$c")
+    val wide = j.agg(aggs.head, aggs.tail: _*)
+    val fields = wide.columns
+    wide.select(explode(array(names.zip(fields).map { case (n, f) =>
+        struct(lit(n).as("metric"), col(f).as("n"))
+      }: _*)).as("m"))
+      .select("m.*")
+  }
+
+  /** Fold modulus shared with [[Dsir.HashMod]]: prime, small enough that
+    * `h*31 + codepoint` never nears Long overflow under ANSI.
+    */
+  private val M = Dsir.HashMod
+
+  // engine-portable per-value encoding into [0, M): exact numeric
+  // canonicalizations; strings via the codepoint fold (BMP contract —
+  // see object doc). NULLs encode to null and are skipped by sum().
+  private def encode(dt: DataType, c: Column): Column = dt match {
+    case StringType =>
+      aggregate(
+        transform(sequence(lit(1), length(c)),
+          i => ascii(c.substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, cp) => pmod(acc * lit(31L) + cp, lit(M)))
+    case DoubleType | FloatType | _: DecimalType =>
+      pmod((c.cast(DecimalType(18, 2)) * lit(100)).cast(LongType), lit(M))
+    case DateType => pmod(unix_date(c).cast(LongType), lit(M))
+    case TimestampType => pmod(unix_micros(c), lit(M))
+    // NTZ carries the same wall-clock micros; the UTC session cast is a
+    // no-op on the instant and satisfies unix_micros' input type
+    case TimestampNTZType =>
+      pmod(unix_micros(c.cast(TimestampType)), lit(M))
+    case BooleanType => c.cast(LongType)
+    case ByteType | ShortType | IntegerType | LongType =>
+      pmod(c.cast(LongType), lit(M))
+    case other =>
+      throw new IllegalArgumentException(
+        s"no portable encoding for ${other.simpleString}")
+  }
+
+  /** Per-column multiset fingerprint: (col_name, n_nonnull, checksum)
+    * where checksum = SUM of the portable per-value encoding —
+    * order-independent, so two tables with the same multiset of values
+    * per column agree regardless of layout or partitioning. ONE
+    * aggregation pass, scalar output; compare two tables' outputs
+    * driver-side and reach for [[diffSummary]] only on mismatch.
+    */
+  def columnChecksums(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    val aggs = cols.flatMap { name =>
+      val c = col(name)
+      Seq(count(c).as(s"__${name}__n"),
+        sum(encode(df.schema(name).dataType, c)).as(s"__${name}__ck"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map { name =>
+        struct(lit(name).as("col_name"),
+          col(s"__${name}__n").as("n_nonnull"),
+          coalesce(col(s"__${name}__ck"), lit(0L)).as("checksum"))
+      }: _*)).as("m"))
+      .select("m.*")
+  }
+}

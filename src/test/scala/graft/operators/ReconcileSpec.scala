@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reconciliation must classify keys exactly (only-in-A / only-in-B /
+  * both), count per-column diffs null-safely, and the checksum tier must
+  * be order-independent and match hand-computed encodings.
+  */
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diffSummary: hand-checked keyed diff with null-safe column " +
+      "comparison (null vs value differs, null vs null does not)") {
+    val a = Seq(
+      (1L, Some("x"), Some(1.0)),
+      (2L, Some("y"), None),
+      (3L, None, Some(3.0)),
+      (4L, Some("gone"), Some(4.0)))
+      .toDF("k", "s", "d")
+    val b = Seq(
+      (1L, Some("x"), Some(1.0)),     // identical
+      (2L, Some("y2"), None),          // s differs, d null==null
+      (3L, None, Some(9.0)),           // d differs, s null==null
+      (5L, Some("new"), Some(5.0)))    // only in b
+      .toDF("k", "s", "d")
+    val got = Reconcile.diffSummary(a, b, Seq("k"))
+      .orderBy("metric").as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("diff:d", 1L), ("diff:s", 1L),
+      ("in_both", 3L), ("only_in_a", 1L), ("only_in_b", 1L)))
+  }
+
+  test("diffSummary of a frame against itself is all-zero diffs") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val got = Reconcile.diffSummary(o, o, Seq("o_orderkey"))
+      .as[(String, Long)].collect().toMap
+    val n = o.count()
+    assert(got("only_in_a") == 0L && got("only_in_b") == 0L)
+    assert(got("in_both") == n)
+    got.collect { case (m, c) if m.startsWith("diff:") =>
+      assert(c == 0L, m)
+    }
+  }
+
+  test("diffSummary refuses mismatched schemas and empty keys") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Reconcile.diffSummary(a, a.withColumnRenamed("s", "t"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Reconcile.diffSummary(a, a, Nil)
+    }
+  }
+
+  test("diffSummary plans ONE hash/merge full-outer join — no nested " +
+      "loop, no cartesian") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val p = Reconcile.diffSummary(a, a, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("FullOuter".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("columnChecksums: hand-computed encodings per type, nulls " +
+      "skipped but counted out of n_nonnull") {
+    val df = Seq(
+      (7L, Some("ab"), Some(2.5),
+        Some(Timestamp.valueOf("1970-01-01 00:00:01"))),
+      (1000010L, None, None, None))
+      .toDF("i", "s", "d", "ts")
+    val got = Reconcile.columnChecksums(df, Seq("i", "s", "d", "ts"))
+      .orderBy("col_name").as[(String, Long, Long)].collect().toSeq
+    // i: 7 + (1000010 % 1000003 = 7) = 14
+    // s: fold("ab") = (0*31+97=97)*31 + 98 = 3105
+    // d: 2.50 -> 250 cents
+    // ts: 1s -> 1000000 micros
+    assert(got == Seq(
+      ("d", 1L, 250L), ("i", 2L, 14L), ("s", 1L, 3105L),
+      ("ts", 1L, 1000000L)))
+  }
+
+  test("columnChecksums is order- and partitioning-independent (a " +
+      "multiset fingerprint)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_orderkey", "l_returnflag", "l_quantity")
+    val base = Reconcile.columnChecksums(li, cols)
+      .orderBy("col_name").collect().toSeq
+    val scrambled = Reconcile.columnChecksums(
+      li.repartition(7, col("l_partkey")).sortWithinPartitions("l_suppkey"),
+      cols).orderBy("col_name").collect().toSeq
+    assert(scrambled == base)
+  }
+
+  test("columnChecksums refuses unsupported column types") {
+    val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
+    intercept[IllegalArgumentException] {
+      Reconcile.columnChecksums(df, Seq("arr")).collect()
+    }
+  }
+}
