@@ -1209,6 +1209,22 @@ object QueriesExt {
         "l_shipdate"))
       .orderBy("col_name")
 
+  /** Join-hotspot diagnostic (x113): before joining clicks to purchases
+    * on user_id, which keys would dominate the OUTPUT?
+    * [[graft.operators.Skew.joinHotspots]] joins the two per-side key
+    * histograms and ranks by `n_left * n_right` — the pre-flight number
+    * a skew decision (salt / AQE / broadcast / pre-aggregate) actually
+    * needs; shuffles are key-histogram-sized and the output is bounded
+    * at topN. Ties break by key ascending, so the top-20 set is
+    * deterministic and the oracle replays it exactly.
+    */
+  def joinHotspotsQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    graft.operators.Skew.joinHotspots(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "user_id", topN = 20)
+  }
+
   /** One-pass table profile (x106): per-column null/cardinality/range
     * stats over lineitem's mixed types (long, int, double, string,
     * timestamp) from a SINGLE aggregation —
@@ -2576,7 +2592,8 @@ object QueriesExt {
     "x109_quantile_profile" -> quantileProfileQ _,
     "x110_rangejoin_fullouter" -> rangeJoinFullOuter _,
     "x111_reconcile_diff" -> reconcileDiffQ _,
-    "x112_column_checksums" -> columnChecksumsQ _)
+    "x112_column_checksums" -> columnChecksumsQ _,
+    "x113_join_hotspots" -> joinHotspotsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3986,6 +4003,19 @@ object QueriesExt {
         | CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
         | CAST(COUNT(DISTINCT win_id) AS BIGINT) AS n_windows
         |FROM j GROUP BY 1 ORDER BY kind""".stripMargin,
+    // join hotspots: per-side key histograms joined, ranked by output
+    // pair count with a key tie-break — the LIMIT set is deterministic
+    "x113_join_hotspots" ->
+      """WITH lc AS (
+        | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |rc AS (
+        | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_right
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT lc.user_id, n_left, n_right,
+        | CAST(n_left * n_right AS BIGINT) AS n_pairs
+        |FROM lc JOIN rc USING (user_id)
+        |ORDER BY n_pairs DESC, lc.user_id ASC LIMIT 20""".stripMargin,
     // keyed reconciliation: the full-outer join and the null-safe
     // per-column comparisons replayed verbatim (IS DISTINCT FROM ==
     // Spark's negated <=>); the perturbation is deterministic in both

@@ -37,6 +37,30 @@ object Skew {
     * land on one reducer. `partials` maps each aggregation to its
     * (partial expression, final combiner) pair — e.g. sum/sum, count/sum.
     */
+  /** Join pre-flight diagnostic: the top-`topN` keys by OUTPUT PAIR
+    * count (`n_left * n_right`) — the keys that would dominate
+    * `left ⋈ right on key` and the number every skew decision (salt?
+    * AQE? broadcast? pre-aggregate?) actually needs, which per-side
+    * heavy-hitter lists don't give (a key hot on one side and absent
+    * on the other produces ZERO pairs).
+    *
+    * Scale: one partial-aggregated groupBy per side (shuffle ≤ distinct
+    * keys), an equi-join of the two key histograms, and a
+    * TakeOrderedAndProject for the top-N — output bounded at `topN`
+    * regardless of input size. Deterministic: ties on the pair count
+    * break by key ascending.
+    */
+  def joinHotspots(left: DataFrame, right: DataFrame, key: String,
+      topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val lc = left.groupBy(key).agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(key).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, Seq(key))
+      .withColumn("n_pairs", col("n_left") * col("n_right"))
+      .orderBy(col("n_pairs").desc, col(key).asc)
+      .limit(topN)
+  }
+
   def saltedSum(df: DataFrame, key: String, valueCol: String,
       saltFactor: Int = 16): DataFrame =
     df.withColumn("__salt",
