@@ -1209,6 +1209,20 @@ object QueriesExt {
         "l_shipdate"))
       .orderBy("col_name")
 
+  /** Per-month column checksums (x114): the LOCALIZING reconciliation
+    * tier — when x112-style whole-table fingerprints disagree,
+    * [[graft.operators.Reconcile.groupedColumnChecksums]] grouped by the
+    * table's natural partition key (order month) names WHICH partitions
+    * diverge, so the expensive keyed diff (x111) runs only there. One
+    * aggregation, shuffle bounded by groups × columns.
+    */
+  def groupedChecksumsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Reconcile.groupedColumnChecksums(
+        t(spark, dir, "orders").withColumn("month",
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")),
+        "month", Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+      .orderBy("month", "col_name")
+
   /** Join-hotspot diagnostic (x113): before joining clicks to purchases
     * on user_id, which keys would dominate the OUTPUT?
     * [[graft.operators.Skew.joinHotspots]] joins the two per-side key
@@ -2593,7 +2607,8 @@ object QueriesExt {
     "x110_rangejoin_fullouter" -> rangeJoinFullOuter _,
     "x111_reconcile_diff" -> reconcileDiffQ _,
     "x112_column_checksums" -> columnChecksumsQ _,
-    "x113_join_hotspots" -> joinHotspotsQ _)
+    "x113_join_hotspots" -> joinHotspotsQ _,
+    "x114_grouped_checksums" -> groupedChecksumsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4003,6 +4018,26 @@ object QueriesExt {
         | CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
         | CAST(COUNT(DISTINCT win_id) AS BIGINT) AS n_windows
         |FROM j GROUP BY 1 ORDER BY kind""".stripMargin,
+    // grouped checksums: same portable encodings, GROUP BY month added
+    "x114_grouped_checksums" -> {
+      def enc(c: String, e: String) =
+        s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+           |  AS month, '$c' AS col_name,
+           | CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           | CAST(COALESCE(SUM($e), 0) AS BIGINT) AS checksum
+           |FROM orders GROUP BY 1""".stripMargin
+      val fold =
+        """CASE WHEN length(o_orderstatus) = 0 THEN 0 ELSE
+          | list_reduce(list_transform(range(1, length(o_orderstatus) + 1),
+          |   i -> unicode(o_orderstatus[CAST(i AS INT)])),
+          |  (a, b) -> (a * 31 + b) % 1000003) END""".stripMargin
+      Seq(enc("o_orderkey", "o_orderkey % 1000003"),
+        enc("o_totalprice",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " % 1000003"),
+        enc("o_orderstatus", fold))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY month, col_name")
+    },
     // join hotspots: per-side key histograms joined, ranked by output
     // pair count with a key tie-break — the LIMIT set is deterministic
     "x113_join_hotspots" ->

@@ -110,17 +110,42 @@ object Reconcile {
     */
   def columnChecksums(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum at least one column")
+    val (head, tail) = checksumAggs(df, cols)
+    unpivotChecksums(df.agg(head, tail: _*), cols, Nil)
+  }
+
+  /** Per-group [[columnChecksums]] — the LOCALIZING middle tier of the
+    * reconciliation workflow: whole-table fingerprints disagree → group
+    * by the table's partition key (day, month, source) to find WHICH
+    * partitions diverge → keyed-diff only those. Same one-pass
+    * aggregation with the group key in front (shuffle ≤ groups ×
+    * columns partial rows); output one row per (group, column).
+    */
+  def groupedColumnChecksums(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    require(!cols.contains(groupCol), "groupCol cannot also be summed")
+    val (head, tail) = checksumAggs(df, cols)
+    unpivotChecksums(df.groupBy(groupCol).agg(head, tail: _*), cols,
+      Seq(groupCol))
+  }
+
+  private def checksumAggs(df: DataFrame,
+      cols: Seq[String]): (Column, Seq[Column]) = {
     val aggs = cols.flatMap { name =>
       val c = col(name)
       Seq(count(c).as(s"__${name}__n"),
         sum(encode(df.schema(name).dataType, c)).as(s"__${name}__ck"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    wide.select(explode(array(cols.map { name =>
+    (aggs.head, aggs.tail)
+  }
+
+  private def unpivotChecksums(wide: DataFrame, cols: Seq[String],
+      keep: Seq[String]): DataFrame =
+    wide.select(keep.map(col) :+ explode(array(cols.map { name =>
         struct(lit(name).as("col_name"),
           col(s"__${name}__n").as("n_nonnull"),
           coalesce(col(s"__${name}__ck"), lit(0L)).as("checksum"))
-      }: _*)).as("m"))
-      .select("m.*")
-  }
+      }: _*)).as("m"): _*)
+      .selectExpr(keep :+ "m.*": _*)
 }

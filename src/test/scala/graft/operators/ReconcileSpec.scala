@@ -96,6 +96,23 @@ class ReconcileSpec extends SparkSpec {
     assert(scrambled == base)
   }
 
+  test("groupedColumnChecksums: per-group rows whose sums reconcile " +
+      "with the whole-table checksums (localization is lossless)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_orderkey", "l_quantity")
+    val grouped = Reconcile.groupedColumnChecksums(li, "l_returnflag", cols)
+    val rolled = grouped.groupBy("col_name")
+      .agg(sum("n_nonnull").as("n"), sum("checksum").as("ck"))
+      .orderBy("col_name")
+      .as[(String, Long, Long)].collect().toSeq
+    val whole = Reconcile.columnChecksums(li, cols)
+      .orderBy("col_name").as[(String, Long, Long)].collect().toSeq
+    assert(rolled == whole)
+    intercept[IllegalArgumentException] {
+      Reconcile.groupedColumnChecksums(li, "l_quantity", cols)
+    }
+  }
+
   test("columnChecksums refuses unsupported column types") {
     val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
     intercept[IllegalArgumentException] {
