@@ -1209,6 +1209,21 @@ object QueriesExt {
         "l_shipdate"))
       .orderBy("col_name")
 
+  /** Exact prefix-filter similarity self-join (x115): every document
+    * pair with 3-shingle-set Jaccard >= 0.7, FULL RECALL — the
+    * ground-truth complement to the MinHash-LSH candidate path (x03),
+    * whose banding is recall-approximate by construction.
+    * [[graft.operators.Dedup.prefixFilterPairs]] implements the
+    * AllPairs/PPJoin prefix-filter bound (index only each doc's rarest
+    * `n - ceil(t*n) + 1` shingles under a global frequency order, then
+    * exact-verify); the oracle replays the exact all-pairs shingle
+    * Jaccard in DuckDB at the same threshold.
+    */
+  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.prefixFilterPairs(
+        t(spark, dir, "documents"), "text", "doc_id", threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
   /** Per-month column checksums (x114): the LOCALIZING reconciliation
     * tier — when x112-style whole-table fingerprints disagree,
     * [[graft.operators.Reconcile.groupedColumnChecksums]] grouped by the
@@ -2608,7 +2623,8 @@ object QueriesExt {
     "x111_reconcile_diff" -> reconcileDiffQ _,
     "x112_column_checksums" -> columnChecksumsQ _,
     "x113_join_hotspots" -> joinHotspotsQ _,
-    "x114_grouped_checksums" -> groupedChecksumsQ _)
+    "x114_grouped_checksums" -> groupedChecksumsQ _,
+    "x115_prefix_filter_pairs" -> prefixFilterPairsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4592,6 +4608,15 @@ object QueriesExt {
         |ORDER BY id_a, id_b""".stripMargin),
     // cross-source duplication matrix: exact-Jaccard pair stream at 0.8,
     // labeled both sides, unordered (least/greatest) source pair counts
+    // exact prefix-filter ssjoin: same exact all-pairs set-Jaccard
+    // replay as x03, at the x115 threshold — full recall is the claim,
+    // so the oracle IS the brute-force ground truth
+    "x115_prefix_filter_pairs" -> (shingleSetSql + "\n" +
+      """SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a
+        |           JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin),
     "x101_source_overlap" -> (shingleSetSql + "\n" +
       """SELECT least(da.source, db.source) AS src_lo,
         | greatest(da.source, db.source) AS src_hi,

@@ -1221,4 +1221,74 @@ object Dedup {
       .select(col("__pair_b.id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. 2007, Xiao et al. 2008): every pair of
+    * documents whose k-shingle SETS have Jaccard >= `threshold`, with
+    * FULL RECALL — the guarantee the MinHash-LSH candidate path
+    * ([[minhashCandidates]], x03) deliberately trades away (banding can
+    * miss a qualifying pair; LSH is recall-approximate even when each
+    * candidate is exact-verified). Use this as the ground-truth path and
+    * for thresholds/corpora where missing a duplicate is not acceptable.
+    *
+    * The prefix-filter theorem: order every document's shingles by one
+    * GLOBAL total order (ascending corpus frequency, ties by value — the
+    * rarest first); if J(a,b) >= t, then a and b must share at least one
+    * shingle within each document's first `n - ceil(t*n) + 1` shingles
+    * under that order. So indexing only the (rare) prefix shingles
+    * produces a candidate superset, and the exact Jaccard refilter makes
+    * the result exact.
+    *
+    * Scale shape: (1) shingle-frequency table — one partial-aggregated
+    * groupBy, corpus-vocabulary-sized but fully distributed (never
+    * collected); (2) per-doc canonical order — join frequencies back and
+    * re-group by doc (collect_list bounded by the doc's own shingle
+    * count); (3) the candidate join keys on PREFIX shingles only —
+    * postings of the rarest tokens, the published reason this beats the
+    * naive all-pairs token join by orders of magnitude; the length
+    * filter `min(na,nb) >= ceil(t*max(na,nb))` prunes before the
+    * distinct; (4) exact verify joins the two (bounded) set arrays back
+    * by id. No cartesian anywhere; every shuffle is keyed (shingle or
+    * id) and candidate-bounded.
+    */
+  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val base = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("__set"))
+      .withColumn("__n", size(col("__set")))
+    val freq = base.select(explode(col("__set")).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__f"))
+    // canonical order: rarest-first, ties by shingle value — a total
+    // order because shingles are distinct within a doc
+    val ordered = base.select(col("__id"), col("__n"),
+        explode(col("__set")).as("__g"))
+      .join(freq, "__g")
+      .groupBy("__id", "__n")
+      .agg(sort_array(collect_list(struct(col("__f"), col("__g"))))
+        .as("__o"))
+    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .cast("int")
+    val prefix = ordered.select(col("__id"), col("__n"),
+      explode(slice(transform(col("__o"), s => s.getField("__g")),
+        lit(1), prefLen)).as("__g"))
+    val cand = prefix.select(col("__id").as("id_a"), col("__n").as("__na"),
+        col("__g"))
+      .join(prefix.select(col("__id").as("id_b"), col("__n").as("__nb"),
+        col("__g")), Seq("__g"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("__na"), col("__nb")) >=
+          ceil(lit(threshold) * greatest(col("__na"), col("__nb"))))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__set").as("__sa"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__set").as("__sb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

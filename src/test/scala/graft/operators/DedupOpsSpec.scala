@@ -37,6 +37,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(n == 12)
   }
 
+  test("prefixFilterPairs: FULL RECALL — equals the brute-force exact " +
+      "set-Jaccard join at several thresholds (the guarantee the LSH " +
+      "candidate path trades away)") {
+    import org.apache.spark.sql.functions._
+    // a richer corpus: exact dup, near dups at graded distances, and
+    // docs sharing only common shingles (prefix filter must still pair
+    // qualifying ones through rare-shingle prefixes)
+    val corpus = (docs.as[(Long, String)].collect().toSeq ++ Seq(
+      (5L, base.replace("quick", "swift").replace("lazy", "idle")),
+      (6L, base + " and then some extra trailing words here"),
+      (7L, nearDup.replace("river", "creek"))))
+      .toDF("doc_id", "text")
+    def brute(t: Double) = {
+      val sets = corpus.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("s"))
+      val a = sets.select(col("doc_id").as("id_a"), col("s").as("sa"))
+      val b = sets.select(col("doc_id").as("id_b"), col("s").as("sb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("i",
+          size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("jaccard", col("i") /
+          (size(col("sa")) + size(col("sb")) - col("i")))
+        .where(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    }
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val got = Dedup.prefixFilterPairs(corpus, "text", "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(got == brute(t), s"threshold $t")
+      if (t <= 0.5) assert(got.nonEmpty, s"threshold $t found nothing")
+    }
+  }
+
+  test("prefixFilterPairs plans with keyed joins only — no cartesian, " +
+      "no nested loop") {
+    val p = Dedup.prefixFilterPairs(docs, "text", "doc_id", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("ngram jaccard: identical=1, near-dup high, distinct low") {
     val df = docs.as("a").crossJoin(docs.as("b"))
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
