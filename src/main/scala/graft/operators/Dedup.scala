@@ -1254,8 +1254,14 @@ object Dedup {
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // hashed shingle SETS via the native kernel (one primitive loop per
+    // doc; the string-shingle HOF view re-tokenizes per element — the
+    // CollapseProject trap — and measured 18 s vs ~3 s at sf0.1). Hash
+    // equality as shingle identity is the dedup tier's standing
+    // convention (x03/x42/x55); the exact-Jaccard refilter below is
+    // exact over the hashed sets.
     val base = df.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("__set"))
+      shinglesOf(df, textCol, shingleK).as("__set"))
       .withColumn("__n", size(col("__set")))
     val freq = base.select(explode(col("__set")).as("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__f"))
