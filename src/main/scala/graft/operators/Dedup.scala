@@ -1249,7 +1249,10 @@ object Dedup {
     * filter `min(na,nb) >= ceil(t*max(na,nb))` prunes before the
     * distinct; (4) exact verify joins the two (bounded) set arrays back
     * by id. No cartesian anywhere; every shuffle is keyed (shingle or
-    * id) and candidate-bounded.
+    * id) and candidate-bounded. The shingle-set frame feeds four plan
+    * branches (frequency, ordering, both verify sides) — at corpus
+    * scale, persist the input (or pre-materialize the sets) so the
+    * tokenize+hash kernel runs once per doc, not four times.
     */
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
