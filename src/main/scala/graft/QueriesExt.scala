@@ -3995,11 +3995,13 @@ object QueriesExt {
         | SELECT CAST(o_totalprice AS DOUBLE) AS v,
         |   CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 0
         |        ELSE 1 END AS s
-        | FROM orders WHERE o_totalprice IS NOT NULL),
+        | FROM orders
+        | WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
         |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM t),
         |b AS (
-        | SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 16)) AS INT),
-        |   15) AS bin, s FROM t, mm),
+        | SELECT GREATEST(0,
+        |   LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 16)) AS INT),
+        |     15)) AS bin, s FROM t, mm),
         |c AS (
         | SELECT bin,
         |  CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -4036,6 +4038,8 @@ object QueriesExt {
         |FROM j GROUP BY 1 ORDER BY kind""".stripMargin,
     // grouped checksums: same portable encodings, GROUP BY month added
     "x114_grouped_checksums" -> {
+      // non-negative mod, matching the engine's pmod (see x112)
+      def pm(e: String) = s"((($e) % 1000003 + 1000003) % 1000003)"
       def enc(c: String, e: String) =
         s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
            |  AS month, '$c' AS col_name,
@@ -4047,10 +4051,9 @@ object QueriesExt {
           | list_reduce(list_transform(range(1, length(o_orderstatus) + 1),
           |   i -> unicode(o_orderstatus[CAST(i AS INT)])),
           |  (a, b) -> (a * 31 + b) % 1000003) END""".stripMargin
-      Seq(enc("o_orderkey", "o_orderkey % 1000003"),
+      Seq(enc("o_orderkey", pm("o_orderkey")),
         enc("o_totalprice",
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
-            " % 1000003"),
+          pm("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")),
         enc("o_orderstatus", fold))
         .mkString("", "\nUNION ALL\n", "\nORDER BY month, col_name")
     },
@@ -4118,6 +4121,9 @@ object QueriesExt {
     // fold for strings (list_reduce's first-element init == folding from
     // 0, since 0*31 + c = c)
     "x112_column_checksums" -> {
+      // pmod (always non-negative) is the canonical encoding; DuckDB's
+      // % keeps the dividend's sign, so wrap: ((e % M) + M) % M
+      def pm(e: String) = s"((($e) % 1000003 + 1000003) % 1000003)"
       def branch(c: String, enc: String) =
         s"""SELECT '$c' AS col_name,
            | CAST(COUNT($c) AS BIGINT) AS n_nonnull,
@@ -4128,13 +4134,12 @@ object QueriesExt {
            | list_reduce(list_transform(range(1, length($c) + 1),
            |   i -> unicode($c[CAST(i AS INT)])),
            |  (a, b) -> (a * 31 + b) % 1000003) END""".stripMargin
-      Seq(branch("l_orderkey", "l_orderkey % 1000003"),
-        branch("l_linenumber", "l_linenumber % 1000003"),
+      Seq(branch("l_orderkey", pm("l_orderkey")),
+        branch("l_linenumber", pm("l_linenumber")),
         branch("l_quantity",
-          "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)" +
-            " % 1000003"),
+          pm("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")),
         branch("l_returnflag", fold("l_returnflag")),
-        branch("l_shipdate", "epoch_us(l_shipdate) % 1000003"))
+        branch("l_shipdate", pm("epoch_us(l_shipdate)")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at
@@ -4606,8 +4611,6 @@ object QueriesExt {
         |           JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
-    // cross-source duplication matrix: exact-Jaccard pair stream at 0.8,
-    // labeled both sides, unordered (least/greatest) source pair counts
     // exact prefix-filter ssjoin: same exact all-pairs set-Jaccard
     // replay as x03, at the x115 threshold — full recall is the claim,
     // so the oracle IS the brute-force ground truth
@@ -4617,6 +4620,8 @@ object QueriesExt {
         |           JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin),
+    // cross-source duplication matrix: exact-Jaccard pair stream at 0.8,
+    // labeled both sides, unordered (least/greatest) source pair counts
     "x101_source_overlap" -> (shingleSetSql + "\n" +
       """SELECT least(da.source, db.source) AS src_lo,
         | greatest(da.source, db.source) AS src_hi,

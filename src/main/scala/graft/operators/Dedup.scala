@@ -1276,7 +1276,18 @@ object Dedup {
       .groupBy("__id", "__n")
       .agg(sort_array(collect_list(struct(col("__f"), col("__g"))))
         .as("__o"))
-    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    // CEIL SAFETY: ceil(t*n) on doubles can overshoot the real ceiling
+    // (0.56*25 = 14.000000000000002 -> ceil 15, dropping a qualifying
+    // J = 14/25 = 0.56 pair) — a silent recall hole in both the prefix
+    // length and the length filter. All candidate-stage bounds therefore
+    // use t minus a sub-rounding epsilon: when t*n is non-integral the
+    // ceiling is unchanged; when it is integral (or the product rounded
+    // up) the bound relaxes by at most one — strictly conservative, and
+    // the exact-Jaccard refilter below restores tightness. Valid while
+    // eps exceeds the product's rounding error, i.e. n below ~1e7
+    // shingles per document.
+    val tSafe = lit(threshold - 1e-9)
+    val prefLen = (col("__n") - ceil(tSafe * col("__n")) + 1)
       .cast("int")
     val prefix = ordered.select(col("__id"), col("__n"),
       explode(slice(transform(col("__o"), s => s.getField("__g")),
@@ -1287,7 +1298,7 @@ object Dedup {
         col("__g")), Seq("__g"))
       .where(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")) >=
-          ceil(lit(threshold) * greatest(col("__na"), col("__nb"))))
+          ceil(tSafe * greatest(col("__na"), col("__nb"))))
       .select("id_a", "id_b").distinct()
     cand
       .join(base.select(col("__id").as("id_a"), col("__set").as("__sa"),

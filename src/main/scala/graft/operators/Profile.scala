@@ -115,24 +115,6 @@ object Profile {
     unpivot(df.groupBy(groupCol).agg(n, aggs: _*), cols, Seq(groupCol))
   }
 
-  /** Equi-width histogram drift between two slices of a numeric column —
-    * the distribution-monitoring primitive behind "did this quarter's
-    * price curve / doc-length curve move?" (population-stability checks
-    * on feature pipelines). Shared bin edges come from the GLOBAL
-    * min/max over both slices (or caller-pinned `bounds` — the one-pass
-    * form when the domain is known, which at 100 TB it should be); each
-    * slice's per-bin row fraction and the per-bin L1 gap
-    * `|frac_a - frac_b|` come out per bin (total-variation distance is
-    * half their sum — left to the caller so the output stays per-bin and
-    * engine-exact: counts are exact longs, fractions single exact-count
-    * divisions, edges `lo + bin*width` — no transcendentals, so results
-    * are bit-reproducible across engines, unlike a PSI/KL variant).
-    *
-    * Scale: with `bounds` given, ONE scan of the tagged union and a
-    * shuffle of ≤ nBins×partitions partial rows; without, one extra
-    * min/max scan first (all map-side). Nothing row-sized ever
-    * shuffles; the driver sees exactly two doubles.
-    */
   /** Quantile profile — per-column percentile cuts (p25/p50/p75/p95 by
     * default), the "what does this column's distribution look like"
     * companion to [[columnProfile]]'s min/max. ONE aggregation carries
@@ -181,6 +163,25 @@ object Profile {
         col("value"))
   }
 
+  /** Equi-width histogram drift between two slices of a numeric column —
+    * the distribution-monitoring primitive behind "did this quarter's
+    * price curve / doc-length curve move?" (population-stability checks
+    * on feature pipelines). Shared bin edges come from the GLOBAL
+    * min/max over both slices (or caller-pinned `bounds` — the one-pass
+    * form when the domain is known, which at 100 TB it should be;
+    * out-of-domain values clamp into the edge bins, so every row is
+    * counted); each slice's per-bin row fraction and the per-bin L1 gap
+    * `|frac_a - frac_b|` come out per bin (total-variation distance is
+    * half their sum — left to the caller so the output stays per-bin and
+    * engine-exact: counts are exact longs, fractions single exact-count
+    * divisions, edges `lo + bin*width` — no transcendentals, so results
+    * are bit-reproducible across engines, unlike a PSI/KL variant).
+    *
+    * Scale: with `bounds` given, ONE scan of the tagged union and a
+    * shuffle of ≤ nBins×partitions partial rows; without, one extra
+    * min/max scan first (all map-side). Nothing row-sized ever
+    * shuffles; the driver sees exactly two doubles.
+    */
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
       nBins: Int, bounds: Option[(Double, Double)] = None): DataFrame = {
     require(nBins >= 2, "need at least two bins")
@@ -190,12 +191,18 @@ object Profile {
         .where(col("__v").isNotNull).withColumn("__s", lit(1)))
     val (lo, hi) = bounds.getOrElse {
       val r = tagged.agg(min(col("__v")), max(col("__v"))).head()
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "histogramDrift: no non-null values in either slice")
       (r.getDouble(0), r.getDouble(1))
     }
     require(hi > lo, s"degenerate value range [$lo,$hi]")
     val width = (hi - lo) / nBins
-    val bin = least(floor((col("__v") - lit(lo)) / lit(width)),
-      lit(nBins - 1)).cast(IntegerType)
+    // clamp BOTH edges: with pinned bounds, out-of-domain stragglers
+    // land in bin 0 / nBins-1 instead of escaping the 0..nBins-1
+    // contract (derived bounds never produce out-of-range values)
+    val bin = greatest(lit(0L),
+      least(floor((col("__v") - lit(lo)) / lit(width)),
+        lit((nBins - 1).toLong))).cast(IntegerType)
     val counts = tagged.groupBy(bin.as("bin")).agg(
       sum(when(col("__s") === 0, 1L).otherwise(0L)).as("count_a"),
       sum(when(col("__s") === 1, 1L).otherwise(0L)).as("count_b"))

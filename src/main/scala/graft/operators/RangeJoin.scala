@@ -165,18 +165,29 @@ object RangeJoin {
         s"column(s) ${shared.mkString(", ")} — rename before joining")
     val matched = pointInInterval(points, intervals, pointCol, startCol,
       endCol, bucketWidth, extraKeys, maxSpanBuckets)
-    val pCols = points.columns.toSeq
-    val ivTypes = intervals.schema.map(f => f.name -> f.dataType).toMap
-    val l = points.alias("__rj_l")
+    matched.unionAll(complementExtend(matched, points, intervals))
+  }
+
+  /** Shared value-based complement of an inner range-join result:
+    * `preserved` rows whose full tuple is absent from `matched`'s
+    * preserved-tuples (null-safe anti join against the DISTINCT tuples),
+    * null-extended on `other`'s columns to `matched`'s schema. Identical
+    * preserved rows have identical match sets, so this IS multiset outer
+    * semantics without row ids; both outer wrappers build on it.
+    */
+  private def complementExtend(matched: DataFrame, preserved: DataFrame,
+      other: DataFrame): DataFrame = {
+    val pCols = preserved.columns.toSeq
+    val oTypes = other.schema.map(f => f.name -> f.dataType).toMap
+    val l = preserved.alias("__rj_l")
     val m = matched.select(pCols.map(col): _*).distinct().alias("__rj_m")
     val anti = l.join(m,
       pCols.map(c => col(s"__rj_l.$c") <=> col(s"__rj_m.$c"))
         .reduce(_ && _), "left_anti")
-    val extended = anti.select(matched.columns.toSeq.map { c =>
+    anti.select(matched.columns.toSeq.map { c =>
       if (pCols.contains(c)) col(c)
-      else lit(null).cast(ivTypes(c)).as(c)
+      else lit(null).cast(oTypes(c)).as(c)
     }: _*)
-    matched.unionAll(extended)
   }
 
   /** FULL OUTER [[pointInInterval]]: every `points` row AND every
@@ -199,22 +210,9 @@ object RangeJoin {
         s"column(s) ${shared.mkString(", ")} — rename before joining")
     val matched = pointInInterval(points, intervals, pointCol, startCol,
       endCol, bucketWidth, extraKeys, maxSpanBuckets)
-    def extend(preserved: DataFrame, other: DataFrame): DataFrame = {
-      val pCols = preserved.columns.toSeq
-      val oTypes = other.schema.map(f => f.name -> f.dataType).toMap
-      val l = preserved.alias("__rj_l")
-      val m = matched.select(pCols.map(col): _*).distinct().alias("__rj_m")
-      val anti = l.join(m,
-        pCols.map(c => col(s"__rj_l.$c") <=> col(s"__rj_m.$c"))
-          .reduce(_ && _), "left_anti")
-      anti.select(matched.columns.toSeq.map { c =>
-        if (pCols.contains(c)) col(c)
-        else lit(null).cast(oTypes(c)).as(c)
-      }: _*)
-    }
     matched
-      .unionAll(extend(points, intervals))
-      .unionAll(extend(intervals, points))
+      .unionAll(complementExtend(matched, points, intervals))
+      .unionAll(complementExtend(matched, intervals, points))
   }
 
   /** Tolerance band join: pair every left row with every right row whose

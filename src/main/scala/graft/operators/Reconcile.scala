@@ -79,6 +79,11 @@ object Reconcile {
   // engine-portable per-value encoding into [0, M): exact numeric
   // canonicalizations; strings via the codepoint fold (BMP contract —
   // see object doc). NULLs encode to null and are skipped by sum().
+  // All moduli are pmod (non-negative) — the canonical form; SQL replays
+  // with %-semantics that keep the dividend's sign must wrap as
+  // ((e % M) + M) % M. Fractionals must fit DECIMAL(18,2) (|v| < 1e16);
+  // beyond that the cast overflows under ANSI rather than silently
+  // corrupting the fingerprint.
   private def encode(dt: DataType, c: Column): Column = dt match {
     case StringType =>
       aggregate(

@@ -63,12 +63,34 @@ class DedupOpsSpec extends SparkSpec {
         .select("id_a", "id_b", "jaccard")
         .as[(Long, Long, Double)].collect().toSeq.sorted
     }
-    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+    // 0.56 and 0.55 are ceil-overshoot thresholds (0.56*25 =
+    // 14.000000000000002): without the epsilon-guarded bounds the
+    // length filter drops boundary pairs (the review's counterexample)
+    for (t <- Seq(0.3, 0.5, 0.55, 0.56, 0.7, 0.9)) {
       val got = Dedup.prefixFilterPairs(corpus, "text", "doc_id", t)
         .as[(Long, Long, Double)].collect().toSeq.sorted
       assert(got == brute(t), s"threshold $t")
       if (t <= 0.5) assert(got.nonEmpty, s"threshold $t found nothing")
     }
+  }
+
+  test("prefixFilterPairs recall at a ceil-overshoot boundary: a " +
+      "14-of-25 subset pair at t=0.56 (J exactly 0.56) must be found") {
+    import org.apache.spark.sql.functions._
+    // doc A: 26 tokens -> 24 trigram shingles... construct directly at
+    // the shingle-count level: A has 27 tokens (25 shingles), B is a
+    // prefix of A with 16 tokens (14 shingles, all shared with A)
+    val aTokens = (1 to 27).map(i => s"tok$i").mkString(" ")
+    val bTokens = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, aTokens), (2L, bTokens)).toDF("doc_id", "text")
+    // sanity: set sizes 25 and 14, intersection 14 -> J = 14/25 = 0.56
+    val sizes = corpus.select(
+      size(array_distinct(Dedup.shingles(col("text"), 3)))).as[Int]
+      .collect().toSeq
+    assert(sizes == Seq(25, 14), sizes)
+    val got = Dedup.prefixFilterPairs(corpus, "text", "doc_id", 0.56)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.56)), got)
   }
 
   test("prefixFilterPairs plans with keyed joins only — no cartesian, " +

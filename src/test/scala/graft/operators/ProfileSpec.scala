@@ -155,6 +155,28 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("histogram drift with pinned bounds clamps out-of-domain values " +
+      "into BOTH edge bins (no bin ids outside 0..nBins-1)") {
+    val a = Seq(-5.0, 0.5, 9.0).toDF("v") // below lo AND above hi
+    val b = Seq(1.5, 2.5).toDF("v")
+    val got = Profile.histogramDrift(a, b, "v", 4, Some((0.0, 4.0)))
+      .orderBy("bin")
+      .as[(Int, Double, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq(0, 1, 2, 3))
+    assert(got.head._3 == 2L)  // -5.0 clamped down into bin 0 with 0.5
+    assert(got.last._3 == 1L)  // 9.0 clamped up into bin 3
+  }
+
+  test("histogram drift on empty/all-null inputs fails with the " +
+      "designed message, not an NPE") {
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.histogramDrift(empty, empty, "v", 4)
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
   test("profiling a parquet table reads ONLY the profiled columns " +
       "(column pruning reaches the scan)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -113,6 +113,17 @@ class ReconcileSpec extends SparkSpec {
     }
   }
 
+  test("columnChecksums encodes negative values with pmod (always " +
+      "non-negative) — the canonical form SQL replays must match with " +
+      "((e % M) + M) % M") {
+    val df = Seq((-5L, Some(-50.0)), (5L, Some(50.0))).toDF("i", "d")
+    val got = Reconcile.columnChecksums(df, Seq("i", "d"))
+      .orderBy("col_name").as[(String, Long, Long)].collect().toSeq
+    // i: pmod(-5) = 1000003 - 5 = 999998; + 5 -> 1000003
+    // d: cents -5000 -> pmod = 995003; + 5000 -> 1000003
+    assert(got == Seq(("d", 2L, 1000003L), ("i", 2L, 1000003L)))
+  }
+
   test("columnChecksums refuses unsupported column types") {
     val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
     intercept[IllegalArgumentException] {
