@@ -66,6 +66,35 @@ object Streams {
         col("open"), col("high"), col("low"), col("close"), col("n"),
         col("vsum"))
 
+  /** Per-window streaming data-quality monitor — the streaming form of
+    * the [[graft.operators.Profile]] tier: per (tumbling window, column)
+    * row count, null rate, and HLL cardinality, the live feed-health
+    * dashboard a multi-source ingest runs (a feed whose null rate spikes
+    * or whose id cardinality collapses shows up within one window +
+    * watermark delay). Exact `count(distinct)` is unsupported in
+    * streaming aggregations, and would hold unbounded state anyway —
+    * `approx_count_distinct` keeps the state per (window, column) at one
+    * fixed-size HLL sketch, the same swap the batch profiler's 100 TB
+    * form makes. All aggregates are algebraic → map-side partials, one
+    * shuffle, append-mode emission once the watermark closes the window.
+    */
+  def streamingWindowQuality(events: DataFrame, cols: Seq[String],
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(cols.nonEmpty, "monitor at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nonnull"),
+        approx_count_distinct(col(c)).as(s"${c}_distinct"))
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +:
+        (col("n_rows") +: cols.flatMap(c =>
+          Seq(col(s"${c}_nonnull"), col(s"${c}_distinct")))): _*)
+  }
+
   /** Sliding-window counts (window/slide), watermarked. */
   def slidingCounts(events: DataFrame, window_ : String = "1 hour",
       slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =

@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming window-quality monitor matches the batch aggregation " +
+      "(nulls counted out, HLL cardinalities identical sketch-for-sketch)") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val got = runToCompletion(
+      Streams.streamingWindowQuality(stream,
+        Seq("user_id", "event_type")), "quality_out")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("user_id_nonnull"),
+        approx_count_distinct(col("user_id")).as("user_id_distinct"),
+        count(col("event_type")).as("event_type_nonnull"),
+        approx_count_distinct(col("event_type")).as("event_type_distinct"))
+      .select(col("window.start").as("window_start"), col("n_rows"),
+        col("user_id_nonnull"), col("user_id_distinct"),
+        col("event_type_nonnull"), col("event_type_distinct"))
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == want)
+  }
+
   test("sliding windows: streaming slidingCounts matches the batch " +
       "window(slide) aggregation exactly (x95 parity)") {
     val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
