@@ -1238,6 +1238,19 @@ object QueriesExt {
         "month", Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
       .orderBy("month", "col_name")
 
+  /** Per-group IQR outliers (x116): Tukey-fence outlier counts of order
+    * totals per priority class —
+    * [[graft.operators.Profile.iqrOutliers]]'s robust feed check (exact
+    * grouped quartiles, broadcast fences back, one violation count).
+    * Quartile interpolation is bit-identical across engines (x109), and
+    * the fence arithmetic is plain double +-*, so the oracle compares
+    * full doubles.
+    */
+  def iqrOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.iqrOutliers(t(spark, dir, "orders"),
+        "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderpriority")
+
   /** Join-hotspot diagnostic (x113): before joining clicks to purchases
     * on user_id, which keys would dominate the OUTPUT?
     * [[graft.operators.Skew.joinHotspots]] joins the two per-side key
@@ -2624,7 +2637,8 @@ object QueriesExt {
     "x112_column_checksums" -> columnChecksumsQ _,
     "x113_join_hotspots" -> joinHotspotsQ _,
     "x114_grouped_checksums" -> groupedChecksumsQ _,
-    "x115_prefix_filter_pairs" -> prefixFilterPairsQ _)
+    "x115_prefix_filter_pairs" -> prefixFilterPairsQ _,
+    "x116_iqr_outliers" -> iqrOutliersQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4057,6 +4071,26 @@ object QueriesExt {
         enc("o_orderstatus", fold))
         .mkString("", "\nUNION ALL\n", "\nORDER BY month, col_name")
     },
+    // IQR outliers: grouped quantile_cont quartiles (bit-identical
+    // interpolation, x109), plain-double fence arithmetic, exact counts
+    "x116_iqr_outliers" ->
+      """WITH f AS (
+        | SELECT o_orderpriority,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+        | FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, f.q1, f.q3,
+        | f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+        | f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence,
+        | CAST(COUNT(o.o_totalprice) AS BIGINT) AS n,
+        | CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE) <
+        |     f.q1 - 1.5 * (f.q3 - f.q1)
+        |   OR CAST(o.o_totalprice AS DOUBLE) >
+        |     f.q3 + 1.5 * (f.q3 - f.q1)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM orders o JOIN f USING (o_orderpriority)
+        |GROUP BY 1, f.q1, f.q3
+        |ORDER BY o_orderpriority""".stripMargin,
     // join hotspots: per-side key histograms joined, ranked by output
     // pair count with a key tie-break — the LIMIT set is deterministic
     "x113_join_hotspots" ->

@@ -163,6 +163,43 @@ object Profile {
         col("value"))
   }
 
+  /** Per-group IQR-fence outlier report (Tukey fences): for each group,
+    * the exact quartiles of `valueCol`, the fences
+    * `[q1 - k*IQR, q3 + k*IQR]` (k = 1.5 classically), and how many rows
+    * fall outside — the robust "which feeds carry broken values" check
+    * that mean/stddev-based z-scores get wrong on heavy-tailed data.
+    *
+    * Two passes by necessity (fences are data-dependent): (1) one
+    * grouped aggregation computes both quartiles per group — exact
+    * `percentile`, group-cardinality-bounded output; (2) the fences
+    * frame broadcast-joins back and one more grouped aggregation counts
+    * violations. Rows never shuffle on anything but the group key;
+    * memory follows per-group distinct counts (the exact-percentile
+    * trade documented on [[quantileProfile]]).
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k >= 0, "fence multiplier must be nonnegative")
+    val v = col(valueCol).cast(DoubleType)
+    val fences = df.groupBy(groupCol)
+      .agg(percentile(v, array(lit(0.25), lit(0.75))).as("__q"))
+      .select(col(groupCol),
+        element_at(col("__q"), 1).as("q1"),
+        element_at(col("__q"), 2).as("q3"))
+      .withColumn("lo_fence",
+        col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi_fence",
+        col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"),
+        count(v).as("n"),
+        sum(when(v < col("lo_fence") || v > col("hi_fence"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Equi-width histogram drift between two slices of a numeric column —
     * the distribution-monitoring primitive behind "did this quarter's
     * price curve / doc-length curve move?" (population-stability checks

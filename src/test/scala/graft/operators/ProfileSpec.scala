@@ -177,6 +177,27 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-null values"))
   }
 
+  test("iqrOutliers: hand-checked fences and outlier counts per group; " +
+      "fences broadcast back (no second wide shuffle)") {
+    // group g: values 0..8 plus planted outliers -100 and 100
+    // q1 = 2, q3 = 6 over the 11 sorted values? compute by rank:
+    // sorted: -100,0,1,2,3,4,5,6,7,8,100 (n=11); rank q1 = .25*10 = 2.5
+    // -> 1 + (2-1)*.5 = 1.5; q3 rank 7.5 -> 6 + (7-6)*.5 = 6.5
+    // IQR = 5 -> fences [-6, 14] -> outliers: -100, 100
+    val df = ((0 to 8).map(v => ("g", v.toDouble)) ++
+      Seq(("g", -100.0), ("g", 100.0), ("h", 1.0), ("h", 2.0)))
+      .toDF("grp", "v")
+    val got = Profile.iqrOutliers(df, "grp", "v")
+      .orderBy("grp")
+      .as[(String, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(got.head == (("g", 1.5, 6.5, -6.0, 14.0, 11L, 2L)), got.head)
+    assert(got(1)._7 == 0L) // tiny group h: no outliers
+    val p = Profile.iqrOutliers(df, "grp", "v")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("profiling a parquet table reads ONLY the profiled columns " +
       "(column pruning reaches the scan)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
