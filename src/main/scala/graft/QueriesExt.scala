@@ -1219,10 +1219,26 @@ object QueriesExt {
     * exact-verify); the oracle replays the exact all-pairs shingle
     * Jaccard in DuckDB at the same threshold.
     */
-  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.prefixFilterPairs(
-        t(spark, dir, "documents"), "text", "doc_id", threshold = 0.7)
-      .orderBy("id_a", "id_b")
+  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    // caller-owned set lifecycle (the operator is lazy/cache-neutral):
+    // pre-hash the shingle sets ONCE and persist — the operator's four
+    // plan branches read the cache instead of re-running the kernel —
+    // then localize the dup-rate-bounded pair stream and release
+    val sets = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .persist()
+    try {
+      val rows = graft.operators.Dedup
+        .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.7)
+        .collect() // bounded: dup-rate-bounded exact-Jaccard pair stream
+      rows.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toDF("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    } finally sets.unpersist()
+  }
 
   /** Per-month column checksums (x114): the LOCALIZING reconciliation
     * tier — when x112-style whole-table fingerprints disagree,

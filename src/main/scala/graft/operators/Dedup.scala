@@ -1249,10 +1249,13 @@ object Dedup {
     * filter `min(na,nb) >= ceil(t*max(na,nb))` prunes before the
     * distinct; (4) exact verify joins the two (bounded) set arrays back
     * by id. No cartesian anywhere; every shuffle is keyed (shingle or
-    * id) and candidate-bounded. The internal shingle-set frame feeds
-    * four plan branches (frequency, ordering, both verify sides) and is
-    * persisted (ids + hashed sets only — the op's own shuffle payload;
-    * spills past memory) so the tokenize+hash kernel runs once per doc.
+    * id) and candidate-bounded. The shingle-set frame feeds FOUR plan
+    * branches (frequency, ordering, both verify sides); the operator
+    * itself stays lazy and cache-neutral (no persist to leak), so at
+    * corpus scale pass PRE-HASHED sets (`array<bigint>` column —
+    * [[shinglesOf]] passes them through) persisted by the caller, who
+    * owns the lifecycle: kernel once, four cache reads, unpersist when
+    * consumed.
     */
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
@@ -1266,12 +1269,6 @@ object Dedup {
     val base = df.select(col(idCol).as("__id"),
       shinglesOf(df, textCol, shingleK).as("__set"))
       .withColumn("__n", size(col("__set")))
-      // the sets frame feeds FOUR plan branches (frequency, ordering,
-      // both verify sides); persist so the tokenize+hash kernel runs
-      // once per doc — the cached data is (id, hashed set), no text,
-      // i.e. exactly what the op shuffles anyway (MEMORY_AND_DISK by
-      // default, so an over-memory corpus spills rather than fails)
-      .persist()
     val freq = base.select(explode(col("__set")).as("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__f"))
     // canonical order: rarest-first, ties by shingle value — a total
