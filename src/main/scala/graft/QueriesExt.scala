@@ -1254,6 +1254,35 @@ object QueriesExt {
         "month", Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
       .orderBy("month", "col_name")
 
+  /** Dedup threshold sweep (x117): how many near-dup pairs exist — and
+    * how many documents the min-id winner rule would remove — at each
+    * candidate Jaccard threshold. THE tuning report for picking a dedup
+    * threshold: one EXACT pair stream at the loosest threshold (x115's
+    * full-recall prefix-filter join at 0.5), then each tighter
+    * threshold is a driver-side filter over that dup-rate-bounded
+    * stream — one corpus pass for the whole sweep, not one per
+    * threshold. `n_docs_removed` counts distinct `id_b` (a doc drops
+    * iff it pairs with a smaller id at >= t, the x04 winner rule).
+    */
+  def dedupSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val sets = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .persist()
+    try {
+      val pairs = graft.operators.Dedup
+        .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.5)
+        .as[(Long, Long, Double)]
+        .collect() // bounded: dup-rate-bounded exact pair stream
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { th =>
+        val hit = pairs.filter(_._3 >= th)
+        (th, hit.length.toLong, hit.map(_._2).distinct.length.toLong)
+      }.toDF("threshold", "n_pairs", "n_docs_removed")
+        .orderBy("threshold")
+    } finally sets.unpersist()
+  }
+
   /** Per-group IQR outliers (x116): Tukey-fence outlier counts of order
     * totals per priority class —
     * [[graft.operators.Profile.iqrOutliers]]'s robust feed check (exact
@@ -2654,7 +2683,8 @@ object QueriesExt {
     "x113_join_hotspots" -> joinHotspotsQ _,
     "x114_grouped_checksums" -> groupedChecksumsQ _,
     "x115_prefix_filter_pairs" -> prefixFilterPairsQ _,
-    "x116_iqr_outliers" -> iqrOutliersQ _)
+    "x116_iqr_outliers" -> iqrOutliersQ _,
+    "x117_dedup_sweep" -> dedupSweepQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4670,6 +4700,26 @@ object QueriesExt {
         |           JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin),
+    // dedup threshold sweep: one exact pair stream, per-threshold
+    // filtered counts; thresholds CAST to DOUBLE (VALUES literals are
+    // DECIMAL in DuckDB) and LEFT JOIN ON TRUE so empty pair streams
+    // still yield all-zero threshold rows
+    "x117_dedup_sweep" -> (shingleSetSql + "\n" +
+      """, p AS (
+        | SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        | FROM inter JOIN sz sa ON sa.doc_id = id_a
+        |            JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+        |SELECT CAST(t.th AS DOUBLE) AS threshold,
+        | CAST(COUNT(CASE WHEN p.j >= t.th THEN 1 END) AS BIGINT)
+        |   AS n_pairs,
+        | CAST(COUNT(DISTINCT CASE WHEN p.j >= t.th THEN p.id_b END)
+        |   AS BIGINT) AS n_docs_removed
+        |FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+        |  (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE))) AS t(th)
+        |LEFT JOIN p ON true
+        |GROUP BY 1 ORDER BY threshold""".stripMargin),
     // cross-source duplication matrix: exact-Jaccard pair stream at 0.8,
     // labeled both sides, unordered (least/greatest) source pair counts
     "x101_source_overlap" -> (shingleSetSql + "\n" +
