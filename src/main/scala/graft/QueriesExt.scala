@@ -1219,25 +1219,33 @@ object QueriesExt {
     * exact-verify); the oracle replays the exact all-pairs shingle
     * Jaccard in DuckDB at the same threshold.
     */
-  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
-    // caller-owned set lifecycle (the operator is lazy/cache-neutral):
-    // pre-hash the shingle sets ONCE and persist — the operator's four
-    // plan branches read the cache instead of re-running the kernel —
-    // then localize the dup-rate-bounded pair stream and release
+  /** Caller-owned shingle-set lifecycle for the exact ssjoin surfaces
+    * (the operator is lazy/cache-neutral): pre-hash the sets ONCE and
+    * persist — the operator's four plan branches read the cache instead
+    * of re-running the kernel — hand them to `use` (which must CONSUME
+    * its result, e.g. collect the dup-rate-bounded pair stream), and
+    * release in the finally. One place owns the persist/unpersist rule
+    * the smoke suite's cache-leak check enforces.
+    */
+  private def withShingleSets[T](spark: SparkSession, dir: String)(
+      use: DataFrame => T): T = {
     val sets = t(spark, dir, "documents")
       .select(col("doc_id"),
         graft.operators.Dedup.shingleHashes(col("text"), 3).as("sh"))
       .persist()
-    try {
-      val rows = graft.operators.Dedup
+    try use(sets) finally sets.unpersist()
+  }
+
+  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    withShingleSets(spark, dir) { sets =>
+      graft.operators.Dedup
         .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.7)
         .collect() // bounded: dup-rate-bounded exact-Jaccard pair stream
-      rows.toSeq
+        .toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toDF("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    } finally sets.unpersist()
+    }.toDF("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
   }
 
   /** Per-month column checksums (x114): the LOCALIZING reconciliation
@@ -1266,21 +1274,17 @@ object QueriesExt {
     */
   def dedupSweepQ(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
-    val sets = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.operators.Dedup.shingleHashes(col("text"), 3).as("sh"))
-      .persist()
-    try {
-      val pairs = graft.operators.Dedup
+    val pairs = withShingleSets(spark, dir) { sets =>
+      graft.operators.Dedup
         .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.5)
         .as[(Long, Long, Double)]
         .collect() // bounded: dup-rate-bounded exact pair stream
-      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { th =>
-        val hit = pairs.filter(_._3 >= th)
-        (th, hit.length.toLong, hit.map(_._2).distinct.length.toLong)
-      }.toDF("threshold", "n_pairs", "n_docs_removed")
-        .orderBy("threshold")
-    } finally sets.unpersist()
+    }
+    Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { th =>
+      val hit = pairs.filter(_._3 >= th)
+      (th, hit.length.toLong, hit.map(_._2).distinct.length.toLong)
+    }.toDF("threshold", "n_pairs", "n_docs_removed")
+      .orderBy("threshold")
   }
 
   /** Per-group IQR outliers (x116): Tukey-fence outlier counts of order
@@ -4134,9 +4138,10 @@ object QueriesExt {
         |   OR CAST(o.o_totalprice AS DOUBLE) >
         |     f.q3 + 1.5 * (f.q3 - f.q1)
         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM orders o JOIN f USING (o_orderpriority)
+        |FROM orders o JOIN f
+        | ON o.o_orderpriority IS NOT DISTINCT FROM f.o_orderpriority
         |GROUP BY 1, f.q1, f.q3
-        |ORDER BY o_orderpriority""".stripMargin,
+        |ORDER BY o.o_orderpriority""".stripMargin,
     // join hotspots: per-side key histograms joined, ranked by output
     // pair count with a key tie-break — the LIMIT set is deterministic
     "x113_join_hotspots" ->

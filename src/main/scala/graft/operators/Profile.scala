@@ -69,7 +69,10 @@ object Profile {
           col(s"__${name}__min").as("min_s"),
           col(s"__${name}__max").as("max_s"))
       }: _*)).as("p"): _*)
-      .selectExpr(keep :+ "p.*": _*)
+      // Column-API projection (not selectExpr): a keyword or spaced
+      // group-column name must not hit the SQL parser
+      .select(keep.map(col) ++ Seq("col_name", "n_rows", "n_nonnull",
+        "n_distinct", "min_s", "max_s").map(f => col(s"p.$f")): _*)
 
   /** Exact profile: one row per column in `cols`, from ONE aggregation
     * pass (single Expand for all the distincts — see object scaladoc).
@@ -183,14 +186,18 @@ object Profile {
     val v = col(valueCol).cast(DoubleType)
     val fences = df.groupBy(groupCol)
       .agg(percentile(v, array(lit(0.25), lit(0.75))).as("__q"))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__grp"),
         element_at(col("__q"), 1).as("q1"),
         element_at(col("__q"), 2).as("q3"))
       .withColumn("lo_fence",
         col("q1") - lit(k) * (col("q3") - col("q1")))
       .withColumn("hi_fence",
         col("q3") + lit(k) * (col("q3") - col("q1")))
-    df.join(broadcast(fences), Seq(groupCol))
+    // null-safe join: a NULL group is exactly the broken-feed signal
+    // this report exists to surface — an equi-join would silently drop
+    // every NULL-group row and the report would omit that group
+    df.join(broadcast(fences), col(groupCol) <=> col("__grp"))
+      .drop("__grp")
       .groupBy(groupCol)
       .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
         first(col("lo_fence")).as("lo_fence"),

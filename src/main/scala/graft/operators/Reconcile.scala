@@ -152,5 +152,8 @@ object Reconcile {
           col(s"__${name}__n").as("n_nonnull"),
           coalesce(col(s"__${name}__ck"), lit(0L)).as("checksum"))
       }: _*)).as("m"): _*)
-      .selectExpr(keep :+ "m.*": _*)
+      // Column-API projection (not selectExpr): a keyword or spaced
+      // group-column name must not hit the SQL parser
+      .select(keep.map(col) ++ Seq("col_name", "n_nonnull", "checksum")
+        .map(f => col(s"m.$f")): _*)
 }

@@ -198,6 +198,20 @@ class ProfileSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("iqrOutliers reports the NULL group (a broken feed's group key " +
+      "is often exactly what's null) instead of dropping its rows") {
+    val df = (Seq((Some("g"), 1.0), (Some("g"), 2.0), (Some("g"), 3.0)) ++
+      Seq((None, 1.0), (None, 2.0), (None, 3.0), (None, 500.0)))
+      .toDF("grp", "v")
+    val got = Profile.iqrOutliers(df, "grp", "v")
+      .as[(Option[String], Double, Double, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> (r._6, r._7)).toMap
+    assert(got.contains(None), got)
+    assert(got(None)._1 == 4L)      // all four null-group rows counted
+    assert(got(None)._2 == 1L)      // the planted 500.0 outlier
+    assert(got(Some("g")) == ((3L, 0L)))
+  }
+
   test("profiling a parquet table reads ONLY the profiled columns " +
       "(column pruning reaches the scan)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -124,6 +124,16 @@ class ReconcileSpec extends SparkSpec {
     assert(got == Seq(("d", 2L, 1000003L), ("i", 2L, 1000003L)))
   }
 
+  test("groupedColumnChecksums tolerates keyword/spaced group-column " +
+      "names (Column-API projection, never the SQL parser)") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("i", "order by")
+    val got = Reconcile.groupedColumnChecksums(df, "order by", Seq("i"))
+      .orderBy("order by").as[(String, String, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("a", "i", 2L, 3L), ("b", "i", 1L, 3L)))
+  }
+
   test("columnChecksums refuses unsupported column types") {
     val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
     intercept[IllegalArgumentException] {
