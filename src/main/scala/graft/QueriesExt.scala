@@ -18,6 +18,30 @@ object QueriesExt {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Distributed freeze: materialize `df` to the session checkpoint dir
+    * (reliable `Dataset.checkpoint`, eager) and return a frame reading the
+    * checkpoint files. This is how a wrapper snapshots an intermediate
+    * result whose inputs are about to be unpersisted or mutated WITHOUT
+    * pulling it through the driver: the write is executor-parallel, the
+    * snapshot scales with cluster storage (HDFS/S3 on a real deployment,
+    * the session temp dir here), and — unlike `localCheckpoint`, which
+    * pins block-manager storage until GC — it leaves `getPersistentRDDs`
+    * empty, so the smoke suite's cache-hygiene rule stays enforceable.
+    * Corpus- or pair-stream-proportional `collect()` in a query wrapper is
+    * banned (CollectHygieneSpec); this is the sanctioned replacement.
+    */
+  private[graft] def checkpointed(spark: SparkSession, df: DataFrame)
+      : DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val d = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      sys.addShutdownHook {
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()
+      }
+      spark.sparkContext.setCheckpointDir(d.toString)
+    }
+    df.checkpoint()
+  }
+
   /** Events with `ts` normalized to a microsecond TIMESTAMP — see
     * [[Tables.events]] for the per-encoding dispatch (nanos-as-long vs
     * TIMESTAMP_NTZ generators).
@@ -569,11 +593,12 @@ object QueriesExt {
     * State keeps every seen doc, so the survivor set provably equals the
     * one-shot greedy dedup over the whole corpus — and the oracle IS x04's
     * full-corpus SQL, making the batch-vs-one-shot equality hash-checked.
-    * Each fold is forced (collect of the tiny survivor ids) before the
-    * next so the folds run strictly in arrival order.
+    * Each fold is frozen with a reliable checkpoint ([[checkpointed]] —
+    * executor-parallel, never driver-bound) before the next fold mutates
+    * the shared state tables, so the folds run strictly in arrival order
+    * and the emitted union stays valid after the state is dropped.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     // law query, deliberately bounded: the equality property is
     // id-range-independent, and x04 already runs one-shot dedup over the
     // full corpus — two folds of a 999-doc prefix exercise both candidate
@@ -585,16 +610,18 @@ object QueriesExt {
     Dedup.dropIncrementalDedupState(spark, prefix)
     val n = 999L
     val bounds = Seq((0L, n / 2), (n / 2, n))
-    val survivorIds = bounds.flatMap { case (lo, hi) =>
+    val folds = bounds.map { case (lo, hi) =>
       val surv = Dedup.incrementalMinhashDedup(
         docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
         prefix, "text", "doc_id", threshold = 0.8, buckets = 4)
-      val ids = surv.select(col("doc_id")).collect().map(_.getLong(0))
+      // eager checkpoint forces this fold and decouples it from the state
+      // tables the next fold mutates — O(survivors) stays on executors
+      val frozen = checkpointed(spark, surv.select(col("doc_id")))
       surv.unpersist() // fold consumed; the returned frame is caller-owned
-      ids
+      frozen
     }
     Dedup.dropIncrementalDedupState(spark, prefix)
-    survivorIds.toDF("doc_id").orderBy("doc_id")
+    folds.reduce(_.union(_)).orderBy("doc_id")
   }
 
   /** Hard-negative mining (contrastive-training data prep): top-5 most
@@ -719,7 +746,8 @@ object QueriesExt {
     val byV = ranged(0).unionByName(ranged(1)).unionByName(ranged(2))
       .groupBy("__v")
       .agg(count(lit(1)).as("n"), sum(col("__p")).cast("double").as("s"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .collect() // bounded: 3 version rows
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
     val (a0, a1, a2) = (byV(0), byV(1), byV(2))
     val (read0, tot0) = VersionedTable.pruneCounts(spark, root,
@@ -1222,10 +1250,11 @@ object QueriesExt {
   /** Caller-owned shingle-set lifecycle for the exact ssjoin surfaces
     * (the operator is lazy/cache-neutral): pre-hash the sets ONCE and
     * persist — the operator's four plan branches read the cache instead
-    * of re-running the kernel — hand them to `use` (which must CONSUME
-    * its result, e.g. collect the dup-rate-bounded pair stream), and
-    * release in the finally. One place owns the persist/unpersist rule
-    * the smoke suite's cache-leak check enforces.
+    * of re-running the kernel — hand them to `use` (which must FREEZE
+    * its result distributed, via [[checkpointed]], so the returned frame
+    * no longer depends on the cache), and release in the finally. One
+    * place owns the persist/unpersist rule the smoke suite's cache-leak
+    * check enforces.
     */
   private def withShingleSets[T](spark: SparkSession, dir: String)(
       use: DataFrame => T): T = {
@@ -1236,17 +1265,15 @@ object QueriesExt {
     try use(sets) finally sets.unpersist()
   }
 
-  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
+  def prefixFilterPairsQ(spark: SparkSession, dir: String): DataFrame =
     withShingleSets(spark, dir) { sets =>
-      graft.operators.Dedup
-        .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.7)
-        .collect() // bounded: dup-rate-bounded exact-Jaccard pair stream
-        .toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    }.toDF("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
-  }
+      // freeze the pair stream on executors (checkpoint files), so the
+      // lazy result survives the shingle-cache release without a driver
+      // round-trip — the stream is dup-rate-proportional, never
+      // driver-sized at corpus scale
+      checkpointed(spark, graft.operators.Dedup
+        .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.7))
+    }.orderBy("id_a", "id_b")
 
   /** Per-month column checksums (x114): the LOCALIZING reconciliation
     * tier — when x112-style whole-table fingerprints disagree,
@@ -1267,23 +1294,35 @@ object QueriesExt {
     * candidate Jaccard threshold. THE tuning report for picking a dedup
     * threshold: one EXACT pair stream at the loosest threshold (x115's
     * full-recall prefix-filter join at 0.5), then each tighter
-    * threshold is a driver-side filter over that dup-rate-bounded
-    * stream — one corpus pass for the whole sweep, not one per
-    * threshold. `n_docs_removed` counts distinct `id_b` (a doc drops
-    * iff it pairs with a smaller id at >= t, the x04 winner rule).
+    * threshold is a FILTER over that stream — one corpus pass for the
+    * whole sweep, not one per threshold, and the sweep itself is a
+    * single distributed aggregation (explode the 5-threshold literal
+    * array against each pair, filter, group — at 100 TB the 0.5-Jaccard
+    * pair stream is billions of rows and never touches the driver).
+    * `n_docs_removed` counts distinct `id_b` (a doc drops iff it pairs
+    * with a smaller id at >= t, the x04 winner rule). Thresholds with
+    * zero qualifying pairs still report (left join back to the
+    * threshold axis), so the report shape is constant.
     */
   def dedupSweepQ(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
+    val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
     val pairs = withShingleSets(spark, dir) { sets =>
-      graft.operators.Dedup
-        .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.5)
-        .as[(Long, Long, Double)]
-        .collect() // bounded: dup-rate-bounded exact pair stream
+      checkpointed(spark, graft.operators.Dedup
+        .prefixFilterPairs(sets, "sh", "doc_id", threshold = 0.5))
     }
-    Seq(0.5, 0.6, 0.7, 0.8, 0.9).map { th =>
-      val hit = pairs.filter(_._3 >= th)
-      (th, hit.length.toLong, hit.map(_._2).distinct.length.toLong)
-    }.toDF("threshold", "n_pairs", "n_docs_removed")
+    val swept = pairs
+      .select(col("jaccard"), col("id_b"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .where(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_removed"))
+    thresholds.toDF("threshold")
+      .join(swept, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removed"), lit(0L)).as("n_docs_removed"))
       .orderBy("threshold")
   }
 
@@ -1817,7 +1856,7 @@ object QueriesExt {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("price_sum"))
         .orderBy("_change_type")
-        .collect()
+        .collect() // bounded: <= 3 change-type rows
       import spark.implicits._
       rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSeq
@@ -2297,7 +2336,7 @@ object QueriesExt {
     try {
       val masses = withNt.groupBy(col("source"))
         .agg(sum(col("__nt")).as("tok"))
-        .as[(String, Long)].collect().toMap
+        .as[(String, Long)].collect().toMap // bounded: one row per source
       val weights = Sampling.temperatureWeights(masses, tau = 0.7)
       val kept = Sampling.mixtureSample(withNt, "text", "doc_id", "source",
         weights, tokenBudget = 20000L, tokenCountCol = Some("__nt"))
@@ -2314,7 +2353,8 @@ object QueriesExt {
         .select(col("source"), col("n_tokens"), col("weight"),
           col("kept_docs"), col("kept_tokens"))
         .orderBy("source")
-        .as[(String, Long, Double, Long, Long)].collect().toSeq
+        .as[(String, Long, Double, Long, Long)]
+        .collect().toSeq // bounded: one row per source
       rows.toDF("source", "n_tokens", "weight", "kept_docs", "kept_tokens")
     } finally withNt.unpersist()
   }
