@@ -1202,6 +1202,134 @@ object QueriesExt {
       .orderBy("kind")
   }
 
+  /** DECIMAL-axis range join through the optimizer rewrite (x118):
+    * orders rolled into fixed decimal price bands via the naive SQL
+    * `price BETWEEN b.lo AND b.hi` a user types over DECIMAL(15,2)
+    * columns — prices are the dominant non-time range axis, and before
+    * the DECIMAL extension the rule silently left such joins as
+    * BroadcastNestedLoopJoins (axisKind -1). The rule buckets on the
+    * UNSCALED long view of the decimal (a scale-2 price in cents), so
+    * `binSize` here is in cents: 100000 = the $1000 band span. Revenue
+    * follows the cross-engine money contract; band starts are exact
+    * multiples of $5000, so their double rendering is exact.
+    */
+  def rangeJoinDecimalFrame(spark: SparkSession, dir: String)
+      : (SparkSession, DataFrame) = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize", "100000") // cents
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    t(child, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(15,2)").as("price"))
+      .createOrReplaceTempView("graft_x118_orders")
+    child.sql(
+      """SELECT CAST(s AS DECIMAL(15,2)) AS lo,
+        |  CAST(s + 999.99 AS DECIMAL(15,2)) AS hi
+        |FROM (SELECT explode(sequence(0, 550000, 5000)) AS s)"""
+        .stripMargin)
+      .createOrReplaceTempView("graft_x118_bands")
+    (child, child.sql(
+      """SELECT CAST(b.lo AS DOUBLE) AS band_lo,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM graft_x118_orders o JOIN graft_x118_bands b
+        |  ON o.price BETWEEN b.lo AND b.hi
+        |GROUP BY b.lo
+        |ORDER BY band_lo""".stripMargin))
+  }
+
+  /** The x118 result over [[rangeJoinDecimalFrame]] — the frame is
+    * shared with the plan-pinning spec so the pin always covers the
+    * shipped query's exact shape.
+    */
+  def rangeJoinDecimal(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinDecimalFrame(spark, dir)._2
+
+  /** Shared builder for the EXISTS / NOT EXISTS interval queries (x119 /
+    * x120): clicks WITH (semi) or WITHOUT (anti) a covering ±15-minute
+    * window around any sparse purchase (event_id % 5 = 0), written as
+    * the naive correlated-subquery SQL a user types. Catalyst's
+    * RewritePredicateSubquery plans these as LEFT SEMI / LEFT ANTI joins
+    * with the range condition — which Spark alone executes as a
+    * BroadcastNestedLoopJoin — and [[graft.plans.RangeJoinRewrite]]
+    * re-plans as the bucketized inner core semi/anti-joined back by
+    * value. The anti form is the interval twin of the reference's
+    * orphan check (/root/reference/src/pipeline.py:231-235).
+    */
+  private[graft] def rangeJoinExistenceFrame(spark: SparkSession,
+      dir: String, negated: Boolean, tag: String)
+      : (SparkSession, DataFrame) = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    // ±15-minute windows: bucket width = the window span, in micros
+    child.conf.set("spark.graft.rangeJoin.binSize",
+      (30L * 60L * 1000000L).toString)
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    val ev = graft.Tables.events(child, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    ev.filter(col("event_type") === "purchase" &&
+        pmod(col("event_id"), lit(5L)) === 0L)
+      .select(col("event_id").as("win_id"), col("ts").as("wts"))
+      .createOrReplaceTempView(s"graft_${tag}_windows")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"))
+      .createOrReplaceTempView(s"graft_${tag}_clicks")
+    val not = if (negated) "NOT " else ""
+    (child, child.sql(
+      s"""SELECT c.click_id FROM graft_${tag}_clicks c
+         |WHERE ${not}EXISTS (
+         |  SELECT 1 FROM graft_${tag}_windows w
+         |  WHERE c.cts BETWEEN w.wts - INTERVAL '15' MINUTE
+         |                  AND w.wts + INTERVAL '15' MINUTE)"""
+        .stripMargin))
+  }
+
+  /** SEMI range join through the optimizer rewrite (x119): clicks WITH
+    * a covering purchase window, via naive `EXISTS` SQL — see
+    * [[rangeJoinExistenceFrame]]. Rolled up per click bucket (<= 8
+    * driver rows); the oracle replays the correlated EXISTS in DuckDB
+    * at micro precision.
+    */
+  def rangeJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val (_, kept) = rangeJoinExistenceFrame(spark, dir,
+      negated = false, tag = "x119")
+    val rows = kept
+      .groupBy(pmod(col("click_id"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .collect() // bounded: <= 8 bucket rows
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .toDF("bucket", "n_clicks")
+      .orderBy("bucket")
+  }
+
+  /** ANTI range join through the optimizer rewrite (x120): clicks
+    * WITHOUT a covering purchase window — the interval form of the
+    * reference's own orphan check — via naive `NOT EXISTS` SQL; see
+    * [[rangeJoinExistenceFrame]]. Rolled up per click bucket (<= 8
+    * driver rows); the oracle replays the correlated NOT EXISTS in
+    * DuckDB at micro precision.
+    */
+  def rangeJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val (_, kept) = rangeJoinExistenceFrame(spark, dir,
+      negated = true, tag = "x120")
+    val rows = kept
+      .groupBy(pmod(col("click_id"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .collect() // bounded: <= 8 bucket rows
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .toDF("bucket", "n_clicks")
+      .orderBy("bucket")
+  }
+
   /** Keyed table reconciliation (x111): orders vs a deterministically
     * perturbed copy (keys % 13 dropped, totalprice bumped on keys % 7,
     * negated-key rows added) — the exact diff a migration runs before
@@ -2728,7 +2856,10 @@ object QueriesExt {
     "x114_grouped_checksums" -> groupedChecksumsQ _,
     "x115_prefix_filter_pairs" -> prefixFilterPairsQ _,
     "x116_iqr_outliers" -> iqrOutliersQ _,
-    "x117_dedup_sweep" -> dedupSweepQ _)
+    "x117_dedup_sweep" -> dedupSweepQ _,
+    "x118_rangejoin_decimal" -> rangeJoinDecimal _,
+    "x119_rangejoin_semi" -> rangeJoinSemi _,
+    "x120_rangejoin_anti" -> rangeJoinAnti _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4057,6 +4188,44 @@ object QueriesExt {
         | ON CAST(o.o_orderdate AS DATE)
         |   BETWEEN w.ws AND w.ws + INTERVAL 9 DAY
         |GROUP BY w.ws ORDER BY window_start""".stripMargin,
+    // DECIMAL-axis rewritten BETWEEN join: fixed $1000 price bands
+    // every $5000 replayed with a generate_series frame; the engine
+    // buckets on the unscaled (cents) view, DuckDB IEJoins the raw form
+    "x118_rangejoin_decimal" ->
+      """WITH b AS (SELECT CAST(s AS DECIMAL(15,2)) AS lo,
+        |   CAST(s + 999.99 AS DECIMAL(15,2)) AS hi
+        | FROM (SELECT unnest(generate_series(0, 550000, 5000)) AS s))
+        |SELECT CAST(b.lo AS DOUBLE) AS band_lo,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(15,2))
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN b
+        | ON CAST(o.o_totalprice AS DECIMAL(15,2)) BETWEEN b.lo AND b.hi
+        |GROUP BY b.lo ORDER BY band_lo""".stripMargin,
+    // SEMI (EXISTS) rewritten range join: correlated EXISTS replayed at
+    // micro precision over the same sparse ±15-minute windows
+    "x119_rangejoin_semi" ->
+      """SELECT CAST(c.event_id % 8 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |FROM events c
+        |WHERE c.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events w
+        |  WHERE w.event_type = 'purchase' AND w.event_id % 5 = 0
+        |   AND epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 900000000
+        |     AND epoch_us(w.ts) + 900000000)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // ANTI (NOT EXISTS) rewritten range join: the interval twin of the
+    // reference's orphan check, replayed at micro precision
+    "x120_rangejoin_anti" ->
+      """SELECT CAST(c.event_id % 8 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events w
+        |  WHERE w.event_type = 'purchase' AND w.event_id % 5 = 0
+        |   AND epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 900000000
+        |     AND epoch_us(w.ts) + 900000000)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // one-pass profiler: each column's stats replayed as a UNION ALL
     // branch; renderings match the engine's per-type contract (plain
     // digits for integrals, DECIMAL(18,2) for doubles, second-precision

@@ -179,16 +179,82 @@ object RangeJoin {
       other: DataFrame): DataFrame = {
     val pCols = preserved.columns.toSeq
     val oTypes = other.schema.map(f => f.name -> f.dataType).toMap
-    val l = preserved.alias("__rj_l")
-    val m = matched.select(pCols.map(col): _*).distinct().alias("__rj_m")
-    val anti = l.join(m,
-      pCols.map(c => col(s"__rj_l.$c") <=> col(s"__rj_m.$c"))
-        .reduce(_ && _), "left_anti")
+    val anti = distinctValueJoin(preserved, matched, "left_anti")
     anti.select(matched.columns.toSeq.map { c =>
       if (pCols.contains(c)) col(c)
       else lit(null).cast(oTypes(c)).as(c)
     }: _*)
   }
+
+  /** `preserved` semi/anti-joined — null-safe, by VALUE over its full
+    * tuple — against the DISTINCT preserved-tuples of `matched`. The
+    * value-membership core every outer/semi/anti wrapper builds on:
+    * identical preserved rows have identical match sets, so value
+    * membership IS multiset semantics without row ids.
+    */
+  private def distinctValueJoin(preserved: DataFrame, matched: DataFrame,
+      joinType: String): DataFrame = {
+    val pCols = preserved.columns.toSeq
+    val l = preserved.alias("__rj_l")
+    val m = matched.select(pCols.map(col): _*).distinct().alias("__rj_m")
+    // backtick-quote each name (with embedded backticks doubled): a
+    // legal column name containing a dot would otherwise parse as a
+    // nested-field path and misresolve the join keys
+    def q(c: String) = "`" + c.replace("`", "``") + "`"
+    l.join(m,
+      pCols.map(c => col(s"__rj_l.${q(c)}") <=> col(s"__rj_m.${q(c)}"))
+        .reduce(_ && _), joinType)
+  }
+
+  private def semiAntiShape(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, extraKeys: Seq[String], maxSpanBuckets: Int,
+      joinType: String): DataFrame = {
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- extraKeys
+    require(shared.isEmpty,
+      "pointInIntervalLeftSemi/Anti: points and intervals share non-key " +
+        s"column(s) ${shared.mkString(", ")} — rename before joining")
+    // membership needs only the interval BOUNDS (+ equi keys): slim the
+    // replicating side to them so the bucketized shuffle never carries
+    // interval payload columns
+    val slim = intervals
+      .select((Seq(startCol, endCol) ++ extraKeys).map(col): _*)
+    val matched = pointInInterval(points, slim, pointCol, startCol,
+      endCol, bucketWidth, extraKeys, maxSpanBuckets)
+    distinctValueJoin(points, matched, joinType)
+  }
+
+  /** LEFT SEMI [[pointInInterval]] — the `EXISTS` interval form, "points
+    * WITH a covering interval": every `points` row with at least one
+    * covering `[startCol, endCol]` interval (and matching `extraKeys`),
+    * each exactly once, points columns only. Built as the bucketized
+    * inner join against the BOUNDS-ONLY projection of the interval side,
+    * then a null-safe value semi-join of `points` against the distinct
+    * matched point-tuples — two hash joins, no nested loop, no row ids.
+    */
+  def pointInIntervalLeftSemi(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame =
+    semiAntiShape(points, intervals, pointCol, startCol, endCol,
+      bucketWidth, extraKeys, maxSpanBuckets, "left_semi")
+
+  /** LEFT ANTI [[pointInInterval]] — the `NOT EXISTS` interval form,
+    * "points WITHOUT a covering interval": the interval twin of the
+    * reference's orphan check (fact rows with no matching dimension —
+    * /root/reference/src/pipeline.py:231-235 — generalized from equality
+    * to interval coverage). Every `points` row no interval covers, each
+    * exactly once; NULL-axis points can never be covered, so they are
+    * KEPT, exactly as SQL `NOT EXISTS` keeps them. Same two-hash-join
+    * construction as [[pointInIntervalLeftSemi]].
+    */
+  def pointInIntervalLeftAnti(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame =
+    semiAntiShape(points, intervals, pointCol, startCol, endCol,
+      bucketWidth, extraKeys, maxSpanBuckets, "left_anti")
 
   /** FULL OUTER [[pointInInterval]]: every `points` row AND every
     * `intervals` row appears — matched pairs once each, unmatched points

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -43,15 +43,22 @@ import org.apache.spark.sql.types._
   *    usually absent, while sizeInBytes is always derivable from files.
   *
   * Applicability: INNER joins — plus LEFT/RIGHT OUTER joins whose
-  * PRESERVED side is the points side, and FULL OUTER joins (rewritten as
+  * PRESERVED side is the points side, FULL OUTER joins (rewritten as
   * the inner form UNION the value-complemented unmatched rows of each
-  * preserved side, null-extended; see `outerExtend`/`complement`) —
+  * preserved side, null-extended; see `outerExtend`/`complement`), and
+  * LEFT SEMI / LEFT ANTI joins (the `EXISTS` / `NOT EXISTS` interval
+  * forms — "rows WITH / WITHOUT a covering interval" — rewritten as the
+  * inner form's distinct preserved-tuples semi/anti-joined back by
+  * value; see `matchedKey`) —
   * whose condition contains a lower and an
   * upper bound on the SAME expression `x` of one side, with both bounds
-  * from the other side, over int/long/DATE/TIMESTAMP axes (DATE buckets
-  * on epoch days, TIMESTAMP on epoch micros — the reference's only range
-  * predicate is a date window, so the time types are the ones real
-  * queries hit), and NO equi-conjunct (`l = r`) — when an equality key
+  * from the other side, over int/long/DATE/TIMESTAMP/DECIMAL axes (DATE
+  * buckets on epoch days, TIMESTAMP on epoch micros, DECIMAL(p<=18, s)
+  * on its unscaled long — cents for a scale-2 price, the dominant
+  * non-time range axis; `binSize` for a decimal axis is likewise in
+  * unscaled units. The reference's only range predicate is a date
+  * window, so the time types are the ones its queries hit), and NO
+  * equi-conjunct (`l = r`) — when an equality key
   * exists Catalyst already hash-joins on it and this rewrite would only
   * re-partition work it has placed. Bound SHAPES are sanity-checked:
   * each of `x`, `lo`, `hi` must be a deterministic expression over
@@ -93,6 +100,10 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case LongType => e
     case DateType => Cast(UnixDate(e), LongType)
     case TimestampType => UnixMicros(e)
+    // unscaled long view (a scale-2 price in cents): exact and monotone
+    // for precision <= 18, which axisKind guarantees before we get here;
+    // unit coherence across bound pairs is axisKind's per-scale kinds
+    case _: DecimalType => UnscaledValue(e)
     case _ => Cast(e, LongType)
   }
 
@@ -115,6 +126,12 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case IntegerType | LongType => 0
     case DateType => 1
     case TimestampType => 2
+    // one kind PER SCALE: unscaled-long units only cohere between bounds
+    // of equal scale (the comparison coercion makes each conjunct's two
+    // sides agree; the per-scale kind extends that across conjuncts).
+    // precision > 18 (Decimal128-backed) has no exact long view -> -1.
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      3 + d.scale
     case _ => -1
   }
 
@@ -130,6 +147,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _: Attribute => true
       case _: Literal => true
       case c: Cast => ok(c.child)
+      // decimal arithmetic results arrive wrapped for precision checking
+      case co: CheckOverflow => ok(co.child)
       case a: Add => ok(a.left) && ok(a.right)
       case s: Subtract => ok(s.left) && ok(s.right)
       case m: Multiply => ok(m.left) && ok(m.right)
@@ -176,7 +195,8 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       try spark.conf.get(SmallSideKey, "8192").toLong
       catch { case _: NumberFormatException => 8192L }
     plan transformUp {
-      case j @ Join(_, _, Inner | LeftOuter | RightOuter | FullOuter,
+      case j @ Join(_, _,
+          Inner | LeftOuter | RightOuter | FullOuter | LeftSemi | LeftAnti,
           Some(_), _) =>
         rewrite(j, width, math.max(cap, 1), smallSide).getOrElse(j)
     }
@@ -199,6 +219,19 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * the derivation plan is a plain projection of one join side (its own
     * optimization cannot re-enter this join), and failure of any kind
     * just declines the rewrite.
+    *
+    * Two auto-mode caveats, both by design:
+    *  - the `derivedBinSize` echo is session conf, so CONCURRENT queries
+    *    on one session race it (last write wins). It is an observability
+    *    signal only — never read back by the rule (the memo below is the
+    *    actual registry), so a clobbered echo can mislead an observer but
+    *    never a plan. Per-query attribution needs the log line / the
+    *    plan itself, not the conf.
+    *  - the derivation EXECUTES the interval subplan once more than the
+    *    query does (the quantile job), so an expensive uncached interval
+    *    frame pays twice. The memo de-dupes repeats of the same shape;
+    *    for a derived interval side, persist it (or set an explicit
+    *    width) to avoid the second pass.
     */
   private def deriveWidth(ivs: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] =
@@ -471,16 +504,27 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       * first child is `matched`, which already projects `j.output`, so
       * parents keep their attribute ids.
       */
-    def complement(matched: LogicalPlan,
-        preserved: LogicalPlan): LogicalPlan = {
+    /** The DISTINCT preserved-side tuples of `matched` (fresh output ids)
+      * plus the null-safe value-equality condition tying them back to
+      * `preserved`'s own attributes — the shared core of the outer
+      * complement and the semi/anti rewrites.
+      */
+    def matchedKey(matched: LogicalPlan,
+        preserved: LogicalPlan): (LogicalPlan, Expression) = {
       val pAttrs = preserved.output
       val grouped = Aggregate(pAttrs,
         pAttrs.map(a => Alias(a, a.name)()),
         Project(pAttrs, matched))
       val gAttrs = grouped.aggregateExpressions.map(_.toAttribute)
-      val antiCond = pAttrs.zip(gAttrs)
+      val cond = pAttrs.zip(gAttrs)
         .map { case (l, r) => EqualNullSafe(l, r) }
         .reduceLeft[Expression](And)
+      (grouped, cond)
+    }
+
+    def complement(matched: LogicalPlan,
+        preserved: LogicalPlan): LogicalPlan = {
+      val (grouped, antiCond) = matchedKey(matched, preserved)
       val anti = Join(preserved, grouped, LeftAnti, Some(antiCond),
         JoinHint.NONE)
       Project(j.output.map { a =>
@@ -530,6 +574,29 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // for the matched core — take whichever matches, requiring the
       // replicating interval side of that orientation to pass the
       // small-side guard.
+      // LEFT SEMI / LEFT ANTI (EXISTS / NOT EXISTS interval forms): the
+      // preserved side is always the LEFT; the points expression may sit
+      // on either side. Rewrite = the inner form's DISTINCT left-tuples,
+      // semi/anti-joined back to `left` by null-safe value equality.
+      // Identical left rows have identical match status, so value-based
+      // membership IS multiset semi/anti semantics — and a NULL-axis left
+      // row never appears in `matched` (the original predicates reject
+      // it), so NOT EXISTS keeps it, exactly as the nested loop would.
+      case LeftSemi | LeftAnti =>
+        if (!outerOk(left)) return None
+        def semiAnti(matched: LogicalPlan): LogicalPlan = {
+          val (grouped, cond) = matchedKey(matched, left)
+          Join(left, grouped, j.joinType, Some(cond), JoinHint.NONE)
+        }
+        orient(left, right).filter(_ => bigEnough(right))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(right, lo, hi).map(w =>
+              semiAnti(build(pointsLeft = true, x, lo, hi, w)))
+        }.orElse(orient(right, left).filter(_ => bigEnough(left))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(left, lo, hi).map(w =>
+              semiAnti(build(pointsLeft = false, x, lo, hi, w)))
+        })
       case FullOuter =>
         if (!outerOk(left) || !outerOk(right)) return None
         def full(matched: LogicalPlan): LogicalPlan =

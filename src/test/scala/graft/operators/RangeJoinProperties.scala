@@ -86,6 +86,28 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
       got == want
     }
 
+  property("pointInIntervalLeftSemi/Anti equal the naive LEFT SEMI/ANTI" +
+      " multisets at any width and long-tail cap, and partition the " +
+      "points") =
+    forAll(genSide(18), genSide(12), genWidth,
+        Gen.choose(1, 8)) { (psRaw, ivsRaw, w, cap) =>
+      val ps = psRaw.map { case (i, s, _) => (i, s) }
+      val points = ps.toDF("pid", "x")
+      val ivs = ivsRaw.toDF("iid", "s", "e")
+      def run(anti: Boolean) = (if (anti)
+          RangeJoin.pointInIntervalLeftAnti(points, ivs, "x", "s", "e",
+            bucketWidth = w, maxSpanBuckets = cap)
+        else
+          RangeJoin.pointInIntervalLeftSemi(points, ivs, "x", "s", "e",
+            bucketWidth = w, maxSpanBuckets = cap))
+        .select("pid").as[Long].collect().toList.sorted
+      val covered = ps.collect { case (pid, x)
+          if ivsRaw.exists { case (_, s, e) => s <= x && x <= e } => pid }
+        .sorted
+      val uncovered = ps.map(_._1).diff(covered).sorted
+      run(anti = false) == covered && run(anti = true) == uncovered
+    }
+
   property("bandJoinLeftOuter equals the naive |l - r| <= tol LEFT " +
       "JOIN with extra keys") =
     forAll(genSide(15), genSide(15), Gen.choose(0L, 20L)) { (ls, rs, tol) =>

@@ -79,6 +79,63 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.contains((None, Some("INV"))))       // inverted surfaces
   }
 
+  test("pointInIntervalLeftSemi equals the naive LEFT SEMI: matched " +
+      "points once each, duplicates keep multiplicity, NULL axis " +
+      "excluded, empty- and all-match corpora exact") {
+    val points = (Seq((1L, Option(5L)), (2L, Option(10L)),
+      (3L, Option(25L))) ++
+      Seq((4L, Option(99L)), (4L, Option(99L)), (9L, Option.empty[Long])))
+      .toDF("pid", "x")
+    val ivs = Seq(("A", 0L, 10L), ("B", 8L, 30L), ("C", 40L, 40L),
+      ("INV", 500L, -500L)).toDF("name", "s", "e")
+    def naive(iv: org.apache.spark.sql.DataFrame) = points.join(iv,
+        col("s") <= col("x") && col("x") <= col("e"), "left_semi")
+      .select("pid").as[Long].collect().toList.sorted
+    val got = RangeJoin.pointInIntervalLeftSemi(points, ivs, "x", "s",
+        "e", bucketWidth = 10L)
+      .select("pid").as[Long].collect().toList.sorted
+    assert(got == naive(ivs))
+    assert(got == List(1L, 2L, 3L)) // pid 2 once despite two intervals
+    // empty-match corpus: no interval covers anything
+    val none = Seq(("Z", 1000L, 2000L)).toDF("name", "s", "e")
+    assert(RangeJoin.pointInIntervalLeftSemi(points, none, "x", "s", "e",
+      bucketWidth = 10L).count() == 0L)
+    // all-match corpus: every non-null point covered, multiplicity kept
+    val all = Seq(("W", -1000L, 1000L)).toDF("name", "s", "e")
+    assert(RangeJoin.pointInIntervalLeftSemi(points, all, "x", "s", "e",
+        bucketWidth = 10L)
+      .select("pid").as[Long].collect().toList.sorted ==
+      List(1L, 2L, 3L, 4L, 4L))
+  }
+
+  test("pointInIntervalLeftAnti equals the naive LEFT ANTI: uncovered " +
+      "points once each, duplicates keep multiplicity, NULL axis KEPT, " +
+      "empty- and all-match corpora exact") {
+    val points = (Seq((1L, Option(5L)), (2L, Option(10L)),
+      (3L, Option(25L))) ++
+      Seq((4L, Option(99L)), (4L, Option(99L)), (9L, Option.empty[Long])))
+      .toDF("pid", "x")
+    val ivs = Seq(("A", 0L, 10L), ("B", 8L, 30L), ("C", 40L, 40L),
+      ("INV", 500L, -500L)).toDF("name", "s", "e")
+    val naive = points.join(ivs,
+        col("s") <= col("x") && col("x") <= col("e"), "left_anti")
+      .select("pid").as[Long].collect().toList.sorted
+    val got = RangeJoin.pointInIntervalLeftAnti(points, ivs, "x", "s",
+        "e", bucketWidth = 10L)
+      .select("pid").as[Long].collect().toList.sorted
+    assert(got == naive)
+    assert(got == List(4L, 4L, 9L)) // NULL-axis pid 9 kept (NOT EXISTS)
+    // all-match corpus: only the NULL-axis row survives
+    val all = Seq(("W", -1000L, 1000L)).toDF("name", "s", "e")
+    assert(RangeJoin.pointInIntervalLeftAnti(points, all, "x", "s", "e",
+        bucketWidth = 10L)
+      .select("pid").as[Long].collect().toList == List(9L))
+    // empty-match corpus: everything survives
+    val none = Seq(("Z", 1000L, 2000L)).toDF("name", "s", "e")
+    assert(RangeJoin.pointInIntervalLeftAnti(points, none, "x", "s", "e",
+      bucketWidth = 10L).count() == points.count())
+  }
+
   test("bandJoin equals the naive |l - r| <= tol join with extra keys") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 100L))
       .toDF("lid", "u", "lt")

@@ -31,8 +31,8 @@ private[plans] object RangeJoinFuzz {
       shuffleSeed: Long)
 
   val genShape: Gen[Shape] = for {
-    axis <- Gen.oneOf("long", "int", "date", "ts")
-    jt <- Gen.oneOf("inner", "left", "full")
+    axis <- Gen.oneOf("long", "int", "date", "ts", "dec")
+    jt <- Gen.oneOf("inner", "left", "full", "semi", "anti")
     fl <- Gen.oneOf(true, false)
     fu <- Gen.oneOf(true, false)
     sl <- Gen.oneOf(true, false)
@@ -62,10 +62,12 @@ private[plans] object RangeJoinFuzz {
     case "date" =>
       date_add(lit(java.sql.Date.valueOf("2024-01-01")), c.cast("int"))
     case "ts" => timestamp_micros(c * lit(3600000000L))
+    case "dec" => c.cast("decimal(12,2)")
   }
 
   def binSizeFor(axis: String): Long = axis match {
     case "ts" => 7L * 3600000000L // 7 "hours" of micros
+    case "dec" => 700L // 7 units in unscaled (scale-2) cents
     case _ => 7L
   }
 
@@ -112,14 +114,26 @@ private[plans] object RangeJoinFuzz {
         (if (shape.equiKey) Seq(col("pk") === col("ik")) else Nil)
     val cond = new scala.util.Random(shape.shuffleSeed)
       .shuffle(conjuncts).reduce(_ && _)
-    val joined = p.join(iv, cond, shape.joinType)
+    val jt = shape.joinType match {
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case j => j
+    }
+    val joined = p.join(iv, cond, jt)
     val eligible = !shape.equiKey && !shape.thetaBound
-    (joined.select("pid", "iid"), eligible)
+    // semi/anti output carries only the left side; normalize to the
+    // shared (pid, iid) projection with iid always null
+    val out =
+      if (shape.joinType == "semi" || shape.joinType == "anti")
+        joined.select(col("pid"), lit(null).cast("long").as("iid"))
+      else joined.select("pid", "iid")
+    (out, eligible)
   }
 
   /** In-Scala multiset oracle over the raw longs — models inner, left
-    * outer (unmatched points null-extended), and full outer (unmatched
-    * points AND unmatched intervals null-extended).
+    * outer (unmatched points null-extended), full outer (unmatched
+    * points AND unmatched intervals null-extended), and semi/anti
+    * (points with / without any match, once each).
     */
   def oracle(shape: Shape, ps: List[(Long, Long)],
       is: List[(Long, Long, Long)])
@@ -133,6 +147,13 @@ private[plans] object RangeJoinFuzz {
         (!shape.extraPred || pid != iid) &&
         (!shape.equiKey || pid % 3 == iid % 3)
     }.map(_._1)
+    // semi = points WITH a match, once each; anti = points WITHOUT one
+    if (shape.joinType == "semi" || shape.joinType == "anti")
+      return ps.collect {
+        case (pid, x)
+            if pairs(pid, x).nonEmpty == (shape.joinType == "semi") =>
+          (Option(pid), Option.empty[Long])
+      }.sortBy(r => (r._1, r._2))
     val fromPoints: List[(Option[Long], Option[Long])] =
       ps.flatMap { case (pid, x) =>
         val m = pairs(pid, x)
@@ -155,8 +176,8 @@ private[plans] object RangeJoinFuzz {
 /** 1000+ random shapes at the plan level: optimization must never throw,
   * and the rule must fire on exactly the eligible shapes (both bounds
   * simple and single-attribute, no equi conjunct) regardless of conjunct
-  * order, operand flips, strictness, axis type, or inner/left/full
-  * join type.
+  * order, operand flips, strictness, axis type (incl. DECIMAL), or
+  * inner/left/full/semi/anti join type.
   */
 object RangeJoinRewriteFuzzPlan
     extends Properties("graft.plans.RangeJoinRewrite.fuzzPlan") {

@@ -389,6 +389,109 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("DECIMAL axis: BETWEEN over decimal columns rewrites (buckets on " +
+      "the unscaled cents view), exact multiset") {
+    val dPoints = points.select(col("pid"),
+      (col("x").cast("decimal(12,2)") / 4).cast("decimal(12,2)").as("dx"))
+    val dIvs = ivs
+      .filter(col("iid") =!= 999L) // keep spans in decimal(12,2) range
+      .select(col("iid"),
+        (col("lo").cast("decimal(12,2)") / 4).cast("decimal(12,2)")
+          .as("dlo"),
+        (col("hi").cast("decimal(12,2)") / 4).cast("decimal(12,2)")
+          .as("dhi"))
+    val want = dPoints.join(dIvs,
+        col("dx") >= col("dlo") && col("dx") <= col("dhi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    withRule(175L) { // 1.75 in unscaled cents
+      val df = dPoints.join(dIvs,
+        col("dx") >= col("dlo") && col("dx") <= col("dhi"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__gkey"))
+      assert(df.select("pid", "iid")
+        .as[(Long, Long)].collect().toSeq.sorted == want)
+    }
+  }
+
+  test("DECIMAL axis beyond precision 18 is left alone (no exact long " +
+      "view)") {
+    val dPoints = points.select(col("pid"),
+      col("x").cast("decimal(20,2)").as("dx"))
+    val dIvs = ivs.select(col("iid"),
+      col("lo").cast("decimal(20,2)").as("dlo"),
+      col("hi").cast("decimal(20,2)").as("dhi"))
+    withRule(100L) {
+      val p = dPoints.join(dIvs,
+          col("dx") >= col("dlo") && col("dx") <= col("dhi"))
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("__gkey"), p.take(3000))
+    }
+  }
+
+  test("LEFT SEMI (EXISTS form) rewrites: exact set incl. duplicate and " +
+      "NULL-axis points") {
+    // duplicate point rows (same full tuple) must keep multiplicity;
+    // a NULL-axis point can never be covered
+    val pts = (points.unionAll(points.filter(col("pid") < 5L)))
+      .unionAll(Seq((998L, Option.empty[Long])).toDF("pid", "x"))
+    val want = pts.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"), "left_semi")
+      .select("pid").as[Long].collect().toSeq.sorted
+    withRule(7L) {
+      val df = pts.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"), "left_semi")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__gkey"))
+      val got = df.select("pid").as[Long].collect().toSeq.sorted
+      assert(got == want)
+      assert(!got.contains(998L)) // NULL axis: no covering interval
+    }
+  }
+
+  test("LEFT ANTI (NOT EXISTS form) rewrites: exact set, NULL-axis " +
+      "points KEPT") {
+    val pts = (points.unionAll(points.filter(col("pid") < 5L)))
+      .unionAll(Seq((998L, Option.empty[Long])).toDF("pid", "x"))
+    val want = pts.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"), "left_anti")
+      .select("pid").as[Long].collect().toSeq.sorted
+    withRule(7L) {
+      val df = pts.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"), "left_anti")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__gkey"))
+      val got = df.select("pid").as[Long].collect().toSeq.sorted
+      assert(got == want)
+      assert(got.contains(998L)) // NOT EXISTS keeps the NULL-axis row
+    }
+  }
+
+  test("x118 plan pin: the naive DECIMAL BETWEEN SQL join (price bands) " +
+      "plans without a nested loop") {
+    val (_, df) = graft.QueriesExt.rangeJoinDecimalFrame(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("__gk") || df.queryExecution.optimizedPlan
+      .toString.contains("__gkey"), p.take(3000))
+  }
+
+  test("x119/x120 plan pins: the naive EXISTS / NOT EXISTS interval SQL " +
+      "plans without a nested loop") {
+    for ((neg, tag) <- Seq((false, "x119"), (true, "x120"))) {
+      val (_, df) = graft.QueriesExt.rangeJoinExistenceFrame(spark, sfDir,
+        negated = neg, tag = tag + "p")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$tag: ${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$tag: ${p.take(3000)}")
+      assert(p.contains("__gk") || df.queryExecution.optimizedPlan
+        .toString.contains("__gkey"), s"$tag: ${p.take(3000)}")
+    }
+  }
+
   test("stats guard: a broadcast-tiny interval side keeps Catalyst's " +
       "plan at the DEFAULT threshold; zeroing the guard re-enables " +
       "the rewrite") {
