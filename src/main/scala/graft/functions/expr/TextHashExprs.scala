@@ -334,7 +334,9 @@ case class TermCountsExpr(child: Expression, terms: Array[String])
 
 /** Word n-gram repetition statistics of one token array, in one primitive
   * pass: `struct<total, n_distinct, top_count, top_ngram>` where ngrams are
-  * the space-joined windows of `n` consecutive tokens and `top_ngram` is
+  * the space-joined windows of `n` consecutive NON-NULL tokens (a window
+  * containing a NULL token contributes nothing — not to `total` either —
+  * so `total == sum of counts` always holds) and `top_ngram` is
   * the most frequent one (ties broken toward the UTF-8 BINARY-smallest
   * ngram — `UTF8String` byte order, the collation DuckDB/parquet binary
   * compare uses, so determinism holds on any corpus, not just ASCII:
@@ -377,15 +379,28 @@ case class NgramStatsExpr(child: Expression, n: Int)
     val sep = UTF8String.fromString(" ")
     val counts = new java.util.HashMap[UTF8String, Long]()
     val window = new Array[UTF8String](n)
+    var total = 0L
     var i = 0
     while (i < m) {
       var j = 0
+      var hasNull = false
       while (j < n) {
-        window(j) = toks.getUTF8String(i + j)
+        val t = toks.getUTF8String(i + j)
+        if (t == null) hasNull = true
+        window(j) = t
         j += 1
       }
-      counts.merge(UTF8String.concatWs(sep, window: _*), 1L,
-        java.lang.Long.sum)
+      // a window containing a NULL token is SKIPPED, not joined:
+      // UTF8String.concatWs silently drops null elements, which would
+      // let a window like (a, NULL, b) collide with the genuine shorter
+      // ngram "a b" and skew n_distinct/top_count. Skipping keeps
+      // `total == sum(counts)`. (The engine's tokenizers never emit
+      // null tokens; this defines the contract for caller-built arrays.)
+      if (!hasNull) {
+        counts.merge(UTF8String.concatWs(sep, window: _*), 1L,
+          java.lang.Long.sum)
+        total += 1L
+      }
       i += 1
     }
     var topCount = 0L
@@ -400,7 +415,7 @@ case class NgramStatsExpr(child: Expression, n: Int)
         topNgram = e.getKey
       }
     }
-    InternalRow(m.toLong, counts.size.toLong, topCount, topNgram)
+    InternalRow(total, counts.size.toLong, topCount, topNgram)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

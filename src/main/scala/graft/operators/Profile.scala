@@ -74,8 +74,24 @@ object Profile {
       .select(keep.map(col) ++ Seq("col_name", "n_rows", "n_nonnull",
         "n_distinct", "min_s", "max_s").map(f => col(s"p.$f")): _*)
 
+  /** THE profile entry point. Defaults to the sketch form
+    * ([[approxColumnProfile]]: HLL cardinalities, no Expand, fixed
+    * memory) because that is the right default at production scale — on
+    * a 100 TB table the exact multi-distinct Expand multiplies the scan
+    * by (#columns + 1) for cardinalities whose last few percent almost
+    * never change a decision. Pass `exact = true` to opt into
+    * [[columnProfile]] when bit-exact distinct counts are the point
+    * (oracle comparisons, small reference tables, compliance counts).
+    */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false,
+      relativeSD: Double = 0.02): DataFrame =
+    if (exact) columnProfile(df, cols)
+    else approxColumnProfile(df, cols, relativeSD)
+
   /** Exact profile: one row per column in `cols`, from ONE aggregation
     * pass (single Expand for all the distincts — see object scaladoc).
+    * OPT-IN via `profile(df, cols, exact = true)` — a test-scale /
+    * oracle tool; the fleet-wide default is the sketch form.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
@@ -135,6 +151,19 @@ object Profile {
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
     quantiles(df, cols, ps,
       c => percentile(c, array(ps.map(lit): _*)))
+
+  /** THE quantile entry point. Defaults to the sketch form
+    * ([[approxQuantileProfile]]: KLL-style fixed memory at any
+    * cardinality) — exact `percentile`'s value-map memory grows with
+    * each column's distinct count, which is the wrong default for
+    * unbounded measures at 100 TB. Pass `exact = true` for the
+    * bit-exact interpolated cuts (oracle comparisons, bounded domains).
+    */
+  def profileQuantiles(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame =
+    if (exact) quantileProfile(df, cols, ps)
+    else approxQuantileProfile(df, cols, ps, accuracy)
 
   /** Sketch-based quantile profile: same tidy shape as
     * [[quantileProfile]] with `approx_percentile` at `1/accuracy`

@@ -27,9 +27,10 @@ import org.apache.spark.sql.types._
   *    DuckDB oracle replays it verbatim): numerics canonicalize exactly
   *    (doubles via DECIMAL(18,2) cents, dates via epoch day, timestamps
   *    via epoch micros) and strings fold `(h*31 + codepoint) % 1000003`
-  *    over their characters — the [[Dsir]] fold, portable for
-  *    basic-plane text (both engines index characters and agree on BMP
-  *    codepoints; astral-plane strings are the caller's to exclude).
+  *    over their code points — the [[Dsir]] fold, computed by the native
+  *    O(len) kernel [[graft.functions.expr.CodepointFoldExpr]] (both
+  *    engines index strings by code point, so the fold is portable over
+  *    the full Unicode range).
   *
   * Keys are expected unique per table (reconciliation presumes a key);
   * duplicate keys join multiplicatively, as in any keyed diff.
@@ -77,21 +78,29 @@ object Reconcile {
   private val M = Dsir.HashMod
 
   // engine-portable per-value encoding into [0, M): exact numeric
-  // canonicalizations; strings via the codepoint fold (BMP contract —
-  // see object doc). NULLs encode to null and are skipped by sum().
+  // canonicalizations; strings via the native O(len) code-point fold
+  // ([[graft.functions.expr.CodepointFoldExpr]], whose modulus IS M).
+  // NULLs encode to null and are skipped by sum().
   // All moduli are pmod (non-negative) — the canonical form; SQL replays
   // with %-semantics that keep the dividend's sign must wrap as
-  // ((e % M) + M) % M. Fractionals must fit DECIMAL(18,2) (|v| < 1e16);
-  // beyond that the cast overflows under ANSI rather than silently
-  // corrupting the fingerprint.
+  // ((e % M) + M) % M. Fractionals must fit DECIMAL(18,2) (|v| < 1e16,
+  // finite): the range is ENFORCED with raise_error rather than left to
+  // the cast, because only ANSI mode makes the overflow loud — ANSI-off
+  // casts out-of-range (and NaN/Inf) values to NULL, and sum() would
+  // silently drop them while n_nonnull still counted them: a corrupted
+  // fingerprint with no error.
   private def encode(dt: DataType, c: Column): Column = dt match {
     case StringType =>
-      aggregate(
-        transform(sequence(lit(1), length(c)),
-          i => ascii(c.substr(i, lit(1))).cast("long")),
-        lit(0L), (acc, cp) => pmod(acc * lit(31L) + cp, lit(M)))
+      graft.functions.expr.CodepointFoldExpr(c)
     case DoubleType | FloatType | _: DecimalType =>
-      pmod((c.cast(DecimalType(18, 2)) * lit(100)).cast(LongType), lit(M))
+      val guarded = when(c.isNull, lit(null).cast(DecimalType(18, 2)))
+        .when(abs(c.cast(DoubleType)) < lit(1e16d),
+          c.cast(DecimalType(18, 2)))
+        .otherwise(raise_error(concat(
+          lit("columnChecksums: value outside the DECIMAL(18,2) " +
+            "canonicalization range (|v| < 1e16, finite): "),
+          c.cast(StringType))))
+      pmod((guarded * lit(100)).cast(LongType), lit(M))
     case DateType => pmod(unix_date(c).cast(LongType), lit(M))
     case TimestampType => pmod(unix_micros(c), lit(M))
     // NTZ carries the same wall-clock micros; the UTC session cast is a

@@ -54,6 +54,28 @@ class NgramStatsSpec extends SparkSpec {
     assert(s.isNullAt(3))
   }
 
+  test("windows containing a NULL token are skipped, never collapsed " +
+      "onto a shorter ngram") {
+    // tokens [a, NULL, b, a, b]: bigram windows (a,NULL) and (NULL,b)
+    // must contribute NOTHING — concatWs would join them as "a"/"b",
+    // and (a,NULL) must NOT collide with a genuine "a b". Counted
+    // windows: (b,a), (a,b) -> total 2, distinct 2, top "a b" (tie to
+    // binary-smallest); total == sum(counts) holds.
+    val s = Seq(Tuple1(Seq(Some("a"), Option.empty[String], Some("b"),
+        Some("a"), Some("b")))).toDF("toks")
+      .select(TextHashExprs.ngramStats(col("toks"), 2).as("s"))
+      .select("s.*").head()
+    assert(s.getLong(0) == 2L && s.getLong(1) == 2L)
+    assert(s.getLong(2) == 1L && s.getString(3) == "a b")
+    // all windows null-tainted -> the empty stats row
+    val e = Seq(Tuple1(Seq(Some("a"), Option.empty[String], Some("b"))))
+      .toDF("toks")
+      .select(TextHashExprs.ngramStats(col("toks"), 2).as("s"))
+      .select("s.*").head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.getLong(2) == 0L)
+    assert(e.isNullAt(3))
+  }
+
   test("n=1 reduces to word counts (parity with topWordFraction parts)") {
     val s = stats("a a b", 1)
     assert(s.getLong(0) == 3L && s.getLong(1) == 2L)

@@ -57,6 +57,32 @@ class ProfileSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("unified entries default to the sketch forms (no Expand, " +
+      "fixed-memory percentile); the exact paths are opt-in") {
+    // profile(): default == approx (HLL, no Expand anywhere in the plan)
+    val dflt = Profile.profile(fixture, Seq("id", "s", "d", "ts"))
+    assert(!dflt.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(dflt.orderBy("col_name").collect().toSeq ==
+      Profile.approxColumnProfile(fixture, Seq("id", "s", "d", "ts"))
+        .orderBy("col_name").collect().toSeq)
+    // exact = true == the Expand-planned exact form
+    val ex = Profile.profile(fixture, Seq("id", "s", "d", "ts"),
+      exact = true)
+    assert(ex.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(ex.orderBy("col_name").collect().toSeq ==
+      Profile.columnProfile(fixture, Seq("id", "s", "d", "ts"))
+        .orderBy("col_name").collect().toSeq)
+    // profileQuantiles(): default == approx_percentile, exact opt-in
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val qd = Profile.profileQuantiles(df, Seq("v"))
+    assert(qd.queryExecution.analyzed.toString
+      .contains("approx_percentile"), qd.queryExecution.analyzed.toString)
+    val qe = Profile.profileQuantiles(df, Seq("v"), exact = true)
+    assert(!qe.queryExecution.analyzed.toString.contains("approx"))
+    assert(qe.collect().toSeq ==
+      Profile.quantileProfile(df, Seq("v")).collect().toSeq)
+  }
+
   test("grouped profile: one row per (group, column) with hand-checked " +
       "stats, still a single-Expand single-scan plan") {
     val df = Seq(

@@ -140,4 +140,54 @@ class ReconcileSpec extends SparkSpec {
       Reconcile.columnChecksums(df, Seq("arr")).collect()
     }
   }
+
+  test("fractionals beyond the DECIMAL(18,2) range raise LOUDLY in " +
+      "non-ANSI sessions too (never a silently dropped NULL)") {
+    // ANSI-off is exactly where the bare cast would turn an overflow
+    // into NULL and sum() would silently drop it while n_nonnull still
+    // counted it — a corrupted fingerprint with no error
+    val child = spark.newSession()
+    child.conf.set("spark.sql.ansi.enabled", "false")
+    import child.implicits._
+    val bad = Seq(1.0e17, 2.5).toDF("d")
+    val e = intercept[Exception] {
+      Reconcile.columnChecksums(bad, Seq("d")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("canonicalization")), e.toString)
+    // NaN/Infinity have no canonical cents encoding: raise, both modes
+    val nan = Seq(Double.NaN).toDF("d")
+    assert(msgs(intercept[Exception] {
+      Reconcile.columnChecksums(nan, Seq("d")).collect()
+    }).exists(_.contains("canonicalization")))
+    // in-range values keep working under ANSI-off, same fingerprints
+    val ok = Seq(2.5, -1.25).toDF("d")
+    val gotOff = Reconcile.columnChecksums(ok, Seq("d")).collect().toSeq
+    val okOn = Seq(2.5, -1.25).toDF("d")
+    assert(Reconcile.columnChecksums(okOn, Seq("d"))
+      .collect().toSeq == gotOff)
+  }
+
+  test("string checksums: the native code-point fold matches the HOF " +
+      "substr/ascii form, including supplementary-plane text") {
+    // 'a'=97; "𝄞" (U+1D11E, astral) folds as ONE code point: both the
+    // engine and DuckDB index strings by code point, so the kernel must
+    // too (not UTF-16 units 0xD834/0xDD1E)
+    val df = Seq(Some("ab"), Some("𝄞a"), Some(""), None).toDF("s")
+    val got = Reconcile.columnChecksums(df, Seq("s"))
+      .as[(String, Long, Long)].collect().head
+    val foldAb = (97L * 31 + 98) % 1000003L
+    val foldAstral = ((0x1D11E.toLong % 1000003L) * 31 + 97) % 1000003L
+    // the checksum is the plain SUM of per-value folds (no outer mod)
+    assert(got == (("s", 3L, foldAb + foldAstral + 0L)))
+    // HOF replica over the same frame agrees (the legacy encoding)
+    val hof = df.select(sum(aggregate(
+      transform(sequence(lit(1), length(col("s"))),
+        i => ascii(col("s").substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, cp) => pmod(acc * lit(31L) + cp, lit(1000003L))))
+      .as("ck")).head().getLong(0)
+    assert(hof == got._3)
+  }
 }
