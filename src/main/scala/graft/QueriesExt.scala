@@ -1351,6 +1351,43 @@ object QueriesExt {
       .orderBy("metric")
   }
 
+  /** Reconciliation diff EXAMPLES (x121): after x111's summary names
+    * WHICH columns differ, [[graft.operators.Reconcile.diffExamples]]
+    * shows concrete rows — up to 5 per differing column, smallest
+    * rendered key first (a total, engine-replayable order), values
+    * through the profiler's engine-stable renderings. Perturbation:
+    * totalprice bumped on keys % 7, priority rewritten on keys % 23, so
+    * BOTH a numeric and a string column produce examples. Output ≤
+    * columns × 5 rows; the per-column top-5 plans with a
+    * WindowGroupLimit pre-limit.
+    */
+  def reconcileExamplesQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val perturbed = o
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(23L)) === 0L, lit("9-BOGUS"))
+          .otherwise(col("o_orderpriority")))
+    graft.operators.Reconcile.diffExamples(o, perturbed,
+      Seq("o_orderkey"), maxPerCol = 5)
+      .orderBy("col_name", "key_s")
+  }
+
+  /** Per-group quantile profile (x122): order-total distribution cuts
+    * per priority class — [[graft.operators.Profile
+    * .groupedQuantileProfile]] with `exact = true` (the oracle-grade
+    * opt-in; the sketch default is the 100 TB path, x109's scaladoc
+    * carries the memory contract). Interpolation is bit-identical
+    * across engines (the x109 law), so the oracle compares full
+    * doubles.
+    */
+  def groupedQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.groupedQuantileProfile(t(spark, dir, "orders"),
+      "o_orderpriority", Seq("o_totalprice"), exact = true)
+      .orderBy("o_orderpriority", "col_name", "p")
+
   /** Portable column checksums (x112): per-column multiset fingerprints
     * of lineitem from ONE aggregation —
     * [[graft.operators.Reconcile.columnChecksums]]'s engine-portable
@@ -2859,7 +2896,9 @@ object QueriesExt {
     "x117_dedup_sweep" -> dedupSweepQ _,
     "x118_rangejoin_decimal" -> rangeJoinDecimal _,
     "x119_rangejoin_semi" -> rangeJoinSemi _,
-    "x120_rangejoin_anti" -> rangeJoinAnti _)
+    "x120_rangejoin_anti" -> rangeJoinAnti _,
+    "x121_reconcile_examples" -> reconcileExamplesQ _,
+    "x122_grouped_quantiles" -> groupedQuantilesQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4214,6 +4253,51 @@ object QueriesExt {
         |   AND epoch_us(c.ts) BETWEEN epoch_us(w.ts) - 900000000
         |     AND epoch_us(w.ts) + 900000000)
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // reconciliation examples: the perturbed join replayed per differing
+    // column with the profiler's renderings; row_number per column over
+    // the string key order, top 5 — only the two perturbed columns can
+    // differ, so their branches ARE the full diffExamples result
+    "x121_reconcile_examples" ->
+      """WITH p AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 23 = 0 THEN '9-BOGUS'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        | FROM orders
+        |), d AS (
+        | SELECT 'o_totalprice' AS col_name,
+        |  CAST(a.o_orderkey AS VARCHAR) AS key_s,
+        |  CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |    AS a_value,
+        |  CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |    AS b_value
+        | FROM orders a JOIN p b USING (o_orderkey)
+        | WHERE a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        | UNION ALL
+        | SELECT 'o_orderpriority', CAST(a.o_orderkey AS VARCHAR),
+        |  a.o_orderpriority, b.o_orderpriority
+        | FROM orders a JOIN p b USING (o_orderkey)
+        | WHERE a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |), r AS (
+        | SELECT *, row_number() OVER (PARTITION BY col_name
+        |   ORDER BY key_s) AS rn FROM d
+        |)
+        |SELECT col_name, key_s, a_value, b_value FROM r WHERE rn <= 5
+        |ORDER BY col_name, key_s""".stripMargin,
+    // grouped quantiles: per-priority quantile_cont replay, zipped
+    // unnest (the x109 interpolation law makes full-double compare safe)
+    "x122_grouped_quantiles" ->
+      """WITH g AS (
+        | SELECT o_orderpriority,
+        |  quantile_cont(CAST(o_totalprice AS DOUBLE),
+        |    [0.25, 0.5, 0.75, 0.95]) AS qs
+        | FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, 'o_totalprice' AS col_name,
+        | unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+        | unnest(qs) AS value
+        |FROM g ORDER BY o_orderpriority, col_name, p""".stripMargin,
     // ANTI (NOT EXISTS) rewritten range join: the interval twin of the
     // reference's orphan check, replayed at micro precision
     "x120_rangejoin_anti" ->

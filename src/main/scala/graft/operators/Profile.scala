@@ -37,7 +37,7 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
-  private def fmt(dt: DataType, c: Column): Column = dt match {
+  private[operators] def fmt(dt: DataType, c: Column): Column = dt match {
     case StringType => c
     case DoubleType | FloatType | _: DecimalType =>
       c.cast(DecimalType(18, 2)).cast(StringType)
@@ -176,23 +176,45 @@ object Profile {
       c => approx_percentile(c, array(ps.map(lit): _*), lit(accuracy))
         .cast(ArrayType(DoubleType)))
 
+  /** Per-group quantile profile — the distribution sweep keyed by a
+    * source/tenant/day column ("did THIS feed's price distribution
+    * shift?"), one row per (group, column, percentile). Same
+    * one-aggregation design as [[quantileProfile]] with
+    * `groupBy(groupCol)` in front; defaults to the sketch form (KLL-
+    * style `approx_percentile` — per-group state is one fixed sketch
+    * per column, the 100 TB default for any group cardinality), with
+    * the exact value-map form opt-in (`exact = true`) for oracle-grade
+    * cuts on bounded domains.
+    */
+  def groupedQuantileProfile(df: DataFrame, groupCol: String,
+      cols: Seq[String], ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(!cols.contains(groupCol), "groupCol cannot also be profiled")
+    val agg: Column => Column =
+      if (exact) c => percentile(c, array(ps.map(lit): _*))
+      else c => approx_percentile(c, array(ps.map(lit): _*),
+        lit(accuracy)).cast(ArrayType(DoubleType))
+    quantiles(df, cols, ps, agg, Seq(groupCol))
+  }
+
   private def quantiles(df: DataFrame, cols: Seq[String],
-      ps: Seq[Double], agg: Column => Column): DataFrame = {
+      ps: Seq[Double], agg: Column => Column,
+      keep: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0,1]")
-    val wide = df.agg(
-      agg(col(cols.head).cast(DoubleType)).as(s"__${cols.head}"),
-      cols.tail.map(c =>
-        agg(col(c).cast(DoubleType)).as(s"__$c")): _*)
-    wide.select(explode(array(cols.map { name =>
+    val aggs = cols.map(c => agg(col(c).cast(DoubleType)).as(s"__$c"))
+    val wide =
+      if (keep.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keep.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    wide.select(keep.map(col) :+ explode(array(cols.map { name =>
         struct(lit(name).as("col_name"), col(s"__$name").as("qs"))
-      }: _*)).as("c"))
-      .select(col("c.col_name").as("col_name"),
-        posexplode(col("c.qs")).as(Seq("pos", "value")))
-      .select(col("col_name"),
+      }: _*)).as("c"): _*)
+      .select(keep.map(col) ++ Seq(col("c.col_name").as("col_name"),
+        posexplode(col("c.qs")).as(Seq("pos", "value"))): _*)
+      .select(keep.map(col) ++ Seq(col("col_name"),
         element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
-        col("value"))
+        col("value")): _*)
   }
 
   /** Per-group IQR-fence outlier report (Tukey fences): for each group,

@@ -72,6 +72,54 @@ object Reconcile {
       .select("m.*")
   }
 
+  /** The step after [[diffSummary]] names a differing column: up to
+    * `maxPerCol` concrete examples per payload column — the key, both
+    * values — deterministically chosen (smallest rendered key first) so
+    * reruns and engines agree. Values render through the same per-type
+    * engine-stable formats as the profiler (DECIMAL(18,2) fractionals,
+    * second-precision timestamps), so the DuckDB oracle replays them
+    * verbatim.
+    *
+    * Scale shape: the same single full-outer hash join as
+    * [[diffSummary]]; only DIFFERING rows survive the filter
+    * (diff-rate-bounded, tiny when reconciliation is almost passing —
+    * the case this report exists for), and the per-column top-N plans
+    * with a `WindowGroupLimit` pre-limit, so each input partition
+    * forwards at most `maxPerCol` rows per column before the single
+    * window exchange. Output ≤ columns × maxPerCol rows.
+    */
+  def diffExamples(a: DataFrame, b: DataFrame, keys: Seq[String],
+      maxPerCol: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(maxPerCol > 0, "maxPerCol must be positive")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      "frames must share a schema; reconcile columns, not shapes")
+    val payload = a.columns.filterNot(keys.contains).toSeq
+    val types = a.schema.map(f => f.name -> f.dataType).toMap
+    val fa = a.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"__a_$c")): _*).withColumn("__pa", lit(1))
+    val fb = b.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"__b_$c")): _*).withColumn("__pb", lit(1))
+    val keyS = concat_ws("|",
+      keys.map(c => Profile.fmt(types(c), col(c))): _*)
+    val ex = fa.join(fb, keys, "full_outer")
+      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+      .select(keyS.as("key_s"), explode(array(payload.map { c =>
+        struct(lit(c).as("col_name"),
+          (!(col(s"__a_$c") <=> col(s"__b_$c"))).as("differs"),
+          Profile.fmt(types(c), col(s"__a_$c")).as("a_value"),
+          Profile.fmt(types(c), col(s"__b_$c")).as("b_value"))
+      }: _*)).as("d"))
+      .filter(col("d.differs"))
+      .select(col("d.col_name").as("col_name"), col("key_s"),
+        col("d.a_value").as("a_value"), col("d.b_value").as("b_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("key_s")
+    ex.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerCol)
+      .drop("__rn")
+  }
+
   /** Fold modulus shared with [[Dsir.HashMod]]: prime, small enough that
     * `h*31 + codepoint` never nears Long overflow under ANSI.
     */

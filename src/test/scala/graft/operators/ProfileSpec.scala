@@ -141,6 +141,28 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantile profile: per-(group, column, p) rows; exact " +
+      "matches a per-group quantileProfile; default is the sketch form") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0)).toDF("g", "v")
+    val got = Profile.groupedQuantileProfile(df, "g", Seq("v"),
+        ps = Seq(0.5), exact = true)
+      .orderBy("g").as[(String, String, Double, Double)].collect().toSeq
+    // a: median of 1..4 = 2.5; b: median of {10,20} = 15
+    assert(got == Seq(("a", "v", 0.5, 2.5), ("b", "v", 0.5, 15.0)))
+    // per-group exact == ungrouped exact on each slice
+    val aOnly = Profile.quantileProfile(df.filter($"g" === "a"),
+      Seq("v"), Seq(0.5)).collect().head.getDouble(2)
+    assert(aOnly == 2.5)
+    // default path is the sketch aggregate
+    val dflt = Profile.groupedQuantileProfile(df, "g", Seq("v"))
+    assert(dflt.queryExecution.analyzed.toString
+      .contains("approx_percentile"))
+    intercept[IllegalArgumentException] {
+      Profile.groupedQuantileProfile(df, "g", Seq("g", "v"))
+    }
+  }
+
   test("quantile profile refuses percentiles outside [0,1]") {
     intercept[IllegalArgumentException] {
       Profile.quantileProfile(fixture, Seq("d"), Seq(1.5))

@@ -141,6 +141,51 @@ class ReconcileSpec extends SparkSpec {
     }
   }
 
+  test("diffExamples: up to maxPerCol per differing column, smallest " +
+      "rendered key first, profiler renderings, null-vs-value counted") {
+    val a = Seq((1L, Some("x"), Some(2.5)), (2L, Some("y"), Some(1.0)),
+      (3L, Some("z"), None), (4L, Some("w"), Some(4.0)),
+      (5L, Some("v"), Some(5.0))).toDF("k", "s", "d")
+    val b = Seq((1L, Some("x"), Some(2.5)), // identical -> no example
+      (2L, Some("Y"), Some(1.0)),           // s differs
+      (3L, Some("z"), Some(9.0)),           // d: null vs value differs
+      (4L, Some("w"), Some(4.5)),           // d differs
+      (5L, Some("V"), Some(5.5)),           // both differ
+      (6L, Some("q"), Some(0.0)))           // only-in-b -> no example
+      .toDF("k", "s", "d")
+    val got = Reconcile.diffExamples(a, b, Seq("k"), maxPerCol = 2)
+      .orderBy("col_name", "key_s")
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSeq
+    // d: keys 3,4,5 differ; top-2 by key string -> 3,4. s: 2,5 -> both
+    assert(got == Seq(
+      ("d", "3", None, Some("9.00")),
+      ("d", "4", Some("4.00"), Some("4.50")),
+      ("s", "2", Some("y"), Some("Y")),
+      ("s", "5", Some("v"), Some("V"))))
+  }
+
+  test("diffExamples of identical frames is empty; schema/key guards " +
+      "match diffSummary's") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    assert(Reconcile.diffExamples(a, a, Seq("k")).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Reconcile.diffExamples(a, a.withColumnRenamed("s", "t"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Reconcile.diffExamples(a, a, Nil)
+    }
+  }
+
+  test("diffExamples plans a WindowGroupLimit pre-limit (per-partition " +
+      "top-N before the single window exchange)") {
+    val a = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "d")
+    val b = Seq((1L, 1.5), (2L, 2.5)).toDF("k", "d")
+    val p = Reconcile.diffExamples(a, b, Seq("k"), maxPerCol = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("fractionals beyond the DECIMAL(18,2) range raise LOUDLY in " +
       "non-ANSI sessions too (never a silently dropped NULL)") {
     // ANSI-off is exactly where the bare cast would turn an overflow
