@@ -1292,17 +1292,40 @@ object Dedup {
     val tSafe = lit(threshold - 1e-9)
     val prefLen = (col("__n") - ceil(tSafe * col("__n")) + 1)
       .cast("int")
+    // prefix rows carry the 0-based POSITION within the doc's
+    // globally-ordered set (prefix = its first prefLen elements), which
+    // feeds the positional filter below
     val prefix = ordered.select(col("__id"), col("__n"),
-      explode(slice(transform(col("__o"), s => s.getField("__g")),
-        lit(1), prefLen)).as("__g"))
+      posexplode(slice(transform(col("__o"), s => s.getField("__g")),
+        lit(1), prefLen)).as(Seq("__p", "__g")))
+    // POSITIONAL FILTER (PPJoin, Xiao et al. 2008): both sets are sorted
+    // by the SAME total order, so the k matched prefix tokens interleave
+    // identically — the max matched positions (mpa, mpb) on both sides
+    // belong to the same (largest) matched token, every common token
+    // smaller than it is necessarily prefix-prefix matched (counted in
+    // k), and every common token larger than it sits after BOTH
+    // positions. Hence overlap <= k + min(na-1-mpa, nb-1-mpb), and
+    // J >= t requires overlap >= t/(1+t)*(na+nb). Using tSafe keeps the
+    // bound strictly conservative (never prunes a qualifying pair); the
+    // exact-Jaccard refilter below restores tightness. The aggregation
+    // replaces the old distinct() — SAME shuffle key (id_a, id_b), so
+    // the filter is free shuffle-wise and prunes candidates before the
+    // expensive set-fetch joins and array_intersect.
     val cand = prefix.select(col("__id").as("id_a"), col("__n").as("__na"),
-        col("__g"))
+        col("__p").as("__pa"), col("__g"))
       .join(prefix.select(col("__id").as("id_b"), col("__n").as("__nb"),
-        col("__g")), Seq("__g"))
+        col("__p").as("__pb"), col("__g")), Seq("__g"))
       .where(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")) >=
           ceil(tSafe * greatest(col("__na"), col("__nb"))))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("__k"),
+        max(col("__pa")).as("__mpa"), max(col("__pb")).as("__mpb"))
+      .where(col("__k") +
+        least(col("__na") - 1 - col("__mpa"),
+          col("__nb") - 1 - col("__mpb")) >=
+        tSafe / (lit(1.0) + tSafe) * (col("__na") + col("__nb")))
+      .select("id_a", "id_b")
     cand
       .join(base.select(col("__id").as("id_a"), col("__set").as("__sa"),
         col("__n").as("__na")), Seq("id_a"))
