@@ -2154,6 +2154,27 @@ object QueriesExt {
       .orderBy("id_a", "id_b")
   }
 
+  /** Blocking pre-flight report (x123): x74's three blocking passes
+    * profiled BEFORE candidate generation —
+    * [[graft.operators.EntityResolution.blockProfile]] computes, per
+    * pass, the block count, the largest block, and the implied
+    * quadratic pair cost `Σ c(c-1)/2` (plus what the 2000 cap would
+    * drop). The report the round-14 sf1 soak showed is needed: a
+    * low-selectivity key can sit UNDER the cap and still imply 100M
+    * pairs. Exact integer counts — plain DuckDB replay.
+    */
+  def blockProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val keys = Seq(
+      substring(col("c_name"), 1, 16),
+      substring(col("c_name"), -3, 3),
+      concat(substring(col("c_name"), 1, 15),
+        substring(col("c_name"), 17, 2)))
+    graft.operators.EntityResolution.blockProfile(
+      c, "c_custkey", keys, maxBlock = 2000)
+      .orderBy("pass")
+  }
+
   /** Homoglyph-robust dedup ([[graft.operators.Dedup.homoglyphDedup]]):
     * docs below id 25 re-enter with Latin a/e/o swapped for Cyrillic
     * lookalikes plus a zero-width-space salt — byte-different, shingle-
@@ -2898,7 +2919,8 @@ object QueriesExt {
     "x119_rangejoin_semi" -> rangeJoinSemi _,
     "x120_rangejoin_anti" -> rangeJoinAnti _,
     "x121_reconcile_examples" -> reconcileExamplesQ _,
-    "x122_grouped_quantiles" -> groupedQuantilesQ _)
+    "x122_grouped_quantiles" -> groupedQuantilesQ _,
+    "x123_block_profile" -> blockProfileQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4285,6 +4307,31 @@ object QueriesExt {
         |)
         |SELECT col_name, key_s, a_value, b_value FROM r WHERE rn <= 5
         |ORDER BY col_name, key_s""".stripMargin,
+    // blocking pre-flight: the three x74 passes' block-size histograms
+    // and implied pair costs replayed with exact integer arithmetic
+    "x123_block_profile" ->
+      """WITH b AS (
+        | SELECT CAST(0 AS BIGINT) AS pass,
+        |  substr(c_name, 1, 16) AS bk FROM customer
+        | UNION ALL
+        | SELECT 1, substr(c_name, length(c_name) - 2, 3) FROM customer
+        | UNION ALL
+        | SELECT 2, substr(c_name, 1, 15) || substr(c_name, 17, 2)
+        | FROM customer
+        |), g AS (
+        | SELECT pass, bk, CAST(COUNT(*) AS BIGINT) AS c
+        | FROM b GROUP BY 1, 2
+        |)
+        |SELECT pass,
+        | CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        | CAST(SUM(c) AS BIGINT) AS n_rows,
+        | CAST(MAX(c) AS BIGINT) AS max_block,
+        | CAST(SUM(c*(c-1)//2) AS BIGINT) AS n_pairs,
+        | CAST(SUM(CASE WHEN c > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_blocks_over_cap,
+        | CAST(SUM(CASE WHEN c > 2000 THEN c*(c-1)//2 ELSE 0 END)
+        |   AS BIGINT) AS n_pairs_dropped
+        |FROM g GROUP BY pass ORDER BY pass""".stripMargin,
     // grouped quantiles: per-priority quantile_cont replay, zipped
     // unnest (the x109 interpolation law makes full-double compare safe)
     "x122_grouped_quantiles" ->

@@ -45,6 +45,43 @@ object EntityResolution {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Blocking pre-flight: per pass, the block-size distribution and the
+    * QUADRATIC pair cost it implies — the numbers a `maxBlock` /
+    * key-selectivity decision needs BEFORE paying candidate generation.
+    * Motivated by a measured blowup (round-14 sf1 soak, COVERAGE.md):
+    * a low-selectivity key produced ~1500-member blocks — UNDER the
+    * 2000 default cap, so nothing overflow-dropped — and ~100M candidate
+    * pairs, 178× the expected cost, invisibly. This report makes that
+    * visible for the price of one aggregation per pass (shuffle ≤
+    * distinct blocking keys; the quadratic work is COMPUTED, never
+    * performed): rows, blocks, the largest block, the implied pair
+    * count `Σ c(c-1)/2`, and what the cap would drop. Read it as: if
+    * `n_pairs` is orders of magnitude above `n_rows`, pick a more
+    * selective key or lower `maxBlock` (dropped blocks stay visible via
+    * `n_blocks_over_cap`).
+    */
+  def blockProfile(df: DataFrame, idCol: String, blockKeys: Seq[Column],
+      maxBlock: Int = 2000): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val passes = blockKeys.zipWithIndex.map { case (k, i) =>
+      df.select(lit(i.toLong).as("pass"), k.cast("string").as("__bk"),
+        col(idCol).as("__rid"))
+    }
+    val pairsOf = (c: Column) => (c * (c - 1) / lit(2L)).cast("long")
+    passes.reduce(_ unionByName _)
+      .groupBy("pass", "__bk")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("pass")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_block"),
+        sum(pairsOf(col("__c"))).as("n_pairs"),
+        sum(when(col("__c") > maxBlock, 1L).otherwise(0L))
+          .as("n_blocks_over_cap"),
+        sum(when(col("__c") > maxBlock, pairsOf(col("__c")))
+          .otherwise(0L)).as("n_pairs_dropped"))
+  }
+
   /** Matched pairs `(id_a, id_b, name_a, name_b, distance)` with
     * Levenshtein distance <= `maxDistance`, candidates from
     * [[candidatePairs]].

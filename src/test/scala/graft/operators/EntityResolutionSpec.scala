@@ -56,6 +56,30 @@ class EntityResolutionSpec extends SparkSpec {
       keys, maxDistance = 0, maxBlock = 2000).count() === (50L * 49L) / 2L)
   }
 
+  test("blockProfile: hand-checked per-pass block histogram, implied " +
+      "pair cost, and what the cap would drop") {
+    // pass 0 (full name): blocks {aa:3, bb:2, cc:1}; pass 1 (first
+    // char): {a:3, b:2, c:1} — same sizes here by construction
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "aa"), (4L, "bb"),
+      (5L, "bb"), (6L, "cc")).toDF("c_custkey", "c_name")
+    val keys = Seq(col("c_name"), substring(col("c_name"), 1, 1))
+    val got = EntityResolution.blockProfile(df, "c_custkey", keys,
+        maxBlock = 2)
+      .orderBy("pass")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // per pass: 3 blocks, 6 rows, max 3, pairs 3+1+0 = 4; the size-3
+    // block is over the cap of 2 -> 1 block / 3 pairs would drop
+    assert(got == Seq(
+      (0L, 3L, 6L, 3L, 4L, 1L, 3L),
+      (1L, 3L, 6L, 3L, 4L, 1L, 3L)))
+    // the quadratic cost is COMPUTED, never performed: the report's
+    // n_pairs for the capped run matches what candidatePairs emits
+    // (pairs from surviving blocks only, deduped across passes)
+    val kept = EntityResolution.candidatePairs(df, "c_custkey", keys,
+      maxBlock = 2).count()
+    assert(kept === 1L) // bb's single pair, same in both passes
+  }
+
   test("cross-pass duplicate candidates collapse to one pair") {
     // identical names co-block in EVERY pass; the match must appear once
     val df = Seq((1L, "same name"), (2L, "same name"))
