@@ -2175,6 +2175,33 @@ object QueriesExt {
       .orderBy("pass")
   }
 
+  /** Exact cross-corpus similarity join (x124): every (corpus, ref)
+    * pair with 3-shingle Jaccard >= 0.7 — FULL RECALL, the exact
+    * decontamination ground truth whose recall-approximate twin is
+    * x63's LSH cross-dedup. Same reference/corpus split and planted
+    * near-verbatim overlap as x63 ([[graft.operators.Dedup
+    * .prefixFilterJoin]], AllPairs/PPJoin over ONE shared global
+    * order). Both sides pre-hash their shingle sets once (persisted),
+    * and the pair stream freezes via [[checkpointed]] before release —
+    * the x115 lifecycle, two corpora.
+    */
+  def crossPrefixPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val planted = ref.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graft cross probe")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted)
+    def sets(df: DataFrame) = df.select(col("doc_id"),
+      graft.operators.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .persist()
+    val sc = sets(corpus); val sr = sets(ref)
+    try {
+      checkpointed(spark, graft.operators.Dedup
+        .prefixFilterJoin(sc, sr, "sh", "doc_id", threshold = 0.7))
+    } finally { sc.unpersist(); sr.unpersist() }
+  }.orderBy("id_l", "id_r")
+
   /** Homoglyph-robust dedup ([[graft.operators.Dedup.homoglyphDedup]]):
     * docs below id 25 re-enter with Latin a/e/o swapped for Cyrillic
     * lookalikes plus a zero-width-space salt — byte-different, shingle-
@@ -2920,7 +2947,8 @@ object QueriesExt {
     "x120_rangejoin_anti" -> rangeJoinAnti _,
     "x121_reconcile_examples" -> reconcileExamplesQ _,
     "x122_grouped_quantiles" -> groupedQuantilesQ _,
-    "x123_block_profile" -> blockProfileQ _)
+    "x123_block_profile" -> blockProfileQ _,
+    "x124_cross_prefix_pairs" -> crossPrefixPairsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4307,6 +4335,51 @@ object QueriesExt {
         |)
         |SELECT col_name, key_s, a_value, b_value FROM r WHERE rn <= 5
         |ORDER BY col_name, key_s""".stripMargin,
+    // exact cross-corpus ssjoin: x63's split + planted probes, but the
+    // FULL exact pair stream at 0.7 (all-pairs string-shingle Jaccard
+    // replay — the oracle IS the recall claim, like x115)
+    "x124_cross_prefix_pairs" ->
+      """WITH refd AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |), corp AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, text || ' graft cross probe' FROM refd
+        | WHERE doc_id < 30
+        |), exc AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM corp))
+        |), exr AS MATERIALIZED (
+        | SELECT doc_id, unnest(s) AS g FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) >= 3 THEN
+        |     list_distinct(list_transform(range(1, len(t) - 1),
+        |       i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1]
+        |            || ' ' || t[CAST(i AS INT)+2]))
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM (SELECT doc_id, list_filter(
+        |         string_split_regex(trim(text), '\s+'),
+        |         tk -> length(tk) > 0) AS t FROM refd))
+        |), szc AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY 1),
+        |szr AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY 1),
+        |inter AS (
+        | SELECT c.doc_id AS cid, r.doc_id AS rid, count(*) AS i
+        | FROM exc c JOIN exr r ON c.g = r.g GROUP BY 1, 2
+        |)
+        |SELECT cid AS id_l, rid AS id_r,
+        | CAST(i AS DOUBLE) / (szc.n + szr.n - i) AS jaccard
+        |FROM inter
+        |JOIN szc ON szc.doc_id = cid JOIN szr ON szr.doc_id = rid
+        |WHERE CAST(i AS DOUBLE) / (szc.n + szr.n - i) >= 0.7
+        |ORDER BY id_l, id_r""".stripMargin,
     // blocking pre-flight: the three x74 passes' block-size histograms
     // and implied pair costs replayed with exact integer arithmetic
     "x123_block_profile" ->

@@ -1257,6 +1257,78 @@ object Dedup {
     * owns the lifecycle: kernel once, four cache reads, unpersist when
     * consumed.
     */
+  /** Exact cross-corpus (R-S) prefix-filter similarity join: every
+    * (left, right) pair with shingle-set Jaccard >= `threshold`, FULL
+    * RECALL — the exact complement to the LSH cross-dedup path
+    * ([[crossMinhashDedup]], recall-approximate by construction) and the
+    * ground-truth form of train-vs-benchmark decontamination. Same
+    * AllPairs/PPJoin machinery as [[prefixFilterPairs]] generalized to
+    * two inputs: ONE global rarest-first order over the UNION's shingle
+    * frequencies (prefix filtering needs both sides ordered by the same
+    * total order), per-side prefixes `n - ceil(t*n) + 1` (valid for R-S:
+    * the smallest common token must fall inside BOTH prefixes when
+    * overlap >= each side's ceil(t*n)), the length + positional filters,
+    * then the exact-Jaccard refilter. No `id < id` constraint — the
+    * sides are distinct corpora; ids may collide across them. Same
+    * lifecycle contract as the self-join: lazy and cache-neutral, each
+    * base feeds several plan branches, so at corpus scale pass
+    * PRE-HASHED persisted sets.
+    */
+  def prefixFilterJoin(left: DataFrame, right: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    def baseOf(df: DataFrame) = df.select(col(idCol).as("__id"),
+      shinglesOf(df, textCol, shingleK).as("__set"))
+      .withColumn("__n", size(col("__set")))
+    val bl = baseOf(left)
+    val br = baseOf(right)
+    val freq = bl.select(explode(col("__set")).as("__g"))
+      .unionAll(br.select(explode(col("__set")).as("__g")))
+      .groupBy("__g").agg(count(lit(1)).as("__f"))
+    val tSafe = lit(threshold - 1e-9) // same ceil-safety as the self-join
+    def prefixOf(base: DataFrame) = {
+      val ordered = base.select(col("__id"), col("__n"),
+          explode(col("__set")).as("__g"))
+        .join(freq, "__g")
+        .groupBy("__id", "__n")
+        .agg(sort_array(collect_list(struct(col("__f"), col("__g"))))
+          .as("__o"))
+      val prefLen = (col("__n") - ceil(tSafe * col("__n")) + 1)
+        .cast("int")
+      ordered.select(col("__id"), col("__n"),
+        posexplode(slice(transform(col("__o"), s => s.getField("__g")),
+          lit(1), prefLen)).as(Seq("__p", "__g")))
+    }
+    // candidate generation + the PPJoin positional filter — identical
+    // derivation to the self-join (one shared total order), aggregated
+    // on the SAME (id_l, id_r) key the dedup already needs
+    val cand = prefixOf(bl).select(col("__id").as("id_l"),
+        col("__n").as("__nl"), col("__p").as("__pl"), col("__g"))
+      .join(prefixOf(br).select(col("__id").as("id_r"),
+        col("__n").as("__nr"), col("__p").as("__pr"), col("__g")),
+        Seq("__g"))
+      .where(least(col("__nl"), col("__nr")) >=
+        ceil(tSafe * greatest(col("__nl"), col("__nr"))))
+      .groupBy("id_l", "id_r", "__nl", "__nr")
+      .agg(count(lit(1)).as("__k"),
+        max(col("__pl")).as("__mpl"), max(col("__pr")).as("__mpr"))
+      .where(col("__k") +
+        least(col("__nl") - 1 - col("__mpl"),
+          col("__nr") - 1 - col("__mpr")) >=
+        tSafe / (lit(1.0) + tSafe) * (col("__nl") + col("__nr")))
+      .select("id_l", "id_r")
+    cand
+      .join(bl.select(col("__id").as("id_l"), col("__set").as("__sl"),
+        col("__n").as("__nl")), Seq("id_l"))
+      .join(br.select(col("__id").as("id_r"), col("__set").as("__sr"),
+        col("__n").as("__nr")), Seq("id_r"))
+      .withColumn("__i", size(array_intersect(col("__sl"), col("__sr"))))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__nl") + col("__nr") - col("__i")))
+      .where(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")

@@ -32,13 +32,20 @@ object BenchDiff {
       spreadViolations: Set[String],
       contaminated: Boolean)
 
-  private val NumField = """"([A-Za-z0-9_]+)":(-?[0-9.eE+]+)""".r
+  // whitespace-tolerant around ':' — Bench emits compact JSON, but a
+  // committed baseline re-serialized by another tool (e.g. a Python
+  // json.dump merge, which writes ": ") must still parse: round 14 found
+  // the strict form silently reading ZERO queries from such a baseline,
+  // making the gate pass vacuously ("every query is new")
+  private val NumField =
+    """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+]+)""".r
 
   /** Extract the object literal following `"<key>":` assuming no nested
     * braces inside (true for Bench's flat maps).
     */
   private def objectBody(json: String, key: String): String = {
-    val start = json.indexOf("\"" + key + "\":{")
+    val start = """"%s"\s*:\s*\{""".format(key).r
+      .findFirstMatchIn(json).map(_.start).getOrElse(-1)
     if (start < 0) return ""
     val open = json.indexOf('{', start)
     val close = json.indexOf('}', open)
@@ -49,7 +56,8 @@ object BenchDiff {
     val qs = NumField.findAllMatchIn(objectBody(json, "queries"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val viol = {
-      val start = json.indexOf("\"spread_violations\":[")
+      val start = """"spread_violations"\s*:\s*\[""".r
+        .findFirstMatchIn(json).map(_.start).getOrElse(-1)
       if (start < 0) Set.empty[String]
       else {
         val open = json.indexOf('[', start)
@@ -58,7 +66,8 @@ object BenchDiff {
           .map(_.group(1)).toSet
       }
     }
-    BenchArtifact(qs, viol, json.contains("\"contaminated\":true"))
+    BenchArtifact(qs, viol,
+      """"contaminated"\s*:\s*true""".r.findFirstIn(json).isDefined)
   }
 
   final case class Row(name: String, prev: Double, curr: Double,
@@ -100,6 +109,15 @@ object BenchDiff {
       val src = Source.fromFile(p); try parse(src.mkString) finally src.close()
     }
     val (prev, curr) = (load(args(0)), load(args(1)))
+    // an empty side means the artifact did not parse, not that there is
+    // nothing to compare — a vacuous "everything is new" pass IS a gate
+    // hole (round 14: a respaced baseline parsed to zero queries)
+    for ((side, a) <- Seq(args(0) -> prev, args(1) -> curr)
+        if a.queries.isEmpty) {
+      System.err.println(s"FAIL: no queries parsed from $side — " +
+        "not a graft.Bench artifact (or an unsupported re-serialization)")
+      sys.exit(2)
+    }
     val threshold = args.lift(2).map(_.toDouble).getOrElse(1.5)
     val d = diff(prev, curr, threshold)
     val interesting = d.rows.filter(r => r.ratio > 1.2 || r.ratio < 0.8)

@@ -74,6 +74,45 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterJoin (cross-corpus R-S form): FULL RECALL — equals " +
+      "the brute-force exact cross Jaccard join at several thresholds, " +
+      "id collisions across corpora included") {
+    import org.apache.spark.sql.functions._
+    val leftC = (docs.as[(Long, String)].collect().toSeq ++ Seq(
+      (5L, base.replace("quick", "swift").replace("lazy", "idle")),
+      (6L, base + " and then some extra trailing words here")))
+      .toDF("doc_id", "text")
+    // right corpus REUSES ids 0/1 (distinct corpora may collide) and
+    // carries exact, near, and unrelated members
+    val rightC = Seq((0L, base), (1L, nearDup.replace("river", "creek")),
+      (9L, "completely unrelated words in this reference document text"))
+      .toDF("doc_id", "text")
+    def brute(t: Double) = {
+      def sets(df: org.apache.spark.sql.DataFrame, id: String, s: String) =
+        df.select(col("doc_id").as(id),
+          array_distinct(Dedup.shingles(col("text"), 3)).as(s))
+      sets(leftC, "id_l", "sl").crossJoin(sets(rightC, "id_r", "sr"))
+        .withColumn("i",
+          size(array_intersect(col("sl"), col("sr"))).cast("double"))
+        .withColumn("jaccard", col("i") /
+          (size(col("sl")) + size(col("sr")) - col("i")))
+        .where(col("jaccard") >= t)
+        .select("id_l", "id_r", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    }
+    for (t <- Seq(0.3, 0.5, 0.56, 0.7, 0.9)) {
+      val got = Dedup.prefixFilterJoin(leftC, rightC, "text", "doc_id", t)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(got == brute(t), s"threshold $t")
+      if (t <= 0.7) assert(got.nonEmpty, s"threshold $t found nothing")
+    }
+    // keyed joins only
+    val p = Dedup.prefixFilterJoin(leftC, rightC, "text", "doc_id", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("prefixFilterPairs recall at a ceil-overshoot boundary: a " +
       "14-of-25 subset pair at t=0.56 (J exactly 0.56) must be found") {
     import org.apache.spark.sql.functions._

@@ -32,6 +32,20 @@ class BenchDiffSpec extends AnyFunSuite with Matchers {
     a.spreadViolations shouldBe empty
   }
 
+  test("parse tolerates whitespace re-serializations (python json.dump " +
+      "': ' style) — the round-14 vacuous-gate hole") {
+    // the exact shape that silently parsed to ZERO queries: a committed
+    // baseline rewritten by a json.dump merge, spaces after ':' and ','
+    val respaced =
+      """{"metric": "total", "value": 2.26, "unit": "sec", """ +
+      """"queries": {"q01": 1.5, "x03": 0.76}, "sf": "s", """ +
+      """"spread_violations": ["x03"], "contaminated": true}"""
+    val a = BenchDiff.parse(respaced)
+    a.queries shouldBe Map("q01" -> 1.5, "x03" -> 0.76)
+    a.spreadViolations shouldBe Set("x03")
+    a.contaminated shouldBe true
+  }
+
   test("gate fails exactly the >threshold like-for-like regressions") {
     val prev = BenchDiff.parse(art("a" -> 1.0, "b" -> 2.0, "c" -> 1.0)()())
     val curr = BenchDiff.parse(art("a" -> 1.4, "b" -> 3.5, "c" -> 0.9)()())
