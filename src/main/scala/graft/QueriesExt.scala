@@ -1853,6 +1853,59 @@ object QueriesExt {
       .orderBy("user_id")
   }
 
+  /** ANTI overlap join through the optimizer rewrite (x125): cohort
+    * sessions with NO concurrent session from any other user —
+    * "isolated sessions", the NOT EXISTS form of x91's overlap join —
+    * written as the naive correlated SQL a user types over the
+    * sessionized frames. Catalyst plans it as a LEFT ANTI join with the
+    * two-sided overlap inequality (BNLJ without the rule);
+    * [[graft.plans.RangeJoinRewrite]] re-plans the overlap core
+    * bucketized and anti-joins the distinct preserved tuples back by
+    * value. Rolled up per user bucket (<= 8 driver rows); the oracle
+    * replays sessionization (the x91 CTE) and the correlated NOT EXISTS
+    * in DuckDB at micro precision.
+    */
+  private[graft] def rangeJoinAntiOverlapFrame(spark: SparkSession,
+      dir: String): (SparkSession, DataFrame) = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize",
+      (3600L * 1000000L).toString)
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    val sess = graft.operators.Sessionize
+      .aggregate(Tables.events(child, dir), gapSeconds = 1800L)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    sess.filter(col("user_id") % 20 === 0)
+      .createOrReplaceTempView("graft_x125_cohort")
+    sess.filter(col("user_id") % 20 =!= 0)
+      .select(col("user_id").as("o_user"), col("s_us").as("os_us"),
+        col("e_us").as("oe_us"))
+      .createOrReplaceTempView("graft_x125_others")
+    (child, child.sql(
+      """SELECT c.user_id, c.s_us FROM graft_x125_cohort c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM graft_x125_others o
+        |  WHERE c.s_us <= o.oe_us AND o.os_us <= c.e_us)""".stripMargin))
+  }
+
+  def rangeJoinAntiOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val (_, kept) = rangeJoinAntiOverlapFrame(spark, dir)
+    val rows = kept
+      .groupBy(pmod(col("user_id"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_isolated"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect() // bounded: <= 8 bucket rows
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("bucket", "n_isolated", "n_users")
+      .orderBy("bucket")
+  }
+
   /** Label-conditioned embedding outliers ([[graft.operators.Similarity
     * .labelOutliers]]): the 5 vectors per label least cosine-similar to
     * their own label's exact centroid — the mislabeled-example screen.
@@ -2948,7 +3001,8 @@ object QueriesExt {
     "x121_reconcile_examples" -> reconcileExamplesQ _,
     "x122_grouped_quantiles" -> groupedQuantilesQ _,
     "x123_block_profile" -> blockProfileQ _,
-    "x124_cross_prefix_pairs" -> crossPrefixPairsQ _)
+    "x124_cross_prefix_pairs" -> crossPrefixPairsQ _,
+    "x125_rangejoin_anti_overlap" -> rangeJoinAntiOverlap _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4335,6 +4389,33 @@ object QueriesExt {
         |)
         |SELECT col_name, key_s, a_value, b_value FROM r WHERE rn <= 5
         |ORDER BY col_name, key_s""".stripMargin,
+    // ANTI overlap rewrite: x91's sessionization CTE + correlated
+    // NOT EXISTS over the two-sided overlap inequality, micro precision
+    "x125_rangejoin_anti_overlap" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        | SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM flagged
+        |), iv AS (
+        | SELECT user_id, MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        | FROM sess GROUP BY user_id, session_seq
+        |)
+        |SELECT CAST(c.user_id % 8 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_isolated,
+        | CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+        |FROM iv c
+        |WHERE c.user_id % 20 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM iv o
+        |  WHERE o.user_id % 20 != 0
+        |   AND c.s_us <= o.e_us AND o.s_us <= c.e_us)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     // exact cross-corpus ssjoin: x63's split + planted probes, but the
     // FULL exact pair stream at 0.7 (all-pairs string-shingle Jaccard
     // replay — the oracle IS the recall claim, like x115)

@@ -47,9 +47,10 @@ import org.apache.spark.sql.types._
   * the inner form UNION the value-complemented unmatched rows of each
   * preserved side, null-extended; see `outerExtend`/`complement`), and
   * LEFT SEMI / LEFT ANTI joins (the `EXISTS` / `NOT EXISTS` interval
-  * forms — "rows WITH / WITHOUT a covering interval" — rewritten as the
-  * inner form's distinct preserved-tuples semi/anti-joined back by
-  * value; see `matchedKey`) —
+  * forms — "rows WITH / WITHOUT a covering interval", and the overlap
+  * variant "intervals WITH / WITHOUT an overlapping interval" —
+  * rewritten as the inner form's distinct preserved-tuples
+  * semi/anti-joined back by value; see `matchedKey`) —
   * whose condition contains a lower and an
   * upper bound on the SAME expression `x` of one side, with both bounds
   * from the other side, over int/long/DATE/TIMESTAMP/DECIMAL axes (DATE
@@ -596,6 +597,14 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap { case (x, lo, hi) =>
             widthOr(left, lo, hi).map(w =>
               semiAnti(build(pointsLeft = false, x, lo, hi, w)))
+        }).orElse(orientOverlap()
+          // "rows WITH/WITHOUT an overlapping interval": the overlap
+          // core projects j.output (= left.output here), so the same
+          // distinct-tuples membership construction applies verbatim
+          .filter(_ => bigEnough(left) && bigEnough(right))
+          .flatMap { case (ls, le, rs, re) =>
+            widthOr(left, ls, le).map(w =>
+              semiAnti(buildOverlap(ls, le, rs, re, w)))
         })
       case FullOuter =>
         if (!outerOk(left) || !outerOk(right)) return None

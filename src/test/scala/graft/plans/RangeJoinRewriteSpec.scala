@@ -469,6 +469,28 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("SEMI/ANTI over the interval-OVERLAP shape rewrite: exact sets, " +
+      "inverted/spanning intervals handled, no nested loop") {
+    val l = ((0L until 60L).map(i => (i, i * 5 - 50, i * 5 - 20)) ++
+      Seq((500L, 40L, 10L), (999L, -1000000000000L, 1000000000000L)))
+      .toDF("lid", "lst", "len")
+    val r = ((0L until 60L).map(i => (i, i * 7 - 80, i * 7 - 30)) ++
+      Seq((600L, 90L, 60L))).toDF("rid", "rst", "ren")
+    val cond = col("lst") < col("ren") && col("rst") < col("len")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val want = l.join(r, cond, jt)
+        .select("lid").as[Long].collect().toSeq.sorted
+      withRule(25L) {
+        val df = l.join(r, cond, jt)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$jt: ${p.take(3000)}")
+        assert(df.queryExecution.optimizedPlan.toString.contains("__gkey"),
+          jt)
+        assert(df.select("lid").as[Long].collect().toSeq.sorted == want, jt)
+      }
+    }
+  }
+
   test("x118 plan pin: the naive DECIMAL BETWEEN SQL join (price bands) " +
       "plans without a nested loop") {
     val (_, df) = graft.QueriesExt.rangeJoinDecimalFrame(spark, sfDir)
@@ -490,6 +512,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(p.contains("__gk") || df.queryExecution.optimizedPlan
         .toString.contains("__gkey"), s"$tag: ${p.take(3000)}")
     }
+  }
+
+  test("x125 plan pin: the naive NOT EXISTS overlap SQL (isolated " +
+      "sessions) plans without a nested loop") {
+    val (_, df) = graft.QueriesExt.rangeJoinAntiOverlapFrame(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("__gk") || df.queryExecution.optimizedPlan
+      .toString.contains("__gkey"), p.take(3000))
   }
 
   test("stats guard: a broadcast-tiny interval side keeps Catalyst's " +
