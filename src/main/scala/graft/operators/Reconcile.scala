@@ -192,7 +192,9 @@ object Reconcile {
       Seq(groupCol))
   }
 
-  private def checksumAggs(df: DataFrame,
+  // shared with the streaming form (graft.streaming.Streams
+  // .streamingColumnChecksums): same encodings, same tidy unpivot
+  private[graft] def checksumAggs(df: DataFrame,
       cols: Seq[String]): (Column, Seq[Column]) = {
     val aggs = cols.flatMap { name =>
       val c = col(name)
@@ -202,7 +204,7 @@ object Reconcile {
     (aggs.head, aggs.tail)
   }
 
-  private def unpivotChecksums(wide: DataFrame, cols: Seq[String],
+  private[graft] def unpivotChecksums(wide: DataFrame, cols: Seq[String],
       keep: Seq[String]): DataFrame =
     wide.select(keep.map(col) :+ explode(array(cols.map { name =>
         struct(lit(name).as("col_name"),

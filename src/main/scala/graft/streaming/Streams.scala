@@ -95,6 +95,27 @@ object Streams {
           Seq(col(s"${c}_nonnull"), col(s"${c}_distinct")))): _*)
   }
 
+  /** Streaming column checksums — the reconciliation tier's continuous
+    * form: a running per-column portable multiset fingerprint
+    * ([[graft.operators.Reconcile.columnChecksums]]'s exact encodings,
+    * exact same tidy output) maintained incrementally over the stream.
+    * Run it on BOTH sides of a replicated ingestion (or stream vs the
+    * batch table it lands in) and compare a handful of longs per
+    * micro-batch — the streaming twin of the batch workflow's step 1.
+    * State is ALGEBRAIC and O(columns): two longs per column (count +
+    * running sum of encodings), no watermark needed — a running total
+    * over everything seen, emitted in complete/update mode. The sum is
+    * order- and batch-boundary-independent, so stream ≡ batch over the
+    * same rows by construction (parity-spec'd).
+    */
+  def streamingColumnChecksums(stream: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    val (head, tail) = graft.operators.Reconcile.checksumAggs(stream, cols)
+    graft.operators.Reconcile.unpivotChecksums(
+      stream.agg(head, tail: _*), cols, Nil)
+  }
+
   /** Sliding-window counts (window/slide), watermarked. */
   def slidingCounts(events: DataFrame, window_ : String = "1 hour",
       slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =

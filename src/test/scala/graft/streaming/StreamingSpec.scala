@@ -69,6 +69,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming column checksums equal the batch fingerprints over " +
+      "the same rows (order/batch-boundary independence by construction)") {
+    val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
+    val cols = Seq("user_id", "event_type", "value", "ts")
+    val got = runToCompletion(
+      Streams.streamingColumnChecksums(stream, cols), "ck_out")
+      .as[(String, Long, Long)].collect().toSet
+    val want = graft.operators.Reconcile
+      .columnChecksums(batchEvents, cols)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.size == cols.size)
+  }
+
   test("sliding windows: streaming slidingCounts matches the batch " +
       "window(slide) aggregation exactly (x95 parity)") {
     val stream = Streams.parquetStream(spark, streamDir, batchEvents.schema)
