@@ -127,10 +127,25 @@ object Profile {
     * and [[approxColumnProfile]]'s HLL swap composes the same way here.
     */
   def groupedColumnProfile(df: DataFrame, groupCol: String,
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String]): DataFrame =
+    groupedProfileWith(df, groupCol, cols, countDistinct(_))
+
+  /** THE grouped-profile entry point — sketch cardinalities by default
+    * (per-(group, column) state is one fixed HLL, the 100 TB default at
+    * any group count), exact Expand form opt-in via `exact = true`;
+    * mirrors [[profile]]/[[profileQuantiles]].
+    */
+  def profileGrouped(df: DataFrame, groupCol: String, cols: Seq[String],
+      exact: Boolean = false, relativeSD: Double = 0.02): DataFrame =
+    if (exact) groupedColumnProfile(df, groupCol, cols)
+    else groupedProfileWith(df, groupCol, cols,
+      approx_count_distinct(_, relativeSD))
+
+  private def groupedProfileWith(df: DataFrame, groupCol: String,
+      cols: Seq[String], distinctOf: Column => Column): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     require(!cols.contains(groupCol), "groupCol cannot also be profiled")
-    val (n, aggs) = wideAggs(df, cols, countDistinct(_))
+    val (n, aggs) = wideAggs(df, cols, distinctOf)
     unpivot(df.groupBy(groupCol).agg(n, aggs: _*), cols, Seq(groupCol))
   }
 

@@ -104,6 +104,17 @@ class ProfileSpec extends SparkSpec {
     assert("LocalTableScan".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("profileGrouped defaults to HLL (no Expand), exact opt-in equals " +
+      "groupedColumnProfile") {
+    val dflt = Profile.profileGrouped(fixture, "s", Seq("id", "d"))
+    assert(!dflt.queryExecution.executedPlan.toString.contains("Expand"))
+    val ex = Profile.profileGrouped(fixture, "s", Seq("id", "d"),
+      exact = true)
+    assert(ex.orderBy("s", "col_name").collect().toSeq ==
+      Profile.groupedColumnProfile(fixture, "s", Seq("id", "d"))
+        .orderBy("s", "col_name").collect().toSeq)
+  }
+
   test("grouped profile refuses profiling the group column itself") {
     intercept[IllegalArgumentException] {
       Profile.groupedColumnProfile(fixture, "id", Seq("id", "s"))
