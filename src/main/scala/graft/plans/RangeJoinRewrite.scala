@@ -50,7 +50,10 @@ import org.apache.spark.sql.types._
   * forms — "rows WITH / WITHOUT a covering interval", and the overlap
   * variant "intervals WITH / WITHOUT an overlapping interval" —
   * rewritten as the inner form's distinct preserved-tuples
-  * semi/anti-joined back by value; see `matchedKey`) —
+  * semi/anti-joined back by value; see `matchedKey`). Both condition
+  * SHAPES (point-in-interval and interval-overlap) compose with every
+  * supported join type — the full shape × {inner, left, right, full,
+  * semi, anti} matrix rewrites —
   * whose condition contains a lower and an
   * upper bound on the SAME expression `x` of one side, with both bounds
   * from the other side, over int/long/DATE/TIMESTAMP/DECIMAL axes (DATE
@@ -555,19 +558,37 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // is the points side (every preserved row must survive exactly once;
     // the interval side may replicate freely). Inner joins try both
     // orientations plus the interval-overlap shape.
+    // the overlap-shape arm shared by every join type: both sides
+    // replicate, so BOTH must pass the small-side guard; `finish` wraps
+    // the bucketized overlap core per the join type's semantics
+    def overlapArm(finish: LogicalPlan => LogicalPlan)
+        : Option[LogicalPlan] =
+      orientOverlap()
+        .filter(_ => bigEnough(left) && bigEnough(right))
+        .flatMap { case (ls, le, rs, re) =>
+          widthOr(left, ls, le).map(w =>
+            finish(buildOverlap(ls, le, rs, re, w)))
+        }
+
     j.joinType match {
       case LeftOuter =>
-        if (!outerOk(left) || !bigEnough(right)) return None
-        orient(left, right).flatMap { case (x, lo, hi) =>
-          widthOr(right, lo, hi).map(w =>
-            outerExtend(build(pointsLeft = true, x, lo, hi, w), left))
-        }
+        if (!outerOk(left)) return None
+        orient(left, right).filter(_ => bigEnough(right))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(right, lo, hi).map(w =>
+              outerExtend(build(pointsLeft = true, x, lo, hi, w), left))
+        }.orElse(
+          // overlap LEFT OUTER: unmatched left intervals — including
+          // inverted/empty ones, which can never match — null-extend,
+          // exactly as the naive outer join leaves them
+          overlapArm(m => outerExtend(m, left)))
       case RightOuter =>
-        if (!outerOk(right) || !bigEnough(left)) return None
-        orient(right, left).flatMap { case (x, lo, hi) =>
-          widthOr(left, lo, hi).map(w =>
-            outerExtend(build(pointsLeft = false, x, lo, hi, w), right))
-        }
+        if (!outerOk(right)) return None
+        orient(right, left).filter(_ => bigEnough(left))
+          .flatMap { case (x, lo, hi) =>
+            widthOr(left, lo, hi).map(w =>
+              outerExtend(build(pointsLeft = false, x, lo, hi, w), right))
+        }.orElse(overlapArm(m => outerExtend(m, right)))
       // FULL OUTER: the inner rewrite UNION the value-based complement of
       // BOTH sides (each anti-joined against the matched set and
       // null-extended on the other side's columns). Both sides are
@@ -597,15 +618,11 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap { case (x, lo, hi) =>
             widthOr(left, lo, hi).map(w =>
               semiAnti(build(pointsLeft = false, x, lo, hi, w)))
-        }).orElse(orientOverlap()
+        })
           // "rows WITH/WITHOUT an overlapping interval": the overlap
           // core projects j.output (= left.output here), so the same
           // distinct-tuples membership construction applies verbatim
-          .filter(_ => bigEnough(left) && bigEnough(right))
-          .flatMap { case (ls, le, rs, re) =>
-            widthOr(left, ls, le).map(w =>
-              semiAnti(buildOverlap(ls, le, rs, re, w)))
-        })
+          .orElse(overlapArm(semiAnti))
       case FullOuter =>
         if (!outerOk(left) || !outerOk(right)) return None
         def full(matched: LogicalPlan): LogicalPlan =
@@ -619,7 +636,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap { case (x, lo, hi) =>
             widthOr(left, lo, hi).map(w =>
               full(build(pointsLeft = false, x, lo, hi, w)))
-        })
+        }).orElse(overlapArm(full))
       case _ =>
         orient(left, right).filter(_ => bigEnough(right))
           .flatMap { case (x, lo, hi) =>
@@ -629,12 +646,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap { case (x, lo, hi) =>
             widthOr(left, lo, hi).map(w =>
               build(pointsLeft = false, x, lo, hi, w))
-        }).orElse(orientOverlap()
-          // overlap replicates BOTH sides, so either side tiny declines
-          .filter(_ => bigEnough(left) && bigEnough(right))
-          .flatMap { case (ls, le, rs, re) =>
-            widthOr(left, ls, le).map(w => buildOverlap(ls, le, rs, re, w))
-        })
+        }).orElse(overlapArm(identity))
     }
   }
 }

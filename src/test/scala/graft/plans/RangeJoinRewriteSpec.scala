@@ -491,6 +491,37 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("LEFT/RIGHT/FULL OUTER over the interval-OVERLAP shape rewrite: " +
+      "exact multisets, inverted/spanning intervals null-extend, no " +
+      "nested loop") {
+    val l = ((0L until 60L).map(i => (i, i * 5 - 50, i * 5 - 20)) ++
+      Seq((500L, 40L, 10L), (999L, -1000000000000L, 1000000000000L)))
+      .toDF("lid", "lst", "len")
+    val r = ((0L until 60L).map(i => (i, i * 7 - 80, i * 7 - 30)) ++
+      Seq((600L, 90L, 60L))).toDF("rid", "rst", "ren")
+    val cond = col("lst") < col("ren") && col("rst") < col("len")
+    for (jt <- Seq("left", "right", "full")) {
+      val want = l.join(r, cond, jt).select("lid", "rid")
+        .as[(Option[Long], Option[Long])].collect().toSeq
+        .sortBy(p => (p._1, p._2))
+      withRule(25L) {
+        val df = l.join(r, cond, jt)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$jt: ${p.take(3000)}")
+        assert(df.queryExecution.optimizedPlan.toString.contains("__gkey"),
+          jt)
+        val got = df.select("lid", "rid")
+          .as[(Option[Long], Option[Long])].collect().toSeq
+          .sortBy(p => (p._1, p._2))
+        // NOTE: unlike the point shape, an INVERTED interval can satisfy
+        // the overlap shape's two independent inequalities — the planted
+        // (40, 10) row legitimately matches — so the only correct pin is
+        // full multiset equality with the naive outer join
+        assert(got == want, jt)
+      }
+    }
+  }
+
   test("x118 plan pin: the naive DECIMAL BETWEEN SQL join (price bands) " +
       "plans without a nested loop") {
     val (_, df) = graft.QueriesExt.rangeJoinDecimalFrame(spark, sfDir)
