@@ -173,6 +173,189 @@ private[plans] object RangeJoinFuzz {
   }
 }
 
+/** Fuzz for the interval-OVERLAP shape across the full join-type matrix
+  * (the round-14 completion): random strictness/flips/conjunct order/
+  * axis types over random interval sets — inverted and long spans
+  * included — checked at the plan level (fires exactly on eligible
+  * shapes) and end-to-end against an in-Scala oracle. Note the overlap
+  * shape's inverted-interval semantics: an inverted interval CAN satisfy
+  * the two independent inequalities, so the oracle makes no
+  * filtered-out assumption.
+  */
+private[plans] object RangeJoinOverlapFuzz {
+
+  case class Shape(axis: String, joinType: String,
+      flipA: Boolean, flipB: Boolean,
+      strictA: Boolean, strictB: Boolean,
+      extraPred: Boolean, equiKey: Boolean, thetaBound: Boolean,
+      shuffleSeed: Long)
+
+  val genShape: Gen[Shape] = for {
+    axis <- Gen.oneOf("long", "int", "date", "ts", "dec")
+    jt <- Gen.oneOf("inner", "left", "right", "full", "semi", "anti")
+    fa <- Gen.oneOf(true, false)
+    fb <- Gen.oneOf(true, false)
+    sa <- Gen.oneOf(true, false)
+    sb <- Gen.oneOf(true, false)
+    ep <- Gen.oneOf(true, false)
+    eq <- Gen.frequency(3 -> false, 1 -> true)
+    th <- Gen.frequency(3 -> false, 1 -> true)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield Shape(axis, jt, fa, fb, sa, sb, ep, eq, th, seed)
+
+  def buildJoin(session: SparkSession, shape: Shape,
+      ls: List[(Long, Long, Long)], rs: List[(Long, Long, Long)])
+      : (DataFrame, Boolean) = {
+    import session.implicits._
+    import RangeJoinFuzz.axisExpr
+    val l = ls.toDF("lid", "lsraw", "leraw")
+      .select(col("lid"), col("lsraw"),
+        axisExpr(col("lsraw"), shape.axis).as("als"),
+        axisExpr(col("leraw"), shape.axis).as("ale"),
+        pmod(col("lid"), lit(3L)).as("lk"))
+    val r = rs.toDF("rid", "rsraw", "reraw")
+      .select(col("rid"), col("rsraw"), col("reraw"),
+        axisExpr(col("rsraw"), shape.axis).as("ars"),
+        axisExpr(col("reraw"), shape.axis).as("are"),
+        pmod(col("rid"), lit(3L)).as("rk"))
+    // overlap: lStart REL rEnd AND rStart REL lEnd
+    val condA = (shape.flipA, shape.strictA) match {
+      case (false, false) => col("als") <= col("are")
+      case (false, true) => col("als") < col("are")
+      case (true, false) => col("are") >= col("als")
+      case (true, true) => col("are") > col("als")
+    }
+    val condB = (shape.flipB, shape.strictB) match {
+      case (false, false) => col("ars") <= col("ale")
+      case (false, true) => col("ars") < col("ale")
+      case (true, false) => col("ale") >= col("ars")
+      case (true, true) => col("ale") > col("ars")
+    }
+    // a theta variant of condA: same value, but the bound references a
+    // second attribute — the shape sanity check must refuse it
+    val effA =
+      if (shape.thetaBound)
+        col("als") <= axisExpr(
+          col("rsraw") + col("rid") - col("rid") +
+            (col("reraw") - col("rsraw")), shape.axis)
+      else condA
+    val conjuncts = Seq(effA, condB) ++
+      (if (shape.extraPred) Seq(col("lid") =!= col("rid")) else Nil) ++
+      (if (shape.equiKey) Seq(col("lk") === col("rk")) else Nil)
+    val cond = new scala.util.Random(shape.shuffleSeed)
+      .shuffle(conjuncts).reduce(_ && _)
+    val jt = shape.joinType match {
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case j => j
+    }
+    val joined = l.join(r, cond, jt)
+    val eligible = !shape.equiKey && !shape.thetaBound
+    val out = shape.joinType match {
+      case "semi" | "anti" =>
+        joined.select(col("lid"), lit(null).cast("long").as("rid"))
+      case "right" => joined.select("lid", "rid")
+      case _ => joined.select("lid", "rid")
+    }
+    (out, eligible)
+  }
+
+  /** In-Scala oracle over the raw longs (the axis maps are monotone
+    * injections; `thetaBound` evaluates like the non-strict A bound).
+    */
+  def oracle(shape: Shape, ls: List[(Long, Long, Long)],
+      rs: List[(Long, Long, Long)])
+      : List[(Option[Long], Option[Long])] = {
+    def matches(l: (Long, Long, Long), r: (Long, Long, Long)): Boolean = {
+      val (lid, lsv, lev) = l; val (rid, rsv, rev) = r
+      val aOk =
+        if (shape.thetaBound) lsv <= rev
+        else if (shape.strictA) lsv < rev else lsv <= rev
+      val bOk = if (shape.strictB) rsv < lev else rsv <= lev
+      aOk && bOk &&
+        (!shape.extraPred || lid != rid) &&
+        (!shape.equiKey || lid % 3 == rid % 3)
+    }
+    val pairs = for { l <- ls; r <- rs if matches(l, r) }
+      yield (Option(l._1), Option(r._1))
+    val mL = pairs.map(_._1.get).toSet
+    val mR = pairs.map(_._2.get).toSet
+    val res = shape.joinType match {
+      case "inner" => pairs
+      case "semi" =>
+        ls.collect { case l if mL(l._1) => (Option(l._1), None) }
+      case "anti" =>
+        ls.collect { case l if !mL(l._1) => (Option(l._1), None) }
+      case "left" => pairs ++
+        ls.collect { case l if !mL(l._1) => (Option(l._1), None) }
+      case "right" => pairs ++
+        rs.collect { case r if !mR(r._1) => (None, Option(r._1)) }
+      case "full" => pairs ++
+        ls.collect { case l if !mL(l._1) => (Option(l._1), None) } ++
+        rs.collect { case r if !mR(r._1) => (None, Option(r._1)) }
+    }
+    res.sortBy(p => (p._1, p._2))
+  }
+}
+
+object RangeJoinOverlapFuzzPlan
+    extends Properties("graft.plans.RangeJoinRewrite.fuzzOverlapPlan") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(500)
+
+  private lazy val child = {
+    val c = SparkSpec.spark.newSession()
+    c.experimental.extraOptimizations = Seq(RangeJoinRewrite(c))
+    c.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    c
+  }
+
+  property("overlap shapes rewrite exactly when eligible, never crash") =
+    forAll(RangeJoinOverlapFuzz.genShape, RangeJoinFuzz.genIvs,
+        RangeJoinFuzz.genIvs) { (shape, ls, rs) =>
+      child.conf.set("spark.graft.rangeJoin.binSize",
+        RangeJoinFuzz.binSizeFor(shape.axis).toString)
+      try {
+        val (df, eligible) =
+          RangeJoinOverlapFuzz.buildJoin(child, shape, ls, rs)
+        df.queryExecution.optimizedPlan.toString
+          .contains("__gkey") == eligible
+      } finally child.conf.unset("spark.graft.rangeJoin.binSize")
+    }
+}
+
+object RangeJoinOverlapFuzzExec
+    extends Properties("graft.plans.RangeJoinRewrite.fuzzOverlapExec") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private lazy val child = {
+    val c = SparkSpec.spark.newSession()
+    c.experimental.extraOptimizations = Seq(RangeJoinRewrite(c))
+    c.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    c
+  }
+
+  property("overlap rule-on multiset equals the naive semantics, all " +
+      "six join types") =
+    forAll(RangeJoinOverlapFuzz.genShape, RangeJoinFuzz.genIvs,
+        RangeJoinFuzz.genIvs) { (shape, ls, rs) =>
+      child.conf.set("spark.graft.rangeJoin.binSize",
+        RangeJoinFuzz.binSizeFor(shape.axis).toString)
+      try {
+        val (df, _) = RangeJoinOverlapFuzz.buildJoin(child, shape, ls, rs)
+        val got = df.collect()
+          .map(r => (
+            if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toList.sortBy(p => (p._1, p._2))
+        got == RangeJoinOverlapFuzz.oracle(shape, ls, rs)
+      } finally child.conf.unset("spark.graft.rangeJoin.binSize")
+    }
+}
+
 /** 1000+ random shapes at the plan level: optimization must never throw,
   * and the rule must fire on exactly the eligible shapes (both bounds
   * simple and single-attribute, no equi conjunct) regardless of conjunct
