@@ -346,6 +346,78 @@ object RangeJoin {
     * applies only to the tiled pairs — exactness and single emission hold
     * at ANY mix of spans.
     */
+  /** LEFT OUTER [[intervalOverlap]]: every left interval appears —
+    * paired with each overlapping right interval, null-extended when
+    * none overlaps (inverted/empty left intervals can never pair under
+    * the half-open predicate, so they surface null-extended). Same
+    * value-based complement as [[pointInIntervalLeftOuter]].
+    */
+  def intervalOverlapLeftOuter(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
+    requireNoSharedNames(left, right, extraKeys, "intervalOverlapLeftOuter")
+    val matched = intervalOverlap(left, right, lStart, lEnd, rStart, rEnd,
+      bucketWidth, extraKeys, maxSpanBuckets)
+    matched.unionAll(complementExtend(matched, left, right))
+  }
+
+  /** FULL OUTER [[intervalOverlap]]: both unmatched sides surface
+    * null-extended around the exactly-once matched core.
+    */
+  def intervalOverlapFullOuter(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
+    requireNoSharedNames(left, right, extraKeys, "intervalOverlapFullOuter")
+    val matched = intervalOverlap(left, right, lStart, lEnd, rStart, rEnd,
+      bucketWidth, extraKeys, maxSpanBuckets)
+    matched
+      .unionAll(complementExtend(matched, left, right))
+      .unionAll(complementExtend(matched, right, left))
+  }
+
+  /** LEFT SEMI / LEFT ANTI [[intervalOverlap]] — "left intervals WITH /
+    * WITHOUT an overlapping right interval", each exactly once. The
+    * replicating right side slims to its two bounds (+ equi keys)
+    * before the bucketized shuffle; membership resolves by null-safe
+    * value against the distinct matched left-tuples, exactly as the
+    * point-shape forms do.
+    */
+  def intervalOverlapLeftSemi(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame =
+    overlapSemiAnti(left, right, lStart, lEnd, rStart, rEnd, bucketWidth,
+      extraKeys, maxSpanBuckets, "left_semi")
+
+  def intervalOverlapLeftAnti(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame =
+    overlapSemiAnti(left, right, lStart, lEnd, rStart, rEnd, bucketWidth,
+      extraKeys, maxSpanBuckets, "left_anti")
+
+  private def overlapSemiAnti(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String], maxSpanBuckets: Int,
+      joinType: String): DataFrame = {
+    requireNoSharedNames(left, right, extraKeys,
+      "intervalOverlapLeftSemi/Anti")
+    val slim = right.select((Seq(rStart, rEnd) ++ extraKeys).map(col): _*)
+    val matched = intervalOverlap(left, slim, lStart, lEnd, rStart, rEnd,
+      bucketWidth, extraKeys, maxSpanBuckets)
+    distinctValueJoin(left, matched, joinType)
+  }
+
+  private def requireNoSharedNames(a: DataFrame, b: DataFrame,
+      extraKeys: Seq[String], who: String): Unit = {
+    val shared = a.columns.toSet.intersect(b.columns.toSet) -- extraKeys
+    require(shared.isEmpty,
+      s"$who: sides share non-key column(s) ${shared.mkString(", ")} — " +
+        "rename before joining")
+  }
+
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketWidth: Long, extraKeys: Seq[String] = Nil,

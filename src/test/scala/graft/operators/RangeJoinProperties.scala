@@ -108,6 +108,49 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
       run(anti = false) == covered && run(anti = true) == uncovered
     }
 
+  property("intervalOverlap outer/semi/anti equal the naive half-open " +
+      "overlap joins at any width and cap") =
+    forAll(genSide(15), genSide(12), genWidth,
+        Gen.choose(1, 8)) { (lsRaw, rsRaw, w, cap) =>
+      val l = lsRaw.toDF("lid", "lls", "lle")
+      val r = rsRaw.toDF("rid", "rrs", "rre")
+      def m(li: (Long, Long, Long), ri: (Long, Long, Long)) = {
+        val ok = li._3 > li._2 && ri._3 > ri._2 &&
+          math.max(li._2, ri._2) < math.min(li._3, ri._3)
+        ok
+      }
+      val mL = (for { a <- lsRaw; b <- rsRaw if m(a, b) } yield a._1).toSet
+      val mR = (for { a <- lsRaw; b <- rsRaw if m(a, b) } yield b._1).toSet
+      val semi = RangeJoin.intervalOverlapLeftSemi(l, r, "lls", "lle",
+          "rrs", "rre", w, maxSpanBuckets = cap)
+        .select("lid").as[Long].collect().toList.sorted
+      val anti = RangeJoin.intervalOverlapLeftAnti(l, r, "lls", "lle",
+          "rrs", "rre", w, maxSpanBuckets = cap)
+        .select("lid").as[Long].collect().toList.sorted
+      val louter = RangeJoin.intervalOverlapLeftOuter(l, r, "lls", "lle",
+          "rrs", "rre", w, maxSpanBuckets = cap)
+        .select("lid", "rid").as[(Long, Option[Long])]
+        .collect().toList.sortBy(p => (p._1, p._2))
+      val fouter = RangeJoin.intervalOverlapFullOuter(l, r, "lls", "lle",
+          "rrs", "rre", w, maxSpanBuckets = cap)
+        .select("lid", "rid").as[(Option[Long], Option[Long])]
+        .collect().toList.sortBy(p => (p._1, p._2))
+      val pairs = for { a <- lsRaw; b <- rsRaw if m(a, b) }
+        yield (a._1, b._1)
+      val wantL = (pairs.map { case (a, b) => (a, Option(b)) } ++
+        lsRaw.collect { case a if !mL(a._1) => (a._1, None) })
+        .sortBy(p => (p._1, p._2))
+      val wantF = (pairs.map { case (a, b) => (Option(a), Option(b)) } ++
+        lsRaw.collect { case a if !mL(a._1) =>
+          (Option(a._1), Option.empty[Long]) } ++
+        rsRaw.collect { case b if !mR(b._1) =>
+          (Option.empty[Long], Option(b._1)) })
+        .sortBy(p => (p._1, p._2))
+      semi == lsRaw.map(_._1).filter(mL).sorted &&
+        anti == lsRaw.map(_._1).filterNot(mL).sorted &&
+        louter == wantL && fouter == wantF
+    }
+
   property("bandJoinLeftOuter equals the naive |l - r| <= tol LEFT " +
       "JOIN with extra keys") =
     forAll(genSide(15), genSide(15), Gen.choose(0L, 20L)) { (ls, rs, tol) =>
