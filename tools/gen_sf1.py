@@ -11,6 +11,7 @@ tables (nation/region) copy through unchanged.
 
 Usage: python3 tools/gen_sf1.py [outDir=/tmp/sfdata/sf1]
 """
+import os
 import sys
 import duckdb
 
@@ -26,7 +27,6 @@ OFF = {  # per-copy key offsets (> max key in sf0.1)
 
 con = duckdb.connect()
 con.execute(f"CREATE VIEW ks AS SELECT unnest(range({K})) AS k")
-import os
 os.makedirs(OUT, exist_ok=True)
 
 def gen(name, sql):
