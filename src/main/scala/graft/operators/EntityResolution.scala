@@ -67,7 +67,10 @@ object EntityResolution {
       df.select(lit(i.toLong).as("pass"), k.cast("string").as("__bk"),
         col(idCol).as("__rid"))
     }
-    val pairsOf = (c: Column) => (c * (c - 1) / lit(2L)).cast("long")
+    // c*(c-1) is even, so a right shift is the EXACT halving — Column `/`
+    // is double division, which rounds above 2^53 implied pairs (a ~1e8
+    // block) where the DuckDB oracle's integer `//` would not
+    val pairsOf = (c: Column) => shiftright(c * (c - 1), 1)
     passes.reduce(_ unionByName _)
       .groupBy("pass", "__bk")
       .agg(count(lit(1)).as("__c"))
