@@ -95,6 +95,11 @@ object Reconcile {
     require(a.columns.sorted.sameElements(b.columns.sorted),
       "frames must share a schema; reconcile columns, not shapes")
     val payload = a.columns.filterNot(keys.contains).toSeq
+    // key-only frames have no columns whose VALUES could differ — an
+    // untyped empty explode would fail analysis opaquely; say it plainly
+    require(payload.nonEmpty,
+      "diffExamples: no payload columns beyond the keys — membership " +
+        "diffs are diffSummary's only_in_a/only_in_b")
     val types = a.schema.map(f => f.name -> f.dataType).toMap
     val fa = a.select(keys.map(col) ++
       payload.map(c => col(c).as(s"__a_$c")): _*).withColumn("__pa", lit(1))

@@ -175,6 +175,10 @@ class ReconcileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Reconcile.diffExamples(a, a, Nil)
     }
+    // key-only frames: the designed message, not an opaque analysis error
+    intercept[IllegalArgumentException] {
+      Reconcile.diffExamples(a, a, Seq("k", "s"))
+    }
   }
 
   test("diffExamples plans a WindowGroupLimit pre-limit (per-partition " +
