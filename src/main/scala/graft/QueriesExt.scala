@@ -1402,6 +1402,20 @@ object QueriesExt {
         "l_shipdate"))
       .orderBy("col_name")
 
+  /** Embedding-table checksums (x126): the reconciliation fingerprints
+    * over a VECTOR table — ARRAY columns fold their elements in order
+    * from init 1 ([[graft.operators.Reconcile]] array encoding; float
+    * components canonicalize at 6dp micro-units, where the 2dp money
+    * convention would collapse everything near zero). The check a
+    * re-embedded or replicated vector store runs before trusting a
+    * copy. The oracle replays the element fold with `list_reduce` over
+    * a prepended init.
+    */
+  def embeddingChecksumsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Reconcile.columnChecksums(t(spark, dir, "embeddings"),
+      Seq("vec_id", "embedding", "label"))
+      .orderBy("col_name")
+
   /** Exact prefix-filter similarity self-join (x115): every document
     * pair with 3-shingle-set Jaccard >= 0.7, FULL RECALL — the
     * ground-truth complement to the MinHash-LSH candidate path (x03),
@@ -3002,7 +3016,8 @@ object QueriesExt {
     "x122_grouped_quantiles" -> groupedQuantilesQ _,
     "x123_block_profile" -> blockProfileQ _,
     "x124_cross_prefix_pairs" -> crossPrefixPairsQ _,
-    "x125_rangejoin_anti_overlap" -> rangeJoinAntiOverlap _)
+    "x125_rangejoin_anti_overlap" -> rangeJoinAntiOverlap _,
+    "x126_embedding_checksums" -> embeddingChecksumsQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4719,6 +4734,31 @@ object QueriesExt {
           pm("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")),
         branch("l_returnflag", fold("l_returnflag")),
         branch("l_shipdate", pm("epoch_us(l_shipdate)")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // embedding-table checksums: the array fold replayed with
+    // list_reduce over a prepended init-1 (portable to list_reduce
+    // without an init parameter), elements at 6dp micro-units, pmod wrap
+    "x126_embedding_checksums" -> {
+      def pm(e: String) = s"((($e) % 1000003 + 1000003) % 1000003)"
+      def branch(c: String, enc: String) =
+        s"""SELECT '$c' AS col_name,
+           | CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           | CAST(COALESCE(SUM($enc), 0) AS BIGINT) AS checksum
+           |FROM embeddings""".stripMargin
+      // floor(v*1e6 + 0.5): the pure-IEEE 6dp rounding both engines
+      // compute bit-identically (decimal casts round float halves
+      // differently across engines — see Reconcile.elementEncode)
+      val arrFold =
+        s"""list_reduce(list_concat([CAST(1 AS BIGINT)],
+           |  list_transform(embedding, x ->
+           |   CASE WHEN x IS NULL THEN CAST(1000003 AS BIGINT)
+           |    ELSE ${pm("CAST(floor(CAST(x AS DOUBLE) * 1000000" +
+               " + 0.5) AS BIGINT)")} END)),
+           | (a, b) -> (a * 31 + b) % 1000003)""".stripMargin
+      Seq(branch("embedding", arrFold),
+        branch("label", pm("label")),
+        branch("vec_id", pm("vec_id")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at

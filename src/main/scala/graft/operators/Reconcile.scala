@@ -163,9 +163,51 @@ object Reconcile {
     case BooleanType => c.cast(LongType)
     case ByteType | ShortType | IntegerType | LongType =>
       pmod(c.cast(LongType), lit(M))
+    // ARRAYS (vector/embedding tables): an ORDER-DEPENDENT fold of the
+    // elements' encodings — arrays are ordered values, so [a,b] and
+    // [b,a] must fingerprint differently — from init 1, NOT 0: with a
+    // zero init, a leading NULL element (folded as the sentinel M ≡ 0)
+    // would collide with the empty array. NULL elements fold as M (no
+    // real encoding reaches M, so a null slot never collides with a
+    // value); empty arrays encode to 1; a NULL array encodes to null
+    // (skipped by sum, counted out of n_nonnull). SQL replays prepend
+    // the init: `list_reduce(list_concat([1], encs), fold)` — portable
+    // to list_reduce implementations without an init parameter.
+    // Fractional ELEMENTS canonicalize at 6dp micro-units rather than
+    // the top-level 2dp money convention: vector components live near
+    // zero, where cents would collapse everything (|v| < 1e12 enforced
+    // with the same loud guard). One nesting level only — arrays of
+    // arrays/structs have no portable one-line replay and throw like
+    // any unsupported type.
+    case ArrayType(et, _) =>
+      val enc = elementEncode(et, _)
+      aggregate(transform(c, e => enc(e)), lit(1L),
+        (acc, v) => pmod(acc * lit(31L) + coalesce(v, lit(M)), lit(M)))
     case other =>
       throw new IllegalArgumentException(
         s"no portable encoding for ${other.simpleString}")
+  }
+
+  private def elementEncode(dt: DataType, c: Column): Column = dt match {
+    case DoubleType | FloatType =>
+      // round half-toward-+inf at 6dp via floor(v*1e6 + 0.5): PURE IEEE
+      // double ops, bit-identical across engines. A decimal cast is NOT
+      // portable here: Spark converts float->decimal through the
+      // shortest decimal string while DuckDB rounds the value, and a
+      // float whose shortest form ends exactly in ...5 at 6dp (observed
+      // in the embeddings fixture: -0.1880215) rounds differently.
+      val d = c.cast(DoubleType)
+      val guarded = when(c.isNull, lit(null).cast(DoubleType))
+        .when(abs(d) < lit(1e12d), d)
+        .otherwise(raise_error(concat(
+          lit("columnChecksums: array element outside the 6dp " +
+            "canonicalization range (|v| < 1e12, finite): "),
+          c.cast(StringType))))
+      pmod(floor(guarded * lit(1e6d) + lit(0.5d)).cast(LongType), lit(M))
+    case _: ArrayType =>
+      throw new IllegalArgumentException(
+        "no portable encoding for nested arrays")
+    case other => encode(other, c)
   }
 
   /** Per-column multiset fingerprint: (col_name, n_nonnull, checksum)

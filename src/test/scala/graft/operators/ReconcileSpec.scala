@@ -134,11 +134,49 @@ class ReconcileSpec extends SparkSpec {
     assert(got == Seq(("a", "i", 2L, 3L), ("b", "i", 1L, 3L)))
   }
 
-  test("columnChecksums refuses unsupported column types") {
-    val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
+  test("columnChecksums refuses unsupported column types (maps, nested " +
+      "arrays)") {
+    val df = Seq((1L, Map("a" -> 1))).toDF("k", "m")
     intercept[IllegalArgumentException] {
-      Reconcile.columnChecksums(df, Seq("arr")).collect()
+      Reconcile.columnChecksums(df, Seq("m")).collect()
     }
+    val nested = Seq((1L, Seq(Seq(1, 2)))).toDF("k", "aa")
+    intercept[IllegalArgumentException] {
+      Reconcile.columnChecksums(nested, Seq("aa")).collect()
+    }
+  }
+
+  test("array checksums: hand-computed order-dependent fold; null " +
+      "elements fold as the M sentinel; empty vs NULL arrays differ") {
+    val M = 1000003L
+    val df = Seq(
+      (1L, Some(Seq(Some(2L), Some(3L)))),
+      (2L, Some(Seq(Some(3L), Some(2L)))), // reversed: different fold
+      (3L, Some(Seq(Option.empty[Long]))), // null ELEMENT -> sentinel M
+      (4L, Some(Seq.empty[Option[Long]])), // empty -> 0, still counted
+      (5L, Option.empty[Seq[Option[Long]]])) // NULL array -> skipped
+      .toDF("k", "arr")
+    val got = Reconcile.columnChecksums(df, Seq("arr"))
+      .as[(String, Long, Long)].collect().head
+    // fold from init 1: ((1*31 + e1)*31 + e2) % M per step
+    val f12 = ((1L * 31 + 2) * 31 + 3) % M
+    val f21 = ((1L * 31 + 3) * 31 + 2) % M
+    val fNull = (1L * 31 + M) % M // sentinel slot: 31, not the empty 1
+    val fEmpty = 1L
+    assert(got == (("arr", 4L, f12 + f21 + fNull + fEmpty)))
+    // order dependence is real, and [null] never collides with []
+    assert(f12 != f21 && fNull != fEmpty)
+  }
+
+  test("float-array checksums canonicalize elements at 6dp micro-units " +
+      "(vector components live near zero)") {
+    val M = 1000003L
+    val df = Seq((1L, Seq(0.5f, -0.000001f))).toDF("k", "emb")
+    val got = Reconcile.columnChecksums(df, Seq("emb"))
+      .as[(String, Long, Long)].collect().head
+    val e1 = 500000L % M
+    val e2 = ((-1L % M) + M) % M // pmod: negatives map non-negative
+    assert(got == (("emb", 1L, (((1L * 31 + e1) % M) * 31 + e2) % M)))
   }
 
   test("diffExamples: up to maxPerCol per differing column, smallest " +
