@@ -469,6 +469,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("SEMI/ANTI with the INTERVAL side preserved (points on the " +
+      "right): 'intervals containing >= 1 point' rewrites via the " +
+      "second orientation") {
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val want = ivs.join(points,
+          col("x") >= col("lo") && col("x") <= col("hi"), jt)
+        .select("iid").as[Long].collect().toSeq.sorted
+      withRule(7L) {
+        val df = ivs.join(points,
+          col("x") >= col("lo") && col("x") <= col("hi"), jt)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$jt: ${p.take(3000)}")
+        assert(df.queryExecution.optimizedPlan.toString.contains("__gkey"),
+          jt)
+        assert(df.select("iid").as[Long].collect().toSeq.sorted == want, jt)
+      }
+    }
+  }
+
   test("SEMI/ANTI over the interval-OVERLAP shape rewrite: exact sets, " +
       "inverted/spanning intervals handled, no nested loop") {
     val l = ((0L until 60L).map(i => (i, i * 5 - 50, i * 5 - 20)) ++
