@@ -88,6 +88,26 @@ object ObservabilityProperties
       got("s") == (("s", ss.length.toLong, ss.map(foldStr).sum))
     }
 
+  private val genArrRow: Gen[(Long, Option[List[Option[Long]]])] = for {
+    k <- Gen.choose(0L, 30L)
+    a <- Gen.option(
+      Gen.listOf(Gen.option(Gen.choose(-50L, 50L))).map(_.take(6)))
+  } yield (k, a)
+
+  property("array checksums equal a driver-side ordered fold (init 1, " +
+      "null-element sentinel, null arrays skipped)") =
+    forAll(Gen.nonEmptyListOf(genArrRow).map(_.take(30))) { rows =>
+      val df = rows.toDF("k", "arr")
+      val M = 1000003L
+      def pm(x: Long) = ((x % M) + M) % M
+      def foldArr(a: List[Option[Long]]) =
+        a.foldLeft(1L)((h, e) => pm(h * 31 + e.map(pm).getOrElse(M)))
+      val got = Reconcile.columnChecksums(df, Seq("arr"))
+        .as[(String, Long, Long)].collect().head
+      val as = rows.flatMap(_._2)
+      got == (("arr", as.length.toLong, as.map(foldArr).sum))
+    }
+
   private val genDoc: Gen[String] =
     Gen.chooseNum(3, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("red", "blue", "fox", "dog", "run",
