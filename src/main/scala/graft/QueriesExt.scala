@@ -4626,7 +4626,8 @@ object QueriesExt {
           |  (a, b) -> (a * 31 + b) % 1000003) END""".stripMargin
       Seq(enc("o_orderkey", pm("o_orderkey")),
         enc("o_totalprice",
-          pm("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+          pm("CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)" +
+            " AS BIGINT)")),
         enc("o_orderstatus", fold))
         .mkString("", "\nUNION ALL\n", "\nORDER BY month, col_name")
     },
@@ -4731,7 +4732,8 @@ object QueriesExt {
       Seq(branch("l_orderkey", pm("l_orderkey")),
         branch("l_linenumber", pm("l_linenumber")),
         branch("l_quantity",
-          pm("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+          pm("CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5)" +
+            " AS BIGINT)")),
         branch("l_returnflag", fold("l_returnflag")),
         branch("l_shipdate", pm("epoch_us(l_shipdate)")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

@@ -145,7 +145,23 @@ object Reconcile {
   private def encode(dt: DataType, c: Column): Column = dt match {
     case StringType =>
       graft.functions.expr.CodepointFoldExpr(c)
-    case DoubleType | FloatType | _: DecimalType =>
+    // binary floats canonicalize at 2dp via the pure-IEEE
+    // floor(v*100 + 0.5): a decimal CAST of a binary float is not
+    // engine-portable (Spark rounds the shortest decimal string, DuckDB
+    // the binary value — they disagree when the shortest form ends
+    // exactly in ...5 at 2dp, the same divergence x126's array elements
+    // measured at 6dp). True DECIMAL inputs below keep exact decimal
+    // arithmetic — no binary ambiguity exists there.
+    case DoubleType | FloatType =>
+      val d = c.cast(DoubleType)
+      val guarded = when(c.isNull, lit(null).cast(DoubleType))
+        .when(abs(d) < lit(1e16d), d)
+        .otherwise(raise_error(concat(
+          lit("columnChecksums: value outside the 2dp canonicalization " +
+            "range (|v| < 1e16, finite): "),
+          c.cast(StringType))))
+      pmod(floor(guarded * lit(100d) + lit(0.5d)).cast(LongType), lit(M))
+    case _: DecimalType =>
       val guarded = when(c.isNull, lit(null).cast(DecimalType(18, 2)))
         .when(abs(c.cast(DoubleType)) < lit(1e16d),
           c.cast(DecimalType(18, 2)))
