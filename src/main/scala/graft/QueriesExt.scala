@@ -1352,24 +1352,29 @@ object QueriesExt {
   }
 
   /** Reconciliation diff EXAMPLES (x121): after x111's summary names
-    * WHICH columns differ, [[graft.operators.Reconcile.diffExamples]]
-    * shows concrete rows — up to 5 per differing column, smallest
-    * rendered key first (a total, engine-replayable order), values
-    * through the profiler's engine-stable renderings. Perturbation:
-    * totalprice bumped on keys % 7, priority rewritten on keys % 23, so
-    * BOTH a numeric and a string column produce examples. Output ≤
-    * columns × 5 rows; the per-column top-5 plans with a
-    * WindowGroupLimit pre-limit.
+    * WHICH metrics differ, [[graft.operators.Reconcile.diffExamples]]
+    * shows concrete rows — up to 5 per differing column (key + both
+    * values through the profiler's engine-stable renderings) AND up to
+    * 5 example keys per membership metric (only_in_a / only_in_b,
+    * values null), smallest rendered key first (a total,
+    * engine-replayable order). Perturbation: totalprice bumped on keys
+    * % 7, priority rewritten on keys % 23, keys % 13 DROPPED
+    * (only_in_a) and negated % 11 keys ADDED (only_in_b), so every
+    * example family is populated. Output ≤ (columns + 2) × 5 rows; the
+    * per-metric top-5 plans with a WindowGroupLimit pre-limit.
     */
   def reconcileExamplesQ(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val perturbed = o
+      .filter(pmod(col("o_orderkey"), lit(13L)) =!= 0L)
       .withColumn("o_totalprice",
         when(pmod(col("o_orderkey"), lit(7L)) === 0L,
           col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
       .withColumn("o_orderpriority",
         when(pmod(col("o_orderkey"), lit(23L)) === 0L, lit("9-BOGUS"))
           .otherwise(col("o_orderpriority")))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(11L)) === 0L)
+        .withColumn("o_orderkey", -col("o_orderkey")))
     graft.operators.Reconcile.diffExamples(o, perturbed,
       Seq("o_orderkey"), maxPerCol = 5)
       .orderBy("col_name", "key_s")
@@ -4383,7 +4388,10 @@ object QueriesExt {
         |       ELSE o_totalprice END AS o_totalprice,
         |  CASE WHEN o_orderkey % 23 = 0 THEN '9-BOGUS'
         |       ELSE o_orderpriority END AS o_orderpriority
-        | FROM orders
+        | FROM orders WHERE o_orderkey % 13 <> 0
+        | UNION ALL
+        | SELECT -o_orderkey, o_totalprice, o_orderpriority
+        | FROM orders WHERE o_orderkey % 11 = 0
         |), d AS (
         | SELECT 'o_totalprice' AS col_name,
         |  CAST(a.o_orderkey AS VARCHAR) AS key_s,
@@ -4398,6 +4406,16 @@ object QueriesExt {
         |  a.o_orderpriority, b.o_orderpriority
         | FROM orders a JOIN p b USING (o_orderkey)
         | WHERE a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        | UNION ALL
+        | SELECT 'only_in_a', CAST(a.o_orderkey AS VARCHAR),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        | FROM orders a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.o_orderkey = a.o_orderkey)
+        | UNION ALL
+        | SELECT 'only_in_b', CAST(b.o_orderkey AS VARCHAR),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        | FROM p b WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders a WHERE a.o_orderkey = b.o_orderkey)
         |), r AS (
         | SELECT *, row_number() OVER (PARTITION BY col_name
         |   ORDER BY key_s) AS rn FROM d

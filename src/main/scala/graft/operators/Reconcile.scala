@@ -72,13 +72,15 @@ object Reconcile {
       .select("m.*")
   }
 
-  /** The step after [[diffSummary]] names a differing column: up to
+  /** The step after [[diffSummary]] names a differing metric: up to
     * `maxPerCol` concrete examples per payload column — the key, both
-    * values — deterministically chosen (smallest rendered key first) so
-    * reruns and engines agree. Values render through the same per-type
-    * engine-stable formats as the profiler (DECIMAL(18,2) fractionals,
-    * second-precision timestamps), so the DuckDB oracle replays them
-    * verbatim.
+    * values — PLUS up to `maxPerCol` example keys for each membership
+    * metric (`only_in_a` / `only_in_b`, values null: the row is missing
+    * on the other side), all deterministically chosen (smallest
+    * rendered key first) so reruns and engines agree. Values render
+    * through the same per-type engine-stable formats as the profiler
+    * (DECIMAL(18,2) fractionals, second-precision timestamps), so the
+    * DuckDB oracle replays them verbatim.
     *
     * Scale shape: the same single full-outer hash join as
     * [[diffSummary]]; only DIFFERING rows survive the filter
@@ -95,11 +97,6 @@ object Reconcile {
     require(a.columns.sorted.sameElements(b.columns.sorted),
       "frames must share a schema; reconcile columns, not shapes")
     val payload = a.columns.filterNot(keys.contains).toSeq
-    // key-only frames have no columns whose VALUES could differ — an
-    // untyped empty explode would fail analysis opaquely; say it plainly
-    require(payload.nonEmpty,
-      "diffExamples: no payload columns beyond the keys — membership " +
-        "diffs are diffSummary's only_in_a/only_in_b")
     val types = a.schema.map(f => f.name -> f.dataType).toMap
     val fa = a.select(keys.map(col) ++
       payload.map(c => col(c).as(s"__a_$c")): _*).withColumn("__pa", lit(1))
@@ -107,17 +104,32 @@ object Reconcile {
       payload.map(c => col(c).as(s"__b_$c")): _*).withColumn("__pb", lit(1))
     val keyS = concat_ws("|",
       keys.map(c => Profile.fmt(types(c), col(c))): _*)
-    val ex = fa.join(fb, keys, "full_outer")
-      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
-      .select(keyS.as("key_s"), explode(array(payload.map { c =>
-        struct(lit(c).as("col_name"),
-          (!(col(s"__a_$c") <=> col(s"__b_$c"))).as("differs"),
-          Profile.fmt(types(c), col(s"__a_$c")).as("a_value"),
-          Profile.fmt(types(c), col(s"__b_$c")).as("b_value"))
-      }: _*)).as("d"))
-      .filter(col("d.differs"))
-      .select(col("d.col_name").as("col_name"), col("key_s"),
-        col("d.a_value").as("a_value"), col("d.b_value").as("b_value"))
+    val j = fa.join(fb, keys, "full_outer")
+    // MEMBERSHIP examples: concrete keys behind diffSummary's
+    // only_in_a / only_in_b counts (values null — the whole row is
+    // missing on the other side), same per-metric top-N discipline.
+    // A key-only frame yields ONLY these (no columns whose values
+    // could differ).
+    def onlyEx(metric: String, absent: Column) = j.filter(absent.isNull)
+      .select(lit(metric).as("col_name"), keyS.as("key_s"),
+        lit(null).cast(StringType).as("a_value"),
+        lit(null).cast(StringType).as("b_value"))
+    val membership = onlyEx("only_in_a", col("__pb"))
+      .unionAll(onlyEx("only_in_b", col("__pa")))
+    val ex =
+      if (payload.isEmpty) membership
+      else j
+        .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+        .select(keyS.as("key_s"), explode(array(payload.map { c =>
+          struct(lit(c).as("col_name"),
+            (!(col(s"__a_$c") <=> col(s"__b_$c"))).as("differs"),
+            Profile.fmt(types(c), col(s"__a_$c")).as("a_value"),
+            Profile.fmt(types(c), col(s"__b_$c")).as("b_value"))
+        }: _*)).as("d"))
+        .filter(col("d.differs"))
+        .select(col("d.col_name").as("col_name"), col("key_s"),
+          col("d.a_value").as("a_value"), col("d.b_value").as("b_value"))
+        .unionAll(membership)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("col_name").orderBy("key_s")
     ex.withColumn("__rn", row_number().over(w))

@@ -195,16 +195,19 @@ class ReconcileSpec extends SparkSpec {
       .orderBy("col_name", "key_s")
       .as[(String, String, Option[String], Option[String])]
       .collect().toSeq
-    // d: keys 3,4,5 differ; top-2 by key string -> 3,4. s: 2,5 -> both
+    // d: keys 3,4,5 differ; top-2 by key string -> 3,4. s: 2,5 -> both.
+    // membership: key 6 exists only in b (values null — the row itself
+    // is the difference)
     assert(got == Seq(
       ("d", "3", None, Some("9.00")),
       ("d", "4", Some("4.00"), Some("4.50")),
+      ("only_in_b", "6", None, None),
       ("s", "2", Some("y"), Some("Y")),
       ("s", "5", Some("v"), Some("V"))))
   }
 
   test("diffExamples of identical frames is empty; schema/key guards " +
-      "match diffSummary's") {
+      "match diffSummary's; key-only frames yield membership examples") {
     val a = Seq((1L, "x")).toDF("k", "s")
     assert(Reconcile.diffExamples(a, a, Seq("k")).count() == 0L)
     intercept[IllegalArgumentException] {
@@ -213,10 +216,15 @@ class ReconcileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Reconcile.diffExamples(a, a, Nil)
     }
-    // key-only frames: the designed message, not an opaque analysis error
-    intercept[IllegalArgumentException] {
-      Reconcile.diffExamples(a, a, Seq("k", "s"))
-    }
+    // key-only frames: only the membership metrics can differ — and do
+    val ka = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    val kb = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    val got = Reconcile.diffExamples(ka, kb, Seq("k"))
+      .orderBy("col_name")
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(("only_in_a", "1", None, None),
+      ("only_in_b", "3", None, None)))
   }
 
   test("diffExamples plans a WindowGroupLimit pre-limit (per-partition " +
