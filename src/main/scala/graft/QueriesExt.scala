@@ -2213,6 +2213,18 @@ object QueriesExt {
     * PROVABLY lossless for substitution distance 1 (every character
     * position is outside at least one key), which
     * `EntityResolutionSpec` checks against the brute-force cross join.
+    *
+    * Runs through the budget-GUARDED path ([[graft.operators
+    * .EntityResolution.fuzzyMatchesGuarded]], round-15): pair budget
+    * 50000/block (size cap 316). At sf0.01/sf0.1 every block is under
+    * the cap (max 100/150 — measured), so the guard is a no-op and the
+    * oracle result is bit-identical to the lossless form; on the sf1
+    * soak's suffix-degenerate names (round 14: ~100M candidate pairs,
+    * 291 s, 68 GB heap from blocks UNDER the old row cap) the
+    * mega-blocks refine through the copy-suffix then leading-digit
+    * split keys and the query completes within budget — the documented
+    * recall trade at degenerate-key scale, accounted by
+    * x128's fate report, never silent quadratic cost.
     */
   def customerFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -2221,8 +2233,11 @@ object QueriesExt {
       substring(col("c_name"), -3, 3),
       concat(substring(col("c_name"), 1, 15),
         substring(col("c_name"), 17, 2)))
-    graft.operators.EntityResolution.fuzzyMatches(
-      c, "c_name", "c_custkey", keys, maxDistance = 1)
+    graft.operators.EntityResolution.fuzzyMatchesGuarded(
+      c, "c_name", "c_custkey", keys,
+      splitKeys = Seq(substring(col("c_name"), -2, 2),
+        substring(col("c_name"), 10, 6)),
+      maxDistance = 1, maxBlockPairs = 50000L)
       .orderBy("id_a", "id_b")
   }
 
@@ -2245,6 +2260,84 @@ object QueriesExt {
     graft.operators.EntityResolution.blockProfile(
       c, "c_custkey", keys, maxBlock = 2000)
       .orderBy("pass")
+  }
+
+  /** Budget-guarded blocked fuzzy matching (x127): the enforcement
+    * counterpart of x123's pre-flight report
+    * ([[graft.operators.EntityResolution.fuzzyMatchesGuarded]]). The
+    * blocking key is DELIBERATELY degenerate — a 10-char prefix that is
+    * one corpus-wide mega-block — the shape the round-14 sf1 soak showed
+    * sliding UNDER a row cap while implying ~100M pairs. The pair budget
+    * (190 → size cap 20) refuses it: the block refines through two split
+    * keys (chars 15-16, then 17) until every finalized block implies
+    * <= 190 pairs, and matching proceeds inside those. The oracle
+    * unrolls the same windowed-count refinement cascade.
+    */
+  def guardedFuzzyQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    graft.operators.EntityResolution.fuzzyMatchesGuarded(
+      c, "c_name", "c_custkey",
+      blockKeys = Seq(substring(col("c_name"), 1, 10)),
+      splitKeys = Seq(substring(col("c_name"), 15, 2),
+        substring(col("c_name"), 17, 1)),
+      maxDistance = 1, maxBlockPairs = 190L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Guard split/drop accounting (x128): per (pass, level, fate) — the
+    * loud half of the budget contract
+    * ([[graft.operators.EntityResolution.guardedBlockAccounting]]).
+    * Pass 0 (suffix-3) finalizes whole at level 0; pass 1 (the
+    * degenerate prefix-10) splits once, its sub-blocks still exceed the
+    * budget after the single split key, and the accounting reports them
+    * DROPPED — 15 blocks, 1500 rows, 74250 implied pairs the budget
+    * refused to pay — instead of silently expanding them.
+    */
+  def guardAccountingQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    graft.operators.EntityResolution.guardedBlockAccounting(
+      c, "c_custkey",
+      blockKeys = Seq(substring(col("c_name"), -3, 3),
+        substring(col("c_name"), 1, 10)),
+      splitKeys = Seq(substring(col("c_name"), 15, 2)),
+      maxBlockPairs = 190L)
+      .orderBy("pass", "level", "fate")
+  }
+
+  /** Non-positional q-gram blocking recall law (x129): the round-14
+    * soak showed a single positional key collapsing on realistic name
+    * distributions, so [[graft.operators.EntityResolution.qgramKeys]]
+    * blocks on character 4-grams instead — each record enters one block
+    * per distinct gram — under the pair budget (5995 → cap 110), which
+    * splits or drops the universal stop-gram blocks. One row:
+    * `n_lossless` (the provably-total x74 key-set baseline), `n_qgram`
+    * (what the guarded q-gram path finds), `n_missed` (the difference —
+    * every q-gram match passes the same exact distance filter, so the
+    * found set is a SUBSET of the baseline and the three counts satisfy
+    * n_lossless = n_qgram + n_missed, the recall law the spec pins).
+    */
+  def qgramRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val keys74 = Seq(
+      substring(col("c_name"), 1, 16),
+      substring(col("c_name"), -3, 3),
+      concat(substring(col("c_name"), 1, 15),
+        substring(col("c_name"), 17, 2)))
+    val lossless = graft.operators.EntityResolution.fuzzyMatches(
+      c, "c_name", "c_custkey", keys74, maxDistance = 1)
+      .select("id_a", "id_b")
+    val qg = graft.operators.EntityResolution.fuzzyMatchesGuarded(
+      c, "c_name", "c_custkey",
+      blockKeys = Seq(
+        graft.operators.EntityResolution.qgramKeys(col("c_name"), 4)),
+      splitKeys = Seq(substring(col("c_name"), 15, 2),
+        substring(col("c_name"), 17, 1)),
+      maxDistance = 1, maxBlockPairs = 5995L)
+      .select("id_a", "id_b")
+    val missed = lossless.join(qg, Seq("id_a", "id_b"), "left_anti")
+    lossless.agg(count(lit(1)).as("n_lossless"))
+      .crossJoin(qg.agg(count(lit(1)).as("n_qgram")))
+      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
   }
 
   /** Exact cross-corpus similarity join (x124): every (corpus, ref)
@@ -3022,7 +3115,10 @@ object QueriesExt {
     "x123_block_profile" -> blockProfileQ _,
     "x124_cross_prefix_pairs" -> crossPrefixPairsQ _,
     "x125_rangejoin_anti_overlap" -> rangeJoinAntiOverlap _,
-    "x126_embedding_checksums" -> embeddingChecksumsQ _)
+    "x126_embedding_checksums" -> embeddingChecksumsQ _,
+    "x127_guarded_fuzzy" -> guardedFuzzyQ _,
+    "x128_guard_accounting" -> guardAccountingQ _,
+    "x129_qgram_recall" -> qgramRecallQ _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4781,6 +4877,126 @@ object QueriesExt {
         branch("vec_id", pm("vec_id")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // budget-guarded blocking: the windowed-count refinement cascade
+    // unrolled level by level (chr(1)/chr(2) mirror the engine's
+    // key-sep / null-split sentinels), pairs within finalized blocks
+    "x127_guarded_fuzzy" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+        |b0 AS (SELECT CAST(0 AS BIGINT) AS pass, substr(n,1,10) AS bk,
+        |        id, coalesce(substr(n,15,2), chr(2)) AS s0,
+        |        coalesce(substr(n,17,1), chr(2)) AS s1
+        |       FROM c WHERE substr(n,1,10) IS NOT NULL),
+        |c0 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b0),
+        |k0 AS (SELECT pass, CAST(0 AS BIGINT) AS lvl, bk, id FROM c0
+        |       WHERE cnt <= 20),
+        |b1 AS (SELECT pass, bk || chr(1) || s0 AS bk, id, s1 FROM c0
+        |       WHERE cnt > 20),
+        |c1 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b1),
+        |k1 AS (SELECT pass, CAST(1 AS BIGINT) AS lvl, bk, id FROM c1
+        |       WHERE cnt <= 20),
+        |b2 AS (SELECT pass, bk || chr(1) || s1 AS bk, id FROM c1
+        |       WHERE cnt > 20),
+        |c2 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b2),
+        |k2 AS (SELECT pass, CAST(2 AS BIGINT) AS lvl, bk, id FROM c2
+        |       WHERE cnt <= 20),
+        |kept AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |         UNION ALL SELECT * FROM k2),
+        |pr AS (SELECT DISTINCT least(a.id,b.id) AS ia,
+        |        greatest(a.id,b.id) AS ib
+        |       FROM kept a JOIN kept b ON a.pass=b.pass AND a.lvl=b.lvl
+        |        AND a.bk=b.bk AND a.id<b.id)
+        |SELECT ia AS id_a, ib AS id_b, ca.n AS name_a, cb.n AS name_b,
+        | CAST(levenshtein(ca.n, cb.n) AS BIGINT) AS distance
+        |FROM pr JOIN c ca ON ca.id=ia JOIN c cb ON cb.id=ib
+        |WHERE levenshtein(ca.n, cb.n) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // guard accounting: same cascade, every row labeled with the level
+    // and fate at which its block finalized, then block/pair rollup
+    "x128_guard_accounting" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+        |b0 AS (
+        | SELECT CAST(0 AS BIGINT) AS pass, substr(n, length(n)-2, 3)
+        |   AS bk, id, coalesce(substr(n,15,2), chr(2)) AS s0 FROM c
+        | UNION ALL
+        | SELECT CAST(1 AS BIGINT), substr(n,1,10), id,
+        |   coalesce(substr(n,15,2), chr(2)) FROM c
+        |),
+        |b0n AS (SELECT * FROM b0 WHERE bk IS NOT NULL),
+        |c0 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b0n),
+        |f0 AS (SELECT pass, CAST(0 AS BIGINT) AS lvl, 'kept' AS fate,
+        |        bk, id FROM c0 WHERE cnt <= 20),
+        |b1 AS (SELECT pass, bk || chr(1) || s0 AS bk, id FROM c0
+        |       WHERE cnt > 20),
+        |c1 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b1),
+        |f1 AS (SELECT pass, CAST(1 AS BIGINT) AS lvl,
+        |        CASE WHEN cnt <= 20 THEN 'kept' ELSE 'dropped' END
+        |          AS fate, bk, id FROM c1),
+        |allr AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1),
+        |g AS (SELECT pass, lvl, fate, bk, CAST(COUNT(*) AS BIGINT) AS c2
+        |      FROM allr GROUP BY 1,2,3,4)
+        |SELECT pass, lvl AS level, fate,
+        | CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        | CAST(SUM(c2) AS BIGINT) AS n_rows,
+        | CAST(MAX(c2) AS BIGINT) AS max_block,
+        | CAST(SUM(c2*(c2-1)//2) AS BIGINT) AS n_pairs
+        |FROM g GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // q-gram recall law: guarded q-gram-blocked matches vs the provably
+    // total x74 key-set baseline; the found set is a subset, so
+    // n_lossless = n_qgram + n_missed
+    "x129_qgram_recall" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+        |lb AS (
+        | SELECT 0 AS pass, substr(n, 1, 16) AS bk, id FROM c
+        | UNION ALL SELECT 1, substr(n, length(n)-2, 3), id FROM c
+        | UNION ALL SELECT 2, substr(n, 1, 15) || substr(n, 17, 2), id
+        |  FROM c
+        |),
+        |lpr AS (SELECT DISTINCT least(a.id,b2.id) AS ia,
+        |         greatest(a.id,b2.id) AS ib
+        |        FROM lb a JOIN lb b2 ON a.pass=b2.pass AND a.bk=b2.bk
+        |         AND a.id < b2.id),
+        |lossless AS (SELECT ia, ib FROM lpr
+        |             JOIN c ca ON ca.id=ia JOIN c cb ON cb.id=ib
+        |             WHERE levenshtein(ca.n, cb.n) <= 1),
+        |qb AS (SELECT CAST(0 AS BIGINT) AS pass,
+        |        unnest(list_distinct([substr(n, g, 4)
+        |          for g in range(1, greatest(length(n)-3,1)+1)])) AS bk,
+        |        id, coalesce(substr(n,15,2), chr(2)) AS s0,
+        |        coalesce(substr(n,17,1), chr(2)) AS s1
+        |       FROM c),
+        |qbn AS (SELECT * FROM qb WHERE bk IS NOT NULL),
+        |c0 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM qbn),
+        |k0 AS (SELECT pass, 0 AS lvl, bk, id FROM c0 WHERE cnt <= 110),
+        |b1 AS (SELECT pass, bk || chr(1) || s0 AS bk, id, s1 FROM c0
+        |       WHERE cnt > 110),
+        |c1 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b1),
+        |k1 AS (SELECT pass, 1 AS lvl, bk, id FROM c1 WHERE cnt <= 110),
+        |b2 AS (SELECT pass, bk || chr(1) || s1 AS bk, id FROM c1
+        |       WHERE cnt > 110),
+        |c2 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b2),
+        |k2 AS (SELECT pass, 2 AS lvl, bk, id FROM c2 WHERE cnt <= 110),
+        |kept AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |         UNION ALL SELECT * FROM k2),
+        |qpr AS (SELECT DISTINCT least(a.id,b.id) AS ia,
+        |         greatest(a.id,b.id) AS ib
+        |        FROM kept a JOIN kept b ON a.pass=b.pass AND a.lvl=b.lvl
+        |         AND a.bk=b.bk AND a.id<b.id),
+        |qgram AS (SELECT ia, ib FROM qpr
+        |          JOIN c ca ON ca.id=ia JOIN c cb ON cb.id=ib
+        |          WHERE levenshtein(ca.n, cb.n) <= 1),
+        |missed AS (SELECT * FROM lossless EXCEPT SELECT * FROM qgram)
+        |SELECT
+        | CAST((SELECT COUNT(*) FROM lossless) AS BIGINT) AS n_lossless,
+        | CAST((SELECT COUNT(*) FROM qgram) AS BIGINT) AS n_qgram,
+        | CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed""".stripMargin,
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at
     // rank p*(n-1) — verified bit-identical, full-double comparison;
     // DuckDB's parallel unnest zips the p-list with the quantile array

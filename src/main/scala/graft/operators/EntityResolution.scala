@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
 /** Blocked pairwise fuzzy matching — the entity-resolution core
   * (Fellegi-Sunter shape: blocking for candidate generation, a string
@@ -83,6 +84,196 @@ object EntityResolution {
           .as("n_blocks_over_cap"),
         sum(when(col("__c") > maxBlock, pairsOf(col("__c")))
           .otherwise(0L)).as("n_pairs_dropped"))
+  }
+
+  /** Largest block size whose implied pair cost `c(c-1)/2` fits within
+    * `maxBlockPairs` — the budget→cap mapping of the guarded blocking
+    * path. Closed-form sqrt with integer fix-up at the boundary (the
+    * double root can land one off for budgets near 2^52).
+    */
+  private[operators] def sizeCapFor(maxBlockPairs: Long): Long = {
+    require(maxBlockPairs >= 1, "maxBlockPairs must be >= 1")
+    var t = math.max(1L,
+      ((1.0 + math.sqrt(1.0 + 8.0 * maxBlockPairs.toDouble)) / 2.0).toLong)
+    while (t > 1 && t * (t - 1) / 2 > maxBlockPairs) t -= 1
+    while ((t + 1) * t / 2 <= maxBlockPairs) t += 1
+    t
+  }
+
+  // refinement-key separators: u0001 between key and split value,
+  // u0002 for a NULL split value — both outside every realistic key
+  // alphabet, so a refined key can never collide with a sibling
+  private val KeySep = "\u0001"
+  private val NullSplit = "\u0002"
+
+  /** The multi-pass blocked stream `(__pass, __bk, __rid, __s0..__sN)`
+    * with the split-key values materialized ONCE at the source — the
+    * refinement levels below never look back at the input columns, so
+    * the stream they shuffle is (pass, key, id, a few short split
+    * strings), never names. An ARRAY-typed blocking key (e.g.
+    * [[qgramKeys]]) explodes — the record enters one block per element.
+    * A NULL blocking key blocks nothing (dropped here): Spark's groupBy
+    * would pool NULL keys into one block, silently diverging from the
+    * SQL self-join replay where `NULL = NULL` never matches.
+    */
+  private def blockedBase(df: DataFrame, idCol: String,
+      blockKeys: Seq[Column], splitKeys: Seq[Column]): DataFrame = {
+    val splitNames = splitKeys.indices.map(i => s"__s$i")
+    val splitCols = splitKeys.zip(splitNames).map { case (s, n) =>
+      coalesce(s.cast("string"), lit(NullSplit)).as(n)
+    }
+    val passes = blockKeys.zipWithIndex.map { case (k, i) =>
+      val keyed = df.select(
+        (Seq(col(idCol).as("__rid"), k.as("__k0")) ++ splitCols): _*)
+      val isArray = keyed.schema("__k0").dataType.isInstanceOf[ArrayType]
+      val bk =
+        if (isArray) explode(array_distinct(col("__k0")).cast("array<string>"))
+        else col("__k0").cast("string")
+      keyed.select(
+        (Seq(lit(i.toLong).as("__pass"), bk.as("__bk"), col("__rid")) ++
+          splitNames.map(col)): _*)
+    }
+    passes.reduce(_ unionByName _).filter(col("__bk").isNotNull)
+  }
+
+  /** Budget-guarded blocking refinement — the enforcement half of
+    * [[blockProfile]]. Motivated by a measured failure (round-14 sf1
+    * soak): quadratic pair cost hides BELOW a fixed `maxBlock` row cap —
+    * ~1500-member blocks, each under the 2000 default, implied ~100M
+    * candidate pairs (291 s, 68 GB heap). A row cap bounds task memory
+    * but not total cost; this path bounds BOTH, per block, by a pair
+    * budget: every finalized block satisfies `c(c-1)/2 <= maxBlockPairs`
+    * ([[sizeCapFor]] derives the size cap), so total candidate cost is
+    * `<= n_final_blocks * maxBlockPairs` and no task ever buffers more
+    * than cap ids.
+    *
+    * Level L=0..splitKeys.length: blocks within budget finalize; blocks
+    * over it refine their key with `splitKeys(L)` and try again; blocks
+    * still over budget after the last split key DROP — loudly, the
+    * accounting ([[guardedBlockAccounting]]) reports every
+    * (pass, level, fate) cohort. Deterministic and SQL-replayable: the
+    * oracle unrolls the same windowed-count cascade.
+    *
+    * Scale shape: each level is one (pass, key) count aggregation plus a
+    * key-equi join back — the stream carries ids and short split
+    * strings, never payload columns. The level plan references its
+    * predecessor twice (rows + sizes), so the cheap source projection is
+    * re-scanned O(2^levels) times: `splitKeys` is meant to be SHORT
+    * (require <= 4) — two well-chosen splits subdivide any realistic
+    * degenerate key.
+    *
+    * Returns `(__pass, __level, __fate, __bk, __rid)` with fate in
+    * {kept, dropped}; pairs expand within (__pass, __level, __bk).
+    */
+  private def refineBlocks(df: DataFrame, idCol: String,
+      blockKeys: Seq[Column], splitKeys: Seq[Column],
+      cap: Long): DataFrame = {
+    require(splitKeys.length <= 4,
+      "splitKeys is a short refinement chain (<= 4): each level doubles " +
+        "the re-scan count of the blocked source projection")
+    val levels = splitKeys.length
+    var cur = blockedBase(df, idCol, blockKeys, splitKeys)
+    val out = Seq.newBuilder[DataFrame]
+    for (lvl <- 0 to levels) {
+      val sizes = cur.groupBy("__pass", "__bk")
+        .agg(count(lit(1)).as("__c"))
+      val joined = cur.join(sizes, Seq("__pass", "__bk"))
+      if (lvl < levels) {
+        out += joined.filter(col("__c") <= cap)
+          .select(col("__pass"), lit(lvl.toLong).as("__level"),
+            lit("kept").as("__fate"), col("__bk"), col("__rid"))
+        cur = joined.filter(col("__c") > cap)
+          .withColumn("__bk",
+            concat(col("__bk"), lit(KeySep), col(s"__s$lvl")))
+          .drop("__c")
+      } else {
+        out += joined.select(col("__pass"), lit(lvl.toLong).as("__level"),
+          when(col("__c") <= cap, lit("kept")).otherwise(lit("dropped"))
+            .as("__fate"),
+          col("__bk"), col("__rid"))
+      }
+    }
+    out.result().reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs under an enforced per-block pair budget — see
+    * [[refineBlocks]] for the split/drop contract. Pairs expand only
+    * within finalized kept blocks (every one provably implies
+    * `<= maxBlockPairs` pairs), deduped across passes and levels.
+    */
+  def guardedCandidatePairs(df: DataFrame, idCol: String,
+      blockKeys: Seq[Column], splitKeys: Seq[Column],
+      maxBlockPairs: Long = 50000L): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val cap = sizeCapFor(maxBlockPairs)
+    require(cap <= Int.MaxValue, "pair budget implies a block cap beyond Int")
+    val kept = refineBlocks(df, idCol, blockKeys, splitKeys, cap)
+      .filter(col("__fate") === "kept")
+    Dedup.bucketPairs(kept, Seq("__pass", "__level", "__bk"), col("__rid"),
+        cap.toInt)
+      .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Split/drop accounting for [[guardedCandidatePairs]]: per
+    * (pass, level, fate) — block count, row count, largest block, and
+    * implied pair cost. The quadratic cost is COMPUTED, never performed;
+    * `fate = dropped` rows are the blocks the budget refused after the
+    * last split key, made loud instead of silently expensive.
+    */
+  def guardedBlockAccounting(df: DataFrame, idCol: String,
+      blockKeys: Seq[Column], splitKeys: Seq[Column],
+      maxBlockPairs: Long = 50000L): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val cap = sizeCapFor(maxBlockPairs)
+    val pairsOf = (c: Column) => shiftright(c * (c - 1), 1)
+    refineBlocks(df, idCol, blockKeys, splitKeys, cap)
+      .groupBy("__pass", "__level", "__fate", "__bk")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__pass").as("pass"), col("__level").as("level"),
+        col("__fate").as("fate"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_block"),
+        sum(pairsOf(col("__c"))).as("n_pairs"))
+  }
+
+  /** Distinct character q-grams of `c` as an ARRAY blocking key for
+    * [[guardedCandidatePairs]]: the record enters one block per q-gram.
+    * Non-positional, so it survives the name distributions that collapse
+    * a single positional key (round-14 soak: suffix-3 on realistic
+    * names) — two strings within one edit share every q-gram the edit
+    * does not touch. The flip side is the stop-gram problem: a q-gram
+    * common to the whole corpus is a universal block, which is exactly
+    * what the pair budget splits or drops.
+    */
+  def qgramKeys(c: Column, q: Int): Column = {
+    require(q >= 1, "q must be >= 1")
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (q - 1), lit(1))),
+      i => c.substr(i, lit(q))))
+  }
+
+  /** [[fuzzyMatches]] with candidates from the budget-guarded path —
+    * same verification (exact Levenshtein <= maxDistance), bounded
+    * candidate cost. Use when a blocking key may be degenerate on the
+    * real data distribution.
+    */
+  def fuzzyMatchesGuarded(df: DataFrame, nameCol: String, idCol: String,
+      blockKeys: Seq[Column], splitKeys: Seq[Column],
+      maxDistance: Int = 1, maxBlockPairs: Long = 50000L): DataFrame = {
+    require(maxDistance >= 0, "maxDistance must be >= 0")
+    val names = df.select(col(idCol), col(nameCol))
+    guardedCandidatePairs(df, idCol, blockKeys, splitKeys, maxBlockPairs)
+      .join(names.select(col(idCol).as("id_a"),
+        col(nameCol).as("name_a")), Seq("id_a"))
+      .join(names.select(col(idCol).as("id_b"),
+        col(nameCol).as("name_b")), Seq("id_b"))
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("distance"))
   }
 
   /** Matched pairs `(id_a, id_b, name_a, name_b, distance)` with
