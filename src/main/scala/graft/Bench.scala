@@ -41,6 +41,10 @@ object Bench {
       // Unicode code point through ICU BreakIterators -- observed wedging a
       // whole executor for 400+ CPU-seconds on first non-ASCII lower()
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // reclaim each reliable checkpoint (QueriesExt.checkpointed) when its
+      // consuming frame is GC'd -- context-creation conf, so it must sit in
+      // every builder, not in the wrapper
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // testdata files are single-digit-MB parquet: with the 128MB default
       // split size every scan is ONE task no matter how many cores exist.
       // 2MB splits give the small files real scan parallelism; on a cluster

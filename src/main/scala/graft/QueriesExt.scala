@@ -29,10 +29,32 @@ object QueriesExt {
     * empty, so the smoke suite's cache-hygiene rule stays enforceable.
     * Corpus- or pair-stream-proportional `collect()` in a query wrapper is
     * banned (CollectHygieneSpec); this is the sanctioned replacement.
+    *
+    * Lifecycle: checkpoint data is reclaimed PER QUERY, not per session —
+    * every graft session builder sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * SparkContext-creation conf), so the ContextCleaner deletes each
+    * checkpoint's `rdd-*` directory once the consuming frame is
+    * garbage-collected; a long-lived 100 TB session no longer accumulates
+    * pair-stream-sized files until restart (`CheckpointHygieneSpec`
+    * asserts the dir is non-growing across repeated wrapper runs). The
+    * shutdown hook on the temp fallback below remains as the final sweep
+    * for frames still referenced at exit.
+    *
+    * The driver-local temp fallback is LOCAL-MASTER ONLY: on a cluster,
+    * executors would write `file:` paths on their own disks where the
+    * reads then fail — a multi-executor deployment must set an explicit
+    * shared checkpoint dir (HDFS/S3) before calling any wrapper that
+    * freezes, and this fails loudly if it hasn't.
     */
   private[graft] def checkpointed(spark: SparkSession, df: DataFrame)
       : DataFrame = {
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      require(spark.sparkContext.isLocal,
+        "no checkpoint dir set and master is not local: reliable " +
+          "checkpoints need shared storage on a cluster — call " +
+          "sc.setCheckpointDir(<hdfs/s3 path>) before queries that " +
+          "freeze intermediate results")
       val d = java.nio.file.Files.createTempDirectory("graft-ckpt")
       sys.addShutdownHook {
         org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()

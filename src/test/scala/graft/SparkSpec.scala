@@ -19,6 +19,10 @@ object SparkSpec {
       // Unicode code point through ICU BreakIterators -- observed wedging a
       // whole executor for 400+ CPU-seconds on first non-ASCII lower()
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // reclaim each reliable checkpoint (QueriesExt.checkpointed) when its
+      // consuming frame is GC'd -- context-creation conf, so it must sit in
+      // every builder, not in the wrapper
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
