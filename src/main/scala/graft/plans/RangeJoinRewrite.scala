@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   *    interval side itself (p75 interval length via one bounded
   *    approxQuantile job, the [[graft.operators.RangeJoin
   *    .bucketWidthFor]] policy), caches it per (plan, bounds) shape, and
-  *    echoes it to `spark.graft.rangeJoin.derivedBinSize` for
-  *    observability;
+  *    records it per query to [[RangeJoinRewrite.derivedWidths]] /
+  *    [[RangeJoinRewrite.lastDerivedWidth]] plus a log line (see
+  *    `deriveWidth`);
   *  - `spark.graft.rangeJoin.maxSpanBuckets` (int, default 256): spans
   *    beyond this route to the salted long-tail rendezvous (same exact
   *    guard as the operator — see RangeJoin's scaladoc);
@@ -89,7 +90,6 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val BinSizeKey = "spark.graft.rangeJoin.binSize"
   private val MaxSpanKey = "spark.graft.rangeJoin.maxSpanBuckets"
-  private val DerivedKey = "spark.graft.rangeJoin.derivedBinSize"
   private val SmallSideKey = "spark.graft.rangeJoin.smallSideBytes"
 
   private def keyType = StructType(Seq(
@@ -185,11 +185,6 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         val w = try raw.toLong catch { case _: NumberFormatException => 0L }
         if (w <= 0) return plan
-        // explicit width: clear any stale auto-echo so an observer never
-        // reads a previous query's derived width as if it applied here.
-        // (In auto mode with several rewritten joins the echo is
-        // last-write-wins — an observability signal, not a registry.)
-        spark.conf.unset(DerivedKey)
         Some(w)
       }
     val cap =
@@ -224,18 +219,24 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * optimization cannot re-enter this join), and failure of any kind
     * just declines the rewrite.
     *
-    * Two auto-mode caveats, both by design:
-    *  - the `derivedBinSize` echo is session conf, so CONCURRENT queries
-    *    on one session race it (last write wins). It is an observability
-    *    signal only — never read back by the rule (the memo below is the
-    *    actual registry), so a clobbered echo can mislead an observer but
-    *    never a plan. Per-query attribution needs the log line / the
-    *    plan itself, not the conf.
-    *  - the derivation EXECUTES the interval subplan once more than the
-    *    query does (the quantile job), so an expensive uncached interval
-    *    frame pays twice. The memo de-dupes repeats of the same shape;
-    *    for a derived interval side, persist it (or set an explicit
-    *    width) to avoid the second pass.
+    * Observability is PER QUERY, not session conf (the former
+    * `derivedBinSize` conf echo raced under concurrent queries —
+    * retired round 15): every derivation (memo hit or miss) records to
+    * [[RangeJoinRewrite.derivedWidths]] keyed by the interval shape's
+    * semantic hash, sets the calling THREAD's
+    * [[RangeJoinRewrite.lastDerivedWidth]] (a query optimizes on the
+    * thread that triggers its planning, so concurrent sessions/threads
+    * cannot clobber each other's view), and emits one log line carrying
+    * the shape hash and the width.
+    *
+    * Remaining auto-mode caveat, by design: the derivation EXECUTES the
+    * interval subplan once more than the query does (the quantile job),
+    * so an expensive UNCACHED interval frame pays one extra pass. The
+    * memo de-dupes repeats of the same shape, and a PERSISTED interval
+    * side is free (the cache manager substitutes the InMemoryRelation
+    * into the derivation's projection too, since it matches by
+    * canonicalized subplan); for a derived interval side, persist it or
+    * set an explicit width.
     */
   private def deriveWidth(ivs: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] =
@@ -256,7 +257,14 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         widthMemo.put(memoKey, derived)
         derived
       }
-      spark.conf.set(DerivedKey, w.toString)
+      // per-query attribution: shape-keyed registry + this thread's view
+      // + one log line — recorded on memo HITS too, so a repeated query
+      // still attributes its width
+      val shapeHash = memoKey._1.semanticHash() * 31 +
+        memoKey._2.semanticHash() * 7 + memoKey._3.semanticHash()
+      RangeJoinRewrite.recordDerived(shapeHash, w)
+      logInfo(s"rangeJoin binSize=auto: width=$w " +
+        s"intervalShapeHash=$shapeHash")
       Some(w)
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -649,4 +657,46 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }).orElse(overlapArm(identity))
     }
   }
+}
+
+/** Per-query observability for binSize=auto derivations. The former
+  * session-conf echo (`spark.graft.rangeJoin.derivedBinSize`) was
+  * last-write-wins under concurrent queries; these signals are not:
+  *
+  *  - [[derivedWidths]]: bounded registry keyed by the interval shape's
+  *    semantic hash (the same (plan, lo, hi) canonical triple the width
+  *    memo keys on), so distinct concurrent queries land on distinct
+  *    keys;
+  *  - [[lastDerivedWidth]]: THREAD-local — a query plans on the thread
+  *    that triggers its execution, so each caller reads its own last
+  *    derivation regardless of what other sessions/threads derive
+  *    concurrently (with several auto-rewritten joins in ONE query this
+  *    is the last of them; use the registry/log for the full set);
+  *  - the `rangeJoin binSize=auto` log line carries both.
+  *
+  * Observability only — never read back by the rule; a stale entry can
+  * mislead an observer, never a plan.
+  */
+object RangeJoinRewrite {
+  private val widths =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private val last = new ThreadLocal[Option[Long]] {
+    override def initialValue: Option[Long] = None
+  }
+
+  private[plans] def recordDerived(shapeHash: Int, w: Long): Unit = {
+    if (widths.size > 100) widths.clear()
+    widths.put(shapeHash, w)
+    last.set(Some(w))
+  }
+
+  /** Derived widths by interval-shape semantic hash (bounded, 100). */
+  def derivedWidths: Map[Int, Long] = {
+    val b = Map.newBuilder[Int, Long]
+    widths.forEach((k, v) => b += (k -> v.longValue))
+    b.result()
+  }
+
+  /** The calling thread's most recent auto-derived width, if any. */
+  def lastDerivedWidth: Option[Long] = last.get()
 }

@@ -31,7 +31,6 @@ class RangeJoinRewriteSpec extends SparkSpec {
     try f finally {
       spark.experimental.extraOptimizations = prev
       spark.conf.unset("spark.graft.rangeJoin.binSize")
-      spark.conf.unset("spark.graft.rangeJoin.derivedBinSize")
       spark.conf.unset("spark.graft.rangeJoin.smallSideBytes")
     }
   }
@@ -194,7 +193,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
   }
 
   test("binSize=auto derives the width from the interval side (p75 " +
-      "span), pins it to derivedBinSize, and stays exact") {
+      "span), attributes it per thread, and stays exact") {
     val want = naive
     withRuleConf("auto") {
       val df = points.join(ivs,
@@ -204,8 +203,9 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(df.select("pid", "iid")
         .as[(Long, Long)].collect().toSeq.sorted == want)
       // every finite interval in `ivs` has span exactly 40; the one
-      // axis-spanning outlier sits above p75 — the derived width is 40
-      assert(spark.conf.get("spark.graft.rangeJoin.derivedBinSize") == "40")
+      // axis-spanning outlier sits above p75 — the derived width is 40,
+      // attributed to THIS thread (the query planned here)
+      assert(RangeJoinRewrite.lastDerivedWidth.contains(40L))
     }
   }
 
@@ -314,9 +314,11 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val p = joined.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    // ±2h windows: every span is exactly 4h of micros, so p75 == 4h
-    assert(child.conf.get("spark.graft.rangeJoin.derivedBinSize") ==
-      (4L * 3600L * 1000000L).toString)
+    // ±2h windows: every span is exactly 4h of micros, so p75 == 4h —
+    // read through the per-thread attribution (the plan above was forced
+    // on this thread)
+    assert(RangeJoinRewrite.lastDerivedWidth
+      .contains(4L * 3600L * 1000000L))
     // and the parent session carries none of the child's optimizer state
     assert(!spark.experimental.extraOptimizations
       .exists(_.isInstanceOf[RangeJoinRewrite]))
@@ -368,7 +370,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(child.conf.get("spark.graft.rangeJoin.derivedBinSize") == "9")
+    assert(RangeJoinRewrite.lastDerivedWidth.contains(9L))
   }
 
   // rule installed, binSize set, but the stats guard left at (or given)
@@ -384,7 +386,6 @@ class RangeJoinRewriteSpec extends SparkSpec {
     try f finally {
       spark.experimental.extraOptimizations = prev
       spark.conf.unset("spark.graft.rangeJoin.binSize")
-      spark.conf.unset("spark.graft.rangeJoin.derivedBinSize")
       spark.conf.unset("spark.graft.rangeJoin.smallSideBytes")
     }
   }
@@ -643,5 +644,38 @@ class RangeJoinRewriteSpec extends SparkSpec {
         col("x") >= col("lo") && col("x") <= col("hi"))
       .queryExecution.optimizedPlan.toString
     assert(!p2.contains("__gkey"), p2.take(3000))
+  }
+
+  test("concurrent auto derivations attribute per thread and per shape " +
+      "— the retired session-conf echo's clobber scenario") {
+    // ONE session, two queries with different interval shapes, planned
+    // on two threads at once: each thread must read its OWN derived
+    // width, and the shape-keyed registry must hold both
+    val ivs17 = (0L until 40L).map(i => (i, i * 40, i * 40 + 17))
+      .toDF("iid", "lo", "hi")
+    val ivs23 = (0L until 40L).map(i => (i, i * 40, i * 40 + 23))
+      .toDF("iid", "lo", "hi")
+    withRuleConf("auto") {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      try {
+        def derive(iv: org.apache.spark.sql.DataFrame)
+            : java.util.concurrent.Future[Option[Long]] =
+          pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+            override def call(): Option[Long] = {
+              gate.countDown(); gate.await() // both threads plan together
+              val df = points.join(iv,
+                col("x") >= col("lo") && col("x") <= col("hi"))
+              df.queryExecution.executedPlan // forces optimization HERE
+              RangeJoinRewrite.lastDerivedWidth
+            }
+          })
+        val (w17, w23) = (derive(ivs17), derive(ivs23))
+        assert(w17.get().contains(17L))
+        assert(w23.get().contains(23L))
+        assert(Set(17L, 23L).subsetOf(
+          RangeJoinRewrite.derivedWidths.values.toSet))
+      } finally pool.shutdown()
+    }
   }
 }
