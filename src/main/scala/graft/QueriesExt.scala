@@ -1233,7 +1233,11 @@ object QueriesExt {
     * UNSCALED long view of the decimal (a scale-2 price in cents), so
     * `binSize` here is in cents: 100000 = the $1000 band span. Revenue
     * follows the cross-engine money contract; band starts are exact
-    * multiples of $5000, so their double rendering is exact.
+    * multiples of $5000, so their double rendering is exact. The DOUBLE
+    * source price canonicalizes to cents via the pure-IEEE
+    * `floor(v*100 + 0.5)` BEFORE becoming a decimal (both engines,
+    * round 15): banding then never depends on cross-engine
+    * float->decimal half-rounding agreement, whatever the data.
     */
   def rangeJoinDecimalFrame(spark: SparkSession, dir: String)
       : (SparkSession, DataFrame) = {
@@ -1244,9 +1248,17 @@ object QueriesExt {
     child.conf.set("spark.graft.rangeJoin.binSize", "100000") // cents
     // rewrite-path benchmark: guard off so the pin holds at every SF
     child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    // canonical cents FIRST (pure-IEEE floor(v*100 + 0.5), the
+    // Reconcile.elementEncode rounding both engines compute
+    // bit-identically), THEN the exact cents -> DECIMAL(15,2) product:
+    // a direct DOUBLE -> DECIMAL cast would lean on shortest-string-vs-
+    // binary-value half-rounding agreement, which only holds while the
+    // fixture's prices are exact 2dp values
     t(child, dir, "orders")
       .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(15,2)").as("price"))
+        (floor(col("o_totalprice") * 100 + 0.5).cast("decimal(18,0)") *
+          lit(new java.math.BigDecimal("0.01")))
+          .cast("decimal(15,2)").as("price"))
       .createOrReplaceTempView("graft_x118_orders")
     child.sql(
       """SELECT CAST(s AS DECIMAL(15,2)) AS lo,
@@ -1895,7 +1907,9 @@ object QueriesExt {
   }
 
   /** ANTI overlap join through the optimizer rewrite (x125): cohort
-    * sessions with NO concurrent session from any other user —
+    * sessions with NO concurrent session from any NON-COHORT user (the
+    * probe side is x91's `others` frame — users outside the 5% cohort —
+    * so an overlap between two cohort members does not disqualify) —
     * "isolated sessions", the NOT EXISTS form of x91's overlap join —
     * written as the naive correlated SQL a user types over the
     * sessionized frames. Catalyst plans it as a LEFT ANTI join with the
@@ -4473,15 +4487,18 @@ object QueriesExt {
     // every $5000 replayed with a generate_series frame; the engine
     // buckets on the unscaled (cents) view, DuckDB IEJoins the raw form
     "x118_rangejoin_decimal" ->
-      """WITH b AS (SELECT CAST(s AS DECIMAL(15,2)) AS lo,
+      """WITH o2 AS (SELECT o_orderkey,
+        |   CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |     * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(15,2)) AS price
+        | FROM orders),
+        |b AS (SELECT CAST(s AS DECIMAL(15,2)) AS lo,
         |   CAST(s + 999.99 AS DECIMAL(15,2)) AS hi
         | FROM (SELECT unnest(generate_series(0, 550000, 5000)) AS s))
         |SELECT CAST(b.lo AS DOUBLE) AS band_lo,
         | CAST(COUNT(*) AS BIGINT) AS n_orders,
-        | CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(15,2))
-        |   AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders o JOIN b
-        | ON CAST(o.o_totalprice AS DECIMAL(15,2)) BETWEEN b.lo AND b.hi
+        | CAST(SUM(CAST(o2.price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM o2 JOIN b
+        | ON o2.price BETWEEN b.lo AND b.hi
         |GROUP BY b.lo ORDER BY band_lo""".stripMargin,
     // SEMI (EXISTS) rewritten range join: correlated EXISTS replayed at
     // micro precision over the same sparse ±15-minute windows

@@ -97,6 +97,15 @@ object Reconcile {
     require(a.columns.sorted.sameElements(b.columns.sorted),
       "frames must share a schema; reconcile columns, not shapes")
     val payload = a.columns.filterNot(keys.contains).toSeq
+    // the membership metrics share the col_name namespace (and thus the
+    // per-column top-N window partitions) with the payload columns — a
+    // payload column literally named only_in_a/only_in_b would silently
+    // truncate against its homonym metric inside maxPerCol, so refuse it
+    val clash = payload.toSet.intersect(Set("only_in_a", "only_in_b"))
+    require(clash.isEmpty,
+      s"diffExamples: payload column name(s) ${clash.mkString(", ")} " +
+        "collide with the membership metric namespace — rename the " +
+        "column(s) before reconciling")
     val types = a.schema.map(f => f.name -> f.dataType).toMap
     val fa = a.select(keys.map(col) ++
       payload.map(c => col(c).as(s"__a_$c")): _*).withColumn("__pa", lit(1))

@@ -451,7 +451,12 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // left long indexes kind 1 only (its pairs ride right's kind-1
         // probes); right long indexes kind 2 AND probes kind 1 so
         // long x long lands exactly once — and inverted bounds route
-        // here too, where the original predicates never match them
+        // down this salt arm too, where the ORIGINAL predicates refilter
+        // them exactly. Do NOT "optimize" inverted rows away: in the
+        // overlap shape an inverted interval CAN legitimately satisfy
+        // the two-sided inequality (RangeJoinRewriteSpec plants row
+        // (40,10) whose match must survive) — unlike the point shape,
+        // where containment in an empty interval is impossible
         val longKeys =
           if (idxKind == 1) allSalts(1)
           else Concat(Seq(allSalts(2),

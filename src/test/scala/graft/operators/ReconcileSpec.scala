@@ -216,6 +216,12 @@ class ReconcileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Reconcile.diffExamples(a, a, Nil)
     }
+    // a payload column named like a membership metric would share its
+    // top-N window partition with the metric's examples — refused
+    val hom = Seq((1L, "x")).toDF("k", "only_in_a")
+    intercept[IllegalArgumentException] {
+      Reconcile.diffExamples(hom, hom, Seq("k"))
+    }
     // key-only frames: only the membership metrics can differ — and do
     val ka = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
     val kb = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
