@@ -1283,6 +1283,57 @@ object QueriesExt {
   def rangeJoinDecimal(spark: SparkSession, dir: String): DataFrame =
     rangeJoinDecimalFrame(spark, dir)._2
 
+  /** DECIMAL-axis interval-OVERLAP RIGHT OUTER through the optimizer
+    * rewrite (x130) — the last two cells of the shape × join-type
+    * matrix in one query: each order carries a ±$200 price interval,
+    * every $250-aligned fixed band must appear (RIGHT OUTER preserves
+    * the bands), and the naive two-sided inequality a user types
+    * (`o.lo <= b.hi AND b.lo <= o.hi`) re-plans bucketized on the
+    * UNSCALED cents view with the unmatched bands value-complemented
+    * back null-extended. Prices canonicalize to cents exactly as x118.
+    * Empty high bands prove the outer semantics (n_orders = 0).
+    */
+  private[graft] def rangeJoinDecimalOverlapFrame(spark: SparkSession,
+      dir: String): (SparkSession, DataFrame) = {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations =
+      child.experimental.extraOptimizations :+
+        graft.plans.RangeJoinRewrite(child)
+    child.conf.set("spark.graft.rangeJoin.binSize", "100000") // cents
+    // rewrite-path benchmark: guard off so the pin holds at every SF
+    child.conf.set("spark.graft.rangeJoin.smallSideBytes", "0")
+    t(child, dir, "orders")
+      .select(col("o_orderkey"),
+        (floor(col("o_totalprice") * 100 + 0.5).cast("decimal(18,0)") *
+          lit(new java.math.BigDecimal("0.01")))
+          .cast("decimal(15,2)").as("price"))
+      .select(col("o_orderkey"), col("price"),
+        (col("price") - 200).cast("decimal(15,2)").as("lo"),
+        (col("price") + 200).cast("decimal(15,2)").as("hi"))
+      .createOrReplaceTempView("graft_x130_orders")
+    child.sql(
+      """SELECT CAST(s AS DECIMAL(15,2)) AS lo,
+        |  CAST(s + 999.99 AS DECIMAL(15,2)) AS hi
+        |FROM (SELECT explode(sequence(0, 550000, 25000)) AS s)"""
+        .stripMargin)
+      .createOrReplaceTempView("graft_x130_bands")
+    (child, child.sql(
+      """SELECT CAST(b.lo AS DOUBLE) AS band_lo,
+        |  COUNT(o.o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o.price AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM graft_x130_orders o RIGHT JOIN graft_x130_bands b
+        |  ON o.lo <= b.hi AND b.lo <= o.hi
+        |GROUP BY b.lo
+        |ORDER BY band_lo""".stripMargin))
+  }
+
+  /** The x130 result over [[rangeJoinDecimalOverlapFrame]] (shared with
+    * the plan pin, like every rewrite-path query).
+    */
+  def rangeJoinDecimalOverlap(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinDecimalOverlapFrame(spark, dir)._2
+
   /** Shared builder for the EXISTS / NOT EXISTS interval queries (x119 /
     * x120): clicks WITH (semi) or WITHOUT (anti) a covering ±15-minute
     * window around any sparse purchase (event_id % 5 = 0), written as
@@ -3154,7 +3205,8 @@ object QueriesExt {
     "x126_embedding_checksums" -> embeddingChecksumsQ _,
     "x127_guarded_fuzzy" -> guardedFuzzyQ _,
     "x128_guard_accounting" -> guardAccountingQ _,
-    "x129_qgram_recall" -> qgramRecallQ _)
+    "x129_qgram_recall" -> qgramRecallQ _,
+    "x130_rangejoin_overlap_router" -> rangeJoinDecimalOverlap _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4499,6 +4551,25 @@ object QueriesExt {
         | CAST(SUM(CAST(o2.price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM o2 JOIN b
         | ON o2.price BETWEEN b.lo AND b.hi
+        |GROUP BY b.lo ORDER BY band_lo""".stripMargin,
+    // decimal overlap RIGHT OUTER: same canonical-cents price, ±$200
+    // intervals against fixed bands, bands preserved
+    "x130_rangejoin_overlap_router" ->
+      """WITH o2 AS (SELECT o_orderkey,
+        |   CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |     * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(15,2)) AS price
+        | FROM orders),
+        |o3 AS (SELECT o_orderkey, price,
+        |   CAST(price - 200 AS DECIMAL(15,2)) AS lo,
+        |   CAST(price + 200 AS DECIMAL(15,2)) AS hi FROM o2),
+        |b AS (SELECT CAST(s AS DECIMAL(15,2)) AS lo,
+        |   CAST(s + 999.99 AS DECIMAL(15,2)) AS hi
+        | FROM (SELECT unnest(generate_series(0, 550000, 25000)) AS s))
+        |SELECT CAST(b.lo AS DOUBLE) AS band_lo,
+        | CAST(COUNT(o3.o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o3.price AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM o3 RIGHT JOIN b ON o3.lo <= b.hi AND b.lo <= o3.hi
         |GROUP BY b.lo ORDER BY band_lo""".stripMargin,
     // SEMI (EXISTS) rewritten range join: correlated EXISTS replayed at
     // micro precision over the same sparse ±15-minute windows

@@ -362,6 +362,23 @@ object RangeJoin {
     matched.unionAll(complementExtend(matched, left, right))
   }
 
+  /** RIGHT OUTER [[intervalOverlap]]: every right interval appears —
+    * paired with each overlapping left interval, null-extended when
+    * none overlaps. The symmetric flip of
+    * [[intervalOverlapLeftOuter]]'s value-based complement (the matrix
+    * completion: the optimizer twin already rewrote this orientation).
+    */
+  def intervalOverlapRightOuter(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil,
+      maxSpanBuckets: Int = 256): DataFrame = {
+    requireNoSharedNames(left, right, extraKeys,
+      "intervalOverlapRightOuter")
+    val matched = intervalOverlap(left, right, lStart, lEnd, rStart, rEnd,
+      bucketWidth, extraKeys, maxSpanBuckets)
+    matched.unionAll(complementExtend(matched, right, left))
+  }
+
   /** FULL OUTER [[intervalOverlap]]: both unmatched sides surface
     * null-extended around the exactly-once matched core.
     */

@@ -131,6 +131,10 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
           "rrs", "rre", w, maxSpanBuckets = cap)
         .select("lid", "rid").as[(Long, Option[Long])]
         .collect().toList.sortBy(p => (p._1, p._2))
+      val router = RangeJoin.intervalOverlapRightOuter(l, r, "lls", "lle",
+          "rrs", "rre", w, maxSpanBuckets = cap)
+        .select("lid", "rid").as[(Option[Long], Long)]
+        .collect().toList.sortBy(p => (p._2, p._1))
       val fouter = RangeJoin.intervalOverlapFullOuter(l, r, "lls", "lle",
           "rrs", "rre", w, maxSpanBuckets = cap)
         .select("lid", "rid").as[(Option[Long], Option[Long])]
@@ -140,6 +144,10 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
       val wantL = (pairs.map { case (a, b) => (a, Option(b)) } ++
         lsRaw.collect { case a if !mL(a._1) => (a._1, None) })
         .sortBy(p => (p._1, p._2))
+      val wantR = (pairs.map { case (a, b) => (Option(a), b) } ++
+        rsRaw.collect { case b if !mR(b._1) =>
+          (Option.empty[Long], b._1) })
+        .sortBy(p => (p._2, p._1))
       val wantF = (pairs.map { case (a, b) => (Option(a), Option(b)) } ++
         lsRaw.collect { case a if !mL(a._1) =>
           (Option(a._1), Option.empty[Long]) } ++
@@ -148,7 +156,7 @@ object RangeJoinProperties extends Properties("graft.operators.RangeJoin") {
         .sortBy(p => (p._1, p._2))
       semi == lsRaw.map(_._1).filter(mL).sorted &&
         anti == lsRaw.map(_._1).filterNot(mL).sorted &&
-        louter == wantL && fouter == wantF
+        louter == wantL && router == wantR && fouter == wantF
     }
 
   property("bandJoinLeftOuter equals the naive |l - r| <= tol LEFT " +

@@ -552,6 +552,17 @@ class RangeJoinRewriteSpec extends SparkSpec {
       .toString.contains("__gkey"), p.take(3000))
   }
 
+  test("x130 plan pin: the naive DECIMAL overlap RIGHT JOIN SQL (price " +
+      "intervals vs bands) plans without a nested loop") {
+    val (_, df) = graft.QueriesExt.rangeJoinDecimalOverlapFrame(spark,
+      sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("__gk") || df.queryExecution.optimizedPlan
+      .toString.contains("__gkey"), p.take(3000))
+  }
+
   test("x119/x120 plan pins: the naive EXISTS / NOT EXISTS interval SQL " +
       "plans without a nested loop") {
     for ((neg, tag) <- Seq((false, "x119"), (true, "x120"))) {
