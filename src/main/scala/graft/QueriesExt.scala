@@ -2402,6 +2402,14 @@ object QueriesExt {
     * every q-gram match passes the same exact distance filter, so the
     * found set is a SUBSET of the baseline and the three counts satisfy
     * n_lossless = n_qgram + n_missed, the recall law the spec pins).
+    *
+    * The baseline arm runs through the guarded path at a 500k pair
+    * budget (cap 1000): a NO-OP at the oracle-checked SFs (max block
+    * 150 at sf0.1), so the baseline IS the exact lossless set where the
+    * law is verified — while the sf1 soak's degenerate suffix blocks
+    * split instead of re-creating the 325 s / 74 GB quadratic baseline
+    * the unguarded form measured (the soak gates the production path,
+    * and a reference arm must not smuggle the blowup back in).
     */
   def qgramRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -2410,8 +2418,11 @@ object QueriesExt {
       substring(col("c_name"), -3, 3),
       concat(substring(col("c_name"), 1, 15),
         substring(col("c_name"), 17, 2)))
-    val lossless = graft.operators.EntityResolution.fuzzyMatches(
-      c, "c_name", "c_custkey", keys74, maxDistance = 1)
+    val lossless = graft.operators.EntityResolution.fuzzyMatchesGuarded(
+      c, "c_name", "c_custkey", keys74,
+      splitKeys = Seq(substring(col("c_name"), -2, 2),
+        substring(col("c_name"), 10, 6)),
+      maxDistance = 1, maxBlockPairs = 500000L)
       .select("id_a", "id_b")
     val qg = graft.operators.EntityResolution.fuzzyMatchesGuarded(
       c, "c_name", "c_custkey",

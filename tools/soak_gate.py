@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""sf1 soak gate: judge a graft.Bench sf1 run against per-query budgets.
+
+Usage: python3 tools/soak_gate.py <bench.json> <bench.stderr>
+
+Fails (exit 1) when:
+  - any expected soak query is missing from the artifact (crash/OOM);
+  - any query exceeds its wall-clock ceiling (seconds);
+  - any run line reports disk spill above SPILL_MB (default 1 MB).
+
+Ceilings are ~5x the quiet-host sf1 measurements from the round-15
+calibration run: generous enough to ride the documented 1.5-2x degraded
+host phases, tight enough that a quadratic blowup (the x74 178x / x115
+60x class this gate exists for) cannot pass. Recalibrate deliberately —
+a ceiling bump must cite a measurement, not silence a failure.
+"""
+import json
+import re
+import sys
+
+# query -> (ceiling_sec, calibration_sec at round 15)
+BUDGETS = {
+    "x100_rangejoin_rewrite": (74, 14.89),
+    "x103_rangejoin_time": (77, 15.36),
+    "x109_quantile_profile": (86, 17.27),
+    "x115_prefix_filter_pairs": (154, 30.79),
+    "x117_dedup_sweep": (516, 103.27),
+    "x118_rangejoin_decimal": (15, 1.33),
+    "x119_rangejoin_semi": (15, 2.53),
+    "x120_rangejoin_anti": (15, 2.18),
+    "x121_reconcile_examples": (20, 3.98),
+    "x122_grouped_quantiles": (15, 1.11),
+    "x123_block_profile": (15, 0.43),
+    "x124_cross_prefix_pairs": (52, 10.44),
+    "x125_rangejoin_anti_overlap": (84, 16.87),
+    "x126_embedding_checksums": (15, 0.19),
+    "x127_guarded_fuzzy": (15, 1.57),
+    "x128_guard_accounting": (15, 1.26),
+    "x130_rangejoin_overlap_router": (15, 0.29),
+    "x29_quality_classifier": (24, 4.86),
+    "x42_incremental_dedup": (22, 4.30),
+    "x43_corpus_funnel": (29, 5.74),
+    "x44_merge_upsert": (15, 1.77),
+    "x48_packing": (23, 4.67),
+    "x49_stats_skipping": (24, 4.87),
+    "x53_partitioned_skipping": (15, 2.29),
+    "x63_cross_neardup": (46, 9.17),
+    "x65_cosine_pairs": (15, 2.54),
+    "x69_bpe_train": (15, 2.01),
+    "x70_bpe_encode": (15, 1.71),
+    "x74_fuzzy_match": (108, 21.53),
+    "x75_textrank": (31, 6.11),
+    "x88_change_feed": (21, 4.22),
+    "x89_bloom_skipping": (18, 3.55),
+    "x91_concurrent_sessions": (87, 17.48),
+    "x94_dedup_best_quality": (45, 8.95),
+}
+
+
+def main(json_path, err_path):
+    with open(json_path) as f:
+        art = json.load(f)
+    qs = art.get("queries", {})
+    failures = []
+    print(f"{'query':32s} {'sf1 sec':>8s} {'ceiling':>8s}  verdict")
+    for name, (ceil, cal) in sorted(BUDGETS.items()):
+        if name not in qs:
+            failures.append(f"{name}: MISSING from artifact (crash/OOM?)")
+            print(f"{name:32s} {'--':>8s} {ceil:8.1f}  MISSING")
+            continue
+        t = qs[name]
+        verdict = "ok" if t <= ceil else "OVER"
+        if t > ceil:
+            failures.append(
+                f"{name}: {t:.1f}s exceeds ceiling {ceil:.1f}s "
+                f"(r15 calibration {cal:.1f}s)")
+        print(f"{name:32s} {t:8.2f} {ceil:8.1f}  {verdict}")
+    spill_mb_limit = 1.0
+    spill_re = re.compile(r"\[bench\] (\S+)\s+run\d+.*spill=\s*([0-9.]+)MB")
+    with open(err_path) as f:
+        for line in f:
+            m = spill_re.search(line)
+            if m and float(m.group(2)) > spill_mb_limit:
+                failures.append(
+                    f"{m.group(1)}: disk spill {m.group(2)}MB > "
+                    f"{spill_mb_limit}MB")
+    extras = [q for q in qs if q not in BUDGETS]
+    if extras:
+        print(f"note: unbudgeted queries in artifact (add ceilings): "
+              f"{', '.join(sorted(extras))}")
+    if failures:
+        print("\nSOAK GATE FAIL:")
+        for f_ in failures:
+            print(f"  - {f_}")
+        sys.exit(1)
+    print(f"\nSOAK GATE PASS: {len(BUDGETS)} queries within budget, "
+          f"zero spill")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(__doc__)
+        sys.exit(2)
+    main(sys.argv[1], sys.argv[2])
