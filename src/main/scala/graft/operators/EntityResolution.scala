@@ -93,6 +93,13 @@ object EntityResolution {
     */
   private[operators] def sizeCapFor(maxBlockPairs: Long): Long = {
     require(maxBlockPairs >= 1, "maxBlockPairs must be >= 1")
+    // above 2^60 the fix-up products overflow Long and go NEGATIVE —
+    // the increment loop would then never terminate. No real budget is
+    // within orders of magnitude of this; refuse loudly instead of
+    // hanging the driver.
+    require(maxBlockPairs <= (1L << 60),
+      s"maxBlockPairs $maxBlockPairs is beyond the exact-arithmetic " +
+        "range (2^60); a per-block pair budget this size is not a guard")
     var t = math.max(1L,
       ((1.0 + math.sqrt(1.0 + 8.0 * maxBlockPairs.toDouble)) / 2.0).toLong)
     while (t > 1 && t * (t - 1) / 2 > maxBlockPairs) t -= 1

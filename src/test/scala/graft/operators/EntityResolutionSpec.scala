@@ -90,6 +90,13 @@ class EntityResolutionSpec extends SparkSpec {
     }
     assert(EntityResolution.sizeCapFor(190L) === 20L)
     assert(EntityResolution.sizeCapFor(50000L) === 316L)
+    // the exact-arithmetic ceiling: 2^60 resolves, above it refuses
+    // loudly (past it the fix-up products overflow Long and would spin)
+    val cap60 = EntityResolution.sizeCapFor(1L << 60)
+    assert(cap60 * (cap60 - 1) / 2 <= (1L << 60))
+    intercept[IllegalArgumentException] {
+      EntityResolution.sizeCapFor((1L << 60) + 1)
+    }
   }
 
   test("guarded pairs equal the lossless blocked pairs when every block " +
