@@ -242,6 +242,18 @@ object Dedup {
       .agg(graft.functions.expr.AggExprs
         .collectCapped(payload, maxBucketSize).as("__bucket"))
       .filter(size(col("__bucket")).between(2, maxBucketSize))
+    expandBucketPairs(collected)
+  }
+
+  /** Step 3 of [[bucketPairs]], reusable by callers that already HOLD
+    * the collected buckets (e.g. the guarded-blocking ledger, whose one
+    * aggregation collects members and counts sizes together): unordered
+    * pairs i<j from each row's `__bucket` array, expanded LOCALLY via
+    * posexplode + slice — zero shuffles. Callers guarantee every array
+    * is a complete (uncapped) bucket.
+    */
+  private[operators] def expandBucketPairs(collected: DataFrame)
+      : DataFrame =
     collected
       .select(col("__bucket"),
         posexplode(col("__bucket")).as(Seq("__i", "__a")))
@@ -253,7 +265,6 @@ object Dedup {
       .select(least(col("__a"), col("__b")).as("__pair_a"),
         greatest(col("__a"), col("__b")).as("__pair_b"))
       .filter(col("__pair_a") =!= col("__pair_b"))
-  }
 
   /** Candidate near-duplicate pairs via MinHash LSH banding: the signature is
     * split into `bands` bands of `rowsPerBand` values; documents sharing any

@@ -161,63 +161,73 @@ object EntityResolution {
     * (pass, level, fate) cohort. Deterministic and SQL-replayable: the
     * oracle unrolls the same windowed-count cascade.
     *
-    * Scale shape: each level is one (pass, key) count aggregation plus a
-    * key-equi join back — the stream carries ids and short split
-    * strings, never payload columns. The level plan references its
-    * predecessor twice (rows + sizes), so the cheap source projection is
-    * re-scanned O(2^levels) times: `splitKeys` is meant to be SHORT
-    * (require <= 4) — two well-chosen splits subdivide any realistic
-    * degenerate key.
+    * Scale shape (the FUSED cascade): each level is ONE aggregation —
+    * [[graft.functions.expr.AggExprs.collectCapped]] members + a true
+    * count per (pass, key), so a kept block's pair expansion needs no
+    * second pass and no task ever buffers more than cap+1 ids — plus,
+    * only when blocks actually exceeded the budget, a semi-join of the
+    * level's stream against the (small, typically broadcast) over-cap
+    * key set to advance those rows re-keyed. In the common all-kept
+    * case the whole guard costs what the unguarded path costs: one
+    * aggregation. The stream carries ids and short split strings, never
+    * payload columns. `splitKeys` is meant to be SHORT (require <= 4) —
+    * two well-chosen splits subdivide any realistic degenerate key.
     *
-    * Returns `(__pass, __level, __fate, __bk, __rid)` with fate in
-    * {kept, dropped}; pairs expand within (__pass, __level, __bk).
+    * Returns the block LEDGER: one row per finalized block —
+    * `(__pass, __level, __fate, __bk, __bucket, __c)` with fate in
+    * {kept, dropped}, `__bucket` the member ids (complete iff kept),
+    * `__c` the TRUE block size (dropped blocks report real cost).
     */
-  private def refineBlocks(df: DataFrame, idCol: String,
+  private def refineLedger(df: DataFrame, idCol: String,
       blockKeys: Seq[Column], splitKeys: Seq[Column],
       cap: Long): DataFrame = {
     require(splitKeys.length <= 4,
-      "splitKeys is a short refinement chain (<= 4): each level doubles " +
-        "the re-scan count of the blocked source projection")
+      "splitKeys is a short refinement chain (<= 4): each level adds an " +
+        "aggregation pass over the still-oversized stream")
+    require(cap < Int.MaxValue, "pair budget implies a block cap beyond Int")
     val levels = splitKeys.length
     var cur = blockedBase(df, idCol, blockKeys, splitKeys)
     val out = Seq.newBuilder[DataFrame]
     for (lvl <- 0 to levels) {
-      val sizes = cur.groupBy("__pass", "__bk")
-        .agg(count(lit(1)).as("__c"))
-      val joined = cur.join(sizes, Seq("__pass", "__bk"))
+      val agg = cur.groupBy("__pass", "__bk")
+        .agg(graft.functions.expr.AggExprs
+          .collectCapped(col("__rid"), cap.toInt).as("__bucket"),
+          count(lit(1)).as("__c"))
       if (lvl < levels) {
-        out += joined.filter(col("__c") <= cap)
+        out += agg.filter(col("__c") <= cap)
           .select(col("__pass"), lit(lvl.toLong).as("__level"),
-            lit("kept").as("__fate"), col("__bk"), col("__rid"))
-        cur = joined.filter(col("__c") > cap)
+            lit("kept").as("__fate"), col("__bk"), col("__bucket"),
+            col("__c"))
+        val overKeys = agg.filter(col("__c") > cap)
+          .select("__pass", "__bk")
+        cur = cur.join(overKeys, Seq("__pass", "__bk"), "left_semi")
           .withColumn("__bk",
             concat(col("__bk"), lit(KeySep), col(s"__s$lvl")))
-          .drop("__c")
       } else {
-        out += joined.select(col("__pass"), lit(lvl.toLong).as("__level"),
+        out += agg.select(col("__pass"), lit(lvl.toLong).as("__level"),
           when(col("__c") <= cap, lit("kept")).otherwise(lit("dropped"))
             .as("__fate"),
-          col("__bk"), col("__rid"))
+          col("__bk"), col("__bucket"), col("__c"))
       }
     }
     out.result().reduce(_ unionByName _)
   }
 
   /** Candidate pairs under an enforced per-block pair budget — see
-    * [[refineBlocks]] for the split/drop contract. Pairs expand only
+    * [[refineLedger]] for the split/drop contract. Pairs expand only
     * within finalized kept blocks (every one provably implies
-    * `<= maxBlockPairs` pairs), deduped across passes and levels.
+    * `<= maxBlockPairs` pairs) — LOCALLY, from the ledger's
+    * already-collected member arrays ([[Dedup.expandBucketPairs]]) —
+    * deduped across passes and levels.
     */
   def guardedCandidatePairs(df: DataFrame, idCol: String,
       blockKeys: Seq[Column], splitKeys: Seq[Column],
       maxBlockPairs: Long = 50000L): DataFrame = {
     require(blockKeys.nonEmpty, "need at least one blocking key")
     val cap = sizeCapFor(maxBlockPairs)
-    require(cap <= Int.MaxValue, "pair budget implies a block cap beyond Int")
-    val kept = refineBlocks(df, idCol, blockKeys, splitKeys, cap)
-      .filter(col("__fate") === "kept")
-    Dedup.bucketPairs(kept, Seq("__pass", "__level", "__bk"), col("__rid"),
-        cap.toInt)
+    val kept = refineLedger(df, idCol, blockKeys, splitKeys, cap)
+      .filter(col("__fate") === "kept" && col("__c") >= 2)
+    Dedup.expandBucketPairs(kept)
       .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
@@ -234,9 +244,7 @@ object EntityResolution {
     require(blockKeys.nonEmpty, "need at least one blocking key")
     val cap = sizeCapFor(maxBlockPairs)
     val pairsOf = (c: Column) => shiftright(c * (c - 1), 1)
-    refineBlocks(df, idCol, blockKeys, splitKeys, cap)
-      .groupBy("__pass", "__level", "__fate", "__bk")
-      .agg(count(lit(1)).as("__c"))
+    refineLedger(df, idCol, blockKeys, splitKeys, cap)
       .groupBy(col("__pass").as("pass"), col("__level").as("level"),
         col("__fate").as("fate"))
       .agg(count(lit(1)).as("n_blocks"),
