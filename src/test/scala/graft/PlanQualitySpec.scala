@@ -615,4 +615,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Join"), p.take(3000))
   }
 
+  test("guarded blocking (x74): the fused ledger is capped-collect " +
+      "aggregations — no window, no cartesian, pair expansion local") {
+    val p = plan(QueriesExt.queries("x74_fuzzy_match")(spark, sfDir))
+    // the degenerate-block guard must NEVER buffer a whole block in a
+    // window partition; the cascade is collect_capped + count per level
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("collect_capped"), p.take(3000))
+    // over-cap rows advance through semi joins (empty at this SF but the
+    // plan shape is fixed); name fetches are the only other joins
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
 }
