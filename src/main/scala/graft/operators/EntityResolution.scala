@@ -26,6 +26,16 @@ import org.apache.spark.sql.types.ArrayType
   * Names join back only for surviving candidate pairs; `levenshtein` is
   * codegen'd. Shuffles: one per pass union for the aggregation, one for
   * the pair dedup, two id-keyed name fetch joins.
+  *
+  * Two candidate-generation tiers: [[candidatePairs]] (fixed row cap —
+  * bounds task memory, NOT total cost: a measured sf1 soak showed
+  * ~1500-member blocks under a 2000 cap implying ~100M pairs) and the
+  * budget-GUARDED [[guardedCandidatePairs]] (round 15), which bounds
+  * both via a per-block PAIR budget with split-key refinement, loud
+  * drops, and [[guardedBlockAccounting]] — prefer the guarded tier
+  * whenever a blocking key's selectivity on the real data distribution
+  * is not proven. [[qgramKeys]] adds non-positional ARRAY blocking for
+  * distributions that collapse positional keys.
   */
 object EntityResolution {
 
