@@ -110,12 +110,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    // per-query crash visibility: a swallowed Throwable used to record a
+    // deceptively FAST wall time and the artifact looked like a pass —
+    // the soak gate could green-light an OOM'd query. Failures now mark
+    // stderr AND land in the artifact's "failed" list.
+    val failedQueries =
+      scala.collection.mutable.LinkedHashSet.empty[String]
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
       resetPeakHeap()
       val t0 = System.nanoTime()
       val s0 = (shuffleBytes.get, spillBytes.get, gcMillis)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failedQueries += name
+          System.err.println(s"[bench] $name run$r FAILED: " +
+            s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).replace('\n', ' ').take(300))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s run$r ${dt}%6.2fs " +
         f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
@@ -173,10 +185,13 @@ object Bench {
     val total = results.map(_._2).sum
     val viol = spreadViolations.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminated = spreadViolations.nonEmpty
+    val failed = failedQueries.toSeq.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       f""","wall_sec":$wallSec%.1f,"gc_sec":$gcSec%.1f,"heap_max_mb":$heapMax""" +
       s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol""" +
+      s""","failed":$failed""" +
       s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}"""
     println(json)
     // stdout can be tail-truncated by the harness (r07 lost the timings

@@ -1286,7 +1286,7 @@ object QueriesExt {
   /** DECIMAL-axis interval-OVERLAP RIGHT OUTER through the optimizer
     * rewrite (x130) — the last two cells of the shape × join-type
     * matrix in one query: each order carries a ±$200 price interval,
-    * every $250-aligned fixed band must appear (RIGHT OUTER preserves
+    * every $25,000-step fixed band must appear (RIGHT OUTER preserves
     * the bands), and the naive two-sided inequality a user types
     * (`o.lo <= b.hi AND b.lo <= o.hi`) re-plans bucketized on the
     * UNSCALED cents view with the unmatched bands value-complemented
@@ -2397,11 +2397,18 @@ object QueriesExt {
     * blocks on character 4-grams instead — each record enters one block
     * per distinct gram — under the pair budget (5995 → cap 110), which
     * splits or drops the universal stop-gram blocks. One row:
-    * `n_lossless` (the provably-total x74 key-set baseline), `n_qgram`
-    * (what the guarded q-gram path finds), `n_missed` (the difference —
-    * every q-gram match passes the same exact distance filter, so the
-    * found set is a SUBSET of the baseline and the three counts satisfy
-    * n_lossless = n_qgram + n_missed, the recall law the spec pins).
+    * `n_lossless` (the x74 key-set baseline — provably total for
+    * SUBSTITUTION distance 1 on fixed-width names), `n_qgram` (what the
+    * guarded q-gram path finds), `n_missed` (baseline pairs the q-gram
+    * path lost), and `n_extra` (q-gram pairs the baseline MISSED: on a
+    * variable-length corpus an insert/delete pair at distance 1 shares
+    * q-grams but can differ in every positional key, so neither set
+    * need contain the other in general). On these fixed-width fixtures
+    * every distance-1 pair is a substitution, so `n_extra = 0` and the
+    * counts collapse to the subset law
+    * n_lossless = n_qgram + n_missed; the oracle pins all four, which
+    * makes a future non-fixed-width fixture fail LOUDLY here instead of
+    * silently invalidating the law.
     *
     * The baseline arm runs through the guarded path at a 500k pair
     * budget (cap 1000): a NO-OP at the oracle-checked SFs (max block
@@ -2433,9 +2440,11 @@ object QueriesExt {
       maxDistance = 1, maxBlockPairs = 5995L)
       .select("id_a", "id_b")
     val missed = lossless.join(qg, Seq("id_a", "id_b"), "left_anti")
+    val extra = qg.join(lossless, Seq("id_a", "id_b"), "left_anti")
     lossless.agg(count(lit(1)).as("n_lossless"))
       .crossJoin(qg.agg(count(lit(1)).as("n_qgram")))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
   }
 
   /** Exact cross-corpus similarity join (x124): every (corpus, ref)
@@ -5113,11 +5122,13 @@ object QueriesExt {
         |qgram AS (SELECT ia, ib FROM qpr
         |          JOIN c ca ON ca.id=ia JOIN c cb ON cb.id=ib
         |          WHERE levenshtein(ca.n, cb.n) <= 1),
-        |missed AS (SELECT * FROM lossless EXCEPT SELECT * FROM qgram)
+        |missed AS (SELECT * FROM lossless EXCEPT SELECT * FROM qgram),
+        |extra AS (SELECT * FROM qgram EXCEPT SELECT * FROM lossless)
         |SELECT
         | CAST((SELECT COUNT(*) FROM lossless) AS BIGINT) AS n_lossless,
         | CAST((SELECT COUNT(*) FROM qgram) AS BIGINT) AS n_qgram,
-        | CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed""".stripMargin,
+        | CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed,
+        | CAST((SELECT COUNT(*) FROM extra) AS BIGINT) AS n_extra""".stripMargin,
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at
     // rank p*(n-1) — verified bit-identical, full-double comparison;
     // DuckDB's parallel unnest zips the p-list with the quantile array

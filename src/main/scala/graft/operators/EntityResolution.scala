@@ -71,6 +71,20 @@ object EntityResolution {
     * selective key or lower `maxBlock` (dropped blocks stay visible via
     * `n_blocks_over_cap`).
     */
+  /** Exact `c(c-1)/2` as a Column, overflow-safe to the Long result
+    * range: halve the EVEN factor first, so the intermediate never
+    * exceeds the result. The naive `c*(c-1)` wraps negative past
+    * c ≈ 3.04e9 — a corpus-wide degenerate block at 100 TB scale, i.e.
+    * exactly the block whose refused cost the accounting exists to
+    * report. (Column `/` is double division, which rounds above 2^53
+    * where the DuckDB oracle's integer `//` would not — hence the
+    * shifts.) Past c ≈ 4.3e9 the RESULT itself exceeds Long and ANSI
+    * multiplication fails loudly rather than reporting garbage.
+    */
+  private def pairCount(c: Column): Column =
+    when(pmod(c, lit(2)) === 0, shiftright(c, 1) * (c - 1))
+      .otherwise(c * shiftright(c - 1, 1))
+
   def blockProfile(df: DataFrame, idCol: String, blockKeys: Seq[Column],
       maxBlock: Int = 2000): DataFrame = {
     require(blockKeys.nonEmpty, "need at least one blocking key")
@@ -78,10 +92,7 @@ object EntityResolution {
       df.select(lit(i.toLong).as("pass"), k.cast("string").as("__bk"),
         col(idCol).as("__rid"))
     }
-    // c*(c-1) is even, so a right shift is the EXACT halving — Column `/`
-    // is double division, which rounds above 2^53 implied pairs (a ~1e8
-    // block) where the DuckDB oracle's integer `//` would not
-    val pairsOf = (c: Column) => shiftright(c * (c - 1), 1)
+    val pairsOf = pairCount _
     passes.reduce(_ unionByName _)
       .groupBy("pass", "__bk")
       .agg(count(lit(1)).as("__c"))
@@ -253,7 +264,7 @@ object EntityResolution {
       maxBlockPairs: Long = 50000L): DataFrame = {
     require(blockKeys.nonEmpty, "need at least one blocking key")
     val cap = sizeCapFor(maxBlockPairs)
-    val pairsOf = (c: Column) => shiftright(c * (c - 1), 1)
+    val pairsOf = pairCount _
     refineLedger(df, idCol, blockKeys, splitKeys, cap)
       .groupBy(col("__pass").as("pass"), col("__level").as("level"),
         col("__fate").as("fate"))

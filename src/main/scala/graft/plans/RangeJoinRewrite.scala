@@ -185,6 +185,14 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else {
         val w = try raw.toLong catch { case _: NumberFormatException => 0L }
         if (w <= 0) return plan
+        // explicit width: clear this thread's auto-derivation echo so an
+        // observer never attributes a PREVIOUS query's derived width to
+        // this one (the same invariant the retired conf echo kept by
+        // unsetting). Auto mode deliberately does NOT clear here — the
+        // user-provided optimizer batch runs to fixed point, and a
+        // second pass over the already-rewritten plan must not erase
+        // the width the first pass just recorded.
+        RangeJoinRewrite.clearThreadDerived()
         Some(w)
       }
     val cap =
@@ -259,12 +267,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       // per-query attribution: shape-keyed registry + this thread's view
       // + one log line — recorded on memo HITS too, so a repeated query
-      // still attributes its width
-      val shapeHash = memoKey._1.semanticHash() * 31 +
-        memoKey._2.semanticHash() * 7 + memoKey._3.semanticHash()
-      RangeJoinRewrite.recordDerived(shapeHash, w)
+      // still attributes its width. The key concatenates all three
+      // semantic hashes (96 bits of discrimination) rather than folding
+      // them into one Int, so two distinct shapes cannot silently
+      // overwrite each other's registry entry.
+      val shapeKey = s"${memoKey._1.semanticHash()}:" +
+        s"${memoKey._2.semanticHash()}:${memoKey._3.semanticHash()}"
+      RangeJoinRewrite.recordDerived(shapeKey, w)
       logInfo(s"rangeJoin binSize=auto: width=$w " +
-        s"intervalShapeHash=$shapeHash")
+        s"intervalShape=$shapeKey")
       Some(w)
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -684,24 +695,39 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   */
 object RangeJoinRewrite {
   private val widths =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val last = new ThreadLocal[Option[Long]] {
     override def initialValue: Option[Long] = None
   }
 
-  private[plans] def recordDerived(shapeHash: Int, w: Long): Unit = {
-    if (widths.size > 100) widths.clear()
-    widths.put(shapeHash, w)
+  private[plans] def recordDerived(shapeKey: String, w: Long): Unit = {
+    // evict ONE arbitrary stale entry past the bound instead of wiping
+    // the map: a clear() here would race away entries other threads
+    // recorded a moment ago, exactly the concurrent-observer hole the
+    // registry replaced the conf echo to close
+    while (widths.size > 100) {
+      val it = widths.keys()
+      if (it.hasMoreElements) widths.remove(it.nextElement()) else
+        widths.clear()
+    }
+    widths.put(shapeKey, w)
     last.set(Some(w))
   }
 
-  /** Derived widths by interval-shape semantic hash (bounded, 100). */
-  def derivedWidths: Map[Int, Long] = {
-    val b = Map.newBuilder[Int, Long]
+  private[plans] def clearThreadDerived(): Unit = last.set(None)
+
+  /** Derived widths keyed by the interval shape's three semantic hashes
+    * joined as "plan:lo:hi" (bounded, ~100 entries, single eviction).
+    */
+  def derivedWidths: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
     widths.forEach((k, v) => b += (k -> v.longValue))
     b.result()
   }
 
-  /** The calling thread's most recent auto-derived width, if any. */
+  /** The calling thread's most recent auto-derived width, if any —
+    * cleared when the same thread next plans with an EXPLICIT binSize,
+    * so a fixed-width query is never mis-attributed an old derivation.
+    */
   def lastDerivedWidth: Option[Long] = last.get()
 }

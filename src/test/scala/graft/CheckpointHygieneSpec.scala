@@ -28,10 +28,16 @@ class CheckpointHygieneSpec extends SparkSpec {
     root.toSeq.flatMap { d =>
       val p = Paths.get(new java.net.URI(d).getPath)
       if (!Files.exists(p)) Nil
-      else Files.walk(p).iterator().asScala
-        .filter(q => Files.isDirectory(q) &&
-          q.getFileName.toString.startsWith("rdd-"))
-        .map(_.toString).toSeq
+      else {
+        // close the walk stream: this runs inside a 250 ms poll loop,
+        // and each unclosed stream pins a directory fd until GC
+        val walk = Files.walk(p)
+        try walk.iterator().asScala
+          .filter(q => Files.isDirectory(q) &&
+            q.getFileName.toString.startsWith("rdd-"))
+          .map(_.toString).toList
+        finally walk.close()
+      }
     }.toSet
   }
 

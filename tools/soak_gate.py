@@ -5,6 +5,10 @@ Usage: python3 tools/soak_gate.py <bench.json> <bench.stderr>
 
 Fails (exit 1) when:
   - any expected soak query is missing from the artifact (crash/OOM);
+  - the artifact's "failed" list is non-empty, or any stderr run line
+    is marked FAILED (graft.Bench records per-query Throwables both
+    ways — a crashed query otherwise looks like a deceptively fast
+    wall time);
   - any query exceeds its wall-clock ceiling (seconds);
   - any run line reports disk spill above SPILL_MB (default 1 MB).
 
@@ -75,8 +79,12 @@ def main(json_path, err_path):
                 f"{name}: {t:.1f}s exceeds ceiling {ceil:.1f}s "
                 f"(r15 calibration {cal:.1f}s)")
         print(f"{name:32s} {t:8.2f} {ceil:8.1f}  {verdict}")
+    for q in art.get("failed", []):
+        failures.append(f"{q}: query FAILED during the bench run "
+                        f"(artifact 'failed' list)")
     spill_mb_limit = 1.0
     spill_re = re.compile(r"\[bench\] (\S+)\s+run\d+.*spill=\s*([0-9.]+)MB")
+    fail_re = re.compile(r"\[bench\] (\S+) run\d+ FAILED: (.*)")
     with open(err_path) as f:
         for line in f:
             m = spill_re.search(line)
@@ -84,6 +92,10 @@ def main(json_path, err_path):
                 failures.append(
                     f"{m.group(1)}: disk spill {m.group(2)}MB > "
                     f"{spill_mb_limit}MB")
+            mf = fail_re.search(line)
+            if mf:
+                failures.append(
+                    f"{mf.group(1)}: FAILED — {mf.group(2)[:200]}")
     extras = [q for q in qs if q not in BUDGETS]
     if extras:
         print(f"note: unbudgeted queries in artifact (add ceilings): "
