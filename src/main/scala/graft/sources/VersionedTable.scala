@@ -116,6 +116,19 @@ object VersionedTable {
     * path inside the (possibly scheme-prefixed) input_file_name is immune
     * to file:/ vs file:/// rendering differences.
     */
+  /** The `file` column stores input_file_name()-derived names, which
+    * render the on-disk (hive-escaped) path through URI encoding — a
+    * literal `%` in a partition directory (`p=a%2Fb` for value "a/b")
+    * appears as `%25` (`p=a%252Fb`). These two convert between the
+    * index encoding and the on-disk name: identity for names without
+    * URI-encoded characters, exact round-trip otherwise.
+    */
+  private def uriEncodedName(diskRelative: String): String =
+    new Path("/" + diskRelative).toUri.getRawPath.stripPrefix("/")
+
+  private def diskRelativeName(indexFile: String): String =
+    new java.net.URI(indexFile).getPath
+
   private def relFileCol(spark: SparkSession, dataDir: String): Column = {
     val dirPath = fs(spark, dataDir).makeQualified(new Path(dataDir))
       .toUri.getPath.stripSuffix("/") + "/"
@@ -216,10 +229,13 @@ object VersionedTable {
 
   /** Directory-prefix of a static partition predicate over a PREFIX of
     * the configured partition columns, in hive layout (`k1=v1/k2=v2/`).
-    * Values render with Spark's default partition-path encoding for the
-    * plain types used here (toString); None when `partitionValues` names
-    * columns out of prefix order or not configured — static pruning then
-    * degrades to row filtering.
+    * Values render through Spark's own hive partition-path escaping
+    * (`ExternalCatalogUtils.escapePathName` — the writer side escapes
+    * `/`, `:`, `%`, ... as %XX, so a raw toString prefix would match NO
+    * files for any value needing escapes and silently return an empty
+    * result for a populated partition); None when `partitionValues`
+    * names columns out of prefix order or not configured — static
+    * pruning then degrades to row filtering.
     */
   private def partitionPrefix(spark: SparkSession, root: String,
       partitionValues: Seq[(String, Any)]): Option[String] = {
@@ -227,7 +243,13 @@ object VersionedTable {
     val configured = partitionColumns(spark, root)
     val keys = partitionValues.map(_._1)
     if (keys != configured.take(keys.length)) None
-    else Some(partitionValues.map { case (k, v) => s"$k=$v/" }.mkString)
+    else Some(partitionValues.map { case (k, v) =>
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v))
+      // the file column is input_file_name()-derived, so the prefix must
+      // carry the URI layer's encoding on top of the hive escaping
+      s"${uriEncodedName(s"$k=$esc")}/"
+    }.mkString)
   }
 
   /** Data-skipping range read: `column BETWEEN lower AND upper` over a
@@ -272,7 +294,8 @@ object VersionedTable {
       // basePath keeps partition-directory columns derivable when reading
       // leaf files of a partitioned layout; harmless otherwise
       spark.read.option("basePath", s"$root/v=$v")
-        .parquet(files.map(f => s"$root/v=$v/$f").toSeq: _*)
+        .parquet(files.map(f =>
+          s"$root/v=$v/${diskRelativeName(f)}").toSeq: _*)
         .filter(pred)
   }
 
@@ -338,7 +361,7 @@ object VersionedTable {
     }
     if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
     else spark.read.option("basePath", s"$root/v=$v")
-      .parquet(files.map(f => s"$root/v=$v/$f"): _*)
+      .parquet(files.map(f => s"$root/v=$v/${diskRelativeName(f)}"): _*)
       .filter(pred)
   }
 
@@ -458,15 +481,34 @@ object VersionedTable {
     if (now != baseV) conflict(now)
     val dest = new Path(root, s"v=$next")
     if (f.exists(dest)) {
-      // dest exists but the pointer still says baseV: a crashed writer's
-      // unreferenced directory (a COMMITTED v=next implies pointer >= next,
-      // caught above). Clear it and take the slot.
+      // dest exists but the pointer still says baseV. TWO states share
+      // this observation: (a) a crashed writer's unreferenced leftover
+      // (renamed, died before the pointer swap) — safe to reclaim; (b) a
+      // LIVE competitor inside its own rename->pointer window — deleting
+      // its directory would destroy a version whose pointer swap is about
+      // to land (both commits would then "succeed" with one writer's rows
+      // gone). Disambiguate by age: the rename->pointer window is
+      // sub-second (the stage's last file writes land just before the
+      // rename, so dir mtime ~ rename time), so a YOUNG dest is treated
+      // as a live competitor and this commit conflicts; only stale
+      // leftovers are reclaimed. Residual assumption, documented: a live
+      // writer never pauses longer than the grace window between its
+      // rename and its pointer swap.
+      val ageMs = System.currentTimeMillis -
+        f.getFileStatus(dest).getModificationTime
+      if (ageMs < orphanGraceMs) conflict(latestVersion(spark, root))
       f.delete(dest, true)
     }
     if (!f.rename(stage, dest)) conflict(latestVersion(spark, root))
     commitPointer(spark, root, next)
     next
   }
+
+  /** Age below which an unreferenced v=next directory is presumed to be
+    * a LIVE concurrent writer's not-yet-pointed commit rather than a
+    * crashed writer's leftover — see the reclamation note in commitNext.
+    */
+  private val orphanGraceMs: Long = 60000L
 
   /** Create the table at version 0 (fails if it already exists). Pass
     * `statsColumns` to maintain per-file min/max skipping stats, and/or
@@ -521,6 +563,22 @@ object VersionedTable {
       throw new ConcurrentCommitException(
         s"base version $v is stale (latest is $latest); retry on latest")
     val base = read(spark, root, Some(v))
+    // Delta/Iceberg MERGE error semantics: multiple update rows for one
+    // key would BOTH survive the anti-join union — the table silently
+    // stops being keyed, and every change-feed consumer downstream
+    // multiplies rows through its full-outer key join. One bounded
+    // aggregation over the updates side catches it loudly up front
+    // (collect is limit(1)-bounded: at most one witness row).
+    val dup = updates.groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge: updates contain multiple rows for key " +
+        s"${keyCols.mkString("(", ",", ")")} = " +
+        s"${keyCols.map(dup.head.getAs[Any]).mkString("(", ",", ")")} — " +
+        "collapse the updates to one row per key first (MERGE on a " +
+        "multi-match is an error, as in Delta/Iceberg)")
     // schema evolution (mergeSchema-style): either side may carry columns
     // the other lacks; missing columns fill with null on the short side
     val merged = base.join(updates.select(keyCols.map(col): _*),
@@ -598,13 +656,21 @@ object VersionedTable {
       (keyCols ++ dataCols).map(c => col(s"__c.__row.$c").as(c)): _*)
   }
 
-  /** One row per committed version: (version, n_rows). */
+  /** One row per SURVIVING version: (version, n_rows). Versions behind
+    * the vacuum horizon are simply absent — listing what exists instead
+    * of assuming 0..latest, so history after a vacuum reports the
+    * time-travel window rather than throwing on the first reclaimed
+    * path.
+    */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val latest = latestVersion(spark, root)
-    (0 to latest).map { v =>
-      (v, spark.read.parquet(s"$root/v=$v").count())
-    }.toDF("version", "n_rows")
+    val f = fs(spark, root)
+    (0 to latest)
+      .filter(v => f.exists(new Path(root, s"v=$v")))
+      .map { v =>
+        (v, spark.read.parquet(s"$root/v=$v").count())
+      }.toDF("version", "n_rows")
   }
 
   /** Small-files compaction: rewrite the latest version into `numFiles`

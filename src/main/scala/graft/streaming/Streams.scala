@@ -148,11 +148,42 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** foreachBatch sink: apply `transform` to each micro-batch and append it
-    * to a parquet path with exactly-once tracking via the checkpoint. This
-    * is the incremental-pipeline seam — with a transactional table format
-    * (Delta/Iceberg) the body becomes a MERGE; with plain parquet it is an
-    * idempotent append keyed by batch id.
+  /** Batch idempotence-marker protocol shared by the foreachBatch sinks:
+    * `__committed/<batchId>` under `markerRoot` marks a FULLY committed
+    * batch; `body` runs only when the marker is absent, and the marker is
+    * written after it completes — a replay of a committed batch is
+    * skipped WHOLE.
+    *
+    * SCOPE LIMIT (by construction): batchIds are scoped to a streaming
+    * CHECKPOINT, while the markers live with the OUTPUT. Restarting a
+    * query against an existing output with a FRESH checkpoint restarts
+    * batchIds at 0, and the old markers would silently skip the new
+    * query's first batches — pass a new `tag` (or a clean output root)
+    * whenever the checkpoint is not the one that produced the markers.
+    */
+  private def withBatchMarker(spark: org.apache.spark.sql.SparkSession,
+      root: String, tag: String, batchId: Long)(body: => Unit): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = if (tag.isEmpty) s"$root/__committed"
+      else s"$root/__committed/$tag"
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$batchId")
+    val fsys = marker.getFileSystem(hconf)
+    if (!fsys.exists(marker)) {
+      body
+      fsys.mkdirs(marker.getParent)
+      fsys.create(marker, true).close()
+    }
+  }
+
+  /** foreachBatch sink: apply `transform` to each micro-batch and land it
+    * under the parquet path with exactly-once tracking via the checkpoint.
+    * This is the incremental-pipeline seam — with a transactional table
+    * format (Delta/Iceberg) the body becomes a MERGE; with plain parquet
+    * each batch OVERWRITES its own `batch=<id>` partition directory, so a
+    * micro-batch replayed after a crash between the sink write and the
+    * streaming-checkpoint commit rewrites the same directory instead of
+    * appending duplicates (a blind root-level append is NOT replay-safe).
+    * Readers of `path` see `batch` as a partition column.
     */
   def foreachBatchParquet(stream: DataFrame, path: String,
       checkpoint: String)(
@@ -161,7 +192,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         transform(batch.toDF())
-          .write.mode("append").parquet(path)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
 
@@ -183,7 +214,7 @@ object Streams {
     * sink cannot offer.
     */
   def foreachBatchMerge(stream: DataFrame, tableRoot: String,
-      checkpoint: String, keyCols: Seq[String])(
+      checkpoint: String, keyCols: Seq[String], markerTag: String = "")(
       transform: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -191,18 +222,12 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = transform(batch.toDF())
         val spark = b.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$tableRoot/__committed/$batchId")
-        val fsys = marker.getFileSystem(hconf)
-        if (!fsys.exists(marker)) {
+        withBatchMarker(spark, tableRoot, markerTag, batchId) {
           if (graft.sources.VersionedTable.latestVersion(spark,
               tableRoot) < 0)
             graft.sources.VersionedTable.init(b, tableRoot)
           else
             graft.sources.VersionedTable.merge(spark, tableRoot, b, keyCols)
-          fsys.mkdirs(marker.getParent)
-          fsys.create(marker, true).close()
         }
         ()
       }
@@ -216,12 +241,23 @@ object Streams {
     * base-table volume), and the deltas MERGE into the aggregate table.
     * Both tables are versioned, so a reader always sees batch-atomic
     * states of each; replay idempotence is the [[foreachBatchMerge]]
-    * marker contract — a committed batch is skipped whole, so the
-    * aggregate never double-applies a delta.
+    * marker contract PLUS a `__started/<batchId>` pre-marker recording
+    * the PRE-batch versions of both tables. The committed marker alone
+    * is not enough here: a crash between the base-table MERGE and the
+    * marker would make a naive replay read `before = latest` AFTER its
+    * own crashed commit — an empty change feed, the batch's delta lost
+    * forever (and a crash right after a first-batch `init` would
+    * aggregate nothing at all). With the pre-marker, a replay recomputes
+    * the delta from the ORIGINAL base version (the re-MERGE is row-set
+    * idempotent, so the endpoint diff still yields exactly the batch's
+    * delta), and the aggregate update is an ABSOLUTE value computed from
+    * the RECORDED pre-batch aggregate version plus that delta — applying
+    * it once, twice, or over a half-applied crash all converge to the
+    * same rows. Exactly-once, not at-most-once.
     */
   def foreachBatchCdcAggregate(stream: DataFrame, tableRoot: String,
       aggRoot: String, checkpoint: String, keyCols: Seq[String],
-      groupCol: String, valueCol: String)
+      groupCol: String, valueCol: String, markerTag: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -229,35 +265,67 @@ object Streams {
         import graft.sources.VersionedTable
         val b = batch.toDF()
         val spark = b.sparkSession
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$tableRoot/__committed/$batchId")
-        val fsys = marker.getFileSystem(hconf)
-        if (!fsys.exists(marker)) {
-          val before = VersionedTable.latestVersion(spark, tableRoot)
-          if (before < 0) VersionedTable.init(b, tableRoot)
-          else VersionedTable.merge(spark, tableRoot, b, keyCols)
+        withBatchMarker(spark, tableRoot, markerTag, batchId) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val startedDir = if (markerTag.isEmpty) s"$tableRoot/__started"
+            else s"$tableRoot/__started/$markerTag"
+          val started = new org.apache.hadoop.fs.Path(
+            s"$startedDir/$batchId")
+          val fsys = started.getFileSystem(hconf)
+          // pre-batch versions: recorded BEFORE any commit so a crashed
+          // replay diffs from the original base, not its own leftovers
+          val (tableBefore, aggBefore): (Int, Int) =
+            if (fsys.exists(started)) {
+              val in = fsys.open(started)
+              val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.trim finally in.close()
+              val Array(tb, ab) = s.split(",")
+              (tb.toInt, ab.toInt)
+            } else {
+              val tb = VersionedTable.latestVersion(spark, tableRoot)
+              val ab = VersionedTable.latestVersion(spark, aggRoot)
+              fsys.mkdirs(started.getParent)
+              val out = fsys.create(started, true)
+              try out.write(s"$tb,$ab".getBytes("UTF-8"))
+              finally out.close()
+              (tb, ab)
+            }
+          if (VersionedTable.latestVersion(spark, tableRoot) < 0)
+            VersionedTable.init(b, tableRoot)
+          else if (tableBefore >= 0)
+            // re-MERGE on replay is row-set idempotent: one extra
+            // version may appear, the endpoint diff below is unchanged
+            VersionedTable.merge(spark, tableRoot, b, keyCols)
+          // (tableBefore < 0 with an existing table = replay of a
+          // crashed first batch: v0 already IS this batch — skip)
           val after = VersionedTable.latestVersion(spark, tableRoot)
-          val deltas = (if (before < 0)
+          val deltas = (if (tableBefore < 0)
             VersionedTable.read(spark, tableRoot, Some(after))
               .select(col(groupCol), col(valueCol).as("__d"))
           else
-            VersionedTable.changeFeed(spark, tableRoot, before, after,
-              keyCols)
+            VersionedTable.changeFeed(spark, tableRoot, tableBefore,
+              after, keyCols)
               .select(col(groupCol),
                 when(col("_change_type").isin("insert", "update_postimage"),
                   col(valueCol)).otherwise(-col(valueCol)).as("__d")))
             .groupBy(groupCol)
             .agg(sum(col("__d")).as("__delta"))
-          if (VersionedTable.latestVersion(spark, aggRoot) < 0) {
+          if (aggBefore < 0 &&
+              VersionedTable.latestVersion(spark, aggRoot) < 0) {
             VersionedTable.init(
               deltas.select(col(groupCol), col("__delta").as("agg_sum")),
               aggRoot)
           } else {
-            // only CHANGED groups flow into the merge (right join keeps
-            // the delta side): the upsert is delta-sized, never
-            // aggregate-table-sized
-            val current = VersionedTable.read(spark, aggRoot)
+            // ABSOLUTE per-group values from the RECORDED pre-batch
+            // aggregate version + this batch's delta: convergent under
+            // replay even if a previous attempt half-applied. Only
+            // CHANGED groups flow into the merge (right join keeps the
+            // delta side) — delta-sized, never aggregate-table-sized.
+            val current =
+              if (aggBefore < 0)
+                deltas.select(col(groupCol)).limit(0)
+                  .withColumn("agg_sum", lit(0.0))
+              else VersionedTable.read(spark, aggRoot, Some(aggBefore))
             val updated = current
               .join(deltas, Seq(groupCol), "right")
               .select(col(groupCol),
@@ -265,8 +333,6 @@ object Streams {
                   coalesce(col("__delta"), lit(0.0))).as("agg_sum"))
             VersionedTable.merge(spark, aggRoot, updated, Seq(groupCol))
           }
-          fsys.mkdirs(marker.getParent)
-          fsys.create(marker, true).close()
         }
         ()
       }
@@ -297,11 +363,7 @@ object Streams {
           // harmless (candidates dropDuplicates, losers are distinct) and
           // bounded by the number of crash-replays, not by data volume
           val spark = batch.sparkSession
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val marker = new org.apache.hadoop.fs.Path(
-            s"$outPath/__committed/$batchId")
-          val fsys = marker.getFileSystem(hconf)
-          if (!fsys.exists(marker)) {
+          withBatchMarker(spark, outPath, "", batchId) {
             // the survivors frame arrives PERSISTED (caller-owned, see
             // incrementalMinhashDedup): release it once written, or a
             // long-running query pins one cached frame per micro-batch
@@ -311,8 +373,6 @@ object Streams {
             try survivors.write.mode("overwrite")
               .parquet(s"$outPath/batch=$batchId")
             finally survivors.unpersist()
-            fsys.mkdirs(marker.getParent)
-            fsys.create(marker, true).close()
           }
           ()
       }
@@ -372,6 +432,37 @@ object Streams {
     * size stays bounded by the set of users active within the watermark
     * horizon.
     */
+  /** The session fold shared by all three sessionizers (the
+    * flatMapGroupsWithState form and both transformWithState
+    * processors) — one implementation so a semantics fix cannot
+    * silently miss a copy. `sorted` must be batch-sorted by
+    * (ts, event_id); a CROSS-batch straggler older than the open
+    * session's last event (legitimate late data inside the watermark —
+    * neither API auto-drops it) folds into the session WITHOUT moving
+    * its end backwards: the event count grows, `lastTsMicros` is
+    * monotone, and the session duration can never shrink or go
+    * negative.
+    */
+  private[streaming] def foldSession(user: Long, st0: UserSessionState,
+      sorted: Seq[TsEvent], gapUs: Long)
+      : (UserSessionState, Seq[SessionOut]) = {
+    var st = st0
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val tsUs = e.ts.getTime * 1000L
+      if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
+        if (st.nEvents > 0L)
+          out += SessionOut(user, st.sessionSeq, st.nEvents,
+            st.lastTsMicros - st.startTsMicros)
+        st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
+      } else {
+        st = st.copy(lastTsMicros = math.max(st.lastTsMicros, tsUs),
+          nEvents = st.nEvents + 1L)
+      }
+    }
+    (st, out.result())
+  }
+
   def statefulSessionizeStream(events: DataFrame, gapSeconds: Long,
       watermark: String = "1 hour"): Dataset[SessionOut] = {
     import org.apache.spark.sql.Encoders
@@ -396,25 +487,21 @@ object Streams {
           } else {
             val sorted = it.toSeq
               .sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption
-              .getOrElse(UserSessionState(0L, Long.MinValue, 0L, 0L))
-            val out = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val tsUs = e.ts.getTime * 1000L
-              if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
-                if (st.nEvents > 0L)
-                  out += SessionOut(user, st.sessionSeq, st.nEvents,
-                    st.lastTsMicros - st.startTsMicros)
-                st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
-              } else {
-                st = st.copy(lastTsMicros = tsUs, nEvents = st.nEvents + 1L)
-              }
-            }
+            val (st, outs) = foldSession(user,
+              state.getOption
+                .getOrElse(UserSessionState(0L, Long.MinValue, 0L, 0L)),
+              sorted, gapUs)
             state.update(st)
-            // close the open session once the watermark passes last + gap
-            state.setTimeoutTimestamp(
-              st.lastTsMicros / 1000L + gapSeconds * 1000L)
-            out.result().iterator
+            // close the open session once the watermark passes last +
+            // gap — FLOORED at watermark + 1: a within-horizon straggler
+            // (which this API does not auto-drop) can otherwise compute
+            // a timeout at/below the current watermark, which Spark
+            // rejects with IllegalArgumentException and fails the whole
+            // query (streamingEwma/streamingFunnel carry the same guard)
+            state.setTimeoutTimestamp(math.max(
+              st.lastTsMicros / 1000L + gapSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            outs.iterator
           }
       }
   }
@@ -462,29 +549,18 @@ object Streams {
     override def handleInputRows(user: Long, rows: Iterator[TsEvent],
         timerValues: TimerValues): Iterator[SessionOut] = {
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st =
+      val st0 =
         if (state.exists()) state.get()
         else UserSessionState(0L, Long.MinValue, 0L, 0L)
-      val prevTimer = if (st.nEvents > 0L)
-        Some(st.lastTsMicros / 1000L + gapSeconds * 1000L) else None
-      val out = Seq.newBuilder[SessionOut]
-      sorted.foreach { e =>
-        val tsUs = e.ts.getTime * 1000L
-        if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
-          if (st.nEvents > 0L)
-            out += SessionOut(user, st.sessionSeq, st.nEvents,
-              st.lastTsMicros - st.startTsMicros)
-          st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
-        } else {
-          st = st.copy(lastTsMicros = tsUs, nEvents = st.nEvents + 1L)
-        }
-      }
+      val prevTimer = if (st0.nEvents > 0L)
+        Some(st0.lastTsMicros / 1000L + gapSeconds * 1000L) else None
+      val (st, outs) = foldSession(user, st0, sorted, gapUs)
       state.update(st)
       // one live timer per user: replace the previous close-timer
       val newTimer = st.lastTsMicros / 1000L + gapSeconds * 1000L
       prevTimer.filter(_ != newTimer).foreach(getHandle.deleteTimer)
       if (!prevTimer.contains(newTimer)) getHandle.registerTimer(newTimer)
-      out.result().iterator
+      outs.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
@@ -576,29 +652,20 @@ object Streams {
 
     override def handleInputRows(user: Long, rows: Iterator[TsEvent],
         timerValues: TimerValues): Iterator[SessionOut] = {
+      // the fold is [[foldSession]] — shared with SessionProcessor and
+      // the flatMapGroupsWithState form, so the three stay in lockstep
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st =
+      val st0 =
         if (state.exists()) state.get()
         else UserSessionState(0L, Long.MinValue, 0L, 0L)
-      val prevTimer = if (st.nEvents > 0L)
-        Some(st.lastTsMicros / 1000L + gapSeconds * 1000L) else None
-      val out = Seq.newBuilder[SessionOut]
-      sorted.foreach { e =>
-        val tsUs = e.ts.getTime * 1000L
-        if (st.nEvents == 0L || tsUs - st.lastTsMicros > gapUs) {
-          if (st.nEvents > 0L)
-            out += SessionOut(user, st.sessionSeq, st.nEvents,
-              st.lastTsMicros - st.startTsMicros)
-          st = UserSessionState(st.sessionSeq + 1L, tsUs, 1L, tsUs)
-        } else {
-          st = st.copy(lastTsMicros = tsUs, nEvents = st.nEvents + 1L)
-        }
-      }
+      val prevTimer = if (st0.nEvents > 0L)
+        Some(st0.lastTsMicros / 1000L + gapSeconds * 1000L) else None
+      val (st, outs) = foldSession(user, st0, sorted, gapUs)
       state.update(st)
       val newTimer = st.lastTsMicros / 1000L + gapSeconds * 1000L
       prevTimer.filter(_ != newTimer).foreach(getHandle.deleteTimer)
       if (!prevTimer.contains(newTimer)) getHandle.registerTimer(newTimer)
-      out.result().iterator
+      outs.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,

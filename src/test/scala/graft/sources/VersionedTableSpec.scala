@@ -46,19 +46,75 @@ class VersionedTableSpec extends SparkSpec {
       Seq((0, 2L), (1, 2L), (2, 1L)))
   }
 
-  test("a stray uncommitted version directory is invisible to readers") {
+  test("a stray uncommitted version directory is invisible to readers; " +
+      "a FRESH one conflicts (live-competitor window), a STALE one is " +
+      "reclaimed") {
     val root = freshRoot()
     VersionedTable.init(Seq((1L, 1.0)).toDF("id", "v"), root)
     // simulate a crashed writer: v=1 exists but the pointer was never swapped
     Seq((9L, 9.0)).toDF("id", "v").write.parquet(s"$root/v=1")
     assert(VersionedTable.latestVersion(spark, root) == 0)
     assert(VersionedTable.read(spark, root).count() == 1)
-    // the next committer overwrites the orphan and commits cleanly
+    // a YOUNG unreferenced v=1 is indistinguishable from a LIVE
+    // competitor inside its rename->pointer window — deleting it could
+    // destroy a commit whose pointer swap is about to land, so the next
+    // committer must CONFLICT rather than take the slot
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.merge(spark, root, Seq((2L, 2.0)).toDF("id", "v"),
+        Seq("id"))
+    }
+    // aged past the grace window it is provably a crashed writer's
+    // leftover: reclaimed, and the commit proceeds cleanly
+    val p = new org.apache.hadoop.fs.Path(s"$root/v=1")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.setTimes(p, System.currentTimeMillis - 10 * 60 * 1000L, -1)
     VersionedTable.merge(spark, root, Seq((2L, 2.0)).toDF("id", "v"),
       Seq("id"))
     assert(VersionedTable.latestVersion(spark, root) == 1)
     assert(VersionedTable.read(spark, root).orderBy("id")
       .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("merge refuses updates with duplicate keys (multi-match MERGE " +
+      "is an error, as in Delta/Iceberg)") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, "a")).toDF("id", "v"), root)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root,
+        Seq((2L, "b"), (2L, "b2")).toDF("id", "v"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("multiple rows"))
+    // the guard fires before any data is staged: table untouched
+    assert(VersionedTable.latestVersion(spark, root) == 0)
+  }
+
+  test("history after vacuum lists only surviving versions instead of " +
+      "throwing on reclaimed paths") {
+    val root = freshRoot()
+    VersionedTable.init(Seq((1L, 1L)).toDF("id", "v"), root)
+    (2 to 4).foreach { i =>
+      VersionedTable.merge(spark, root,
+        Seq((i.toLong, i.toLong)).toDF("id", "v"), Seq("id"))
+    }
+    VersionedTable.vacuum(spark, root, keepVersions = 1) // drops v0, v1
+    val hist = VersionedTable.history(spark, root)
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(hist == Seq((2, 3L), (3, 4L)))
+  }
+
+  test("partition values needing hive escaping still prune to the " +
+      "right directory (writer escapes, the prefix must too)") {
+    val root = freshRoot()
+    val df = Seq(("a/b", 1L, 10L), ("a/b", 2L, 20L), ("c:d", 3L, 30L))
+      .toDF("p", "id", "v")
+    VersionedTable.init(df, root,
+      statsColumns = Seq("id"), partitionBy = Seq("p"))
+    val got = VersionedTable.readRange(spark, root, "id", 0L, 100L,
+      partitionValues = Seq("p" -> "a/b"))
+    // a raw-toString prefix ("p=a/b/") matches NO files of the escaped
+    // directory (p=a%2Fb) and silently returned an empty frame
+    assert(got.count() == 2)
+    assert(got.agg(sum("v")).as[Long].collect()(0) == 30L)
   }
 
   test("merge evolves the schema: new update columns null-fill old rows") {

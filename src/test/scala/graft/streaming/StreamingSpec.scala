@@ -237,6 +237,91 @@ class StreamingSpec extends SparkSpec {
     assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/__committed/1")))
   }
 
+  test("CDC aggregate crash-replay: a crash between the base MERGE and " +
+      "the aggregate update replays EXACTLY-ONCE (delta recomputed from " +
+      "the recorded pre-batch versions, not from the crashed leftovers)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcrep")
+    val (tbl, agg, ckpt) = (s"$root/tbl", s"$root/agg", s"$root/ckpt")
+    try {
+      val input = MemoryStream[(Long, String, Double)]
+      def start() = Streams.foreachBatchCdcAggregate(
+        input.toDF().toDF("id", "g", "v"), tbl, agg, ckpt,
+        Seq("id"), "g", "v")
+      val q = start()
+      input.addData((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0))
+      q.processAllAvailable()
+      input.addData((2L, "a", 20.0), (4L, "b", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      // ground truth after both batches: a = 30, b = 10
+      // reconstruct the crash state batch 1 leaves when it dies AFTER
+      // the base-table merge but BEFORE the aggregate update + marker:
+      // streaming commit gone, committed marker gone, base table keeps
+      // the merge, aggregate rolled back to its pre-batch version (the
+      // __started/1 pre-marker survives — that is the protocol's point)
+      assert(Files.deleteIfExists(Paths.get(ckpt, "commits", "1")))
+      Files.deleteIfExists(Paths.get(ckpt, "commits", ".1.crc"))
+      val fsys = new org.apache.hadoop.fs.Path(root.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsys.delete(
+        new org.apache.hadoop.fs.Path(s"$tbl/__committed/1"), false))
+      assert(fsys.delete(new org.apache.hadoop.fs.Path(s"$agg/v=1"), true))
+      val out = fsys.create(
+        new org.apache.hadoop.fs.Path(s"$agg/_LATEST"), true)
+      try out.write("0".getBytes("UTF-8")) finally out.close()
+      // replay: the delta must be recomputed from the RECORDED pre-batch
+      // base version (a naive before=latest read after the crashed merge
+      // sees an empty change feed and loses the delta forever)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = graft.sources.VersionedTable.read(spark, agg)
+        .as[(String, Double)].collect().toMap
+      val want = graft.sources.VersionedTable.read(spark, tbl)
+        .groupBy("g").agg(sum("v").as("s"))
+        .as[(String, Double)].collect().toMap
+      assert(want === Map("a" -> 30.0, "b" -> 10.0))
+      want.foreach { case (g, x) =>
+        assert(math.abs(got(g) - x) < 1e-9,
+          s"group $g: got ${got.get(g)}, want $x — zero- or double-applied")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
+  test("a within-horizon straggler cannot crash the sessionizer: the " +
+      "close-timeout floors at the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streams.statefulSessionizeStream(
+      input.toDF().toDF("user_id", "event_id", "ts"),
+      gapSeconds = 1800L, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_straggler").start()
+    // batch 1 advances the watermark to 19:00 (max 20:00 - 1h)
+    input.addData((1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 2L, ts("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    // batch 2: a straggler for user 1 at 18:20 — last + gap = 18:50 is
+    // BELOW the 19:00 watermark, which setTimeoutTimestamp rejects
+    // without the floor (IllegalArgumentException fails the query)
+    input.addData((1L, 3L, ts("2024-01-01 18:20:00")))
+    q.processAllAvailable()
+    // sentinel far ahead: every session closes
+    input.addData((3L, 4L, ts("2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_straggler")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.contains(1L) && got.contains(2L))
+    // the straggler folded without crashing; durations stay non-negative
+    got.values.foreach(r => assert(r._4 >= 0L, r))
+  }
+
   test("streaming near-dedup removes cross-batch near-duplicates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
