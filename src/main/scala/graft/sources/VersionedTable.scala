@@ -555,7 +555,8 @@ object VersionedTable {
     * re-checks staleness before publishing.
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      keyCols: Seq[String], expectedVersion: Option[Int] = None): Int = {
+      keyCols: Seq[String], expectedVersion: Option[Int] = None,
+      requireUniqueKeys: Boolean = false): Int = {
     val latest = latestVersion(spark, root)
     require(latest >= 0, s"no such table: $root")
     val v = expectedVersion.getOrElse(latest)
@@ -563,22 +564,28 @@ object VersionedTable {
       throw new ConcurrentCommitException(
         s"base version $v is stale (latest is $latest); retry on latest")
     val base = read(spark, root, Some(v))
-    // Delta/Iceberg MERGE error semantics: multiple update rows for one
-    // key would BOTH survive the anti-join union — the table silently
-    // stops being keyed, and every change-feed consumer downstream
-    // multiplies rows through its full-outer key join. One bounded
-    // aggregation over the updates side catches it loudly up front
-    // (collect is limit(1)-bounded: at most one witness row).
-    val dup = updates.groupBy(keyCols.map(col): _*)
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"merge: updates contain multiple rows for key " +
-        s"${keyCols.mkString("(", ",", ")")} = " +
-        s"${keyCols.map(dup.head.getAs[Any]).mkString("(", ",", ")")} — " +
-        "collapse the updates to one row per key first (MERGE on a " +
-        "multi-match is an error, as in Delta/Iceberg)")
+    // DEFAULT semantics are GROUP-REPLACE on multisets: every base row
+    // sharing a key with `updates` is replaced by ALL the update rows of
+    // that key — well-defined when neither side is key-unique (the
+    // synthetic lineitem is not, and x49's oracle pins this contract).
+    // `requireUniqueKeys = true` switches to Delta/Iceberg MERGE error
+    // semantics — multiple update rows for one key fail loudly — for
+    // consumers whose math NEEDS a keyed table (the CDC aggregate sink:
+    // a change feed over duplicate keys multiplies rows through its
+    // full-outer key join). One bounded aggregation over the updates
+    // side; collect is limit(1)-bounded (at most one witness row).
+    if (requireUniqueKeys) {
+      val dup = updates.groupBy(keyCols.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge: updates contain multiple rows for key " +
+          s"${keyCols.mkString("(", ",", ")")} = " +
+          s"${keyCols.map(dup.head.getAs[Any]).mkString("(", ",", ")")}" +
+          " — collapse the updates to one row per key first (MERGE on " +
+          "a multi-match is an error, as in Delta/Iceberg)")
+    }
     // schema evolution (mergeSchema-style): either side may carry columns
     // the other lacks; missing columns fill with null on the short side
     val merged = base.join(updates.select(keyCols.map(col): _*),

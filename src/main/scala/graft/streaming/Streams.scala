@@ -294,8 +294,12 @@ object Streams {
             VersionedTable.init(b, tableRoot)
           else if (tableBefore >= 0)
             // re-MERGE on replay is row-set idempotent: one extra
-            // version may appear, the endpoint diff below is unchanged
-            VersionedTable.merge(spark, tableRoot, b, keyCols)
+            // version may appear, the endpoint diff below is unchanged.
+            // STRICT keys: the delta math below needs a keyed table —
+            // a change feed over duplicate keys multiplies rows through
+            // its full-outer join and corrupts the aggregate
+            VersionedTable.merge(spark, tableRoot, b, keyCols,
+              requireUniqueKeys = true)
           // (tableBefore < 0 with an existing table = replay of a
           // crashed first batch: v0 already IS this batch — skip)
           val after = VersionedTable.latestVersion(spark, tableRoot)
@@ -331,7 +335,8 @@ object Streams {
               .select(col(groupCol),
                 (coalesce(col("agg_sum"), lit(0.0)) +
                   coalesce(col("__delta"), lit(0.0))).as("agg_sum"))
-            VersionedTable.merge(spark, aggRoot, updated, Seq(groupCol))
+            VersionedTable.merge(spark, aggRoot, updated, Seq(groupCol),
+              requireUniqueKeys = true)
           }
         }
         ()

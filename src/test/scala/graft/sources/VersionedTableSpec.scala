@@ -75,17 +75,28 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
   }
 
-  test("merge refuses updates with duplicate keys (multi-match MERGE " +
-      "is an error, as in Delta/Iceberg)") {
+  test("merge default is GROUP-REPLACE on multisets; requireUniqueKeys " +
+      "switches to Delta/Iceberg multi-match error semantics") {
     val root = freshRoot()
-    VersionedTable.init(Seq((1L, "a")).toDF("id", "v"), root)
+    VersionedTable.init(Seq((1L, "a"), (2L, "old"), (2L, "old2"))
+      .toDF("id", "v"), root)
+    // default: the whole id=2 group is replaced by the whole update
+    // group — well-defined when neither side is key-unique (the
+    // synthetic lineitem is not; x49's oracle pins this contract)
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b"), (2L, "b2")).toDF("id", "v"), Seq("id"))
+    assert(VersionedTable.read(spark, root).orderBy("id", "v")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (2L, "b2")))
+    // strict: consumers whose math needs a keyed table fail loudly
     val ex = intercept[IllegalArgumentException] {
       VersionedTable.merge(spark, root,
-        Seq((2L, "b"), (2L, "b2")).toDF("id", "v"), Seq("id"))
+        Seq((3L, "c"), (3L, "c2")).toDF("id", "v"), Seq("id"),
+        requireUniqueKeys = true)
     }
     assert(ex.getMessage.contains("multiple rows"))
     // the guard fires before any data is staged: table untouched
-    assert(VersionedTable.latestVersion(spark, root) == 0)
+    assert(VersionedTable.latestVersion(spark, root) == 1)
   }
 
   test("history after vacuum lists only surviving versions instead of " +
