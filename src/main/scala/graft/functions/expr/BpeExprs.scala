@@ -63,6 +63,8 @@ case class BpeApplyExpr(child: Expression, left: String, right: String)
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
+  // the null-symbol poison can return NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -81,7 +83,11 @@ case class BpeApplyExpr(child: Expression, left: String, right: String)
     val out = new java.util.ArrayList[AnyRef](n)
     var i = 0
     while (i < n) {
+      // a null symbol is malformed BPE input (the tokenizers never emit
+      // one): poison the row to NULL instead of an NPE mid-merge
+      if (syms.isNullAt(i)) return null
       if (i + 1 < n && syms.getUTF8String(i).equals(l) &&
+          i + 1 < n && !syms.isNullAt(i + 1) &&
           syms.getUTF8String(i + 1).equals(r)) {
         out.add(lr)
         i += 2
@@ -112,6 +118,8 @@ case class BpeEncodeExpr(child: Expression,
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
+  // the null-symbol poison can return NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -131,7 +139,11 @@ case class BpeEncodeExpr(child: Expression,
     var n = in.numElements()
     var cur = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { cur(i) = in.getUTF8String(i).copy(); i += 1 }
+    while (i < n) {
+      // null symbols poison the row to NULL (malformed encoder input)
+      if (in.isNullAt(i)) return null
+      cur(i) = in.getUTF8String(i).copy(); i += 1
+    }
     var m = 0
     while (m < pairs.length && n >= 2) {
       val (l, r, lr) = pairs(m)

@@ -29,6 +29,8 @@ case class HashNgramBucketsExpr(child: Expression, numBuckets: Int,
   require(numBuckets > 0 && wordNgrams >= 1)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // the malformed-input poisons above/below can return NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -43,6 +45,10 @@ case class HashNgramBucketsExpr(child: Expression, numBuckets: Int,
     var i = 0
     while (i < n) {
       val s = toks.getUTF8String(i)
+      // a null token is malformed classifier input (the tokenizers never
+      // emit one): poison the row to NULL rather than NPE mid-task or —
+      // on unsafe arrays — silently hash an empty string
+      if (s == null) return null
       th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
         s.numBytes(), 42L)
       i += 1
@@ -87,6 +93,8 @@ case class HashNgramScoreExpr(child: Expression, weights: Array[Float],
   require(weights.nonEmpty && wordNgrams >= 1)
 
   override def dataType: DataType = DoubleType
+  // the malformed-input poisons above/below can return NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -102,6 +110,10 @@ case class HashNgramScoreExpr(child: Expression, weights: Array[Float],
     var i = 0
     while (i < n) {
       val s = toks.getUTF8String(i)
+      // a null token is malformed classifier input (the tokenizers never
+      // emit one): poison the row to NULL rather than NPE mid-task or —
+      // on unsafe arrays — silently hash an empty string
+      if (s == null) return null
       th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
         s.numBytes(), 42L)
       i += 1
@@ -149,6 +161,8 @@ case class QuantizedHashNgramScoreExpr(child: Expression,
   require(qweights.nonEmpty && wordNgrams >= 1)
 
   override def dataType: DataType = DoubleType
+  // the malformed-input poisons above/below can return NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -164,6 +178,10 @@ case class QuantizedHashNgramScoreExpr(child: Expression,
     var i = 0
     while (i < n) {
       val s = toks.getUTF8String(i)
+      // a null token is malformed classifier input (the tokenizers never
+      // emit one): poison the row to NULL rather than NPE mid-task or —
+      // on unsafe arrays — silently hash an empty string
+      if (s == null) return null
       th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
         s.numBytes(), 42L)
       i += 1
@@ -203,6 +221,8 @@ case class BucketMeanScoreExpr(child: Expression, weights: Array[Float],
   require(weights.nonEmpty)
 
   override def dataType: DataType = DoubleType
+  // the malformed-input poisons above/below can return NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
@@ -214,7 +234,15 @@ case class BucketMeanScoreExpr(child: Expression, weights: Array[Float],
     val bs = v.asInstanceOf[ArrayData].toIntArray()
     var sum = 0.0
     var i = 0
-    while (i < bs.length) { sum += weights(bs(i)); i += 1 }
+    while (i < bs.length) {
+      val b = bs(i)
+      // an out-of-range bucket id means the cached buckets and this
+      // weights vector come from DIFFERENT models (stale numBuckets):
+      // NULL, like the PQ code-validating kernels — never an AIOOBE
+      // mid-scan, never a plausible score from the wrong feature space
+      if (b < 0 || b >= weights.length) return null
+      sum += weights(b); i += 1
+    }
     val z = bias + (if (bs.length > 0) sum / bs.length else 0.0)
     1.0 / (1.0 + math.exp(-z))
   }

@@ -33,7 +33,12 @@ case class TrigramLangIdExpr(child: Expression)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    // Locale.ROOT: the default-locale overload is host-dependent (a
+    // Turkish-locale executor lowercases "IS" to dotless-i "ıs" and the
+    // English profile trigrams never fire) — language ID must classify
+    // identically on every JVM and match the oracle's locale-free lower()
+    val text = v.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     // pad with spaces so leading/trailing word-edge trigrams fire
     val s = " " + text + " "
     val scores = new Array[Int](TrigramLangIdExpr.Langs.length)

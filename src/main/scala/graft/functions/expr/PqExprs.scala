@@ -30,11 +30,18 @@ private[expr] object PqMath {
     s
   }
 
+  /** null when ANY element is NULL: a null coordinate has no numeric
+    * reading — GenericArrayData would NPE mid-task, UnsafeArrayData
+    * would silently read 0.0 (a plausible but wrong vector, the exact
+    * failure cosine_sim's element-poison contract exists to prevent).
+    * Every caller propagates the null (all are nullable).
+    */
   def toDoubles(v: ArrayData, isFloat: Boolean): Array[Double] = {
     val n = v.numElements()
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) return null
       out(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       i += 1
     }
@@ -75,6 +82,7 @@ case class L2NormalizeExpr(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val a = PqMath.toDoubles(v.asInstanceOf[ArrayData],
       PqMath.isFloatArray(child))
+    if (a == null) return null
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i) * a(i); i += 1 }
@@ -122,6 +130,7 @@ case class CentroidCosinesExpr(child: Expression,
   override def nullSafeEval(v: Any): Any = {
     val a = PqMath.toDoubles(v.asInstanceOf[ArrayData],
       PqMath.isFloatArray(child))
+    if (a == null) return null
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i) * a(i); i += 1 }
@@ -130,7 +139,12 @@ case class CentroidCosinesExpr(child: Expression,
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
-      if (a.length == c.length && an > 0.0 && norms(j) > 0.0) {
+      // dimension mismatch is MISCONFIGURATION, not data: emitting 0.0
+      // would hand every row a plausible score and argmax would
+      // deterministically dump the whole corpus into cell 0 — NULL, per
+      // cosine_sim's documented mismatch contract
+      if (a.length != c.length) return null
+      if (an > 0.0 && norms(j) > 0.0) {
         var d = 0.0
         i = 0
         while (i < c.length) { d += a(i) * c(i); i += 1 }
@@ -174,6 +188,7 @@ case class PqEncodeExpr(left: Expression, right: Expression,
   override def nullSafeEval(v: Any, c: Any): Any = {
     val vec = PqMath.toDoubles(v.asInstanceOf[ArrayData],
       PqMath.isFloatArray(left))
+    if (vec == null) return null
     val cell = c.asInstanceOf[Int]
     if (vec.length != m * subDim || cell < 0 || cell >= coarse.length)
       return null
@@ -245,6 +260,7 @@ case class IvfPqAdcScoreExpr(first: Expression, second: Expression,
   override def nullSafeEval(q: Any, c: Any, cd: Any): Any = {
     val qv = PqMath.toDoubles(q.asInstanceOf[ArrayData],
       PqMath.isFloatArray(first))
+    if (qv == null) return null
     val cell = c.asInstanceOf[Int]
     val codes = cd.asInstanceOf[ArrayData]
     if (qv.length != m * subDim || cell < 0 || cell >= coarse.length ||
@@ -302,6 +318,7 @@ case class PqEncode2Expr(children: Seq[Expression],
     if (v == null || c == null || cd == null) return null
     val vec = PqMath.toDoubles(v.asInstanceOf[ArrayData],
       PqMath.isFloatArray(children(0)))
+    if (vec == null) return null
     val cell = c.asInstanceOf[Int]
     val codes1 = cd.asInstanceOf[ArrayData]
     if (vec.length != m * subDim || cell < 0 || cell >= coarse.length ||
@@ -368,6 +385,7 @@ case class PqCodesDotExpr(left: Expression, right: Expression,
   override def nullSafeEval(q: Any, cd: Any): Any = {
     val qv = PqMath.toDoubles(q.asInstanceOf[ArrayData],
       PqMath.isFloatArray(left))
+    if (qv == null) return null
     val codes = cd.asInstanceOf[ArrayData]
     if (qv.length != m * subDim || codes.numElements() != m) return null
     var score = 0.0
@@ -407,6 +425,7 @@ case class MatVecExpr(child: Expression, matrix: Array[Array[Double]])
   override def nullSafeEval(v: Any): Any = {
     val x = PqMath.toDoubles(v.asInstanceOf[ArrayData],
       PqMath.isFloatArray(child))
+    if (x == null) return null
     if (x.length != matrix.length) return null
     val n = matrix(0).length
     val out = new Array[Double](n)

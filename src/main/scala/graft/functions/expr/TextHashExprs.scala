@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShingleHashesExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+  // k <= 0 would make EVERY window chain zero token hashes — the whole
+  // corpus collapses onto the single hash {seed} and dedup marks
+  // everything a near-duplicate of everything; refuse at construction
+  require(k >= 1, s"shingle k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -34,38 +38,9 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    // hash each token once
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val s = toks.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42L)
-      i += 1
-    }
-    val out =
-      if (n == 0) Array(XXH64.hashLong(0L, 42L))
-      else if (n < k) {
-        // degenerate doc: single shingle over all tokens
-        var h = 42L
-        var j = 0
-        while (j < n) { h = XXH64.hashLong(th(j), h); j += 1 }
-        Array(h)
-      } else {
-        val m = n - k + 1
-        val hs = new Array[Long](m)
-        var s0 = 0
-        while (s0 < m) {
-          var h = 42L
-          var j = 0
-          while (j < k) { h = XXH64.hashLong(th(s0 + j), h); j += 1 }
-          hs(s0) = h
-          s0 += 1
-        }
-        hs
-      }
+    // window chains + null contract live in ONE place, shared with the
+    // TF twin — see TextHashExprs.shingleWindowHashes
+    val out = TextHashExprs.shingleWindowHashes(v.asInstanceOf[ArrayData], k)
     val distinct = out.distinct
     java.util.Arrays.sort(distinct)
     new GenericArrayData(distinct)
@@ -137,12 +112,17 @@ case class SimHash64Expr(child: Expression)
     var i = 0
     while (i < n) {
       val s = toks.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null tokens cast no votes (a feature that isn't there): hashing
+      // them as anything would collide with a real token, and getBytes
+      // NPE'd here on GenericArrayData inputs
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -424,6 +404,62 @@ case class NgramStatsExpr(child: Expression, n: Int)
 }
 
 object TextHashExprs {
+
+  /** THE shingle-window chain, shared by the unweighted
+    * ([[ShingleHashesExpr]]) and TF ([[graft.functions.expr
+    * .ShingleTfExpr]]) kernels so "what a shingle is" cannot drift
+    * between them: per-token XXH64, then the chain over each k-window —
+    * with the ngram_stats NULL contract applied uniformly: a window
+    * containing a NULL token is SKIPPED (hashing null as anything would
+    * collide it with a real token; the engine's tokenizers never emit
+    * null tokens — this defines the contract for caller-built arrays).
+    * An empty doc, or one where every window was skipped, returns the
+    * empty-doc sentinel so downstream MinHash always has input.
+    * Non-distinct, window order: callers dedup/RLE as they need.
+    */
+  private[expr] def shingleWindowHashes(toks: org.apache.spark.sql
+      .catalyst.util.ArrayData, k: Int): Array[Long] = {
+    val n = toks.numElements()
+    val th = new Array[Long](n)
+    val nulls = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      if (s == null) nulls(i) = true
+      else th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42L)
+      i += 1
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (n > 0 && n < k) {
+      // degenerate doc: single shingle over all tokens
+      var h = 42L
+      var j = 0
+      var bad = false
+      while (j < n) {
+        if (nulls(j)) bad = true
+        h = XXH64.hashLong(th(j), h); j += 1
+      }
+      if (!bad) buf += h
+    } else if (n >= k) {
+      val m = n - k + 1
+      var s0 = 0
+      while (s0 < m) {
+        var h = 42L
+        var j = 0
+        var bad = false
+        while (j < k) {
+          val t = s0 + j
+          if (nulls(t)) bad = true
+          h = XXH64.hashLong(th(t), h); j += 1
+        }
+        if (!bad) buf += h
+        s0 += 1
+      }
+    }
+    if (buf.isEmpty) Array(XXH64.hashLong(0L, 42L)) else buf.toArray
+  }
+
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(
       ShingleHashesExpr(ColumnBridge.expression(tokens), k))

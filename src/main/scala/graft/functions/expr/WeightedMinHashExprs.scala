@@ -32,6 +32,9 @@ import org.apache.spark.sql.types._
   */
 case class ShingleTfExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+  // same corpus-collapse guard as ShingleHashesExpr: k <= 0 makes every
+  // window hash the bare seed and all documents mutually near-duplicate
+  require(k >= 1, s"shingle k must be >= 1, got $k")
 
   override def dataType: DataType = StructType(Seq(
     StructField("hashes", ArrayType(LongType, containsNull = false), nullable = false),
@@ -44,36 +47,11 @@ case class ShingleTfExpr(child: Expression, k: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val s = toks.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42L)
-      i += 1
-    }
-    val all: Array[Long] =
-      if (n == 0) Array(XXH64.hashLong(0L, 42L))
-      else if (n < k) {
-        var h = 42L
-        var j = 0
-        while (j < n) { h = XXH64.hashLong(th(j), h); j += 1 }
-        Array(h)
-      } else {
-        val m = n - k + 1
-        val hs = new Array[Long](m)
-        var s0 = 0
-        while (s0 < m) {
-          var h = 42L
-          var j = 0
-          while (j < k) { h = XXH64.hashLong(th(s0 + j), h); j += 1 }
-          hs(s0) = h
-          s0 += 1
-        }
-        hs
-      }
+    // the chain (and its null-window contract) is the SAME code the
+    // unweighted kernel runs — TextHashExprs.shingleWindowHashes — so
+    // the two paths can never disagree on what a shingle is
+    val all: Array[Long] = TextHashExprs.shingleWindowHashes(
+      v.asInstanceOf[ArrayData], k)
     java.util.Arrays.sort(all)
     // run-length over the sorted hashes -> (distinct hash, count)
     val m = all.length
@@ -114,6 +92,9 @@ case class IcwsSignatureExpr(left: Expression, right: Expression,
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the mismatched-pair contract below can return NULL even when both
+  // children are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -141,7 +122,12 @@ case class IcwsSignatureExpr(left: Expression, right: Expression,
   override def nullSafeEval(lv: Any, rv: Any): Any = {
     val hs = lv.asInstanceOf[ArrayData].toLongArray()
     val ws = rv.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(hs.length, ws.length)
+    // a mismatched (hashes, weights) pair is malformed input — silently
+    // truncating to the shorter side would yield a plausible-looking
+    // signature that quietly under-reports similarity. NULL, like
+    // cosine_sim's dimension-mismatch contract
+    if (hs.length != ws.length) return null
+    val n = hs.length
     // hoist log(w): constant across samples
     val logw = new Array[Double](n)
     var j = 0
@@ -208,11 +194,14 @@ case class WeightedJaccardExpr(children: Seq[Expression])
   override def foldable: Boolean = children.forall(_.foldable)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = children(0).dataType.isInstanceOf[ArrayType] &&
-      children(0).dataType.asInstanceOf[ArrayType].elementType == LongType &&
-      children(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
-      children(2).dataType.asInstanceOf[ArrayType].elementType == LongType &&
-      children(3).dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    // every cast is guarded: a non-array child must produce the clean
+    // TypeCheckFailure below, not a ClassCastException out of the analyzer
+    def elem(i: Int): Option[DataType] = children(i).dataType match {
+      case ArrayType(e, _) => Some(e)
+      case _ => None
+    }
+    val ok = elem(0).contains(LongType) && elem(1).contains(DoubleType) &&
+      elem(2).contains(LongType) && elem(3).contains(DoubleType)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "weighted_jaccard expects (array<bigint>, array<double>) x2")

@@ -71,10 +71,17 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
       md.reset()
       val end = if (n < k) n else i + k
       var j = i
+      var emitted = false
       while (j < end) {
-        if (j > i) md.update(space)
         val t = toks.getUTF8String(j)
-        md.update(t.getBytes)
+        // mirror concat_ws(" ", ...) exactly — THE documented oracle
+        // equivalence of this kernel: null elements are DROPPED and
+        // contribute no separator (getBytes on a null token NPE'd here)
+        if (t != null) {
+          if (emitted) md.update(space)
+          md.update(t.getBytes)
+          emitted = true
+        }
         j += 1
       }
       digests(i) = md.digest()
