@@ -59,13 +59,22 @@ object VectorFunctions {
     * inlined as literals — broadcast-free and plan-stable.
     */
   def hyperplaneBucket(a: Column, planes: Seq[Array[Double]]): Column = {
+    val dim = planes.head.length
     val bits: Seq[Column] = planes.map { p =>
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(a, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
     }
-    bits.zipWithIndex
+    val bucket = bits.zipWithIndex
       .map { case (b, i) => b * lit(1L << i) }
       .reduce(_ + _)
+    // a vector whose length differs from the planes' dim would null-pad
+    // every dot (zip_with), read every sign bit as 0, and land the WHOLE
+    // corpus in bucket 0 — LSH silently degenerates to a cross product
+    // (or, under a bucket cap, to zero candidates and a no-op dedup).
+    // Misconfiguration fails loudly instead.
+    when(size(a) === dim, bucket).otherwise(raise_error(concat(
+      lit("hyperplaneBucket: vector dimension "), size(a).cast("string"),
+      lit(s" does not match the configured dim $dim"))))
   }
 
   /** Deterministic pseudo-random unit hyperplanes (xorshift-seeded). */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Dataset splitting and sampling for training-data pipelines.
   *
@@ -90,8 +91,15 @@ object Sampling {
         size(graft.functions.TextFunctions.tokensOf(df, textCol))
           .cast("long")
     }
-    val srcTokens = df.groupBy(col(sourceCol))
-      .agg(sum(toks).as("__tokens"))
+    // coalesce: a source whose token counts are ALL null sums to null,
+    // and decoding null into a primitive Long fails the whole job —
+    // treat it as zero mass (rate 0, like an empty source). Null-source
+    // rows keep their null key through the aggregate AND the join below
+    // (dropped by inner-join-on-null): filtered here so the behavior is
+    // explicit, not an accident of join semantics.
+    val srcTokens = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(coalesce(sum(toks), lit(0L)).as("__tokens"))
       .as[(String, Long)].collect()
     val thresholds = srcTokens.toSeq.map { case (s, t) =>
       val w = targetWeights.getOrElse(s, 0.0)
@@ -192,6 +200,17 @@ object Sampling {
       valPermille: Int = 100): DataFrame = {
     require(testPermille >= 0 && valPermille >= 0 &&
       testPermille + valPermille <= 1000, "permilles must fit in [0,1000]")
+    // the assignment hash casts the representative id to long: a
+    // non-numeric id type would cast to null and fall through the
+    // when-chain, silently assigning the ENTIRE corpus to 'train' (or
+    // throwing mid-job under ANSI). The split's determinism contract
+    // depends on the numeric cast, so refuse other id types up front.
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case t => throw new IllegalArgumentException(
+        s"leakSafeSplit: idCol must be an integral type (the split " +
+          s"hash is defined on the id's long value); got ${t.catalogString}")
+    }
     val pairs = Dedup.minhashCandidates(df, textCol, idCol,
       threshold = threshold)
     val comps = Dedup.connectedComponents(pairs)

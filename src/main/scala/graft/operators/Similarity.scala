@@ -39,6 +39,11 @@ object Similarity {
   private[operators] def trainVectors(corpus: DataFrame, idCol: String,
       vecCol: String, n: Int): Array[Array[Double]] =
     corpus.select(col(idCol), col(vecCol))
+      // null vectors are acknowledged input elsewhere in this file
+      // (labelOutliers filters them) — the shared training sampler must
+      // not NPE on one; non-numeric element types fail loudly below
+      // instead of a bare MatchError out of every ANN entry point
+      .where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(n)
       .select(col(vecCol))
@@ -46,6 +51,9 @@ object Similarity {
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
+        case other => throw new IllegalArgumentException(
+          "trainVectors: embedding elements must be float/double, got " +
+            (if (other == null) "null element" else other.getClass.getName))
       }.toArray)
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -168,7 +176,12 @@ object Similarity {
     // iterations over a bounded driver-collected sample ([[Pq.lloyd]]) —
     // training cost independent of corpus size, ONE collect job instead of
     // an ML-pipeline's dozens of small jobs per fit
+    // normalize BEFORE Lloyd, like every sibling (ivfPq/ivfHnsw/HNSW
+    // build): cells are assigned by COSINE, so training on raw
+    // magnitudes would let high-norm vectors dominate the centroids and
+    // scatter each cosine-neighborhood across cells
     val sample = trainVectors(corpus, idCol, vecCol, trainSample)
+      .map(Pq.normalize)
     val centroids = Pq.lloyd(sample, nList, iters = 5, seed = seed)
 
     // per-row cosine-vs-every-centroid scores in ONE native pass
@@ -393,7 +406,15 @@ object Similarity {
           case d: Double => d
         }.toArray)
         val cs = centroids.indices
-          .map(i => i -> centroids(i).zip(qv).map(t => t._1 * t._2).sum)
+          // rank probe cells by COSINE (dot over the centroid norm):
+          // corpus rows were assigned by centroidCosines, and Lloyd
+          // means are never unit-norm — a raw-dot ranking probes a
+          // DIFFERENT cell set than the one the corpus partitioned by
+          .map { i =>
+            val d = centroids(i).zip(qv).map(t => t._1 * t._2).sum
+            val cn = math.sqrt(centroids(i).map(x => x * x).sum)
+            i -> (if (cn > 0.0) d / cn else 0.0)
+          }
           .sortBy { case (i, s) => (-s, i) }
           .take(nProbe).map(_._1).toArray
         (r.getLong(0), qv, cs)
@@ -409,6 +430,10 @@ object Similarity {
         PqExprs.l2normalize(col(vecCol)).as("__nvec"),
         cellOf(col(vecCol)).as("__cell"))
       .repartition(col("__cell"))
+      // deterministic insert order, like buildHnswIndex: HNSW adjacency
+      // depends on insertion order, and shuffle-arrival order varies
+      // across reruns — without this the returned candidate set flakes
+      .sortWithinPartitions("__cell", "__id")
       .as[(Long, Array[Double], Int)]
       .mapPartitions { it =>
         val probed = bq.value
@@ -611,7 +636,15 @@ object Similarity {
           case d: Double => d
         }.toArray)
         val cs = centroids.indices
-          .map(i => i -> centroids(i).zip(qv).map(t => t._1 * t._2).sum)
+          // rank probe cells by COSINE (dot over the centroid norm):
+          // corpus rows were assigned by centroidCosines, and Lloyd
+          // means are never unit-norm — a raw-dot ranking probes a
+          // DIFFERENT cell set than the one the corpus partitioned by
+          .map { i =>
+            val d = centroids(i).zip(qv).map(t => t._1 * t._2).sum
+            val cn = math.sqrt(centroids(i).map(x => x * x).sum)
+            i -> (if (cn > 0.0) d / cn else 0.0)
+          }
           .sortBy { case (i, s) => (-s, i) }
           .take(nProbe).map(_._1).toArray
         (r.getLong(0), qv, cs)
@@ -758,6 +791,15 @@ object Similarity {
     *    hot buckets are capped, and the band exchange is reused; recall
     *    follows the OR-of-AND s-curve, so pairs comfortably above the
     *    threshold are found w.h.p. and the groups match the exact graph.
+    *    SIZE `nPlanes` to the corpus: there are 2^nPlanes buckets per
+    *    table and the cap drops buckets above `maxBucketSize`, so the
+    *    guard rail is `2^nPlanes >= corpusRows / maxBucketSize` — at the
+    *    fixture-scale default (nPlanes = 3: 8 buckets x 1000 cap ≈ 8k
+    *    rows) a MILLION-row corpus overflows every bucket and the dedup
+    *    silently no-ops. The cap is the same capped-collect guard as the
+    *    MinHash tier; the sizing responsibility is the caller's because
+    *    bucket geometry is part of the recall contract, not a tunable
+    *    the operator may silently change.
     *  - `exact = true` (verification / small corpora): [[exactCosinePairs]].
     *
     * Component resolution reuses [[Dedup.connectedComponents]]: bounded
@@ -859,7 +901,9 @@ object Similarity {
     val cents = corpus
       .select(col(labelCol).cast("long").as(labelCol),
         col(vecCol).cast("array<double>").as("__v"))
-      .where(col("__v").isNotNull)
+      // unlabeled rows can't belong to a label centroid — and the
+      // null-label group's collected row would NPE getLong below
+      .where(col("__v").isNotNull && col(labelCol).isNotNull)
       .groupBy(col(labelCol))
       .agg(graft.functions.Aggregators.vecSum(dim, col("__v")).as("__m"))
       .collect() // bounded: one row per label
