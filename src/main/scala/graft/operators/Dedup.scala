@@ -799,20 +799,39 @@ object Dedup {
   /** Number of data files currently backing a managed state table — the
     * cheap driver-side proxy for "appended fold generations" that triggers
     * [[compactBucketCounts]]. */
-  private def stateFileCount(spark: SparkSession, table: String): Int = {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) 0
-    else fs.listStatus(loc).count(_.getPath.getName.startsWith("part-"))
-  }
+  /** The CATALOG's location for a managed state table — never a
+    * hand-built `warehouse/<name>` path, which is wrong for any
+    * non-default current database (`warehouse/<db>.db/<name>`) and for
+    * mixed-case prefixes (the catalog lowercases identifiers). The old
+    * guess made `stateFileCount` return 0 forever in those setups, so
+    * compaction never triggered and the counts-delta table grew
+    * unboundedly with fold count.
+    */
+  private def stateTableLocation(spark: SparkSession,
+      table: String): Option[org.apache.hadoop.fs.Path] =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      Some(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(id).location))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def stateFileCount(spark: SparkSession, table: String): Int =
+    stateTableLocation(spark, table).map { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) 0
+      else fs.listStatus(loc).count(_.getPath.getName.startsWith("part-"))
+    }.getOrElse(0)
 
   private def dropStateTable(spark: SparkSession, table: String): Unit = {
+    // resolve the location BEFORE the drop (metadata gone after); DROP
+    // TABLE already reclaims managed data — the fs sweep is the backstop
+    // for leftovers of a crashed earlier drop
+    val loc = stateTableLocation(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    loc.foreach { l =>
+      val fs = l.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(l)) fs.delete(l, true)
+    }
   }
 
   /** Drop the state tables of [[incrementalMinhashDedup]] (idempotent). */
@@ -952,6 +971,18 @@ object Dedup {
     }
     edges.unpersist()
     undirected.unpersist()
+    // propagation advances ONE hop per pass (synchronous neighbor-min,
+    // no pointer doubling), so maxIter bounds the duplicate-chain
+    // DIAMETER this loop can close. Returning un-converged labels would
+    // silently split true clusters into several components — multiple
+    // "survivors" per duplicate cluster, under-deduplication with no
+    // error — so a hit on the bound fails loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        "connectedComponents: label propagation did not converge within " +
+          s"$maxIter iterations; the duplicate graph has a chain longer " +
+          "than maxIter hops — raise maxIter rather than accepting " +
+          "silently split clusters")
     // spill-and-rescan: the label table is tiny next to the edge stream it
     // came from, and severing the loop lineage lets every iteration cache
     // be released HERE instead of leaking to callers. Three regimes:
@@ -1040,14 +1071,24 @@ object Dedup {
       bands, threshold, seed = seed)
     val comps = connectedComponents(pairs)
     // join BEFORE scoring: the score kernel evaluates only on cluster
-    // members (bounded by the dup-pair graph), never the whole corpus
+    // members (bounded by the dup-pair graph), never the whole corpus.
+    // TYPE-PRESERVING join: the former cast("long") id key silently
+    // matched NOTHING for string ids (cast -> null), which turned the
+    // reps frame empty and the anti-join below deleted EVERY cluster
+    // member — representative included
     val scored = comps
-      .join(df.withColumn("id", col(idCol).cast("long")), Seq("id"))
-      .select(col("id"), col("comp"), score.as("__sc"))
-    // max(struct(score, -id)): score desc, then SMALLEST id wins the tie
-    val reps = scored.groupBy(col("comp"))
-      .agg(max(struct(col("__sc"), (-col("id")).as("__nid"))).as("__w"))
-      .select((-col("__w.__nid")).as("id"))
+      .join(df.select(col(idCol).as("id"), score.as("__sc")), Seq("id"))
+      .select(col("id"), col("comp"), col("__sc"))
+    // best score per cluster, then SMALLEST id among the best — the
+    // same (score desc, id asc) representative rule as before, but
+    // expressed without numeric negation so any id type works
+    val best = scored.groupBy(col("comp"))
+      .agg(max(col("__sc")).as("__best"))
+    val reps = scored.join(best, Seq("comp"))
+      .filter(col("__sc") === col("__best"))
+      .groupBy(col("comp"))
+      .agg(min(col("id")).as("id"))
+      .select(col("id"))
     val losers = comps.join(reps, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1136,6 +1177,12 @@ object Dedup {
     val candTf = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleTf(col(textCol), shingleK).as("__tf"))
+      // load-bearing, same as minhashCandidates' verify tail (the r10
+      // x75 lesson): candTf feeds BOTH fetch joins below — without one
+      // id-keyed exchange to park it under, Catalyst specializes each
+      // branch's projection and the TF kernel (and at scale the corpus
+      // scan) run once PER SIDE
+      .repartition(col(idCol))
     pairIds
       .join(candTf.select(col(idCol).as("id_a"), col("__tf").as("__tf_a")),
         Seq("id_a"))
@@ -1211,6 +1258,18 @@ object Dedup {
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bands: Int = 4,
       maxBucketSize: Int = 10000, shingleK: Int = 3): DataFrame = {
+    // the banding recall guarantee is pigeonhole: a pair within
+    // maxHamming differing bits shares an identical chunk only when
+    // maxHamming < bands — a legal-looking (maxHamming = bands) call
+    // would silently never find qualifying duplicates. And bands must
+    // divide 64, or the top 64 % bands bits fall outside every chunk
+    // and differences there go invisible to candidate generation.
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands): the banding " +
+        "guarantee needs at least one chunk the differing bits miss")
+    require(64 % bands == 0,
+      s"bands ($bands) must divide 64, else the high 64 % bands bits " +
+        "escape every chunk")
     val bitsPerBand = 64 / bands
     val withSim = df.select(col(idCol),
       simhash64Shingles(col(textCol), shingleK).as("__simhash"))
@@ -1233,41 +1292,6 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
-    * PPJoin, Bayardo et al. 2007, Xiao et al. 2008): every pair of
-    * documents whose k-shingle SETS have Jaccard >= `threshold`, with
-    * FULL RECALL — the guarantee the MinHash-LSH candidate path
-    * ([[minhashCandidates]], x03) deliberately trades away (banding can
-    * miss a qualifying pair; LSH is recall-approximate even when each
-    * candidate is exact-verified). Use this as the ground-truth path and
-    * for thresholds/corpora where missing a duplicate is not acceptable.
-    *
-    * The prefix-filter theorem: order every document's shingles by one
-    * GLOBAL total order (ascending corpus frequency, ties by value — the
-    * rarest first); if J(a,b) >= t, then a and b must share at least one
-    * shingle within each document's first `n - ceil(t*n) + 1` shingles
-    * under that order. So indexing only the (rare) prefix shingles
-    * produces a candidate superset, and the exact Jaccard refilter makes
-    * the result exact.
-    *
-    * Scale shape: (1) shingle-frequency table — one partial-aggregated
-    * groupBy, corpus-vocabulary-sized but fully distributed (never
-    * collected); (2) per-doc canonical order — join frequencies back and
-    * re-group by doc (collect_list bounded by the doc's own shingle
-    * count); (3) the candidate join keys on PREFIX shingles only —
-    * postings of the rarest tokens, the published reason this beats the
-    * naive all-pairs token join by orders of magnitude; the length
-    * filter `min(na,nb) >= ceil(t*max(na,nb))` prunes before the
-    * distinct; (4) exact verify joins the two (bounded) set arrays back
-    * by id. No cartesian anywhere; every shuffle is keyed (shingle or
-    * id) and candidate-bounded. The shingle-set frame feeds FOUR plan
-    * branches (frequency, ordering, both verify sides); the operator
-    * itself stays lazy and cache-neutral (no persist to leak), so at
-    * corpus scale pass PRE-HASHED sets (`array<bigint>` column —
-    * [[shinglesOf]] passes them through) persisted by the caller, who
-    * owns the lifecycle: kernel once, four cache reads, unpersist when
-    * consumed.
-    */
   /** Exact cross-corpus (R-S) prefix-filter similarity join: every
     * (left, right) pair with shingle-set Jaccard >= `threshold`, FULL
     * RECALL — the exact complement to the LSH cross-dedup path
@@ -1340,6 +1364,41 @@ object Dedup {
       .select("id_l", "id_r", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. 2007, Xiao et al. 2008): every pair of
+    * documents whose k-shingle SETS have Jaccard >= `threshold`, with
+    * FULL RECALL — the guarantee the MinHash-LSH candidate path
+    * ([[minhashCandidates]], x03) deliberately trades away (banding can
+    * miss a qualifying pair; LSH is recall-approximate even when each
+    * candidate is exact-verified). Use this as the ground-truth path and
+    * for thresholds/corpora where missing a duplicate is not acceptable.
+    *
+    * The prefix-filter theorem: order every document's shingles by one
+    * GLOBAL total order (ascending corpus frequency, ties by value — the
+    * rarest first); if J(a,b) >= t, then a and b must share at least one
+    * shingle within each document's first `n - ceil(t*n) + 1` shingles
+    * under that order. So indexing only the (rare) prefix shingles
+    * produces a candidate superset, and the exact Jaccard refilter makes
+    * the result exact.
+    *
+    * Scale shape: (1) shingle-frequency table — one partial-aggregated
+    * groupBy, corpus-vocabulary-sized but fully distributed (never
+    * collected); (2) per-doc canonical order — join frequencies back and
+    * re-group by doc (collect_list bounded by the doc's own shingle
+    * count); (3) the candidate join keys on PREFIX shingles only —
+    * postings of the rarest tokens, the published reason this beats the
+    * naive all-pairs token join by orders of magnitude; the length
+    * filter `min(na,nb) >= ceil(t*max(na,nb))` prunes before the
+    * distinct; (4) exact verify joins the two (bounded) set arrays back
+    * by id. No cartesian anywhere; every shuffle is keyed (shingle or
+    * id) and candidate-bounded. The shingle-set frame feeds FOUR plan
+    * branches (frequency, ordering, both verify sides); the operator
+    * itself stays lazy and cache-neutral (no persist to leak), so at
+    * corpus scale pass PRE-HASHED sets (`array<bigint>` column —
+    * [[shinglesOf]] passes them through) persisted by the caller, who
+    * owns the lifecycle: kernel once, four cache reads, unpersist when
+    * consumed.
+    */
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")

@@ -651,4 +651,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(Dedup.crossMinhashCandidates(corpus, ref, "text", "doc_id",
       threshold = 0.96).count() == 0L)
   }
+
+  test("minhashDedupBest keeps the best-scoring representative for " +
+      "STRING ids too (the long-cast silently deleted whole clusters)") {
+    val docs = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta", 0.2),
+      ("doc-b", "alpha beta gamma delta epsilon zeta", 0.9), // best dup
+      ("doc-c", "totally different text about other things", 0.5))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.minhashDedupBest(docs, "text", "doc_id",
+      org.apache.spark.sql.functions.col("quality"), threshold = 0.8)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("doc-b", "doc-c"),
+      s"expected the best-quality dup + the singleton, got $kept")
+  }
+
+  test("simhashDedup refuses maxHamming >= bands and non-divisor bands " +
+      "(silently void recall guarantees)") {
+    val two = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDedup(two, "text", "doc_id", maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDedup(two, "text", "doc_id", maxHamming = 2, bands = 3)
+    }
+  }
 }
