@@ -71,10 +71,16 @@ object VectorFunctions {
     // every dot (zip_with), read every sign bit as 0, and land the WHOLE
     // corpus in bucket 0 — LSH silently degenerates to a cross product
     // (or, under a bucket cap, to zero candidates and a no-op dedup).
-    // Misconfiguration fails loudly instead.
-    when(size(a) === dim, bucket).otherwise(raise_error(concat(
-      lit("hyperplaneBucket: vector dimension "), size(a).cast("string"),
-      lit(s" does not match the configured dim $dim"))))
+    // Misconfiguration fails loudly instead. A NULL vector is acknowledged
+    // input (trainVectors/labelOutliers filter them): it gets a NULL bucket,
+    // which never equi-joins with any probe — the row simply produces no
+    // candidates, rather than raise_error killing the whole job with a
+    // null-message "dimension mismatch".
+    when(a.isNull, lit(null).cast("long"))
+      .when(size(a) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit("hyperplaneBucket: vector dimension "), size(a).cast("string"),
+        lit(s" does not match the configured dim $dim"))))
   }
 
   /** Deterministic pseudo-random unit hyperplanes (xorshift-seeded). */

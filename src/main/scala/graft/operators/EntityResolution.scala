@@ -71,19 +71,38 @@ object EntityResolution {
     * selective key or lower `maxBlock` (dropped blocks stay visible via
     * `n_blocks_over_cap`).
     */
-  /** Exact `c(c-1)/2` as a Column, overflow-safe to the Long result
-    * range: halve the EVEN factor first, so the intermediate never
-    * exceeds the result. The naive `c*(c-1)` wraps negative past
-    * c ≈ 3.04e9 — a corpus-wide degenerate block at 100 TB scale, i.e.
-    * exactly the block whose refused cost the accounting exists to
-    * report. (Column `/` is double division, which rounds above 2^53
-    * where the DuckDB oracle's integer `//` would not — hence the
-    * shifts.) Past c ≈ 4.3e9 the RESULT itself exceeds Long and ANSI
-    * multiplication fails loudly rather than reporting garbage.
+  /** Exact `c(c-1)/2` as a decimal(38,0) Column — overflow-IMPOSSIBLE
+    * arithmetic, not merely Long-guarded: halve the EVEN factor first
+    * (on the Long count, always exact), then multiply in decimal. The
+    * naive Long `c*(c-1)` wraps negative past c ≈ 3.04e9, and with ANSI
+    * off (the default here) both the per-key product past c ≈ 4.3e9 and
+    * the cross-block `sum` wrap SILENTLY — the "loud" accounting would
+    * report garbage for exactly the degenerate corpora it exists to
+    * expose. In decimal the worst case fits with room: a factor is at
+    * most ~9.2e18 (a Long row count), the product at most ~4.3e37
+    * < 10^38, and the all-blocks total is bounded by n(n-1)/2 of the
+    * whole corpus, also < 10^38. (Column `/` is double division, which
+    * rounds above 2^53 where the DuckDB oracle's integer `//` would
+    * not — hence the shift-then-widen.)
     */
-  private def pairCount(c: Column): Column =
-    when(pmod(c, lit(2)) === 0, shiftright(c, 1) * (c - 1))
-      .otherwise(c * shiftright(c - 1, 1))
+  private def pairCount(c: Column): Column = {
+    val dec = "decimal(38,0)"
+    when(pmod(c, lit(2)) === 0,
+      shiftright(c, 1).cast(dec) * (c - 1).cast(dec))
+      .otherwise(c.cast(dec) * shiftright(c - 1, 1).cast(dec))
+  }
+
+  /** Publish a decimal(38,0) rollup as the report's BIGINT column:
+    * bit-identical wherever the value fits a Long (every realistic
+    * corpus — the boundary is ~9.2 QUINTILLION implied pairs), and a
+    * loud error instead of a silently-wrapped total past it.
+    */
+  private def pairsAsLong(c: Column, what: String): Column =
+    when(c <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$what exceeds the Long range: "), c.cast("string"),
+        lit(" implied pairs; this corpus is degenerate far beyond any " +
+          "usable blocking key"))))
 
   def blockProfile(df: DataFrame, idCol: String, blockKeys: Seq[Column],
       maxBlock: Int = 2000): DataFrame = {
@@ -100,11 +119,17 @@ object EntityResolution {
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("__c")).as("n_rows"),
         max(col("__c")).as("max_block"),
-        sum(pairsOf(col("__c"))).as("n_pairs"),
+        sum(pairsOf(col("__c"))).as("__np"),
         sum(when(col("__c") > maxBlock, 1L).otherwise(0L))
           .as("n_blocks_over_cap"),
         sum(when(col("__c") > maxBlock, pairsOf(col("__c")))
-          .otherwise(0L)).as("n_pairs_dropped"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__npd"))
+      .select(col("pass"), col("n_blocks"), col("n_rows"),
+        col("max_block"),
+        pairsAsLong(col("__np"), "blockProfile n_pairs").as("n_pairs"),
+        col("n_blocks_over_cap"),
+        pairsAsLong(col("__npd"), "blockProfile n_pairs_dropped")
+          .as("n_pairs_dropped"))
   }
 
   /** Largest block size whose implied pair cost `c(c-1)/2` fits within
@@ -271,7 +296,10 @@ object EntityResolution {
       .agg(count(lit(1)).as("n_blocks"),
         sum(col("__c")).as("n_rows"),
         max(col("__c")).as("max_block"),
-        sum(pairsOf(col("__c"))).as("n_pairs"))
+        sum(pairsOf(col("__c"))).as("__np"))
+      .withColumn("n_pairs",
+        pairsAsLong(col("__np"), "guardedBlockAccounting n_pairs"))
+      .drop("__np")
   }
 
   /** Distinct character q-grams of `c` as an ARRAY blocking key for

@@ -493,9 +493,18 @@ object VersionedTable {
       // as a live competitor and this commit conflicts; only stale
       // leftovers are reclaimed. Residual assumption, documented: a live
       // writer never pauses longer than the grace window between its
-      // rename and its pointer swap.
-      val ageMs = System.currentTimeMillis -
-        f.getFileStatus(dest).getModificationTime
+      // rename and its pointer swap. "Now" is read from the FILESYSTEM
+      // clock (mtime of a freshly-touched probe file), not the driver's
+      // System.currentTimeMillis — a driver clock ahead of the storage
+      // clock by more than the grace window would otherwise age a live
+      // competitor's young directory into "stale" and re-open the
+      // delete-a-live-writer lost-write race.
+      val probe = new Path(root,
+        s".clockprobe-${java.util.UUID.randomUUID()}")
+      f.create(probe, true).close()
+      val fsNow = try f.getFileStatus(probe).getModificationTime
+        finally f.delete(probe, false)
+      val ageMs = fsNow - f.getFileStatus(dest).getModificationTime
       if (ageMs < orphanGraceMs) conflict(latestVersion(spark, root))
       f.delete(dest, true)
     }

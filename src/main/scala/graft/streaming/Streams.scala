@@ -184,6 +184,13 @@ object Streams {
     * streaming-checkpoint commit rewrites the same directory instead of
     * appending duplicates (a blind root-level append is NOT replay-safe).
     * Readers of `path` see `batch` as a partition column.
+    *
+    * MIGRATION: an output written by the pre-partitioned layout (flat
+    * parquet files at the root) cannot be resumed into — Spark's partition
+    * discovery rejects mixed flat files and `batch=` directories
+    * ("Conflicting directory structures"). The sink detects old-layout
+    * files at the root and fails with a clear message; restart such
+    * streams against a fresh output path.
     */
   def foreachBatchParquet(stream: DataFrame, path: String,
       checkpoint: String)(
@@ -191,6 +198,19 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fsys.exists(root)) {
+          val flat = fsys.listStatus(root).find(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+          flat.foreach(st => throw new IllegalStateException(
+            s"foreachBatchParquet: output $path contains flat parquet " +
+            s"files from the old root-level-append layout (e.g. " +
+            s"${st.getPath.getName}); mixing them with batch=<id> " +
+            "partition directories breaks Spark partition discovery. " +
+            "Point the restarted stream at a fresh output path."))
+        }
         transform(batch.toDF())
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
@@ -274,20 +294,41 @@ object Streams {
           val fsys = started.getFileSystem(hconf)
           // pre-batch versions: recorded BEFORE any commit so a crashed
           // replay diffs from the original base, not its own leftovers
-          val (tableBefore, aggBefore): (Int, Int) =
-            if (fsys.exists(started)) {
+          // A marker that exists but cannot be parsed (empty/partial file
+          // from a crash mid-write) is treated as ABSENT and rewritten:
+          // the marker write precedes every commit in the attempt that
+          // created it, so an unparsable marker proves no commit happened
+          // and latestVersion still reads the true pre-batch state. The
+          // rewrite itself goes through a temp path + atomic rename so a
+          // crash during THIS write can never leave a partial marker that
+          // wedges every later replay with a MatchError.
+          def parseMarker(): Option[(Int, Int)] =
+            if (!fsys.exists(started)) None
+            else {
               val in = fsys.open(started)
               val s = try scala.io.Source.fromInputStream(in, "UTF-8")
                 .mkString.trim finally in.close()
-              val Array(tb, ab) = s.split(",")
-              (tb.toInt, ab.toInt)
-            } else {
+              s.split(",") match {
+                case Array(tb, ab) =>
+                  try Some((tb.trim.toInt, ab.trim.toInt))
+                  catch { case _: NumberFormatException => None }
+                case _ => None
+              }
+            }
+          val (tableBefore, aggBefore): (Int, Int) =
+            parseMarker().getOrElse {
               val tb = VersionedTable.latestVersion(spark, tableRoot)
               val ab = VersionedTable.latestVersion(spark, aggRoot)
               fsys.mkdirs(started.getParent)
-              val out = fsys.create(started, true)
+              val tmp = new org.apache.hadoop.fs.Path(
+                s"$startedDir/.$batchId.tmp")
+              val out = fsys.create(tmp, true)
               try out.write(s"$tb,$ab".getBytes("UTF-8"))
               finally out.close()
+              fsys.delete(started, false)
+              if (!fsys.rename(tmp, started))
+                throw new java.io.IOException(
+                  s"could not publish batch pre-marker $started")
               (tb, ab)
             }
           if (VersionedTable.latestVersion(spark, tableRoot) < 0)

@@ -97,6 +97,28 @@ class KernelEdgeSpec extends SparkSpec {
       .filter(col("c").isNull).count() == 1L)
   }
 
+  test("hyperplaneBucket: a NULL vector gets a NULL bucket (acknowledged " +
+      "input, never joins a probe); a non-null wrong-dim vector still " +
+      "fails loudly") {
+    val planes = VectorFunctions.randomPlanes(4, 3)
+    val df = Seq(Tuple1(Option(Seq(1.0, 0.0, 2.0))), Tuple1(None))
+      .toDF("v")
+    val buckets = df
+      .select(VectorFunctions.hyperplaneBucket(col("v"), planes).as("b"))
+      .collect()
+    // one real bucket, one NULL — and crucially NO raise_error: a single
+    // null embedding must not kill a whole lshTopK/nearDupPairs job with
+    // a misleading null-message "dimension mismatch"
+    assert(buckets.count(_.isNullAt(0)) == 1)
+    assert(buckets.count(!_.isNullAt(0)) == 1)
+    val bad = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    val ex = intercept[Exception] {
+      bad.select(VectorFunctions.hyperplaneBucket(col("v"), planes))
+        .collect()
+    }
+    assert(ex.getMessage.contains("does not match the configured dim"))
+  }
+
   test("icws_signature refuses a mismatched (hashes, weights) pair " +
       "with NULL instead of silently truncating") {
     val df = Seq((Seq(1L, 2L, 3L), Seq(1.0, 2.0))).toDF("h", "w")

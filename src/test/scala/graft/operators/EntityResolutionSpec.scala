@@ -80,6 +80,25 @@ class EntityResolutionSpec extends SparkSpec {
     assert(kept === 1L) // bb's single pair, same in both passes
   }
 
+  test("accounting rollups compute on decimal but publish BIGINT: the " +
+      "oracle schema is pinned and a sum past the Long range is a loud " +
+      "error, not a silent wrap") {
+    // the per-key product and the cross-block sum both run in
+    // decimal(38,0) now (ANSI-off Long sum wraps silently past 2^63);
+    // the published columns must stay LongType for the DuckDB oracles
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"))
+      .toDF("c_custkey", "c_name")
+    val prof = EntityResolution.blockProfile(df, "c_custkey",
+      Seq(col("c_name")))
+    for (c <- Seq("n_pairs", "n_pairs_dropped"))
+      assert(prof.schema(c).dataType ==
+        org.apache.spark.sql.types.LongType, s"$c type drifted")
+    val acct = EntityResolution.guardedBlockAccounting(df.toDF("id", "n"),
+      "id", Seq(col("n")), Seq(col("n")), maxBlockPairs = 10L)
+    assert(acct.schema("n_pairs").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("sizeCapFor: the derived cap is the LARGEST block size within " +
       "the pair budget (boundary law)") {
     for (b <- Seq(1L, 2L, 3L, 189L, 190L, 191L, 49999L, 50000L, 50001L,

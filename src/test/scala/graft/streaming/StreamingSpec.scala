@@ -148,6 +148,74 @@ class StreamingSpec extends SparkSpec {
     assert(got.columns.contains("value_decimal"))
   }
 
+  test("foreachBatchParquet refuses an output root holding old-layout " +
+      "flat parquet files (partition discovery would reject the mix)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fbold")
+    val outDir = s"$root/out"
+    val ckDir = s"$root/ck"
+    // an old root-level-append layout: a flat parquet file at the root
+    Seq(Tuple1(1L)).toDF("id").write.parquet(outDir)
+    assert(Files.list(Paths.get(outDir)).iterator().hasNext)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.foreachBatchParquet(
+      input.toDF().toDF("id", "payload"), outDir, ckDir)(identity)
+    input.addData((1L, "a"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("old root-level-append"))),
+      s"expected the old-layout refusal, got: ${ex.getMessage}")
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
+  test("an unparsable __started pre-marker (crash mid-write) is treated " +
+      "as absent and atomically rewritten, not a permanent MatchError " +
+      "wedge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcmark")
+    val (tbl, agg, ckpt) = (s"$root/tbl", s"$root/agg", s"$root/ckpt")
+    try {
+      val input = MemoryStream[(Long, String, Double)]
+      def start() = Streams.foreachBatchCdcAggregate(
+        input.toDF().toDF("id", "g", "v"), tbl, agg, ckpt,
+        Seq("id"), "g", "v")
+      val q = start()
+      input.addData((1L, "a", 10.0), (2L, "b", 7.0))
+      q.processAllAvailable()
+      q.stop()
+      // a previous attempt at batch 1 crashed DURING the marker write:
+      // the marker file exists but is empty. The marker write precedes
+      // every commit in its attempt, so no commit happened — treating it
+      // as absent is exactly right; the old `val Array(tb, ab) = split`
+      // threw MatchError here on EVERY replay, wedging the stream.
+      val fsys = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$tbl/__started/1")
+      fsys.mkdirs(marker.getParent)
+      fsys.create(marker, true).close() // zero bytes
+      val q2 = start()
+      input.addData((2L, "b", 20.0), (3L, "a", 3.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = graft.sources.VersionedTable.read(spark, agg)
+        .as[(String, Double)].collect().toMap
+      assert(got == Map("a" -> 13.0, "b" -> 20.0),
+        s"marker recovery produced $got")
+      // and the marker was rewritten parsable
+      val in = fsys.open(marker)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      assert(s.split(",").length == 2, s"marker still unparsable: '$s'")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("foreachBatch MERGE upserts micro-batches into a versioned table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
