@@ -599,23 +599,74 @@ object Dedup {
     *    a second time for a full recount.
     * Appends preserve bucketing (`saveAsTable` append mode), so state
     * maintenance is one write of O(batch) rows per fold per table.
+    *
+    * The three-table commit is ATOMIC across a mid-fold crash: the
+    * fold appends its delta files to all three tables (in any order),
+    * then flips a file-list manifest in ONE atomic rename — the
+    * manifest, not the table directories, is the committed state. A
+    * crash between any two writes leaves unlisted orphan files, which
+    * the next fold's [[syncStateToManifest]] sweep reclaims BEFORE any
+    * state read, so a reader can never see a torn state (e.g. band rows
+    * whose shingle sets are missing — the verify join would silently
+    * drop those losers — or a double-counted bucket occupancy that
+    * flips the hot-bucket guard near the cap). Pass `foldTag` (e.g. a
+    * streaming batch id) for exactly-once across a crash AFTER the
+    * manifest flip: a replay whose tag matches the manifest's committed
+    * tag skips the fold whole and replays the pinned survivor verdict.
+    * Without a tag, replaying an already-committed fold re-appends its
+    * rows (the pre-r16 behavior on any replay). Folds on one prefix are
+    * serial by contract (ids are monotone across batches).
     */
   def incrementalMinhashDedup(batch: DataFrame, statePrefix: String,
       textCol: String, idCol: String, shingleK: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       seed: Long = 42L, buckets: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, foldTag: Option[String] = None): DataFrame =
+    incrementalMinhashDedupImpl(batch, statePrefix, textCol, idCol,
+      shingleK, numHashes, bands, threshold, seed, buckets, maxBucketSize,
+      foldTag, crashAfterWrites = Int.MaxValue)
+
+  /** [[incrementalMinhashDedup]] with a crash-injection point for the
+    * atomicity spec: `crashAfterWrites = k` runs the state writes
+    * SEQUENTIALLY, completes exactly `k` of the three appends, and dies
+    * before the manifest flip (k = 3 crashes between the last append and
+    * the flip). Production passes Int.MaxValue: concurrent writes, flip.
+    */
+  private[graft] def incrementalMinhashDedupImpl(batch: DataFrame,
+      statePrefix: String, textCol: String, idCol: String, shingleK: Int,
+      numHashes: Int, bands: Int, threshold: Double, seed: Long,
+      buckets: Int, maxBucketSize: Int, foldTag: Option[String],
+      crashAfterWrites: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
     val bandsT = s"${statePrefix}_bands"
     val shinglesT = s"${statePrefix}_shingles"
     val countsT = s"${statePrefix}_bucket_counts"
 
+    // restore the directory-equals-manifest invariant (reclaim any
+    // crashed fold's unlisted files) BEFORE the first state read
+    val hasState = syncStateToManifest(spark, statePrefix)
+    val committed: Map[String, Set[String]] =
+      if (hasState) readStateManifest(spark, statePrefix).get._2
+      else Map.empty
+    val loserPathEarly = loserVerdictPath(spark, statePrefix)
+    // tag-matched replay: the fold committed whole on a previous attempt
+    // (crash landed after the manifest flip) — state is already folded;
+    // replay only the pinned survivor verdict, exactly-once
+    if (foldTag.isDefined && hasState &&
+        readStateManifest(spark, statePrefix).get._1 == foldTag.get) {
+      val survivors = batch.join(
+        spark.read.parquet(loserPathEarly).withColumnRenamed("id", idCol),
+        Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      survivors.count()
+      return survivors
+    }
+
     val (batchSigs, batchBanded) =
       bandBatch(batch, textCol, idCol, shingleK, numHashes, bands, seed)
     batchSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hasState = spark.catalog.tableExists(bandsT)
     val losers = incrementalLoserIds(spark, batchSigs, batchBanded,
       statePrefix, threshold, maxBucketSize)
 
@@ -631,9 +682,7 @@ object Dedup {
     //    occupancy), which near the bucket cap could admit a different
     //    loser set than the one this fold committed to. The path read
     //    freezes the verdict.
-    val loserPath = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"${statePrefix}_losers").toString
+    val loserPath = loserVerdictPath(spark, statePrefix)
     losers.coalesce(1).write.mode("overwrite").parquet(loserPath)
 
     // Ownership: the returned frame is handed to the caller PERSISTED and
@@ -656,19 +705,41 @@ object Dedup {
     // the three state tables are independent — run their write jobs
     // concurrently so a fold pays one write latency, not three (they all
     // read the persisted batchSigs, already materialized by the
-    // survivor count above)
+    // survivor count above). The appends are NOT the commit: the fold
+    // commits when the manifest flip below lands; files a crash strands
+    // before that are unlisted and swept by the next fold.
     val mode = if (hasState) "append" else "error"
-    val writes = Seq(
-      () => batchBanded.write.mode(mode).bucketBy(buckets, "__bkey")
-        .format("parquet").saveAsTable(bandsT),
-      () => batchSigs.select(col("id"), col("__sh")).write.mode(mode)
-        .bucketBy(buckets, "id").format("parquet").saveAsTable(shinglesT),
-      () => batchCounts.write.mode(mode).bucketBy(buckets, "__bkey")
-        .format("parquet").saveAsTable(countsT))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    val writes: Seq[(String, () => Unit)] = Seq(
+      bandsT -> (() => batchBanded.write.mode(mode)
+        .bucketBy(buckets, "__bkey")
+        .format("parquet").saveAsTable(bandsT)),
+      shinglesT -> (() => batchSigs.select(col("id"), col("__sh")).write
+        .mode(mode)
+        .bucketBy(buckets, "id").format("parquet").saveAsTable(shinglesT)),
+      countsT -> (() => batchCounts.write.mode(mode)
+        .bucketBy(buckets, "__bkey")
+        .format("parquet").saveAsTable(countsT)))
+    val preFiles: Map[String, Set[String]] =
+      writes.map { case (t, _) => t -> listStatePartFiles(spark, t) }.toMap
+    if (crashAfterWrites > writes.size) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(writes.map(w => Future(w._2()))),
+        Duration.Inf)
+    } else {
+      // injection path (specs only): sequential, die before the flip
+      writes.take(crashAfterWrites).foreach(_._2())
+      batchSigs.unpersist()
+      throw new IllegalStateException(
+        s"injected crash after $crashAfterWrites state write(s)")
+    }
+    // THE commit: one atomic manifest flip publishing all three appends
+    val folded = writes.map { case (t, _) =>
+      t -> (committed.getOrElse(t, Set.empty) ++
+        (listStatePartFiles(spark, t) -- preFiles(t)))
+    }.toMap
+    writeStateManifest(spark, statePrefix, foldTag.getOrElse(""), folded)
     // amortized upkeep: once the delta generations pile up, fold them
     // back to one row per key so the guard's read stays bounded by the
     // live bucket-key universe, not by fold count
@@ -780,20 +851,161 @@ object Dedup {
   /** Compact the delta-appended `_bucket_counts` state back to one row per
     * `__bkey`. Each fold appends O(batch) delta rows; compaction keeps the
     * guard's read bounded by the live bucket-key universe instead of the
-    * number of folds since the table was created. Idempotent; called
-    * automatically by [[incrementalMinhashDedup]] once the table exceeds
-    * 8 appended file generations. */
+    * number of folds since the table was created. Called automatically by
+    * [[incrementalMinhashDedup]] once the table exceeds 8 appended file
+    * generations.
+    *
+    * Crash-safe under the same manifest protocol as the fold itself: the
+    * summed rows APPEND into the same table (no drop, no catalog rename —
+    * the old drop+RENAME left the table MISSING across a crash between
+    * the two), the manifest flips to list ONLY the new files, and the
+    * superseded delta files are reclaimed after the flip (the next fold's
+    * sweep is the crash backstop for both directions).
+    */
   private[graft] def compactBucketCounts(spark: SparkSession,
       statePrefix: String, buckets: Int): Unit = {
     val countsT = s"${statePrefix}_bucket_counts"
-    val tmp = s"${countsT}_compact"
-    dropStateTable(spark, tmp)
+    val (tag, tables) = readStateManifest(spark, statePrefix)
+      .getOrElse(throw new IllegalStateException(
+        s"compactBucketCounts($statePrefix): no committed state manifest"))
+    val before = listStatePartFiles(spark, countsT)
     spark.table(countsT).groupBy("__bkey")
       .agg(sum("__bcnt").as("__bcnt"))
       .repartition(buckets, col("__bkey"))
-      .write.bucketBy(buckets, "__bkey").format("parquet").saveAsTable(tmp)
-    dropStateTable(spark, countsT)
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$countsT`")
+      .write.mode("append").bucketBy(buckets, "__bkey")
+      .format("parquet").saveAsTable(countsT)
+    val fresh = listStatePartFiles(spark, countsT) -- before
+    writeStateManifest(spark, statePrefix, tag,
+      tables.updated(countsT, fresh))
+    // reclaim the superseded delta generation now that the flip landed;
+    // a crash mid-reclaim leaves unlisted files for the next sweep
+    stateTableLocation(spark, countsT).foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      before.foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(loc, n), false))
+    }
+    spark.catalog.refreshTable(countsT)
+  }
+
+  /** Path of the atomically-flipped state manifest — THE commit record
+    * of the three-table incremental-dedup state. Format: line 1 is
+    * `tag<TAB><foldTag>`, then one `<table><TAB><fileName>` line per
+    * committed data file.
+    */
+  private def stateManifestPath(spark: SparkSession,
+      statePrefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${statePrefix}_state_manifest")
+
+  private def loserVerdictPath(spark: SparkSession,
+      statePrefix: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${statePrefix}_losers").toString
+
+  private[graft] def readStateManifest(spark: SparkSession,
+      statePrefix: String): Option[(String, Map[String, Set[String]])] = {
+    val p = stateManifestPath(spark, statePrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      val tag = lines.headOption match {
+        case Some(h) if h.startsWith("tag\t") => h.drop(4)
+        case _ => throw new IllegalStateException(
+          s"corrupt state manifest $p: missing tag header")
+      }
+      val tables = lines.drop(1).filter(_.nonEmpty).map { l =>
+        l.split("\t") match {
+          case Array(t, f) => (t, f)
+          case _ => throw new IllegalStateException(
+            s"corrupt state manifest $p: bad line '$l'")
+        }
+      }.groupBy(_._1).map { case (t, fs2) => t -> fs2.map(_._2).toSet }
+      Some((tag, tables))
+    }
+  }
+
+  /** Atomic manifest flip: write a temp file, rename over the live path
+    * with OVERWRITE — readers see either the old commit or the new one,
+    * never a partial file (the [[graft.sources.VersionedTable]] pointer
+    * protocol).
+    */
+  private def writeStateManifest(spark: SparkSession, statePrefix: String,
+      tag: String, tables: Map[String, Set[String]]): Unit = {
+    require(!tag.contains("\n") && !tag.contains("\t"),
+      s"foldTag must not contain tab/newline: '$tag'")
+    val p = stateManifestPath(spark, statePrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val body = (s"tag\t$tag" +: tables.toSeq.sortBy(_._1).flatMap {
+      case (t, files) => files.toSeq.sorted.map(f => s"$t\t$f")
+    }).mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Current `part-*` data files backing a managed state table (empty
+    * set if the table does not exist). */
+  private def listStatePartFiles(spark: SparkSession,
+      table: String): Set[String] =
+    stateTableLocation(spark, table).map { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) Set.empty[String]
+      else fs.listStatus(loc).iterator
+        .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    }.getOrElse(Set.empty)
+
+  /** Restore `directory contents == committed manifest` for every state
+    * table, reclaiming any crashed fold's stranded (unlisted) files —
+    * called before the first state read of every fold, so a torn
+    * three-table state is never observable. Returns whether committed
+    * state exists. No manifest + existing tables = a FIRST fold crashed
+    * before its first flip (or a pre-manifest legacy state, which this
+    * protocol treats as uncommitted): the tables are reclaimed whole. A
+    * manifest-listed file that is MISSING from disk is external
+    * corruption and fails loudly.
+    */
+  private[graft] def syncStateToManifest(spark: SparkSession,
+      statePrefix: String): Boolean = {
+    val tables = Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
+      s"${statePrefix}_bucket_counts")
+    readStateManifest(spark, statePrefix) match {
+      case None =>
+        tables.filter(spark.catalog.tableExists)
+          .foreach(dropStateTable(spark, _))
+        false
+      case Some((_, committed)) =>
+        tables.foreach { t =>
+          require(spark.catalog.tableExists(t),
+            s"state table $t is listed in the committed manifest but " +
+              "missing from the catalog — state externally corrupted")
+          val want = committed.getOrElse(t, Set.empty)
+          val have = listStatePartFiles(spark, t)
+          val lost = want -- have
+          require(lost.isEmpty,
+            s"state table $t lost committed data files ${lost.mkString(",")}" +
+              " — state externally corrupted")
+          val orphans = have -- want
+          if (orphans.nonEmpty) {
+            stateTableLocation(spark, t).foreach { loc =>
+              val fs =
+                loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              orphans.foreach(n =>
+                fs.delete(new org.apache.hadoop.fs.Path(loc, n), false))
+            }
+            spark.catalog.refreshTable(t)
+          }
+        }
+        true
+    }
   }
 
   /** Number of data files currently backing a managed state table — the
@@ -840,12 +1052,16 @@ object Dedup {
     Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
       s"${statePrefix}_bucket_counts", s"${statePrefix}_bucket_counts_compact")
       .foreach(dropStateTable(spark, _))
-    // the per-fold loser verdict file is a plain path, not a table
+    // the per-fold loser verdict file and the commit manifest are plain
+    // paths, not tables
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loserLoc =
-      new org.apache.hadoop.fs.Path(warehouse, s"${statePrefix}_losers")
-    val fs = loserLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loserLoc)) fs.delete(loserLoc, true)
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"${statePrefix}_losers", s"${statePrefix}_state_manifest")
+      .foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(warehouse, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
   }
 
   /** Connected components over a near-duplicate pair list: assigns every id

@@ -402,12 +402,14 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          // replay-idempotent: a fully-committed batch is skipped via its
-          // marker; a partially-committed replay overwrites its own
-          // batch=<id> output directory (no duplicate survivor rows) and
-          // re-folds state — duplicate state rows are semantically
-          // harmless (candidates dropDuplicates, losers are distinct) and
-          // bounded by the number of crash-replays, not by data volume
+          // replay-idempotent at every crash point: a fully-committed
+          // batch is skipped via its marker; a replay that crashed
+          // between the state fold's manifest flip and the marker is
+          // caught by the fold's OWN foldTag (the state replays the
+          // pinned verdict instead of double-appending); a replay that
+          // crashed mid-fold finds the torn appends swept by the fold's
+          // manifest sync and re-folds cleanly. The output directory
+          // overwrite of batch=<id> is idempotent in all three cases.
           val spark = batch.sparkSession
           withBatchMarker(spark, outPath, "", batchId) {
             // the survivors frame arrives PERSISTED (caller-owned, see
@@ -415,7 +417,7 @@ object Streams {
             // long-running query pins one cached frame per micro-batch
             val survivors = graft.operators.Dedup.incrementalMinhashDedup(
               batch.toDF(), statePrefix, textCol, idCol,
-              threshold = threshold)
+              threshold = threshold, foldTag = Some(batchId.toString))
             try survivors.write.mode("overwrite")
               .parquet(s"$outPath/batch=$batchId")
             finally survivors.unpersist()

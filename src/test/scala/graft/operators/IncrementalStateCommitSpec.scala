@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Atomicity laws of the incremental-dedup three-table state commit
+  * (the manifest-flip protocol): a fold that crashes at ANY point
+  * between its state writes leaves readers exactly the pre-fold state,
+  * a retry converges to the clean-run result, a tag-matched replay of a
+  * fully-committed fold is skipped whole, and compaction no longer has
+  * the drop+RENAME window where the counts table went missing.
+  */
+class IncrementalStateCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup = base.replace("today", "tonight")
+  private def batch1 = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, nearDup),
+    (3L, "completely different content about spark query engines and scale")
+  ).toDF("doc_id", "text")
+  private def batch2 = Seq(
+    (10L, base), // history dup of 0
+    (11L, nearDup.replace("river", "creek")),
+    (12L, "novel second-batch content with entirely fresh vocabulary"),
+    (13L, "novel second-batch content with entirely fresh vocabulary")
+  ).toDF("doc_id", "text")
+
+  private def fold(df: org.apache.spark.sql.DataFrame, prefix: String,
+      crashAfter: Int = Int.MaxValue,
+      tag: Option[String] = None): Set[Long] = {
+    val s = Dedup.incrementalMinhashDedupImpl(df, prefix, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.6,
+      seed = 42L, buckets = 2, maxBucketSize = 1000, foldTag = tag,
+      crashAfterWrites = crashAfter)
+    val ids = s.select("doc_id").as[Long].collect().toSet
+    s.unpersist()
+    ids
+  }
+
+  private def stateSnapshot(prefix: String): Map[String, Set[String]] =
+    Seq("_bands", "_shingles", "_bucket_counts").map { suf =>
+      val t = s"$prefix$suf"
+      // key on the SUFFIX so snapshots compare across prefixes
+      suf -> (if (!spark.catalog.tableExists(t)) Set.empty[String]
+        else spark.table(t).collect().map(_.toString).toSet)
+    }.toMap
+
+  test("a fold crash at EVERY write interleaving point leaves readers " +
+      "the pre-fold state, and the retry converges to the clean run") {
+    // clean reference on its own prefix: two folds, no crash
+    val ref = s"iscref_${System.nanoTime()}"
+    val refS1 = fold(batch1, ref)
+    val refS2 = fold(batch2, ref)
+    val refState = stateSnapshot(ref)
+    try {
+      // k = 0: crash before any append; 1: after bands; 2: after bands +
+      // shingles; 3: after all three appends but BEFORE the manifest flip
+      for (k <- 0 to 3) {
+        val p = s"isc${k}_${System.nanoTime()}"
+        try {
+          assert(fold(batch1, p) == refS1)
+          val committed = stateSnapshot(p)
+          val ex = intercept[IllegalStateException](fold(batch2, p,
+            crashAfter = k))
+          assert(ex.getMessage.contains("injected crash"))
+          // reader law: after the sweep (any state entry runs it), the
+          // three tables hold EXACTLY the pre-fold content — no torn
+          // subset of the crashed fold's appends is observable
+          Dedup.syncStateToManifest(spark, p)
+          assert(stateSnapshot(p) == committed,
+            s"k=$k: torn state visible after crash")
+          // retry law: re-running the fold gives the clean-run survivors
+          // AND the clean-run state, bit-for-bit at the row level
+          assert(fold(batch2, p) == refS2, s"k=$k: retry diverged")
+          assert(stateSnapshot(p) == refState,
+            s"k=$k: retried state diverged from the clean run")
+        } finally Dedup.dropIncrementalDedupState(spark, p)
+      }
+    } finally Dedup.dropIncrementalDedupState(spark, ref)
+  }
+
+  test("a tag-matched replay of a fully-committed fold is skipped whole: " +
+      "same survivors, zero new state rows or files") {
+    val p = s"isctag_${System.nanoTime()}"
+    try {
+      val s1 = fold(batch1, p, tag = Some("b1"))
+      val s2 = fold(batch2, p, tag = Some("b2"))
+      val committed = stateSnapshot(p)
+      val bandRows = spark.table(s"${p}_bands").count()
+      // the crash-after-flip window: the caller never recorded the fold
+      // as done and replays it with the same tag — the state must not
+      // double-append (double _bucket_counts rows would double occupancy
+      // and can flip the hot-bucket guard near the cap)
+      val replay = fold(batch2, p, tag = Some("b2"))
+      assert(replay == s2, "replay survivors diverged")
+      assert(stateSnapshot(p) == committed, "replay mutated state")
+      assert(spark.table(s"${p}_bands").count() == bandRows)
+      // a NEXT fold with a fresh tag folds normally, and the full
+      // incremental run (including the replayed fold) still equals the
+      // one-shot greedy dedup over everything
+      val batch3 = Seq((20L, base.replace("dog", "wolf")),
+        (21L, "third batch about glaciers and ice floes entirely fresh"))
+        .toDF("doc_id", "text")
+      val s3 = fold(batch3, p, tag = Some("b3"))
+      val oneShot = Dedup.minhashDedup(
+        batch1.unionByName(batch2).unionByName(batch3), "text", "doc_id",
+        threshold = 0.6).select("doc_id").as[Long].collect().toSet
+      assert((s1 ++ s2 ++ s3) == oneShot,
+        s"incremental-with-replay ${s1 ++ s2 ++ s3} != one-shot $oneShot")
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("compaction commits through the manifest: counts collapse to one " +
+      "row per key, the superseded delta files are reclaimed, and a " +
+      "stranded compaction append is swept — never double-counted") {
+    val p = s"isccomp_${System.nanoTime()}"
+    try {
+      fold(batch1, p)
+      fold(batch2, p)
+      val countsT = s"${p}_bucket_counts"
+      def occupancy = spark.table(countsT).groupBy("__bkey")
+        .agg(sum("__bcnt").as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val beforeCompact = occupancy
+      Dedup.compactBucketCounts(spark, p, buckets = 2)
+      assert(occupancy == beforeCompact, "compaction changed occupancy")
+      val ct = spark.table(countsT)
+      assert(ct.count() == ct.select("__bkey").distinct().count(),
+        "compaction must leave one row per key")
+      // emulate a compaction that crashed between its append and its
+      // manifest flip: stranded total-rows files sit in the directory
+      // unlisted. A naive reader would see DOUBLE occupancy; the sweep
+      // must reclaim them before any read.
+      val stranded = occupancy
+      spark.table(countsT).groupBy("__bkey")
+        .agg(sum("__bcnt").as("__bcnt"))
+        .repartition(2, col("__bkey"))
+        .write.mode("append").bucketBy(2, "__bkey")
+        .format("parquet").saveAsTable(countsT)
+      assert(occupancy != stranded, "emulated crash should double counts")
+      Dedup.syncStateToManifest(spark, p)
+      assert(occupancy == stranded,
+        "sweep failed to reclaim the stranded compaction append")
+      // and the state still folds correctly afterwards
+      val s3 = fold(Seq((20L, base.replace("dog", "wolf")),
+        (21L, "third batch about glaciers and ice floes entirely fresh"))
+        .toDF("doc_id", "text"), p)
+      assert(!s3.contains(20L) && s3.contains(21L))
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("a first fold that crashes before its first manifest flip is " +
+      "reclaimed whole: the retry recreates the state from scratch") {
+    val p = s"iscfirst_${System.nanoTime()}"
+    try {
+      val ex = intercept[IllegalStateException](fold(batch1, p,
+        crashAfter = 3))
+      assert(ex.getMessage.contains("injected crash"))
+      // tables exist but no manifest was ever flipped -> uncommitted
+      assert(spark.catalog.tableExists(s"${p}_bands"))
+      val ref = s"iscfirstref_${System.nanoTime()}"
+      try {
+        val want = fold(batch1, ref)
+        assert(fold(batch1, p) == want, "first-fold retry diverged")
+        assert(stateSnapshot(p) == stateSnapshot(ref))
+      } finally Dedup.dropIncrementalDedupState(spark, ref)
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+}
