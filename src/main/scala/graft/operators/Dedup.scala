@@ -493,8 +493,14 @@ object Dedup {
         corpus.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("__cid"),
         explode(shinglesOf(corpus, textCol, shingleK)).as("__g"))
-    val sizes = postings.groupBy(col("__cid"))
-      .agg(count(lit(1)).as("__n"))
+    // set sizes come FREE from size(set) on the base frame — one kernel
+    // projection, zero shuffle. The old explode+groupBy recount paid an
+    // extra aggregation exchange for a number the array already knows
+    // (shinglesOf yields DISTINCT shingles, so size == posting count).
+    val sizes = graft.Tables.widenForKernel(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).as("__cid"),
+        size(shinglesOf(corpus, textCol, shingleK)).cast("long").as("__n"))
     bucketPairs(postings, Seq("__g"), col("__cid"), maxPostings)
       .groupBy(col("__pair_a"), col("__pair_b"))
       .agg(count(lit(1)).cast("long").as("shared"))
@@ -536,8 +542,11 @@ object Dedup {
         explode(shinglesOf(corpus, textCol, shingleK)).as("__g"))
     val rPost = reference.select(col(idCol).as("__rid"),
       explode(shinglesOf(reference, textCol, shingleK)).as("__g"))
-    val rSizes = rPost.groupBy(col("__rid"))
-      .agg(count(lit(1)).as("ref_size"))
+    // size(set) on the base frame, not an explode+groupBy recount — same
+    // cleanup as containmentPairs (shingle sets are distinct by kernel)
+    val rSizes = reference.select(col(idCol).as("__rid"),
+      size(shinglesOf(reference, textCol, shingleK)).cast("long")
+        .as("ref_size"))
     val rBuckets = rPost.groupBy(col("__g"))
       .agg(graft.functions.expr.AggExprs
         .collectCapped(col("__rid"), maxPostings).as("__rids"))
@@ -831,17 +840,30 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // exact verify: batch side shingles from the persisted batch, history
-    // side from the bucketed shingle table
-    val shAll =
-      if (!hasState) batchSigs.select(col("id"), col("__sh"))
-      else spark.table(shinglesT).select(col("id"), col("__sh"))
-        .unionByName(batchSigs.select(col("id"), col("__sh")))
-    val shA = shAll.select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+    // side from the bucketed shingle table — joined SEPARATELY, because a
+    // history∪batch union erases the table's id-bucketing and re-shuffles
+    // the stored shingle ARRAYS on every dup-heavy fold (exactly the
+    // exchange the bucketed layout pre-paid). A pair's id_a is either
+    // historical or in-batch (ids are unique across batches), so the two
+    // joins partition the pair list and their union is exact. The pair
+    // list feeding both branches ends in a dropDuplicates exchange, which
+    // ReuseExchange dedups — the _bands history stays a single scan (the
+    // x42 plan pin holds).
     val shB = batchSigs.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
+    val shABatch = batchSigs
+      .select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+    val withShA =
+      if (!hasState) pairIds.join(shABatch, Seq("id_a"))
+      else {
+        val shAHist = spark.table(shinglesT)
+          .select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+        pairIds.join(shAHist, Seq("id_a"))
+          .unionByName(pairIds.join(shABatch, Seq("id_a")))
+      }
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
     val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
-    pairIds
-      .join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+    withShA
+      .join(shB, Seq("id_b"))
       .filter(when(union > 0, inter.cast("double") / union)
         .otherwise(lit(0.0)) >= threshold)
       .select(col("id_b").as("id"))
@@ -1097,18 +1119,22 @@ object Dedup {
     // boxed ids each) plus a parent HashMap — order hundreds of bytes per
     // edge, so ~low hundreds of MB, NOT the 8B*edges a primitive layout
     // would cost. Above it the distributed hash-to-min loop below is the
-    // 100 TB path. `limit(max+1)` decides without a full count, and the
-    // input is persisted first so an over-threshold probe does NOT re-run
-    // the upstream (LSH candidate generation — the expensive stage) when
-    // the slow path builds the full edge list.
+    // 100 TB path. The regime decision is a COUNT over the persisted
+    // input — one pass that materializes EVERY partition into the cache
+    // exactly once, so neither regime re-runs the upstream (LSH candidate
+    // generation — the expensive stage). The earlier limit(max+1) probe
+    // stopped as soon as it had max+1 rows, leaving the slow path's
+    // unscanned partitions uncached: the full edge build then recomputed
+    // the upstream for exactly the large inputs where it hurts most.
     // Null ids are dropped up front: a null endpoint has no identity to
     // union on, and both regimes' min/least semantics skip nulls anyway.
     val undirected = pairs
       .filter(col(idA).isNotNull && col(idB).isNotNull)
       .select(col(idA).as("src"), col(idB).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probe = undirected.limit(maxDriverEdges + 1).collect()
-    if (probe.length <= maxDriverEdges) {
+    val nEdges = undirected.count()
+    if (nEdges <= maxDriverEdges) {
+      val probe = undirected.collect()
       val spark = pairs.sparkSession
       val idType = undirected.schema("src").dataType
       // Must order ids exactly as the distributed loop's least()/min() does,

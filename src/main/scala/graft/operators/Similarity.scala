@@ -62,13 +62,35 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdOut: String = "query_id"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as(queryIdOut),
-      col(vecCol).as("__qvec")))
+    val q = broadcast(queryProbes(queries, idCol, vecCol, queryIdOut))
     val scored = corpus
       .select(col(idCol), col(vecCol))
       .crossJoin(q)
       .filter(col(idCol) =!= col(queryIdOut))
       .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
+    exactTopK(scored, k, idCol, queryIdOut)
+  }
+
+  /** Shared query-probe projection of the ANN entry points: the query
+    * frame as `(queryIdOut, __qvec)` — the renamed id plus the vector the
+    * exact verify tail scores against. One definition, not seven
+    * byte-equivalent copies: per-site drift in exactly this block is the
+    * class of bug behind the r15 IVF-HNSW wrong-cell probing fix.
+    */
+  private def queryProbes(queries: DataFrame, idCol: String,
+      vecCol: String, queryIdOut: String): DataFrame =
+    queries.select(col(idCol).as(queryIdOut), col(vecCol).as("__qvec"))
+
+  /** Shared exact top-k tail of every ANN entry point: rank scored
+    * candidates per query by (cosine DESC, id ASC — deterministic
+    * tiebreak), keep `rank <= k`, and project the canonical
+    * `(query_id, id, cosine, rank)` output schema. The window rides the
+    * candidate frame's existing per-query grouping; candidates are
+    * probe-bounded, so the rank never sorts more than one query's
+    * candidate set per partition group.
+    */
+  private def exactTopK(scored: DataFrame, k: Int, idCol: String,
+      queryIdOut: String): DataFrame = {
     val w = Window.partitionBy(queryIdOut)
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored
@@ -91,20 +113,14 @@ object Similarity {
       dupThreshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdOut: String = "query_id"): DataFrame = {
-    val q = broadcast(anchors.select(col(idCol).as(queryIdOut),
-      col(vecCol).as("__qvec")))
+    val q = broadcast(queryProbes(anchors, idCol, vecCol, queryIdOut))
     val scored = corpus
       .select(col(idCol), col(vecCol))
       .crossJoin(q)
       .filter(col(idCol) =!= col(queryIdOut))
       .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
       .filter(col("cosine") < dupThreshold)
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+    exactTopK(scored, k, idCol, queryIdOut)
   }
 
   /** Approximate top-k via random-hyperplane LSH with multiprobe.
@@ -151,13 +167,7 @@ object Similarity {
       .filter(col(idCol) =!= col(queryIdOut))
       .dropDuplicates(queryIdOut, idCol)
       .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
-
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+    exactTopK(candidates, k, idCol, queryIdOut)
   }
 
   /** Approximate top-k via IVF (inverted-file) coarse quantization: k-means
@@ -216,12 +226,7 @@ object Similarity {
       .filter(col(idCol) =!= col(queryIdOut))
       .dropDuplicates(queryIdOut, idCol)
       .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+    exactTopK(candidates, k, idCol, queryIdOut)
   }
 
   /** Approximate top-k via IVF-PQ: coarse cells + product-quantized residual
@@ -353,14 +358,10 @@ object Similarity {
       .select(col(queryIdOut), col(idCol), col("__qvec"))
 
     // --- exact re-rank: fetch full vectors for survivors only
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    shortlist
+    val rescored = shortlist
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("cosine", cosineSim(col(vecCol), col("__qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+    exactTopK(rescored, k, idCol, queryIdOut)
   }
 
   /** Approximate top-k via IVF + per-cell HNSW graphs: corpus rows are
@@ -456,12 +457,7 @@ object Similarity {
       }
       .toDF(queryIdOut, idCol, "cosine")
 
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+    exactTopK(candidates, k, idCol, queryIdOut)
   }
 
   /** Materialize an IVF + per-cell-HNSW index as a DataFrame (write it to
@@ -680,12 +676,7 @@ object Similarity {
       }
       .toDF(queryIdOut, idCol, "cosine")
 
-    val w = Window.partitionBy(queryIdOut)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdOut), col(idCol), col("cosine"), col("rank"))
+    exactTopK(candidates, k, idCol, queryIdOut)
   }
 
   /** All-pairs near-duplicate detection by embedding cosine: LSH-bucket the

@@ -191,6 +191,92 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup verify joins the bucketed _shingles history " +
+      "exchange-free (no history-array re-shuffle on dup-heavy folds)") {
+    // the old formulation unioned history and batch shingles BEFORE the
+    // pair join; the union erased the table's id-bucketing, so the stored
+    // shingle arrays re-shuffled on every fold large enough to exceed the
+    // broadcast threshold — re-buying the exchange the layout pre-paid.
+    // The split-join form must keep the _shingles scan out of every
+    // shuffle exchange even with broadcasting disabled.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val prefix = s"shpin_${System.nanoTime()}"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val batch1 = Seq(
+        (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+        .toDF("doc_id", "text")
+      Dedup.incrementalMinhashDedup(batch1, prefix, "text", "doc_id",
+        buckets = 2).unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch2 = Seq(
+        (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3L, "phi chi psi omega aleph bet gimel dalet he vav"))
+        .toDF("doc_id", "text")
+      val (sigs, banded) = Dedup.bandBatch(batch2, "text", "doc_id",
+        3, 64, 16, 42L)
+      val losers = Dedup.incrementalLoserIds(spark, sigs, banded, prefix,
+        threshold = 0.7, maxBucketSize = 1000)
+      val plan = losers.queryExecution.executedPlan
+      // a violating exchange re-shuffles the _shingles scan's own output
+      // (scan below it, no join in between); exchanges ABOVE the verify
+      // join (e.g. the final distinct) legitimately contain the scan in
+      // their subtree and are not re-shuffles of the stored arrays
+      val shuffledShingleScans = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.isEmpty &&
+            e.child.collectLeaves().exists {
+              case f: FileSourceScanExec => f.relation.location.rootPaths
+                .exists(_.toString.contains(s"${prefix}_shingles"))
+              case _ => false
+            } => e
+      }
+      assert(shuffledShingleScans.isEmpty,
+        "the bucketed _shingles history is re-shuffled by the verify join")
+      // and the scan IS present (the pin must not pass vacuously)
+      val shingleScans = plan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains(s"${prefix}_shingles")) => f
+      }
+      assert(shingleScans.nonEmpty, "no _shingles scan found in the plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      Dedup.dropIncrementalDedupState(spark, prefix)
+    }
+  }
+
+  test("containmentPairs takes set sizes from size(set), not an " +
+      "explode+groupBy recount") {
+    // sizes used to aggregate the exploded postings by doc id — a full
+    // extra exchange for a number the (distinct) shingle array already
+    // knows. The plan must carry no aggregate grouped solely by __cid:
+    // the remaining aggregations are the per-gram capped-collect
+    // (grouped by __g) and the per-pair shared count.
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Dedup.containmentPairs(docs, "text", "doc_id")
+    val cidOnlyAggs = df.queryExecution.executedPlan.collect {
+      case a: HashAggregateExec
+        if a.groupingExpressions.map(_.name) == Seq("__cid") => a
+      case a: ObjectHashAggregateExec
+        if a.groupingExpressions.map(_.name) == Seq("__cid") => a
+      case a: SortAggregateExec
+        if a.groupingExpressions.map(_.name) == Seq("__cid") => a
+    }
+    assert(cidOnlyAggs.isEmpty,
+      "the per-doc size recount aggregation is back in the plan")
+  }
+
   test("ICWS band-bucket shuffles carry ids, never TF structs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -320,6 +320,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels.count() == 5 && labels.count() == 5)
   }
 
+  test("connected components evaluate their upstream exactly once in the " +
+      "distributed regime (count-backed persist, no recompute)") {
+    // the old limit(max+1) probe stopped once it had max+1 rows, leaving
+    // unscanned partitions uncached — the slow path's edge build then
+    // re-ran the expensive upstream (LSH candidate generation) for them.
+    // An accumulator in the upstream projection counts evaluations: the
+    // full run (probe + edge build + label loop) must touch each input
+    // row exactly once.
+    import org.apache.spark.sql.functions.{col, udf}
+    val acc = spark.sparkContext.longAccumulator("cc_upstream_rows")
+    val bump = udf { (x: Long) => acc.add(1L); x }
+    // 500 two-node components across many partitions; converges fast
+    val pairs = spark.range(0, 500, 1, 8)
+      .select(bump((col("id") * 2)).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+    val comps = Dedup.connectedComponents(pairs, maxDriverEdges = 10)
+    assert(comps.count() == 1000L)
+    assert(acc.value == 500L,
+      s"upstream evaluated ${acc.value} rows — expected exactly 500 " +
+        "(each input partition materialized once into the persist)")
+  }
+
   test("connected components: null endpoints dropped, no NPE") {
     val pairs = Seq(("b", "c"), ("a", "b"), (null, "z"), ("x", null))
       .toDF("id_a", "id_b")
