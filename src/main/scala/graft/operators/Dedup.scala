@@ -647,6 +647,10 @@ object Dedup {
       buckets: Int, maxBucketSize: Int, foldTag: Option[String],
       crashAfterWrites: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // an EMPTY tag would equal the placeholder an untagged fold records
+    // in the manifest, making the replay-skip fire for a fold that never
+    // used tags — a silently-skipped real fold
+    require(foldTag.forall(_.nonEmpty), "foldTag must be non-empty")
     val spark = batch.sparkSession
     val bandsT = s"${statePrefix}_bands"
     val shinglesT = s"${statePrefix}_shingles"
@@ -655,15 +659,15 @@ object Dedup {
     // restore the directory-equals-manifest invariant (reclaim any
     // crashed fold's unlisted files) BEFORE the first state read
     val hasState = syncStateToManifest(spark, statePrefix)
+    val manifest = if (hasState) readStateManifest(spark, statePrefix)
+      else None
     val committed: Map[String, Set[String]] =
-      if (hasState) readStateManifest(spark, statePrefix).get._2
-      else Map.empty
+      manifest.map(_._2).getOrElse(Map.empty)
     val loserPathEarly = loserVerdictPath(spark, statePrefix)
     // tag-matched replay: the fold committed whole on a previous attempt
     // (crash landed after the manifest flip) — state is already folded;
     // replay only the pinned survivor verdict, exactly-once
-    if (foldTag.isDefined && hasState &&
-        readStateManifest(spark, statePrefix).get._1 == foldTag.get) {
+    if (foldTag.isDefined && manifest.exists(_._1 == foldTag.get)) {
       val survivors = batch.join(
         spark.read.parquet(loserPathEarly).withColumnRenamed("id", idCol),
         Seq(idCol), "left_anti")
@@ -737,9 +741,12 @@ object Dedup {
       Await.result(Future.sequence(writes.map(w => Future(w._2()))),
         Duration.Inf)
     } else {
-      // injection path (specs only): sequential, die before the flip
+      // injection path (specs only): sequential, die before the flip —
+      // release both fold-owned persists (a real crash kills the JVM; an
+      // injected one must not leak cached frames into the test session)
       writes.take(crashAfterWrites).foreach(_._2())
       batchSigs.unpersist()
+      survivors.unpersist()
       throw new IllegalStateException(
         s"injected crash after $crashAfterWrites state write(s)")
     }
@@ -1068,22 +1075,25 @@ object Dedup {
     }
   }
 
-  /** Drop the state tables of [[incrementalMinhashDedup]] (idempotent). */
+  /** Drop the state tables of [[incrementalMinhashDedup]] (idempotent).
+    * The MANIFEST goes first: a drop that crashes midway then leaves
+    * manifest-less tables, which the next fold's sweep reclaims as
+    * uncommitted — dropping tables first would strand a manifest whose
+    * listed tables are gone, the loud "externally corrupted" failure.
+    */
   def dropIncrementalDedupState(spark: SparkSession,
       statePrefix: String): Unit = {
-    Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
-      s"${statePrefix}_bucket_counts", s"${statePrefix}_bucket_counts_compact")
-      .foreach(dropStateTable(spark, _))
-    // the per-fold loser verdict file and the commit manifest are plain
-    // paths, not tables
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"${statePrefix}_losers", s"${statePrefix}_state_manifest")
+    Seq(s"${statePrefix}_state_manifest", s"${statePrefix}_losers")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(warehouse, n)
         if (fs.exists(p)) fs.delete(p, true)
       }
+    Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
+      s"${statePrefix}_bucket_counts", s"${statePrefix}_bucket_counts_compact")
+      .foreach(dropStateTable(spark, _))
   }
 
   /** Connected components over a near-duplicate pair list: assigns every id

@@ -154,6 +154,37 @@ class IncrementalStateCommitSpec extends SparkSpec {
     } finally Dedup.dropIncrementalDedupState(spark, p)
   }
 
+  test("an empty foldTag is refused: it would equal the placeholder an " +
+      "untagged fold records, silently replay-skipping a real fold") {
+    val p = s"iscempty_${System.nanoTime()}"
+    try intercept[IllegalArgumentException](fold(batch1, p, tag = Some("")))
+    finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("a state drop that crashed after removing the manifest leaves " +
+      "tables the next fold reclaims as uncommitted — not a loud " +
+      "corruption failure") {
+    val p = s"iscdrop_${System.nanoTime()}"
+    val ref = s"iscdropref_${System.nanoTime()}"
+    try {
+      fold(batch1, p)
+      // a crashed dropIncrementalDedupState deletes the manifest FIRST;
+      // emulate dying right after
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val mf = new org.apache.hadoop.fs.Path(warehouse,
+        s"${p}_state_manifest")
+      val fsys = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsys.delete(mf, false), "manifest should exist post-fold")
+      // the next "first" fold must see pre-state (tables reclaimed whole)
+      val want = fold(batch1, ref)
+      assert(fold(batch1, p) == want)
+      assert(stateSnapshot(p) == stateSnapshot(ref))
+    } finally {
+      Dedup.dropIncrementalDedupState(spark, p)
+      Dedup.dropIncrementalDedupState(spark, ref)
+    }
+  }
+
   test("a first fold that crashes before its first manifest flip is " +
       "reclaimed whole: the retry recreates the state from scratch") {
     val p = s"iscfirst_${System.nanoTime()}"
