@@ -48,7 +48,13 @@ object AsOfJoin {
     val payloadType = StructType(payload.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
 
-    val rightSide = right.select(
+    // a right row with a NULL timestamp has no as-of position — unfiltered
+    // it would sort FIRST in the ascending scan (nulls-first) and become
+    // the initial carried payload, silently attaching itself to every left
+    // row that has no true predecessor
+    val rightSide = right
+      .filter(col(rightTs).isNotNull)
+      .select(
       (keys.map(col) :+
         col(rightTs).as("__ts") :+
         lit(0).as("__side") :+
@@ -67,10 +73,12 @@ object AsOfJoin {
         lit(null).cast(payloadType).as("__p")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
+    // null-ts LEFT rows keep left-join semantics (they survive with a null
+    // payload): asc_nulls_first scans them before any right payload exists
     val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, sideOrder, col("__tb").asc)
+      .orderBy(col("__ts").asc_nulls_first, sideOrder, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = rightSide.unionByName(leftSide)
@@ -109,7 +117,10 @@ object AsOfJoin {
     val payloadType = StructType(payload.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
 
-    val rightSide = right.select(
+    // null-ts right rows have no as-of position (see backward)
+    val rightSide = right
+      .filter(col(rightTs).isNotNull)
+      .select(
       (keys.map(col) :+
         col(rightTs).as("__ts") :+
         lit(0).as("__side") :+
@@ -130,11 +141,14 @@ object AsOfJoin {
 
     // descending scan: at each left row, the last non-null payload seen is
     // the right row with the smallest ts >= left ts (ties: smallest __tb,
-    // since __tb descends and last() takes the latest in frame order)
+    // since __tb descends and last() takes the latest in frame order).
+    // desc_nulls_first so a null-ts LEFT row is scanned before any right
+    // payload exists — it survives with a null payload instead of silently
+    // attaching the earliest right row (desc puts nulls LAST by default).
     val sideOrder = if (inclusive) col("__side").asc else col("__side").desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc, sideOrder, col("__tb").desc)
+      .orderBy(col("__ts").desc_nulls_first, sideOrder, col("__tb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = rightSide.unionByName(leftSide)

@@ -84,4 +84,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(0))
     assert(out.getLong(1) == 10L)
   }
+
+  test("null timestamps never match: a null-ts right row is no one's " +
+      "as-of value, and a null-ts left row attaches nothing") {
+    import org.apache.spark.sql.functions._
+    // right side: one real quote plus a null-ts GHOST row; the ghost used
+    // to sort FIRST in the backward scan (asc nulls-first) and become the
+    // initial carried payload — every left row with no true predecessor
+    // silently inherited it instead of null
+    val left = Seq(
+      ("k", Some(ts("2024-01-01 00:00:00")), 1L), // before any real quote
+      ("k", Some(ts("2024-01-01 00:00:05")), 2L), // after the real quote
+      ("k", Option.empty[Timestamp], 3L) // null left ts: no as-of point
+    ).toDF("k", "lts", "lid")
+    val right = Seq(
+      ("k", Option.empty[Timestamp], -99.0), // ghost
+      ("k", Some(ts("2024-01-01 00:00:02")), 7.0)
+    ).toDF("k", "rts", "px")
+    val back = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+      payload = Seq("px"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(back(1L).isEmpty, s"ghost payload leaked backward: ${back(1L)}")
+    assert(back(2L).contains(7.0))
+    assert(back(3L).isEmpty, "null-ts left row attached a payload")
+    // forward: the ghost sorted LAST in the desc scan, where a null-ts
+    // LEFT row would pick up the earliest real quote instead of null
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "lts", "rts",
+      payload = Seq("px"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(fwd(1L).contains(7.0))
+    assert(fwd(2L).isEmpty)
+    assert(fwd(3L).isEmpty,
+      s"null-ts left row attached a payload forward: ${fwd(3L)}")
+  }
 }
