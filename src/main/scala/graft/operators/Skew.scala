@@ -55,10 +55,24 @@ object Skew {
     require(topN > 0, "topN must be positive")
     val lc = left.groupBy(key).agg(count(lit(1)).as("n_left"))
     val rc = right.groupBy(key).agg(count(lit(1)).as("n_right"))
+    // pair count multiplies in decimal(38,0): two Long row counts can
+    // exceed Long when multiplied, and with ANSI off the wrap is SILENT
+    // — garbage ranking from exactly the mega-hot key this diagnostic
+    // exists to expose (the EntityResolution.pairCount convention). The
+    // published column stays BIGINT, loud past the Long range.
+    val dec = "decimal(38,0)"
+    val pairsDec = col("n_left").cast(dec) * col("n_right").cast(dec)
     lc.join(rc, Seq(key))
-      .withColumn("n_pairs", col("n_left") * col("n_right"))
-      .orderBy(col("n_pairs").desc, col(key).asc)
+      .withColumn("__np", pairsDec)
+      .orderBy(col("__np").desc, col(key).asc)
       .limit(topN)
+      .withColumn("n_pairs",
+        when(col("__np") <= lit(Long.MaxValue).cast(dec),
+          col("__np").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("joinHotspots n_pairs exceeds the Long range: "),
+            col("__np").cast("string")))))
+      .drop("__np")
   }
 
   def saltedSum(df: DataFrame, key: String, valueCol: String,

@@ -38,6 +38,18 @@ class SkewSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) > 0))
   }
 
+  test("joinHotspots multiplies pair counts in decimal but publishes " +
+      "BIGINT (the accounting-overflow convention)") {
+    val l = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "a")
+    val r = Seq((1L, "p"), (2L, "q")).toDF("k", "b")
+    val df = Skew.joinHotspots(l, r, "k", topN = 5)
+    assert(df.schema("n_pairs").dataType ==
+      org.apache.spark.sql.types.LongType, "n_pairs type drifted")
+    val got = df.collect().map(x => x.getAs[Long]("k") ->
+      x.getAs[Long]("n_pairs")).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("saltedJoin equals the plain inner equi-join (multiset)") {
     val big = (0L until 500L).map(i => (i, i % 7)).toDF("id", "k")
     val small = Seq((0L, "a"), (1L, "b"), (6L, "c")).toDF("k", "v")
