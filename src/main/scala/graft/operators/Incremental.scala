@@ -46,13 +46,27 @@ object Incremental {
 
   /** Fold one batch into the state at `statePath` (created on first call),
     * swapping the directory atomically; returns the new state.
+    *
+    * Crash-safety of the swap: the rename-swap necessarily passes through
+    * a delete-then-rename window where the live state directory is gone
+    * and only the fully-written `__next` remains. [[recoverState]] closes
+    * it — a missing state with a COMPLETE `__next` (its `_SUCCESS` job
+    * marker present) is a crashed swap and promotes; a partial `__next`
+    * next to a live state is a crashed WRITE and is discarded (the batch
+    * was never committed; the caller replays it). Without the recovery,
+    * the next update would read "no state", treat the batch as the first
+    * ever, and OVERWRITE the surviving merge — the entire accumulated
+    * history silently lost. A promoted crashed swap counts its batch as
+    * COMMITTED — a replay of that batch then double-folds, the same
+    * already-documented window as a crash right after a successful swap;
+    * exactly-once remains the caller's checkpoint contract.
     */
   def update(spark: SparkSession, statePath: String, batch: DataFrame,
       keys: Seq[String], valueCol: String, distinctCol: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val state = new org.apache.hadoop.fs.Path(statePath)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(statePath + "__next")
+    recoverState(fs, state, tmp)
 
     val batchPartials = partials(batch, keys, valueCol, distinctCol)
     val merged =
@@ -62,9 +76,31 @@ object Incremental {
 
     merged.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(state)) fs.delete(state, true)
-    fs.rename(tmp, state)
+    if (!fs.rename(tmp, state))
+      throw new java.io.IOException(s"could not publish state at $state")
     spark.read.parquet(statePath)
   }
+
+  /** Repair a crashed [[update]] swap before touching state: promote a
+    * complete orphaned `__next` (state gone mid-swap), discard a stale
+    * one (crashed mid-write, state still live). Idempotent.
+    */
+  private def recoverState(fs: org.apache.hadoop.fs.FileSystem,
+      state: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(tmp)) {
+      val complete = fs.exists(
+        new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (!fs.exists(state) && complete) {
+        if (!fs.rename(tmp, state))
+          throw new java.io.IOException(
+            s"could not promote crashed-swap state $tmp")
+      } else {
+        // state live (tmp is an uncommitted crashed write), or tmp is
+        // partial (crashed mid-write, nothing committed): discard
+        fs.delete(tmp, true)
+      }
+    }
 
   /** Human-readable view of a state table: estimate the sketch. */
   def readState(spark: SparkSession, statePath: String,

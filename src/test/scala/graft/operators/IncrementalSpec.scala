@@ -73,4 +73,44 @@ class IncrementalSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(!fs.exists(junk)) // tmp consumed by the successful swap
   }
+
+  test("a crash BETWEEN the state delete and the rename does not lose " +
+      "history: the complete __next is promoted, never overwritten as a " +
+      "'first batch'") {
+    val p = "target/incr_crashswap"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val state = new org.apache.hadoop.fs.Path(p)
+    val tmp = new org.apache.hadoop.fs.Path(p + "__next")
+    fs.delete(state, true); fs.delete(tmp, true)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val batch1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val batch2 = orders.filter(col("o_orderkey") % 2 =!= 0)
+    Incremental.update(spark, p, batch1,
+      Seq("o_orderstatus"), "o_totalprice", "o_custkey")
+    Incremental.update(spark, p, batch2,
+      Seq("o_orderstatus"), "o_totalprice", "o_custkey")
+    val want = Incremental.readState(spark, p, "o_totalprice")
+      .select("o_orderstatus", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reconstruct the mid-swap crash state: the fully-written merge sits
+    // at __next (complete: _SUCCESS present), the live state is deleted
+    assert(fs.rename(state, tmp) || { fs.delete(tmp, true)
+      fs.rename(state, tmp) })
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    // ANY state read via update must first promote, not restart: fold an
+    // EMPTY batch and expect the full two-batch history intact (the old
+    // code saw "no state", treated the empty batch as the first ever,
+    // and overwrote the surviving merge with zero rows)
+    val got = Incremental.update(spark, p, orders.limit(0),
+      Seq("o_orderstatus"), "o_totalprice", "o_custkey")
+      .select("o_orderstatus", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"history lost across the swap window: $got")
+    // and a PARTIAL __next (no _SUCCESS) next to a live state is junk
+    // from a crashed write: discarded, state untouched
+    fs.mkdirs(tmp)
+    val got2 = Incremental.readState(spark, p, "o_totalprice").count()
+    assert(got2 == want.size.toLong)
+  }
 }
