@@ -476,10 +476,12 @@ class StreamingSpec extends SparkSpec {
       assert(stateRows() == state0,
         "a marker-skipped replay must not re-fold dedup state")
 
-      // replay with the marker ALSO gone (crash before the marker write):
-      // the batch re-executes — output dir overwrites to the same survivor
-      // set; state re-folds (duplicate rows are semantically harmless and
-      // bounded by replays), so only the survivor set is pinned here
+      // replay with the marker ALSO gone (crash between the state fold's
+      // manifest flip and the sink marker): the batch re-executes, but the
+      // fold's own foldTag (the batch id, already committed in the state
+      // manifest) skips the re-fold WHOLE — state is bit-identical, not
+      // merely "semantically harmless duplicates", and the output dir
+      // overwrites to the same survivor set from the pinned verdict
       dropCommit1()
       val fsys = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -492,6 +494,8 @@ class StreamingSpec extends SparkSpec {
       q3.stop()
       assert(survivors() == survivors0,
         "a partially-committed replay must converge to the same survivors")
+      assert(stateRows() == state0,
+        "a tag-matched replay must not re-fold dedup state")
       // positive proof the batch re-fired (not merely "nothing changed"):
       // the deleted marker was re-created by the re-execution
       assert(fsys.exists(
