@@ -624,7 +624,11 @@ object Dedup {
     * tag skips the fold whole and replays the pinned survivor verdict.
     * Without a tag, replaying an already-committed fold re-appends its
     * rows (the pre-r16 behavior on any replay). Folds on one prefix are
-    * serial by contract (ids are monotone across batches).
+    * serial by contract (ids are monotone across batches). Crash-RETRY in
+    * a NEW process additionally requires a persistent metastore (the
+    * standard deployment for long-lived bucketed state): an in-memory
+    * catalog forgets the state tables across JVM restarts while the
+    * manifest and data files survive, which the sweep refuses loudly.
     */
   def incrementalMinhashDedup(batch: DataFrame, statePrefix: String,
       textCol: String, idCol: String, shingleK: Int = 3,
@@ -1015,7 +1019,12 @@ object Dedup {
         tables.foreach { t =>
           require(spark.catalog.tableExists(t),
             s"state table $t is listed in the committed manifest but " +
-              "missing from the catalog — state externally corrupted")
+              "missing from the catalog. Either the state was externally " +
+              "corrupted, or this session's catalog does not persist " +
+              "across JVM restarts (in-memory catalog): resuming " +
+              "incremental-dedup state in a NEW process requires a " +
+              "persistent metastore, the standard deployment for " +
+              "long-lived bucketed state")
           val want = committed.getOrElse(t, Set.empty)
           val have = listStatePartFiles(spark, t)
           val lost = want -- have
