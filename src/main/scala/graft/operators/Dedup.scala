@@ -621,14 +621,32 @@ object Dedup {
     * flips the hot-bucket guard near the cap). Pass `foldTag` (e.g. a
     * streaming batch id) for exactly-once across a crash AFTER the
     * manifest flip: a replay whose tag matches the manifest's committed
-    * tag skips the fold whole and replays the pinned survivor verdict.
-    * Without a tag, replaying an already-committed fold re-appends its
-    * rows (the pre-r16 behavior on any replay). Folds on one prefix are
-    * serial by contract (ids are monotone across batches). Crash-RETRY in
-    * a NEW process additionally requires a persistent metastore (the
-    * standard deployment for long-lived bucketed state): an in-memory
-    * catalog forgets the state tables across JVM restarts while the
-    * manifest and data files survive, which the sweep refuses loudly.
+    * tag skips the fold whole and replays the pinned survivor verdict
+    * (read from the MANIFEST-NAMED loser dataset — each attempt writes
+    * its own, so an out-of-order replay fails loudly rather than reading
+    * a different fold's verdict). Without a tag, replaying an
+    * already-committed fold re-appends its rows (the pre-r16 behavior on
+    * any replay).
+    *
+    * Folds on one prefix are serial by contract (ids are monotone across
+    * batches) and that contract is ENFORCED: each fold holds a writer
+    * token naming its Spark application, so a concurrent fold from a
+    * second application is refused loudly instead of having its
+    * in-flight appends swept as crash orphans; a token stranded by a
+    * dead driver is released explicitly via
+    * [[breakIncrementalDedupWriterLock]]. Compaction gives concurrent
+    * READERS a one-generation retention window: superseded delta files
+    * flip to "retired" in the manifest and stay on disk until the next
+    * fold's sweep, so a scan planned before the flip finishes cleanly
+    * (snapshot-consistent occupancy reads during the window go through
+    * [[readBucketCounts]]). Crash-RETRY in a NEW process additionally
+    * requires a persistent metastore (the standard deployment for
+    * long-lived bucketed state): an in-memory catalog forgets the state
+    * tables across JVM restarts while the manifest and data files
+    * survive, which the sweep refuses loudly. Pre-manifest legacy state
+    * (tables without a manifest or protocol marker) is never silently
+    * reclaimed: the sweep fails loudly and [[adoptIncrementalDedupState]]
+    * migrates it, preserving the accumulated history.
     */
   def incrementalMinhashDedup(batch: DataFrame, statePrefix: String,
       textCol: String, idCol: String, shingleK: Int = 3,
@@ -660,23 +678,47 @@ object Dedup {
     val shinglesT = s"${statePrefix}_shingles"
     val countsT = s"${statePrefix}_bucket_counts"
 
+    // single-writer enforcement FIRST: a concurrent fold from another
+    // application must be refused before the sweep below can reclaim the
+    // lock holder's in-flight (not-yet-committed) appends as orphans
+    acquireStateWriter(spark, statePrefix)
     // restore the directory-equals-manifest invariant (reclaim any
     // crashed fold's unlisted files) BEFORE the first state read
     val hasState = syncStateToManifest(spark, statePrefix)
+    // AFTER the sweep: its legacy-layout check must run before the marker
+    // exists, or an upgrade's first fold would stamp the marker and then
+    // reclaim the legacy tables as a "crashed first fold"
+    ensureProtocolMarker(spark, statePrefix)
     val manifest = if (hasState) readStateManifest(spark, statePrefix)
       else None
     val committed: Map[String, Set[String]] =
-      manifest.map(_._2).getOrElse(Map.empty)
-    val loserPathEarly = loserVerdictPath(spark, statePrefix)
+      manifest.map(_.live).getOrElse(Map.empty)
     // tag-matched replay: the fold committed whole on a previous attempt
     // (crash landed after the manifest flip) — state is already folded;
-    // replay only the pinned survivor verdict, exactly-once
-    if (foldTag.isDefined && manifest.exists(_._1 == foldTag.get)) {
+    // replay only the pinned survivor verdict, exactly-once. The verdict
+    // is the MANIFEST-NAMED loser dataset, never a shared mutable path: a
+    // contract-violating caller replaying out of order fails loudly here
+    // instead of silently reading some other fold's verdict.
+    if (foldTag.isDefined && manifest.exists(_.tag == foldTag.get)) {
+      val m = manifest.get
+      val committedLosers =
+        new org.apache.hadoop.fs.Path(loserVerdictRoot(spark, statePrefix),
+          m.losers)
+      val lfs = committedLosers
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (m.losers.isEmpty || !lfs.exists(committedLosers))
+        throw new IllegalStateException(
+          s"fold tag '${foldTag.get}' matches the committed manifest but " +
+            s"its loser verdict '${m.losers}' is missing — the state was " +
+            "externally corrupted, or the serial-folds contract was " +
+            "violated (a later fold already committed over this tag)")
       val survivors = batch.join(
-        spark.read.parquet(loserPathEarly).withColumnRenamed("id", idCol),
+        spark.read.parquet(committedLosers.toString)
+          .withColumnRenamed("id", idCol),
         Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       survivors.count()
+      releaseStateWriter(spark, statePrefix)
       return survivors
     }
 
@@ -699,7 +741,13 @@ object Dedup {
     //    occupancy), which near the bucket cap could admit a different
     //    loser set than the one this fold committed to. The path read
     //    freezes the verdict.
-    val loserPath = loserVerdictPath(spark, statePrefix)
+    // The dataset is PER-ATTEMPT (unique name, committed by listing it in
+    // the manifest flip): overwriting one shared path would let an
+    // out-of-order replay read a different fold's verdict. Stranded
+    // attempt datasets are swept at the next fold start.
+    val loserName = s"f-${java.util.UUID.randomUUID()}"
+    val loserPath = new org.apache.hadoop.fs.Path(
+      loserVerdictRoot(spark, statePrefix), loserName).toString
     losers.coalesce(1).write.mode("overwrite").parquet(loserPath)
 
     // Ownership: the returned frame is handed to the caller PERSISTED and
@@ -755,17 +803,21 @@ object Dedup {
         s"injected crash after $crashAfterWrites state write(s)")
     }
     // THE commit: one atomic manifest flip publishing all three appends
+    // (and naming this attempt's loser dataset as the fold's verdict)
     val folded = writes.map { case (t, _) =>
       t -> (committed.getOrElse(t, Set.empty) ++
         (listStatePartFiles(spark, t) -- preFiles(t)))
     }.toMap
-    writeStateManifest(spark, statePrefix, foldTag.getOrElse(""), folded)
+    writeStateManifest(spark, statePrefix,
+      StateManifest(foldTag.getOrElse(""), loserName, folded,
+        manifest.map(_.retired).getOrElse(Map.empty)))
     // amortized upkeep: once the delta generations pile up, fold them
     // back to one row per key so the guard's read stays bounded by the
     // live bucket-key universe, not by fold count
     if (hasState && stateFileCount(spark, countsT) > buckets * 8)
       compactBucketCounts(spark, statePrefix, buckets)
     batchSigs.unpersist()
+    releaseStateWriter(spark, statePrefix)
     survivors
   }
 
@@ -891,14 +943,20 @@ object Dedup {
     * Crash-safe under the same manifest protocol as the fold itself: the
     * summed rows APPEND into the same table (no drop, no catalog rename —
     * the old drop+RENAME left the table MISSING across a crash between
-    * the two), the manifest flips to list ONLY the new files, and the
-    * superseded delta files are reclaimed after the flip (the next fold's
-    * sweep is the crash backstop for both directions).
+    * the two) and the manifest flips to list the new files as live. The
+    * superseded delta files are NOT deleted here: they flip to RETIRED —
+    * still allowed on disk, no longer state content — and are reclaimed
+    * by the NEXT fold's sweep, one generation later. The immediate
+    * post-flip delete (pre-r17) gave a concurrent reader holding the
+    * pre-compaction file list no retention window at all: its scan could
+    * hit FileNotFound mid-flight. Deferring by one fold generation means
+    * a reader that planned its scan before the flip has the entire next
+    * inter-fold interval to finish.
     */
   private[graft] def compactBucketCounts(spark: SparkSession,
       statePrefix: String, buckets: Int): Unit = {
     val countsT = s"${statePrefix}_bucket_counts"
-    val (tag, tables) = readStateManifest(spark, statePrefix)
+    val m = readStateManifest(spark, statePrefix)
       .getOrElse(throw new IllegalStateException(
         s"compactBucketCounts($statePrefix): no committed state manifest"))
     val before = listStatePartFiles(spark, countsT)
@@ -908,15 +966,14 @@ object Dedup {
       .write.mode("append").bucketBy(buckets, "__bkey")
       .format("parquet").saveAsTable(countsT)
     val fresh = listStatePartFiles(spark, countsT) -- before
-    writeStateManifest(spark, statePrefix, tag,
-      tables.updated(countsT, fresh))
-    // reclaim the superseded delta generation now that the flip landed;
-    // a crash mid-reclaim leaves unlisted files for the next sweep
-    stateTableLocation(spark, countsT).foreach { loc =>
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      before.foreach(n =>
-        fs.delete(new org.apache.hadoop.fs.Path(loc, n), false))
-    }
+    writeStateManifest(spark, statePrefix,
+      m.copy(live = m.live.updated(countsT, fresh),
+        retired = m.retired.updated(countsT,
+          m.retired.getOrElse(countsT, Set.empty) ++ before)))
+    // the retired generation is NOT deleted: reclaimed at the next
+    // fold's sweep — the concurrent-reader retention window. But the
+    // catalog must re-list the directory so THIS session's reads see
+    // the compacted layout.
     spark.catalog.refreshTable(countsT)
   }
 
@@ -931,14 +988,34 @@ object Dedup {
       spark.conf.get("spark.sql.warehouse.dir"),
       s"${statePrefix}_state_manifest")
 
-  private def loserVerdictPath(spark: SparkSession,
-      statePrefix: String): String =
+  /** Root DIRECTORY holding one loser-verdict parquet dataset per fold
+    * attempt (`f-<uuid>`). The manifest records WHICH one is the
+    * committed fold's verdict; unreferenced attempt dirs are swept at
+    * fold start. A single shared overwritten path (the pre-r17 layout)
+    * was correct only under the serial-folds contract — a racing or
+    * out-of-order replay could silently read a DIFFERENT fold's verdict.
+    */
+  private def loserVerdictRoot(spark: SparkSession,
+      statePrefix: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      s"${statePrefix}_losers").toString
+      s"${statePrefix}_losers")
+
+  /** The committed state of one incremental-dedup prefix, as recorded by
+    * the atomically-flipped manifest: the committed fold tag, the name of
+    * that fold's loser-verdict dataset (under [[loserVerdictRoot]]; empty
+    * for adopted legacy state, whose last fold predates the protocol),
+    * the LIVE data files per table, and the RETIRED files — superseded by
+    * a compaction but kept on disk for one fold generation so a reader
+    * holding the pre-compaction file list never hits FileNotFound
+    * mid-scan. Readers must use live ∪ retired as "allowed on disk";
+    * only live files are state content.
+    */
+  private[graft] case class StateManifest(tag: String, losers: String,
+      live: Map[String, Set[String]], retired: Map[String, Set[String]])
 
   private[graft] def readStateManifest(spark: SparkSession,
-      statePrefix: String): Option[(String, Map[String, Set[String]])] = {
+      statePrefix: String): Option[StateManifest] = {
     val p = stateManifestPath(spark, statePrefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -951,14 +1028,21 @@ object Dedup {
         case _ => throw new IllegalStateException(
           s"corrupt state manifest $p: missing tag header")
       }
-      val tables = lines.drop(1).filter(_.nonEmpty).map { l =>
-        l.split("\t") match {
-          case Array(t, f) => (t, f)
-          case _ => throw new IllegalStateException(
-            s"corrupt state manifest $p: bad line '$l'")
-        }
-      }.groupBy(_._1).map { case (t, fs2) => t -> fs2.map(_._2).toSet }
-      Some((tag, tables))
+      val losers = lines.lift(1) match {
+        case Some(h) if h.startsWith("losers\t") => h.drop(7)
+        case _ => throw new IllegalStateException(
+          s"corrupt state manifest $p: missing losers header")
+      }
+      def group(kind: String): Map[String, Set[String]] =
+        lines.drop(2).filter(_.nonEmpty).flatMap { l =>
+          l.split("\t") match {
+            case Array(`kind`, t, f) => Some((t, f))
+            case Array(_, _, _) => None
+            case _ => throw new IllegalStateException(
+              s"corrupt state manifest $p: bad line '$l'")
+          }
+        }.groupBy(_._1).map { case (t, fs2) => t -> fs2.map(_._2).toSet }
+      Some(StateManifest(tag, losers, group("live"), group("retired")))
     }
   }
 
@@ -968,16 +1052,20 @@ object Dedup {
     * protocol).
     */
   private def writeStateManifest(spark: SparkSession, statePrefix: String,
-      tag: String, tables: Map[String, Set[String]]): Unit = {
-    require(!tag.contains("\n") && !tag.contains("\t"),
-      s"foldTag must not contain tab/newline: '$tag'")
+      manifest: StateManifest): Unit = {
+    require(!manifest.tag.contains("\n") && !manifest.tag.contains("\t"),
+      s"foldTag must not contain tab/newline: '${manifest.tag}'")
     val p = stateManifestPath(spark, statePrefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val body = (s"tag\t$tag" +: tables.toSeq.sortBy(_._1).flatMap {
-      case (t, files) => files.toSeq.sorted.map(f => s"$t\t$f")
-    }).mkString("\n")
+    def lines(kind: String, tables: Map[String, Set[String]]): Seq[String] =
+      tables.toSeq.sortBy(_._1).flatMap {
+        case (t, files) => files.toSeq.sorted.map(f => s"$kind\t$t\t$f")
+      }
+    val body = (Seq(s"tag\t${manifest.tag}", s"losers\t${manifest.losers}") ++
+      lines("live", manifest.live) ++ lines("retired", manifest.retired))
+      .mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -1000,22 +1088,57 @@ object Dedup {
     * table, reclaiming any crashed fold's stranded (unlisted) files —
     * called before the first state read of every fold, so a torn
     * three-table state is never observable. Returns whether committed
-    * state exists. No manifest + existing tables = a FIRST fold crashed
-    * before its first flip (or a pre-manifest legacy state, which this
-    * protocol treats as uncommitted): the tables are reclaimed whole. A
-    * manifest-listed file that is MISSING from disk is external
-    * corruption and fails loudly.
+    * state exists.
+    *
+    * No manifest + existing tables is TWO states, disambiguated by the
+    * protocol marker ([[stateProtocolMarkerPath]], written before any
+    * fold ever appends): marker present = a FIRST fold crashed before its
+    * first flip — definitively uncommitted, the tables are reclaimed
+    * whole; marker ABSENT = a pre-manifest legacy layout whose tables ARE
+    * committed history — reclaiming them would silently destroy the
+    * accumulated dedup corpus and re-admit every previously-seen
+    * duplicate, so the sweep fails loudly and directs the operator to
+    * [[adoptIncrementalDedupState]] (migrate) or
+    * [[dropIncrementalDedupState]] (restart).
+    *
+    * A manifest-listed LIVE file missing from disk is external corruption
+    * and fails loudly; a RETIRED file missing is fine (a prior reclaim
+    * crashed mid-delete). After the orphan sweep, retired files — kept on
+    * disk through the previous fold generation as the concurrent-reader
+    * retention window — are reclaimed: the manifest flips to drop the
+    * retired entries FIRST, then their files are deleted (a crash between
+    * the two leaves unlisted files for the next sweep). Loser-verdict
+    * attempt datasets not named by the manifest are swept too.
     */
   private[graft] def syncStateToManifest(spark: SparkSession,
       statePrefix: String): Boolean = {
     val tables = Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
       s"${statePrefix}_bucket_counts")
+    val hconf = spark.sparkContext.hadoopConfiguration
     readStateManifest(spark, statePrefix) match {
       case None =>
-        tables.filter(spark.catalog.tableExists)
-          .foreach(dropStateTable(spark, _))
+        val existing = tables.filter(spark.catalog.tableExists)
+        if (existing.nonEmpty) {
+          val marker = stateProtocolMarkerPath(spark, statePrefix)
+          val mfs = marker.getFileSystem(hconf)
+          if (!mfs.exists(marker)) throw new IllegalStateException(
+            s"incremental-dedup state tables ${existing.mkString(", ")} " +
+              "exist without a commit manifest or protocol marker: this " +
+              "is a PRE-manifest legacy layout whose tables are committed " +
+              "dedup history. Refusing to reclaim them (that would " +
+              "silently re-admit every previously-seen duplicate). Call " +
+              s"Dedup.adoptIncrementalDedupState(spark, \"$statePrefix\") " +
+              "to migrate the existing state under the manifest protocol, " +
+              s"or Dedup.dropIncrementalDedupState(spark, \"$statePrefix\")" +
+              " to discard it deliberately")
+          existing.foreach(dropStateTable(spark, _))
+        }
+        // no committed verdict exists either — sweep stranded attempts
+        val lroot = loserVerdictRoot(spark, statePrefix)
+        val lfs = lroot.getFileSystem(hconf)
+        if (lfs.exists(lroot)) lfs.delete(lroot, true)
         false
-      case Some((_, committed)) =>
+      case Some(m) =>
         tables.foreach { t =>
           require(spark.catalog.tableExists(t),
             s"state table $t is listed in the committed manifest but " +
@@ -1025,25 +1148,163 @@ object Dedup {
               "incremental-dedup state in a NEW process requires a " +
               "persistent metastore, the standard deployment for " +
               "long-lived bucketed state")
-          val want = committed.getOrElse(t, Set.empty)
+          val live = m.live.getOrElse(t, Set.empty)
+          val retired = m.retired.getOrElse(t, Set.empty)
           val have = listStatePartFiles(spark, t)
-          val lost = want -- have
+          val lost = live -- have
           require(lost.isEmpty,
             s"state table $t lost committed data files ${lost.mkString(",")}" +
               " — state externally corrupted")
-          val orphans = have -- want
+          val orphans = have -- live -- retired
           if (orphans.nonEmpty) {
             stateTableLocation(spark, t).foreach { loc =>
-              val fs =
-                loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val fs = loc.getFileSystem(hconf)
               orphans.foreach(n =>
                 fs.delete(new org.apache.hadoop.fs.Path(loc, n), false))
             }
             spark.catalog.refreshTable(t)
           }
         }
+        // end of the one-generation retention window: drop the retired
+        // entries from the manifest (atomic flip), THEN delete the files
+        if (m.retired.values.exists(_.nonEmpty)) {
+          writeStateManifest(spark, statePrefix,
+            m.copy(retired = Map.empty))
+          m.retired.foreach { case (t, files) =>
+            stateTableLocation(spark, t).foreach { loc =>
+              val fs = loc.getFileSystem(hconf)
+              files.foreach(n =>
+                fs.delete(new org.apache.hadoop.fs.Path(loc, n), false))
+            }
+            if (files.nonEmpty) spark.catalog.refreshTable(t)
+          }
+        }
+        // sweep loser-verdict datasets of uncommitted fold attempts
+        val lroot = loserVerdictRoot(spark, statePrefix)
+        val lfs = lroot.getFileSystem(hconf)
+        if (lfs.exists(lroot))
+          lfs.listStatus(lroot).map(_.getPath)
+            .filter(_.getName != m.losers)
+            .foreach(lfs.delete(_, true))
         true
     }
+  }
+
+  /** Path of the protocol marker: created (once, before any append) by
+    * the first fold that runs on a prefix under the manifest protocol,
+    * removed only by [[dropIncrementalDedupState]]. Its presence is what
+    * lets the sweep distinguish "a first fold crashed before its first
+    * manifest flip" (tables uncommitted — reclaim) from "pre-manifest
+    * legacy state" (tables ARE the committed history — refuse loudly).
+    */
+  private def stateProtocolMarkerPath(spark: SparkSession,
+      statePrefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${statePrefix}_state_protocol")
+
+  /** Path of the single-writer token — see [[acquireStateWriter]]. */
+  private def stateWriterTokenPath(spark: SparkSession,
+      statePrefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${statePrefix}_state_writer")
+
+  /** Enforce the protocol's single-writer contract: atomically create a
+    * writer token naming this Spark application before the fold touches
+    * anything. A second concurrent writer from a DIFFERENT application
+    * finds the token and is refused LOUDLY — without this, the intruder's
+    * fold-start sweep would silently reclaim the first writer's in-flight
+    * (unlisted) appends as crash orphans. A token from the SAME
+    * application is a previous attempt of this serial caller (the fold
+    * crashed or threw after acquiring), so the retry proceeds. A token
+    * left by a CRASHED application cannot be distinguished from a live
+    * one by the filesystem alone; recovery from a different process is an
+    * explicit operator decision — [[breakIncrementalDedupWriterLock]] —
+    * made once the old driver is known dead, not a silent takeover.
+    */
+  private[graft] def acquireStateWriter(spark: SparkSession,
+      statePrefix: String): Unit = {
+    val p = stateWriterTokenPath(spark, statePrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val me = spark.sparkContext.applicationId
+    def holder(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split("\t").headOption.getOrElse("")
+      finally in.close()
+    }
+    def refuse(h: String): Nothing = throw new IllegalStateException(
+      s"incremental-dedup state '$statePrefix' is locked by writer " +
+        s"application '$h' (this is '$me'). Folds on one prefix are " +
+        "single-writer: a concurrent fold's sweep would reclaim the " +
+        "lock holder's in-flight state appends. If the holding " +
+        "application is known dead, call " +
+        s"Dedup.breakIncrementalDedupWriterLock(spark, \"$statePrefix\") " +
+        "and retry")
+    if (fs.exists(p)) {
+      val h = holder()
+      if (h != me) refuse(h)
+    } else {
+      try {
+        val out = fs.create(p, false) // no overwrite: loses any race
+        try out.write(s"$me\t${java.util.UUID.randomUUID()}"
+          .getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: java.io.IOException if fs.exists(p) =>
+          val h = holder()
+          if (h != me) refuse(h)
+      }
+    }
+  }
+
+  private def releaseStateWriter(spark: SparkSession,
+      statePrefix: String): Unit = {
+    val p = stateWriterTokenPath(spark, statePrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
+  /** Operator override for a writer token stranded by a dead application:
+    * deletes the lock so a new process can fold. Only safe once the
+    * holding driver is known dead — see [[acquireStateWriter]].
+    */
+  def breakIncrementalDedupWriterLock(spark: SparkSession,
+      statePrefix: String): Unit =
+    releaseStateWriter(spark, statePrefix)
+
+  /** Migrate a PRE-manifest legacy state (three tables, no manifest — the
+    * layout written before the atomic-commit protocol) under the
+    * protocol: adopts the tables' current data files as the initial
+    * committed manifest, preserving the accumulated dedup history that
+    * the sweep would otherwise refuse to touch. Requires all three tables
+    * present and no manifest; the adopted commit is untagged (no
+    * replay-skip can fire against it) and has no loser verdict.
+    */
+  def adoptIncrementalDedupState(spark: SparkSession,
+      statePrefix: String): Unit = {
+    require(readStateManifest(spark, statePrefix).isEmpty,
+      s"state '$statePrefix' already has a committed manifest")
+    val tables = Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
+      s"${statePrefix}_bucket_counts")
+    val missing = tables.filterNot(spark.catalog.tableExists)
+    require(missing.isEmpty,
+      s"cannot adopt state '$statePrefix': tables ${missing.mkString(", ")}" +
+        " missing — a partial legacy layout is not a committed state; " +
+        "drop and rebuild instead")
+    val live = tables.map(t => t -> listStatePartFiles(spark, t)).toMap
+    ensureProtocolMarker(spark, statePrefix)
+    writeStateManifest(spark, statePrefix,
+      StateManifest(tag = "", losers = "", live = live,
+        retired = Map.empty))
+  }
+
+  private def ensureProtocolMarker(spark: SparkSession,
+      statePrefix: String): Unit = {
+    val p = stateProtocolMarkerPath(spark, statePrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
   }
 
   /** Number of data files currently backing a managed state table — the
@@ -1089,13 +1350,18 @@ object Dedup {
     * manifest-less tables, which the next fold's sweep reclaims as
     * uncommitted — dropping tables first would strand a manifest whose
     * listed tables are gone, the loud "externally corrupted" failure.
+    * The PROTOCOL MARKER goes last: a drop that crashed after removing
+    * the marker but before the tables would otherwise leave manifest-less
+    * marker-less tables — the legacy-layout signature, wedging the next
+    * fold on a loud migration error for state that was being discarded.
     */
   def dropIncrementalDedupState(spark: SparkSession,
       statePrefix: String): Unit = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"${statePrefix}_state_manifest", s"${statePrefix}_losers")
+    Seq(s"${statePrefix}_state_manifest", s"${statePrefix}_losers",
+      s"${statePrefix}_state_writer")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(warehouse, n)
         if (fs.exists(p)) fs.delete(p, true)
@@ -1103,6 +1369,35 @@ object Dedup {
     Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
       s"${statePrefix}_bucket_counts", s"${statePrefix}_bucket_counts_compact")
       .foreach(dropStateTable(spark, _))
+    val marker = stateProtocolMarkerPath(spark, statePrefix)
+    if (fs.exists(marker)) fs.delete(marker, false)
+  }
+
+  /** Snapshot-consistent read of the `_bucket_counts` occupancy (one row
+    * per band-bucket key, summed): MANIFEST-LIVE files only. Inside a
+    * compaction retention window — from a compaction's manifest flip
+    * until the next fold's sweep — the table directory deliberately holds
+    * both the compacted generation (live) and the superseded deltas
+    * (retired, kept so a scan planned before the flip cannot hit
+    * FileNotFound mid-flight), and a raw `spark.table` read there counts
+    * every bucket twice. External occupancy consumers go through this.
+    * (The fold's own reads always run after the sweep, when directory ==
+    * live, so they read the bucketed table directly, exchange-free.)
+    */
+  def readBucketCounts(spark: SparkSession, statePrefix: String): DataFrame = {
+    val countsT = s"${statePrefix}_bucket_counts"
+    val m = readStateManifest(spark, statePrefix)
+      .getOrElse(throw new IllegalStateException(
+        s"readBucketCounts($statePrefix): no committed state manifest"))
+    val loc = stateTableLocation(spark, countsT)
+      .getOrElse(throw new IllegalStateException(
+        s"readBucketCounts($statePrefix): table $countsT not in catalog"))
+    val files = m.live.getOrElse(countsT, Set.empty).toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(loc, n).toString)
+    val rows =
+      if (files.isEmpty) spark.table(countsT).limit(0)
+      else spark.read.parquet(files: _*)
+    rows.groupBy("__bkey").agg(sum("__bcnt").as("__bcnt"))
   }
 
   /** Connected components over a near-duplicate pair list: assigns every id

@@ -50,10 +50,16 @@ object Incremental {
     * Crash-safety of the swap: the rename-swap necessarily passes through
     * a delete-then-rename window where the live state directory is gone
     * and only the fully-written `__next` remains. [[recoverState]] closes
-    * it — a missing state with a COMPLETE `__next` (its `_SUCCESS` job
-    * marker present) is a crashed swap and promotes; a partial `__next`
-    * next to a live state is a crashed WRITE and is discarded (the batch
-    * was never committed; the caller replays it). Without the recovery,
+    * it — a missing state with a COMPLETE `__next` is a crashed swap and
+    * promotes; a partial `__next` next to a live state is a crashed WRITE
+    * and is discarded (the batch was never committed; the caller replays
+    * it). Completeness is proven by a FRAMEWORK-OWNED sentinel
+    * (`_GRAFT_COMPLETE`, written only after the state write returns), not
+    * by the output committer's `_SUCCESS` marker: clusters routinely
+    * disable success markers on object stores
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), and
+    * keying the promote on an optional marker would make recovery DELETE
+    * the only surviving copy of the state. Without the recovery,
     * the next update would read "no state", treat the batch as the first
     * ever, and OVERWRITE the surviving merge — the entire accumulated
     * history silently lost. A promoted crashed swap counts its batch as
@@ -75,11 +81,20 @@ object Incremental {
       else batchPartials
 
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // the write returning proves the dataset is complete — record that
+    // with OUR sentinel (the committer's _SUCCESS may be disabled)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, completeSentinel), true)
+      .close()
     if (fs.exists(state)) fs.delete(state, true)
     if (!fs.rename(tmp, state))
       throw new java.io.IOException(s"could not publish state at $state")
     spark.read.parquet(statePath)
   }
+
+  /** Name of the framework-owned completion sentinel inside `__next`.
+    * Underscore-prefixed so Spark's file listing ignores it as metadata.
+    */
+  private val completeSentinel = "_GRAFT_COMPLETE"
 
   /** Repair a crashed [[update]] swap before touching state: promote a
     * complete orphaned `__next` (state gone mid-swap), discard a stale
@@ -90,7 +105,7 @@ object Incremental {
       tmp: org.apache.hadoop.fs.Path): Unit =
     if (fs.exists(tmp)) {
       val complete = fs.exists(
-        new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+        new org.apache.hadoop.fs.Path(tmp, completeSentinel))
       if (!fs.exists(state) && complete) {
         if (!fs.rename(tmp, state))
           throw new java.io.IOException(

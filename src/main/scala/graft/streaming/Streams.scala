@@ -194,27 +194,36 @@ object Streams {
     */
   def foreachBatchParquet(stream: DataFrame, path: String,
       checkpoint: String)(
-      transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Old-layout detection runs ONCE at stream setup, not per micro-batch:
+    // once this sink owns the path it only ever writes batch=<id>
+    // directories, so the invariant cannot regress mid-stream — while the
+    // root accumulates one batch directory per micro-batch, making a
+    // per-batch listStatus an ever-growing object-store listing cost on
+    // long-running streams.
+    locally {
+      val spark = stream.sparkSession
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fsys.exists(root)) {
+        val flat = fsys.listStatus(root).find(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        flat.foreach(st => throw new IllegalStateException(
+          s"foreachBatchParquet: output $path contains flat parquet " +
+          s"files from the old root-level-append layout (e.g. " +
+          s"${st.getPath.getName}); mixing them with batch=<id> " +
+          "partition directories breaks Spark partition discovery. " +
+          "Point the restarted stream at a fresh output path."))
+      }
+    }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fsys.exists(root)) {
-          val flat = fsys.listStatus(root).find(st =>
-            st.isFile && st.getPath.getName.endsWith(".parquet"))
-          flat.foreach(st => throw new IllegalStateException(
-            s"foreachBatchParquet: output $path contains flat parquet " +
-            s"files from the old root-level-append layout (e.g. " +
-            s"${st.getPath.getName}); mixing them with batch=<id> " +
-            "partition directories breaks Spark partition discovery. " +
-            "Point the restarted stream at a fresh output path."))
-        }
         transform(batch.toDF())
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
+  }
 
   /** foreachBatch MERGE sink: upsert each micro-batch into a
     * [[graft.sources.VersionedTable]] by key — the transactional

@@ -243,8 +243,11 @@ class DedupOpsSpec extends SparkSpec {
     val prefix = s"bc_spec_${System.nanoTime()}"
     def recount = spark.table(s"${prefix}_bands").groupBy("__bkey").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def maintained = spark.table(s"${prefix}_bucket_counts")
-      .groupBy("__bkey").agg(sum("__bcnt").as("c"))
+    // the SNAPSHOT read (manifest-live files): inside a compaction
+    // retention window the raw table directory deliberately holds both
+    // the compacted generation and the superseded deltas, so the
+    // directory read is only valid outside the window (post-sweep)
+    def maintained = Dedup.readBucketCounts(spark, prefix)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     try {
       val s1 = Dedup.incrementalMinhashDedup(batch1, prefix, "text",
@@ -256,6 +259,9 @@ class DedupOpsSpec extends SparkSpec {
       assert(maintained == recount)
       Dedup.compactBucketCounts(spark, prefix, buckets = 2)
       assert(maintained == recount)
+      // end the retention window so the one-row-per-key shape check
+      // below sees only the compacted generation
+      Dedup.syncStateToManifest(spark, prefix)
       val ct = spark.table(s"${prefix}_bucket_counts")
       assert(ct.count() == ct.select("__bkey").distinct().count(),
         "compaction must leave one row per bucket key")

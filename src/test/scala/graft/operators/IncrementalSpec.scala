@@ -94,10 +94,15 @@ class IncrementalSpec extends SparkSpec {
       .select("o_orderstatus", "n").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // reconstruct the mid-swap crash state: the fully-written merge sits
-    // at __next (complete: _SUCCESS present), the live state is deleted
+    // at __next, the live state is deleted. Completeness is the
+    // FRAMEWORK-OWNED sentinel, not the committer's _SUCCESS — delete
+    // _SUCCESS to model an object-store cluster with success markers
+    // disabled (marksuccessfuljobs=false), where keying the promote on
+    // _SUCCESS would delete the only surviving copy of the state
     assert(fs.rename(state, tmp) || { fs.delete(tmp, true)
       fs.rename(state, tmp) })
-    assert(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMPLETE")))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
     // ANY state read via update must first promote, not restart: fold an
     // EMPTY batch and expect the full two-batch history intact (the old
     // code saw "no state", treated the empty batch as the first ever,

@@ -115,8 +115,10 @@ class IncrementalStateCommitSpec extends SparkSpec {
     } finally Dedup.dropIncrementalDedupState(spark, p)
   }
 
-  test("compaction commits through the manifest: counts collapse to one " +
-      "row per key, the superseded delta files are reclaimed, and a " +
+  test("compaction commits through the manifest with a one-generation " +
+      "retention window: the superseded deltas stay on disk (a reader's " +
+      "pre-flip scan plan still executes) until the next sweep reclaims " +
+      "them; snapshot reads during the window are single-counted; a " +
       "stranded compaction append is swept — never double-counted") {
     val p = s"isccomp_${System.nanoTime()}"
     try {
@@ -126,9 +128,47 @@ class IncrementalStateCommitSpec extends SparkSpec {
       def occupancy = spark.table(countsT).groupBy("__bkey")
         .agg(sum("__bcnt").as("c")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def snapshotOccupancy = Dedup.readBucketCounts(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def diskFiles: Set[String] = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(countsT))
+            .location)
+        val fsys = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsys.listStatus(loc).map(_.getPath.getName)
+          .filter(_.startsWith("part-")).toSet
+      }
       val beforeCompact = occupancy
+      // a concurrent reader plans its scan NOW (captures the pre-flip
+      // file list), then the compaction flips underneath it
+      val preFlipFiles = diskFiles
+      val preFlipScan = spark.read.parquet(preFlipFiles.toSeq.sorted.map(
+        n => new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(countsT))
+            .location.toString, n).toString): _*)
       Dedup.compactBucketCounts(spark, p, buckets = 2)
+      // retention: every pre-flip file is still on disk, so the reader's
+      // in-flight scan completes with the pre-compaction content
+      assert((preFlipFiles -- diskFiles).isEmpty,
+        "compaction deleted files inside the retention window")
+      val readerSees = preFlipScan.groupBy("__bkey")
+        .agg(sum("__bcnt").as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(readerSees == beforeCompact,
+        "pre-flip reader saw torn occupancy across the compaction")
+      // snapshot reads during the window single-count (the raw directory
+      // deliberately holds both generations until the sweep)
+      assert(snapshotOccupancy == beforeCompact,
+        "snapshot read double-counted inside the retention window")
+      // the next sweep ends the window: retired deltas reclaimed, the
+      // table collapses to one row per key with unchanged occupancy
+      Dedup.syncStateToManifest(spark, p)
       assert(occupancy == beforeCompact, "compaction changed occupancy")
+      assert((diskFiles -- preFlipFiles).nonEmpty &&
+        (preFlipFiles & diskFiles).isEmpty,
+        "sweep failed to reclaim the retired delta generation")
       val ct = spark.table(countsT)
       assert(ct.count() == ct.select("__bkey").distinct().count(),
         "compaction must leave one row per key")
@@ -151,6 +191,103 @@ class IncrementalStateCommitSpec extends SparkSpec {
         (21L, "third batch about glaciers and ice floes entirely fresh"))
         .toDF("doc_id", "text"), p)
       assert(!s3.contains(20L) && s3.contains(21L))
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("a second concurrent writer application is refused loudly before " +
+      "it can sweep the lock holder's in-flight appends; the explicit " +
+      "break releases the stranded lock of a dead driver") {
+    val p = s"isclock_${System.nanoTime()}"
+    try {
+      fold(batch1, p)
+      // plant a token naming a FOREIGN application (a live concurrent
+      // writer, or one whose driver died mid-fold)
+      val token = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_state_writer")
+      val fsys = token.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fsys.create(token, true)
+      out.write("someone-else\tdeadbeef".getBytes("UTF-8")); out.close()
+      val ex = intercept[IllegalStateException](fold(batch2, p))
+      assert(ex.getMessage.contains("locked by writer"))
+      // the refusal must not have touched state: the committed fold's
+      // tables are intact and the foreign token survives
+      assert(fsys.exists(token))
+      // operator adjudicates the holder dead and breaks the lock
+      Dedup.breakIncrementalDedupWriterLock(spark, p)
+      val ref = s"isclockref_${System.nanoTime()}"
+      try {
+        fold(batch1, ref)
+        assert(fold(batch2, p) == fold(batch2, ref),
+          "post-break fold diverged from the uninterrupted run")
+      } finally Dedup.dropIncrementalDedupState(spark, ref)
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("an injected crash strands the writer token, and the SAME " +
+      "application's retry proceeds without an explicit break (serial " +
+      "caller contract)") {
+    val p = s"isctok_${System.nanoTime()}"
+    try {
+      fold(batch1, p)
+      intercept[IllegalStateException](fold(batch2, p, crashAfter = 2))
+      val token = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_state_writer")
+      val fsys = token.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsys.exists(token), "crash should strand the writer token")
+      val ref = s"isctokref_${System.nanoTime()}"
+      try {
+        fold(batch1, ref)
+        assert(fold(batch2, p) == fold(batch2, ref))
+        // a completed fold releases the token
+        assert(!fsys.exists(token))
+      } finally Dedup.dropIncrementalDedupState(spark, ref)
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("pre-manifest legacy state (tables, no manifest, no protocol " +
+      "marker) is never silently reclaimed: the fold fails loudly, and " +
+      "adoptIncrementalDedupState migrates it with history preserved") {
+    val p = s"isclegacy_${System.nanoTime()}"
+    try {
+      fold(batch1, p)
+      // strip the protocol's bookkeeping, leaving exactly the pre-r16
+      // layout: three committed tables, nothing else
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val fsys = new org.apache.hadoop.fs.Path(warehouse)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"${p}_state_manifest", s"${p}_state_protocol", s"${p}_losers")
+        .foreach { n =>
+          val path = new org.apache.hadoop.fs.Path(warehouse, n)
+          assert(fsys.delete(path, true), s"$n should exist post-fold")
+        }
+      val ex = intercept[IllegalStateException](fold(batch2, p))
+      assert(ex.getMessage.contains("adoptIncrementalDedupState"))
+      // history must be intact after the refusal
+      assert(spark.table(s"${p}_bands").count() > 0)
+      // migrate, then fold: batch2's history dup of doc 0 must still be
+      // caught — proof the adopted state kept the accumulated corpus
+      Dedup.adoptIncrementalDedupState(spark, p)
+      val s2 = fold(batch2, p)
+      assert(!s2.contains(10L),
+        "adopted state lost the history that makes doc 10 a dup of doc 0")
+      assert(s2.contains(12L) && !s2.contains(13L))
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("the tag-matched replay reads the MANIFEST-NAMED loser verdict " +
+      "and fails loudly when it is missing, instead of silently reading " +
+      "another fold's verdict") {
+    val p = s"iscverdict_${System.nanoTime()}"
+    try {
+      fold(batch1, p, tag = Some("b1"))
+      // corrupt: remove the committed verdict dataset out-of-band
+      val lroot = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_losers")
+      val fsys = lroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsys.delete(lroot, true), "loser root should exist post-fold")
+      val ex = intercept[IllegalStateException](
+        fold(batch1, p, tag = Some("b1")))
+      assert(ex.getMessage.contains("loser verdict"))
     } finally Dedup.dropIncrementalDedupState(spark, p)
   }
 
