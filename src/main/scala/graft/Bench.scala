@@ -73,6 +73,39 @@ object Bench {
       d.withColumn("rn",
         row_number().over(Window.partitionBy("k").orderBy("id"))).count()
     }
+    // Host calibration probe: a FIXED synthetic workload (hash + shuffle
+    // agg over a generated range — no IO, no graft code, identical across
+    // rounds) timed at suite start and after every full repeat pass. The
+    // recorded series lets the gates adjudicate "host degraded phase"
+    // from the artifact itself instead of post-hoc solo re-runs: a quiet
+    // host shows a flat series; a degraded phase shows up as an inflated
+    // sample adjacent in time to the inflated queries.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .select((col("id") % 99991L).as("k"), xxhash64(col("id")).as("h"))
+        .groupBy("k").agg(sum("h").as("s")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two untimed runs: the probe's own JIT/codegen-cache warmup must not
+    // pollute the series' first sample (a spuriously slow start sample
+    // reads as an in-run degraded phase to the gates)
+    calibrate(); calibrate()
+    val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
+    calibrations += calibrate()
+    // provenance: the commit the bench actually measured (r15/r16 both
+    // spent judge time on artifact-staleness archaeology)
+    def sh(cmd: Seq[String]): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+          .mkString.trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    val headCommit = sh(Seq("git", "rev-parse", "HEAD")).getOrElse("unknown")
+    val gitDirty = sh(Seq("git", "status", "--porcelain"))
+      .map(_.nonEmpty).getOrElse(false)
     // shuffle/spill visibility: stderr only — stdout stays the one-line
     // JSON contract. Stage metrics accumulate between query boundaries.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
@@ -150,9 +183,14 @@ object Bench {
     // give each query `repeats` samples from DIFFERENT phases — min-of-k
     // then dodges the pothole instead of confirming it.
     val timings = scala.collection.mutable.Map[String, Vector[Double]]()
-    for (r <- 1 to repeats; (name, fn) <- selected)
-      timings(name) = timings.getOrElse(name, Vector.empty) :+
-        runOnce(name, fn, r)
+    for (r <- 1 to repeats) {
+      for ((name, fn) <- selected)
+        timings(name) = timings.getOrElse(name, Vector.empty) :+
+          runOnce(name, fn, r)
+      calibrations += calibrate()
+      System.err.println(f"[bench] calibration after pass $r: " +
+        f"${calibrations.last}%.2fs (series ${calibrations.map(c => f"$c%.2f").mkString(",")})")
+    }
     val results = selected.map { case (name, fn) =>
       var dts = timings(name)
       var retriesLeft = maxRetries
@@ -187,11 +225,14 @@ object Bench {
     val contaminated = spreadViolations.nonEmpty
     val failed = failedQueries.toSeq.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val calib = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       f""","wall_sec":$wallSec%.1f,"gc_sec":$gcSec%.1f,"heap_max_mb":$heapMax""" +
       s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol""" +
       s""","failed":$failed""" +
+      s""","calibration_sec":$calib""" +
+      s""","head_commit":"$headCommit","git_dirty":$gitDirty""" +
       s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}"""
     println(json)
     // stdout can be tail-truncated by the harness (r07 lost the timings

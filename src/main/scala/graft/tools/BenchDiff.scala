@@ -30,7 +30,24 @@ object BenchDiff {
   final case class BenchArtifact(
       queries: Map[String, Double],
       spreadViolations: Set[String],
-      contaminated: Boolean)
+      contaminated: Boolean,
+      calibration: Seq[Double] = Nil) {
+    /** Median of the fixed synthetic calibration probe series the bench
+      * times at suite start and after each pass — the in-artifact record
+      * of how fast the HOST was during this run. Empty for pre-r17
+      * artifacts.
+      */
+    def calibrationMedian: Option[Double] =
+      if (calibration.isEmpty) None
+      else Some(calibration.sorted.apply(calibration.size / 2))
+    /** max/min of the probe series: >1.5 means the host changed speed
+      * DURING the run (a degraded phase), so per-query numbers are not
+      * comparable even to each other.
+      */
+    def calibrationSpread: Option[Double] =
+      if (calibration.size < 2) None
+      else Some(calibration.max / calibration.min.max(1e-9))
+  }
 
   // whitespace-tolerant around ':' — Bench emits compact JSON, but a
   // committed baseline re-serialized by another tool (e.g. a Python
@@ -66,8 +83,19 @@ object BenchDiff {
           .map(_.group(1)).toSet
       }
     }
+    val calib = {
+      val start = """"calibration_sec"\s*:\s*\[""".r
+        .findFirstMatchIn(json).map(_.start).getOrElse(-1)
+      if (start < 0) Nil
+      else {
+        val open = json.indexOf('[', start)
+        val close = json.indexOf(']', open)
+        """-?[0-9.eE+]+""".r
+          .findAllIn(json.substring(open + 1, close)).map(_.toDouble).toSeq
+      }
+    }
     BenchArtifact(qs, viol,
-      """"contaminated"\s*:\s*true""".r.findFirstIn(json).isDefined)
+      """"contaminated"\s*:\s*true""".r.findFirstIn(json).isDefined, calib)
   }
 
   final case class Row(name: String, prev: Double, curr: Double,
@@ -78,17 +106,31 @@ object BenchDiff {
     def ok: Boolean = failures.isEmpty
   }
 
+  /** Host speed factor between two artifacts, from their calibration
+    * series: >1 means the CURRENT run's host was slower. 1.0 when either
+    * side predates the calibration probe. Clamped to [1, 2]: the factor
+    * only ever EXCUSES apparent regressions on a slower host (never
+    * tightens the gate on a faster one — a real regression must not hide
+    * behind a fast host), and past 2x the host is too degraded to
+    * certify at all (the caller refuses instead of normalizing).
+    */
+  def hostFactor(prev: BenchArtifact, curr: BenchArtifact): Double =
+    (for (p <- prev.calibrationMedian; c <- curr.calibrationMedian)
+      yield (c / p).max(1.0).min(2.0)).getOrElse(1.0)
+
   /** Pure diff logic, spec-covered. `threshold` is the like-for-like
     * regression ratio that fails the gate; `minSec` the baseline floor below
-    * which a query is too fast to gate on.
+    * which a query is too fast to gate on; `hostFactor` divides current
+    * timings before gating (calibration-normalized comparison).
     */
   def diff(prev: BenchArtifact, curr: BenchArtifact,
-      threshold: Double = 1.5, minSec: Double = 0.2): Diff = {
+      threshold: Double = 1.5, minSec: Double = 0.2,
+      hostFactor: Double = 1.0): Diff = {
     val common = prev.queries.keySet intersect curr.queries.keySet
     val suspects = prev.spreadViolations ++ curr.spreadViolations
     val rows = common.toSeq.sorted.map { n =>
       val (p, c) = (prev.queries(n), curr.queries(n))
-      val ratio = if (p > 0) c / p else Double.PositiveInfinity
+      val ratio = if (p > 0) c / hostFactor / p else Double.PositiveInfinity
       val suspect = suspects.contains(n)
       Row(n, p, c, ratio, gated = p >= minSec && !suspect, suspect)
     }
@@ -119,7 +161,23 @@ object BenchDiff {
       sys.exit(2)
     }
     val threshold = args.lift(2).map(_.toDouble).getOrElse(1.5)
-    val d = diff(prev, curr, threshold)
+    // in-run host health: a probe series that moved >1.5x WITHIN the run
+    // means a degraded phase hit some queries and not others — no global
+    // factor can repair that artifact; refuse to certify it
+    for (spread <- curr.calibrationSpread if spread > 1.5) {
+      System.err.println(f"FAIL: host speed changed ${spread}%.2fx DURING " +
+        "the current run (calibration series " +
+        s"${curr.calibration.map(c => f"$c%.2f").mkString(",")}) — " +
+        "artifact not certifiable, re-run on a quieter host")
+      sys.exit(3)
+    }
+    val hf = hostFactor(prev, curr)
+    if (hf > 1.0)
+      println(f"host calibration: current run ${hf}%.2fx slower " +
+        f"(prev median ${prev.calibrationMedian.getOrElse(0.0)}%.2fs, " +
+        f"curr ${curr.calibrationMedian.getOrElse(0.0)}%.2fs) — " +
+        "gating on calibration-normalized ratios")
+    val d = diff(prev, curr, threshold, hostFactor = hf)
     val interesting = d.rows.filter(r => r.ratio > 1.2 || r.ratio < 0.8)
     println(f"${"query"}%-28s ${"prev"}%8s ${"curr"}%8s ${"ratio"}%7s")
     for (r <- d.rows) {

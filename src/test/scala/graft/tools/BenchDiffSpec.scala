@@ -84,4 +84,49 @@ class BenchDiffSpec extends AnyFunSuite with Matchers {
     val d = BenchDiff.diff(prev, curr)
     d.failures.map(_.name) shouldBe Seq("x42_incremental_dedup")
   }
+
+  private def withCalib(json: String, series: Seq[Double]): String =
+    json.dropRight(1) +
+      s""","calibration_sec":${series.mkString("[", ",", "]")}}"""
+
+  test("calibration series parses; median and in-run spread computed; " +
+      "absent on pre-r17 artifacts") {
+    val a = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(),
+      Seq(0.50, 0.62, 0.55, 0.54)))
+    a.calibration shouldBe Seq(0.50, 0.62, 0.55, 0.54)
+    a.calibrationMedian shouldBe Some(0.55)
+    a.calibrationSpread.get shouldBe (0.62 / 0.50) +- 1e-9
+    val old = BenchDiff.parse(art("q01" -> 1.0)()())
+    old.calibration shouldBe empty
+    old.calibrationMedian shouldBe None
+    old.calibrationSpread shouldBe None
+  }
+
+  test("host factor normalizes gating: a uniformly 1.4x-slower host does " +
+      "not fail the gate, but a real regression on top of it still does") {
+    val prev = BenchDiff.parse(withCalib(
+      art("a" -> 2.0, "b" -> 3.0)()(), Seq(0.50, 0.50, 0.50)))
+    // host 1.4x slower: 'a' merely rides the host (2.0 -> 2.8); 'b'
+    // genuinely regressed 1.8x on TOP of the slow host (3.0 -> 7.6)
+    val curr = BenchDiff.parse(withCalib(
+      art("a" -> 2.8, "b" -> 7.6)()(), Seq(0.70, 0.70, 0.70)))
+    val hf = BenchDiff.hostFactor(prev, curr)
+    hf shouldBe 1.4 +- 1e-9
+    val d = BenchDiff.diff(prev, curr, threshold = 1.5, hostFactor = hf)
+    d.failures.map(_.name) shouldBe Seq("b")
+  }
+
+  test("host factor only excuses, never tightens (clamped at 1.0 below), " +
+      "and caps at 2.0 (past that the caller refuses to certify)") {
+    val slow = BenchDiff.parse(withCalib(art("a" -> 1.0)()(), Seq(1.0)))
+    val fast = BenchDiff.parse(withCalib(art("a" -> 1.0)()(), Seq(0.4)))
+    // current host FASTER than baseline: factor stays 1.0 — a real
+    // regression must not hide behind a fast host
+    BenchDiff.hostFactor(slow, fast) shouldBe 1.0
+    BenchDiff.hostFactor(fast, slow) shouldBe 2.0 // 2.5 capped
+    // either side missing calibration: no normalization
+    val old = BenchDiff.parse(art("a" -> 1.0)()())
+    BenchDiff.hostFactor(old, fast) shouldBe 1.0
+    BenchDiff.hostFactor(fast, old) shouldBe 1.0
+  }
 }
