@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: all counts are exact longs; support/confidence are one
   * exact long-ratio division each and lift one division of two exact
-  * long products (`n_ab·N` and `n_a·n_b`, both < 2^63 at any plausible
-  * catalog size) — single IEEE ops, bit-identical cross-engine, no
+  * decimal(38,0) products (`n_ab·N` and `n_a·n_b` can pass 2^63 at
+  * catalog scale, so they multiply wrap-proof in decimal before the
+  * double cast) — single IEEE ops, bit-identical cross-engine, no
   * rounding needed (the x80 convention).
   */
 object MarketBasket {
@@ -98,8 +99,15 @@ object MarketBasket {
         col("n_ab").cast("double") / col("n_txn").cast("double"))
       .withColumn("confidence",
         col("n_ab").cast("double") / col("n_ante").cast("double"))
+      // the long products can exceed 2^63 at catalog scale (1e10 txns x
+      // 1e9 pair count ~ 1e19): multiply in decimal(38,0) — wrap-proof
+      // with ANSI off, no spurious overflow error with ANSI on — then
+      // cast; an exact-integer decimal casts to the same double a long
+      // would (the joinHotspots / EntityResolution.pairCount convention)
       .withColumn("lift",
-        (col("n_ab") * col("n_txn")).cast("double") /
-          (col("n_ante") * col("n_cons")).cast("double"))
+        (col("n_ab").cast("decimal(38,0)") *
+          col("n_txn").cast("decimal(38,0)")).cast("double") /
+          (col("n_ante").cast("decimal(38,0)") *
+            col("n_cons").cast("decimal(38,0)")).cast("double"))
   }
 }

@@ -222,8 +222,15 @@ object Profile {
     val wide =
       if (keep.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(keep.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // an all-null column's percentile aggregate is NULL, and exploding a
+    // NULL array yields zero rows — the column would silently VANISH
+    // from the report, hiding exactly the broken-column signal a profiler
+    // exists to surface; substitute an all-null cut array so the column
+    // reports (col_name, p, value = null) like any other
+    val nullCuts = array(ps.map(_ => lit(null).cast(DoubleType)): _*)
     wide.select(keep.map(col) :+ explode(array(cols.map { name =>
-        struct(lit(name).as("col_name"), col(s"__$name").as("qs"))
+        struct(lit(name).as("col_name"),
+          coalesce(col(s"__$name"), nullCuts).as("qs"))
       }: _*)).as("c"): _*)
       .select(keep.map(col) ++ Seq(col("c.col_name").as("col_name"),
         posexplode(col("c.qs")).as(Seq("pos", "value"))): _*)
@@ -295,10 +302,15 @@ object Profile {
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
       nBins: Int, bounds: Option[(Double, Double)] = None): DataFrame = {
     require(nBins >= 2, "need at least two bins")
-    val tagged = a.select(col(valueCol).cast(DoubleType).as("__v"))
-      .where(col("__v").isNotNull).withColumn("__s", lit(0))
-      .unionAll(b.select(col(valueCol).cast(DoubleType).as("__v"))
-        .where(col("__v").isNotNull).withColumn("__s", lit(1)))
+    // NaN has no position on the value axis: excluded like NULL (it
+    // previously poisoned derived bounds into a confusing degenerate-
+    // range failure, and under pinned bounds floor(NaN)->0 silently
+    // miscounted every NaN row into bin 0)
+    def clean(df: DataFrame) = df
+      .select(col(valueCol).cast(DoubleType).as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    val tagged = clean(a).withColumn("__s", lit(0))
+      .unionAll(clean(b).withColumn("__s", lit(1)))
     val (lo, hi) = bounds.getOrElse {
       val r = tagged.agg(min(col("__v")), max(col("__v"))).head()
       require(!r.isNullAt(0) && !r.isNullAt(1),

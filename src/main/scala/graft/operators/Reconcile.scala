@@ -37,6 +37,17 @@ import org.apache.spark.sql.types._
   */
 object Reconcile {
 
+  // payload columns are renamed to __a_/__b_ prefixes, but KEY columns
+  // keep their names — a key literally named after a presence marker
+  // would be clobbered by withColumn("__pa"/"__pb", lit(1)), silently
+  // degrading the keyed join and every membership count; refuse it
+  private def guardKeyNames(keys: Seq[String]): Unit = {
+    val clash = keys.toSet.intersect(Set("__pa", "__pb"))
+    require(clash.isEmpty,
+      s"reconcile: key column name(s) ${clash.mkString(", ")} collide " +
+        "with the internal presence markers — rename before reconciling")
+  }
+
   /** Keyed full-outer diff of two same-schema frames: one tidy row per
     * metric — `only_in_a` / `only_in_b` / `in_both` key counts, then
     * `diff:<col>` = both-present rows where that payload column differs
@@ -45,6 +56,7 @@ object Reconcile {
   def diffSummary(a: DataFrame, b: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    guardKeyNames(keys)
     require(a.columns.sorted.sameElements(b.columns.sorted),
       "frames must share a schema; reconcile columns, not shapes")
     val payload = a.columns.filterNot(keys.contains).toSeq
@@ -93,6 +105,7 @@ object Reconcile {
   def diffExamples(a: DataFrame, b: DataFrame, keys: Seq[String],
       maxPerCol: Int = 5): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
+    guardKeyNames(keys)
     require(maxPerCol > 0, "maxPerCol must be positive")
     require(a.columns.sorted.sameElements(b.columns.sorted),
       "frames must share a schema; reconcile columns, not shapes")

@@ -217,11 +217,19 @@ object TextPipeline {
     val (base, marked) = markedDuplicateTokens(df, textCol, idCol, k)
     val lists = marked.groupBy(col(idCol))
       .agg(collect_list(col("__tokpos")).as("__mk"))
+    // the marked positions become a per-row HASH MAP, built once per row
+    // in its own projection (inlining it into the filter lambda would
+    // rebuild it per ELEMENT): the rebuild is then O(tokens + marked)
+    // per doc where the array_contains scan it replaces was
+    // O(tokens x marked) — quadratic exactly on the heavily-duplicated
+    // docs this operator targets
+    val mk = coalesce(col("__mk"), array().cast("array<bigint>"))
     base.join(lists, Seq(idCol), "left")
+      .select(col(idCol), col("__t"),
+        map_from_arrays(mk, transform(mk, _ => lit(true))).as("__mask"))
       .select(col(idCol),
         concat_ws(" ", filter(col("__t"),
-          (_, i) => !array_contains(
-            coalesce(col("__mk"), array().cast("array<bigint>")),
+          (_, i) => !map_contains_key(col("__mask"),
             i.cast("long") + 1L))).as(textCol))
   }
 

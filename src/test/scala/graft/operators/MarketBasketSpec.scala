@@ -80,4 +80,18 @@ class MarketBasketSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === model)
   }
+
+  test("lift multiplies in decimal(38,0): wrap-proof past 2^63 and " +
+      "value-identical to the long product in range") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 30L)).toDF("t", "i")
+    val r = MarketBasket.rules(df, "t", "i", minSupport = 3L)
+      .where(col("antecedent") === 10L).head()
+    // n_ab=3, n_txn=4, n_ante=3, n_cons=3 -> lift = 12/9
+    assert(r.getAs[Double]("lift") == 12.0 / 9.0)
+    // pin the wrap-proof path: the plan multiplies decimals, not longs
+    val analyzed = MarketBasket.rules(df, "t", "i")
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("decimal(38,0)"), analyzed)
+  }
 }

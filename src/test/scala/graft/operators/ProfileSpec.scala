@@ -286,4 +286,41 @@ class ProfileSpec extends SparkSpec {
     val want = li.select(countDistinct(col("l_quantity"))).as[Long].head()
     assert(got == want)
   }
+
+  test("quantile profile REPORTS an all-null column as null cuts " +
+      "instead of silently omitting it (exact and sketch paths)") {
+    val df = Seq((1.0, Option.empty[Double]), (2.0, None), (3.0, None))
+      .toDF("v", "dead")
+    for (exact <- Seq(true, false)) {
+      val got = Profile.profileQuantiles(df, Seq("v", "dead"),
+          ps = Seq(0.5), exact = exact)
+        .orderBy("col_name")
+        .as[(String, Double, Option[Double])].collect().toSeq
+      // the broken column must APPEAR, with a null value per percentile
+      assert(got.map(_._1) == Seq("dead", "v"), s"exact=$exact: $got")
+      assert(got.head._3.isEmpty, s"exact=$exact: $got")
+      assert(got.last._3.contains(2.0), s"exact=$exact: $got")
+    }
+    // grouped form: the all-null column reports per group too
+    val g = Seq(("a", Option.empty[Double]), ("b", None)).toDF("g", "dead")
+    val gq = Profile.groupedQuantileProfile(g, "g", Seq("dead"),
+        ps = Seq(0.5))
+      .as[(String, String, Double, Option[Double])].collect().toSeq
+    assert(gq.map(_._1).sorted == Seq("a", "b"), gq)
+    assert(gq.forall(_._4.isEmpty), gq)
+  }
+
+  test("histogram drift excludes NaN like null: derived bounds stay " +
+      "finite and NaN rows are not miscounted into bin 0") {
+    val a = Seq(0.0, 1.0, 2.0, 3.0, Double.NaN).toDF("v")
+    val b = Seq(Double.NaN, 4.0, 4.0).toDF("v")
+    val got = Profile.histogramDrift(a, b, "v", 4).orderBy("bin")
+      .as[(Int, Double, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // identical to the NaN-free run: 4 clean rows in a, 2 in b
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq(
+      (0, 1L, 0L), (1, 1L, 0L), (2, 1L, 0L), (3, 1L, 2L)), got)
+    // and fractions are over the CLEAN counts only
+    assert(got.head._5 == 0.25 && got.last._6 == 1.0, got)
+  }
 }

@@ -291,4 +291,16 @@ class ReconcileSpec extends SparkSpec {
       .as("ck")).head().getLong(0)
     assert(hof == got._3)
   }
+
+  test("reconcile refuses a key column named after an internal " +
+      "presence marker (it would silently corrupt the keyed diff)") {
+    val df = Seq((1, "x")).toDF("__pa", "v")
+    intercept[IllegalArgumentException] {
+      Reconcile.diffSummary(df, df, Seq("__pa"))
+    }
+    val df2 = Seq((1, "x")).toDF("__pb", "v")
+    intercept[IllegalArgumentException] {
+      Reconcile.diffExamples(df2, df2, Seq("__pb"))
+    }
+  }
 }

@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
-"""Deterministic sf1 soak data: scale /root/testdata/sf0.1 by 10x.
+"""Deterministic soak data: scale /root/testdata/sf0.1 by K copies.
 
 NOT a correctness fixture (the driver's generator owns those) — a local
-PERFORMANCE/soak input: same schemas, 10 deterministic copies of each
+PERFORMANCE/soak input: same schemas, K deterministic copies of each
 scaling table with key spaces shifted per copy so FKs stay consistent
 within a copy. Text gets a per-copy suffix token (kills exact-dup
 degeneracy, keeps near-dup structure); events shift by copy*7h so the
 time axis grows; embeddings perturb one coordinate per copy. Dimension
 tables (nation/region) copy through unchanged.
 
-Usage: python3 tools/gen_sf1.py [outDir=/tmp/sfdata/sf1]
+Usage: python3 tools/gen_sf1.py [outDir=/tmp/sfdata/sf1] [K=10]
+  K=10 -> sf1 (the round-loop soak input)
+  K=30 -> sf3 (the stateful-tier scale rung)
 """
 import os
 import sys
@@ -18,7 +20,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdata/sf1"
 
-K = 10  # copies
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # copies
 OFF = {  # per-copy key offsets (> max key in sf0.1)
     "cust": 1_000_000, "part": 1_000_000, "supp": 1_000_000,
     "order": 10_000_000, "doc": 1_000_000, "vec": 1_000_000,
