@@ -1409,10 +1409,21 @@ object Dedup {
     * Scale: two regimes. Up to `maxDriverEdges` the edge list is collected
     * (bounded) and solved exactly with union-find on the driver — one Spark
     * job. Beyond it, iterative label propagation: each iteration is one
-    * groupBy-min + join on ids (shuffle volume O(edges)); iterations needed
-    * = O(log(diameter)), and dup-cluster diameters are tiny in practice, so
-    * `maxIter` defaults low. Convergence is checked with a cheap count of
-    * changed labels. Both regimes produce identical labels (min reachable id).
+    * groupBy-min + join on ids (shuffle volume O(edges)) followed by one
+    * POINTER-DOUBLING self-join over the node table (comp := comp(comp)).
+    * With the doubling, passes needed ≈ log2(nodes) in practice (measured:
+    * a 60k-node / 1.7M-edge geometric graph converged in 17 — the min id
+    * is randomly placed, so reach doubles toward it rather than along the
+    * diameter), so the default `maxIter` = 32 covers any graph whose node
+    * ids fit an int and is a safety bound only — converged loops exit
+    * early. Every iteration SEVERS its logical lineage by
+    * rebuilding the label frame from its materialized RDD: a lazily
+    * chained loop references the previous labels ~3x per pass, and the
+    * expanded plan tree that analysis and plan rendering walk grows
+    * exponentially (observed: 2 GB plan strings, minutes of driver time
+    * per pass, before any task ran). Convergence is checked with a cheap
+    * count of changed labels. Both regimes produce identical labels (min
+    * reachable id).
     *
     * Cache ownership: BOTH regimes return a frame with no resident cache.
     * The fast path builds a local frame; the iterative path spills the
@@ -1423,7 +1434,7 @@ object Dedup {
     * the spill would make any later action replay every iteration.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 10,
+      idB: String = "id_b", maxIter: Int = 32,
       maxDriverEdges: Int = 1000000): DataFrame = {
     // Fast path: near-dup pair graphs are orders of magnitude smaller than
     // the corpus (dup rate bounds edges), so up to `maxDriverEdges` the exact
@@ -1507,38 +1518,75 @@ object Dedup {
       .cache()
     var converged = false
     var i = 0
+    // the previous iteration's lineage-severing cache: the CURRENT
+    // labels frame is a shallow plan over it, so it stays alive through
+    // this iteration's convergence count and is released only then
+    var prevSevered: Option[DataFrame] = None
+    // Sever the logical lineage each iteration: chaining the iterations
+    // as lazy frames references the previous labels ~3x per pass, so the
+    // EXPANDED plan tree (what analysis walks and plan descriptions
+    // render — sharing in the DAG does not dedupe either) grows ~3^i:
+    // at sf3 scale iteration 8+ spent minutes per pass building
+    // 2 GB plan strings before any task ran. Rebuilding the frame from
+    // its materialized RDD collapses each iteration's plan to ONE
+    // LogicalRDD leaf; the cache is CacheManager-owned, so the no-leak
+    // contract (unpersist releases it) holds.
+    def sever(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val out = spark.createDataFrame(df.rdd, df.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize NOW — the severed plan must never re-plan
+      out
+    }
     while (!converged && i < maxIter) {
       // each node takes the min label in its closed neighborhood
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels
+      val stepped = sever(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp")))
+      // pointer doubling over the severed step: comp := min(comp,
+      // comp(comp)). The neighbor-min step alone advances one hop per
+      // pass (maxIter would bound the DIAMETER); with the doubling,
+      // passes needed ≈ log2(nodes) in practice. Every comp value is a
+      // node id present in stepped, so the left join is total; the
+      // result is still monotone-decreasing toward the component min.
+      val mapping = stepped
+        .select(col("id").as("__did"), col("comp").as("__dc"))
+      val next = stepped
+        .join(mapping, col("comp") === col("__did"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__dc"), col("comp")))
+            .as("comp"))
       val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
         .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
+      labels.unpersist() // the initial cache; no-op on later shallow frames
+      prevSevered.foreach(_.unpersist())
+      prevSevered = Some(stepped)
       labels = next
       converged = changed == 0L
       i += 1
     }
     edges.unpersist()
     undirected.unpersist()
-    // propagation advances ONE hop per pass (synchronous neighbor-min,
-    // no pointer doubling), so maxIter bounds the duplicate-chain
-    // DIAMETER this loop can close. Returning un-converged labels would
-    // silently split true clusters into several components — multiple
-    // "survivors" per duplicate cluster, under-deduplication with no
-    // error — so a hit on the bound fails loudly instead.
-    if (!converged)
+    // each pass is neighbor-min + pointer doubling, so maxIter bounds a
+    // duplicate-chain DIAMETER of roughly 2^maxIter. Returning
+    // un-converged labels would silently split true clusters into
+    // several components — multiple "survivors" per duplicate cluster,
+    // under-deduplication with no error — so a hit on the bound fails
+    // loudly instead.
+    if (!converged) {
+      prevSevered.foreach(_.unpersist())
       throw new IllegalStateException(
         "connectedComponents: label propagation did not converge within " +
-          s"$maxIter iterations; the duplicate graph has a chain longer " +
-          "than maxIter hops — raise maxIter rather than accepting " +
-          "silently split clusters")
+          s"$maxIter iterations (with pointer doubling, convergence " +
+          "needs ~log2(nodes) passes) — raise maxIter rather than " +
+          "accepting silently split clusters")
+    }
     // spill-and-rescan: the label table is tiny next to the edge stream it
     // came from, and severing the loop lineage lets every iteration cache
     // be released HERE instead of leaking to callers. Three regimes:
@@ -1553,7 +1601,7 @@ object Dedup {
     //    (block-manager-resident, cluster-readable) instead.
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
-    sc.getCheckpointDir match {
+    val result = sc.getCheckpointDir match {
       case None if !sc.isLocal =>
         val out = labels.localCheckpoint()
         labels.unpersist()
@@ -1568,6 +1616,10 @@ object Dedup {
         registerCcSpillDir(dir, sc.hadoopConfiguration)
         spark.read.parquet(dir.toString)
     }
+    // the final labels frame was shallow over the LAST severed step —
+    // releasable only now that the spill has materialized the labels
+    prevSevered.foreach(_.unpersist())
+    result
   }
 
   // One static shutdown hook over all connectedComponents spill dirs: the

@@ -762,7 +762,13 @@ object Similarity {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
       .repartition(par)
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // broadcast b EXPLICITLY: with no hint the planner may broadcast the
+    // repartitioned side instead and stream b — whose single-row-group
+    // parquet scan is ONE task, so the whole O(n^2) comparison collapses
+    // onto one core (observed: 60k vectors = 1.8B dot products wedged a
+    // soak run serially). Pinning b as the build side makes a's `par`
+    // partitions the streamed side, and the widening actually widens.
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -312,6 +312,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(fast == dist)
   }
 
+  test("connected components: pointer doubling closes a chain far " +
+      "longer than maxIter hops in the distributed regime") {
+    // a 200-node path graph (diameter 199): the one-hop neighbor-min
+    // loop needed ~200 passes and threw at maxIter=10; with per-pass
+    // pointer doubling the remaining diameter halves each pass
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 200)
+    assert(comps.forall(_._2 == 0L), "every node must label to the min id")
+  }
+
   test("connected components: iterative regime leaves no cached RDDs " +
       "and survives a post-spill action") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
