@@ -183,10 +183,33 @@ object Bench {
     // give each query `repeats` samples from DIFFERENT phases — min-of-k
     // then dodges the pothole instead of confirming it.
     val timings = scala.collection.mutable.Map[String, Vector[Double]]()
+    // SPARK_GRAFT_CALIBRATE_EACH=1: probe after EVERY query run, not just
+    // per pass. Per-pass probes bracket a multi-minute window — a host
+    // pothole that starts and ends between two probes inflates every
+    // query inside it invisibly (the r16/r17 adjudication class). With a
+    // per-run probe the gate certifies each query's min by its own
+    // bracketing probe; the ~0.6s probe cost per run is only worth it
+    // for the long heavy-query soaks (sf3), so it is opt-in.
+    val calibrateEach =
+      sys.env.get("SPARK_GRAFT_CALIBRATE_EACH").contains("1")
+    val probesByQuery =
+      scala.collection.mutable.Map[String, Vector[Double]]()
+    def timedRun(name: String,
+        fn: (org.apache.spark.sql.SparkSession,
+          String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
+      val dt = runOnce(name, fn, r)
+      if (calibrateEach) {
+        val p = calibrate()
+        probesByQuery(name) =
+          probesByQuery.getOrElse(name, Vector.empty) :+ p
+        System.err.println(f"[bench] probe after $name run$r: $p%.2fs")
+      }
+      dt
+    }
     for (r <- 1 to repeats) {
       for ((name, fn) <- selected)
         timings(name) = timings.getOrElse(name, Vector.empty) :+
-          runOnce(name, fn, r)
+          timedRun(name, fn, r)
       calibrations += calibrate()
       System.err.println(f"[bench] calibration after pass $r: " +
         f"${calibrations.last}%.2fs (series ${calibrations.map(c => f"$c%.2f").mkString(",")})")
@@ -199,7 +222,7 @@ object Bench {
           f"(conf spread ${confSpread(dts)}%.1fx > ${spreadLimit}%.1fx); " +
           f"cooling ${cooldownMs}ms then retrying (${retriesLeft} left)")
         Thread.sleep(cooldownMs)
-        dts :+= runOnce(name, fn, repeats + (maxRetries - retriesLeft) + 1)
+        dts :+= timedRun(name, fn, repeats + (maxRetries - retriesLeft) + 1)
         retriesLeft -= 1
       }
       val spread = confSpread(dts)
@@ -210,17 +233,26 @@ object Bench {
           f"min=${dts.min}%.2fs conf-spread=${spread}%.1fx > ${spreadLimit}%.1fx " +
           "-- min never corroborated, treat this query's number with suspicion")
       }
-      (name, dts.min, spread, dts.length)
+      (name, dts, spread)
     }
     val wallSec = (System.nanoTime() - t0all) / 1e9
     val gcSec = (gcMillis - gc0all) / 1000.0
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, dts, _) => "\"" + k + "\":" + dts.min }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s, _) => "\"" + k + "\":" + f"$s%.2f" }
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
-    val atts = results.map { case (k, _, _, a) => "\"" + k + "\":" + a }
+    val atts = results.map { case (k, dts, _) => "\"" + k + "\":" + dts.length }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val runsJson = results.map { case (k, dts, _) =>
+      "\"" + k + "\":" + dts.map(d => f"$d%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val probesJson =
+      if (!calibrateEach) ""
+      else results.map { case (k, _, _) =>
+        "\"" + k + "\":" + probesByQuery.getOrElse(k, Vector.empty)
+          .map(p => f"$p%.3f").mkString("[", ",", "]")
+      }.mkString(""","calibration_runs":{""", ",", "}")
+    val total = results.map(_._2.min).sum
     val viol = spreadViolations.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminated = spreadViolations.nonEmpty
     val failed = failedQueries.toSeq.map("\"" + _ + "\"")
@@ -233,6 +265,7 @@ object Bench {
       s""","failed":$failed""" +
       s""","calibration_sec":$calib""" +
       s""","head_commit":"$headCommit","git_dirty":$gitDirty""" +
+      s""","runs":$runsJson$probesJson""" +
       s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}"""
     println(json)
     // stdout can be tail-truncated by the harness (r07 lost the timings

@@ -77,12 +77,19 @@ object TextFunctions {
 
   def charCount(text: Column): Column = length(text)
 
+  // All ratio/score builders are null-in -> null-out: a NULL document
+  // has no statistics. Returning 0.0 there (the old otherwise-branch
+  // accident) conflated "missing" with "empty", and qualityScore was
+  // actively WRONG: least()/greatest() skip nulls, so a NULL document's
+  // length score silently became 1.0 and the composite scored 0.79 —
+  // comfortably past the default 0.5 keep-threshold. Empty strings
+  // (length 0) still score 0.0 — that is a real, measurable document.
   def avgWordLength(text: Column): Column = {
     val n = tokenCount(text)
     when(n > 0,
       aggregate(tokens(text), lit(0).cast("double"),
         (acc, t) => acc + length(t)) / n)
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
   }
 
   /** Fraction of characters that are punctuation/symbols. */
@@ -90,14 +97,14 @@ object TextFunctions {
     when(length(text) > 0,
       (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
         .cast("double") / length(text))
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
 
   /** Fraction of characters that are ASCII letters or space. */
   def alphaRatio(text: Column): Column =
     when(length(text) > 0,
       length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
         length(text))
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
 
   /** Fraction of tokens that appear in `stopwords` (signal of natural prose
     * vs. boilerplate/code; standard quality heuristic in web-scale corpus
@@ -109,7 +116,7 @@ object TextFunctions {
     when(n > 0,
       size(filter(tokens(text), t => array_contains(sw, lower(t))))
         .cast("double") / n)
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
   }
 
   val EnglishStopwords: Seq[String] = Seq(
@@ -127,7 +134,9 @@ object TextFunctions {
       when(awl >= 2.5 && awl <= 12.0, 1.0).otherwise(0.3)
     }
     val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.4)
-    ((lenScore * 0.5) + (wordLenOk * 0.3) + (punctOk * 0.2)).cast("double")
+    when(text.isNotNull,
+      (lenScore * 0.5) + (wordLenOk * 0.3) + (punctOk * 0.2))
+      .cast("double")
   }
 
   /** Language-marker profiles: top frequent function words per language.
@@ -173,7 +182,7 @@ object TextFunctions {
     when(size(toks) > 0,
       lit(1.0) - size(array_distinct(toks)).cast("double") /
         size(toks).cast("double"))
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
   }
 
   /** Count of the most frequent word over total words. O(distinct * n) per
@@ -186,7 +195,7 @@ object TextFunctions {
       d => size(filter(toks, t => t === d)))
     when(size(toks) > 0,
       array_max(counts).cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
   }
 
   /** Repeated word-bigram fraction: 1 - distinct bigrams / total bigrams
@@ -199,7 +208,7 @@ object TextFunctions {
       lit(1.0) -
         size(graft.functions.expr.TextHashExprs.shingleHashes(toks, 2))
           .cast("double") / nBigrams.cast("double"))
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
   }
 
   /** Character-trigram-profile language ID (native expression,

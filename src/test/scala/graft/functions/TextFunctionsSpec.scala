@@ -115,4 +115,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [nfc_normalize"), plan.take(1500))
     assert(df.count() == 10)
   }
+
+  test("text statistics are null-in null-out; a NULL document cannot " +
+      "score as prose (least() skips nulls — the old composite gave " +
+      "a NULL doc 0.79, past the default keep-threshold)") {
+    val df = Seq(Option.empty[String], Some("")).toDF("t")
+    val stats = df.select(
+      TextFunctions.qualityScore($"t").as("q"),
+      TextFunctions.avgWordLength($"t").as("awl"),
+      TextFunctions.punctRatio($"t").as("pr"),
+      TextFunctions.alphaRatio($"t").as("ar"),
+      TextFunctions.stopwordRatio($"t",
+        TextFunctions.EnglishStopwords).as("sr"),
+      TextFunctions.dupWordFraction($"t").as("dw"),
+      TextFunctions.topWordFraction($"t").as("tw"),
+      TextFunctions.dupBigramFraction($"t").as("db"))
+      .collect()
+    val nullRow = stats(0)
+    assert((0 until nullRow.length).forall(nullRow.isNullAt),
+      s"NULL text must yield NULL stats, got $nullRow")
+    // the empty STRING is a real, measurable document: zero ratios
+    val emptyRow = stats(1)
+    assert((1 until emptyRow.length).forall(i =>
+      emptyRow.getDouble(i) == 0.0), s"empty text stats: $emptyRow")
+    assert(emptyRow.getDouble(0) >= 0.0 && emptyRow.getDouble(0) < 0.5)
+  }
 }

@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""sf1 soak gate: judge a graft.Bench sf1 run against per-query budgets.
+"""Scale soak gate: judge a graft.Bench run against per-query budgets.
 
-Usage: python3 tools/soak_gate.py <bench.json> <bench.stderr>
+Usage: python3 tools/soak_gate.py <bench.json> <bench.stderr> [sf3]
+
+Default budgets are the sf1 set; pass "sf3" as the third argument to
+judge the stateful-tier scale rung (30x sf0.1) against SF3_BUDGETS.
 
 Fails (exit 1) when:
   - any expected soak query is missing from the artifact (crash/OOM);
@@ -60,6 +63,36 @@ BUDGETS = {
     "x94_dedup_best_quality": (45, 8.95),
 }
 
+# The sf3 scale rung (tools/gen_sf1.py <dir> 30 = 30x sf0.1): the
+# guarded stateful dedup/ER/ANN subset, ceilings ~4x the round-17
+# quiet-host measurements. The sf1 -> sf3 growth of each calibration is
+# EXPLAINED, not just observed — the gate exists to catch a growth
+# whose explanation is missing:
+#   x42  5.2 -> 14.7s  (2.8x for 3x data: near-linear, state-commit
+#                       cost is metadata-only)
+#   x74 12.2 -> 47.1s  (3.8x: block sizes grow with the copy count K,
+#                       within-block pairs grow superlinearly but the
+#                       budget guard bounds them)
+#   x115 7.3 -> 49.5s  (6.8x: the synthetic K-copy corpus makes every
+#                       doc a near-dup of K-1 others, so the TRUE pair
+#                       output grows ~K^2 = 9x from sf1's K=10 to sf3's
+#                       K=30 — the extra work is real answer rows)
+#   x127 1.3 -> 1.8s   (guard-bounded by the pair budget: flat)
+#   x63 10.7 -> 27.7s  (2.6x: bucketed cross-corpus join, sublinear in
+#                       the candidate cap)
+#   x36  6.7 -> 95.4s  (the EXACT O(n^2) verification arm by design —
+#                       n grows 3x, comparisons 9x, plus ~17 label-
+#                       propagation passes; the production LSH path is
+#                       what 100 TB runs)
+SF3_BUDGETS = {
+    "x115_prefix_filter_pairs": (200, 49.5),
+    "x127_guarded_fuzzy": (10, 1.8),
+    "x36_semdedup": (380, 95.4),
+    "x42_incremental_dedup": (60, 14.7),
+    "x63_cross_neardup": (110, 27.7),
+    "x74_fuzzy_match": (190, 47.1),
+}
+
 
 # Quiet-host median of the bench's fixed synthetic calibration probe
 # (20M-row hash + shuffle agg at 32 threads) — measured r17. Ceilings
@@ -69,12 +102,24 @@ BUDGETS = {
 REF_CALIBRATION_SEC = 0.55
 
 
-def main(json_path, err_path):
+def main(json_path, err_path, budgets=None):
+    budgets = BUDGETS if budgets is None else budgets
     with open(json_path) as f:
         art = json.load(f)
     qs = art.get("queries", {})
+    # per-query bracketing probes (SPARK_GRAFT_CALIBRATE_EACH=1): each
+    # query run has its own probe, so certification is PER RUN — a
+    # query's number is its min over runs whose probe was quiet, and a
+    # query with no quiet-bracketed run at all is refused individually.
+    # Without them (legacy per-pass probes), a whole-run max/min spread
+    # refusal is the only defense against potholes between probes.
+    run_times = art.get("runs", {})
+    run_probes = art.get("calibration_runs", {})
+    per_run = bool(run_times) and bool(run_probes)
+    quiet_probe = 2.0 * REF_CALIBRATION_SEC
     failures = []
-    calib = sorted(art.get("calibration_sec", []))
+    calib = sorted(art.get("calibration_sec", []) +
+                   [p for ps in run_probes.values() for p in ps])
     host_factor = 1.0
     if calib:
         median = calib[len(calib) // 2]
@@ -82,12 +127,15 @@ def main(json_path, err_path):
         ratio = median / REF_CALIBRATION_SEC
         print(f"host calibration: median {median:.2f}s "
               f"(ref {REF_CALIBRATION_SEC}s, ratio {ratio:.2f}x, "
-              f"in-run spread {spread:.2f}x), "
+              f"in-run spread {spread:.2f}x, "
+              f"{'per-run probes' if per_run else 'per-pass probes'}), "
               f"head={art.get('head_commit', '?')[:12]}"
               f"{' DIRTY' if art.get('git_dirty') else ''}")
-        if spread > 1.5:
+        if not per_run and spread > 1.5:
             print("SOAK GATE FAIL: host speed changed "
-                  f"{spread:.2f}x DURING the run — not certifiable")
+                  f"{spread:.2f}x DURING the run — not certifiable "
+                  "(re-run with SPARK_GRAFT_CALIBRATE_EACH=1 for "
+                  "per-run certification)")
             sys.exit(1)
         if ratio > 2.0:
             print(f"SOAK GATE FAIL: host {ratio:.2f}x slower than the "
@@ -96,20 +144,33 @@ def main(json_path, err_path):
         host_factor = max(1.0, ratio)
         if host_factor > 1.0:
             print(f"ceilings scaled {host_factor:.2f}x for host speed")
-    print(f"{'query':32s} {'sf1 sec':>8s} {'ceiling':>8s}  verdict")
-    for name, (raw_ceil, cal) in sorted(BUDGETS.items()):
+    print(f"{'query':32s} {'sec':>8s} {'ceiling':>8s}  verdict")
+    for name, (raw_ceil, cal) in sorted(budgets.items()):
         ceil = raw_ceil * host_factor
         if name not in qs:
             failures.append(f"{name}: MISSING from artifact (crash/OOM?)")
             print(f"{name:32s} {'--':>8s} {ceil:8.1f}  MISSING")
             continue
         t = qs[name]
+        note = ""
+        if per_run and name in run_times and name in run_probes:
+            pairs = list(zip(run_times[name], run_probes[name]))
+            quiet = [tt for tt, p in pairs if p <= quiet_probe]
+            if not quiet:
+                failures.append(
+                    f"{name}: NO quiet-bracketed run (probes "
+                    f"{[round(p, 2) for _, p in pairs]} all > "
+                    f"{quiet_probe:.2f}s) — number not certifiable")
+                print(f"{name:32s} {t:8.2f} {ceil:8.1f}  NO-QUIET-RUN")
+                continue
+            t = min(quiet)
+            note = f" ({len(quiet)}/{len(pairs)} quiet runs)"
         verdict = "ok" if t <= ceil else "OVER"
         if t > ceil:
             failures.append(
                 f"{name}: {t:.1f}s exceeds ceiling {ceil:.1f}s "
-                f"(r15 calibration {cal:.1f}s)")
-        print(f"{name:32s} {t:8.2f} {ceil:8.1f}  {verdict}")
+                f"(calibration {cal:.1f}s)")
+        print(f"{name:32s} {t:8.2f} {ceil:8.1f}  {verdict}{note}")
     for q in art.get("failed", []):
         failures.append(f"{q}: query FAILED during the bench run "
                         f"(artifact 'failed' list)")
@@ -127,7 +188,7 @@ def main(json_path, err_path):
             if mf:
                 failures.append(
                     f"{mf.group(1)}: FAILED — {mf.group(2)[:200]}")
-    extras = [q for q in qs if q not in BUDGETS]
+    extras = [q for q in qs if q not in budgets]
     if extras:
         print(f"note: unbudgeted queries in artifact (add ceilings): "
               f"{', '.join(sorted(extras))}")
@@ -136,12 +197,18 @@ def main(json_path, err_path):
         for f_ in failures:
             print(f"  - {f_}")
         sys.exit(1)
-    print(f"\nSOAK GATE PASS: {len(BUDGETS)} queries within budget, "
+    print(f"\nSOAK GATE PASS: {len(budgets)} queries within budget, "
           f"zero spill")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) not in (3, 4):
         print(__doc__)
         sys.exit(2)
-    main(sys.argv[1], sys.argv[2])
+    table = None
+    if len(sys.argv) == 4:
+        if sys.argv[3] != "sf3":
+            print(__doc__)
+            sys.exit(2)
+        table = SF3_BUDGETS
+    main(sys.argv[1], sys.argv[2], table)

@@ -1,0 +1,32 @@
+#!/bin/bash
+# sf3 scale-rung soak gate (round 17): the guarded stateful tiers
+# (incremental dedup, blocked ER, prefix-filter similarity, cross-corpus
+# near-dup, SemDeDup) at 30x sf0.1 — one rung past the round-loop sf1
+# soak, probing the budgets/bucket caps/manifest growth that sf1 cannot.
+#
+# Generates the deterministic sf3 data if absent (tools/gen_sf1.py with
+# K=30), runs the subset once at 32 threads / 48 GB heap, and judges the
+# artifact with tools/soak_gate.py's SF3_BUDGETS: per-query ceilings,
+# zero disk spill, every query must complete, host calibration stable.
+#
+# Usage: tools/soak_sf3.sh [outJson=target/soak_sf3.json]
+set -e
+cd "$(dirname "$0")/.."
+SF3="${SPARK_GRAFT_SF3_DIR:-/tmp/sfdata/sf3}"
+if [ ! -f "$SF3/lineitem.parquet" ]; then
+  echo "[soak-sf3] generating sf3 data at $SF3"
+  python3 tools/gen_sf1.py "$SF3" 30
+fi
+OUT="${1:-target/soak_sf3.json}"
+ERR="${OUT%.json}.err"
+mkdir -p "$(dirname "$OUT")"
+ONLY='^(x42_|x74_|x115_|x127_|x63_|x36_)'
+echo "[soak-sf3] benching the stateful-tier subset at $SF3"
+SPARK_GRAFT_SF_DIR="$SF3" SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_REPEATS="${SPARK_GRAFT_REPEATS:-2}" \
+SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
+SPARK_GRAFT_CALIBRATE_EACH=1 \
+SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_BENCH_OUT="$OUT" \
+  tools/run.sh graft.Bench 2> "$ERR" > /dev/null || {
+    echo "[soak-sf3] bench CRASHED (OOM?) — gate FAIL"; tail -5 "$ERR"; exit 1; }
+python3 tools/soak_gate.py "$OUT" "$ERR" sf3
