@@ -85,12 +85,12 @@ BUDGETS = {
 #                       propagation passes; the production LSH path is
 #                       what 100 TB runs)
 SF3_BUDGETS = {
-    "x115_prefix_filter_pairs": (200, 49.5),
-    "x127_guarded_fuzzy": (10, 1.8),
-    "x36_semdedup": (380, 95.4),
-    "x42_incremental_dedup": (60, 14.7),
-    "x63_cross_neardup": (110, 27.7),
-    "x74_fuzzy_match": (190, 47.1),
+    "x115_prefix_filter_pairs": (200, 47.5),
+    "x127_guarded_fuzzy": (10, 1.7),
+    "x36_semdedup": (300, 72.6),
+    "x42_incremental_dedup": (20, 4.2),
+    "x63_cross_neardup": (80, 18.6),
+    "x74_fuzzy_match": (190, 46.6),
 }
 
 
@@ -131,19 +131,28 @@ def main(json_path, err_path, budgets=None):
               f"{'per-run probes' if per_run else 'per-pass probes'}), "
               f"head={art.get('head_commit', '?')[:12]}"
               f"{' DIRTY' if art.get('git_dirty') else ''}")
-        if not per_run and spread > 1.5:
-            print("SOAK GATE FAIL: host speed changed "
-                  f"{spread:.2f}x DURING the run — not certifiable "
-                  "(re-run with SPARK_GRAFT_CALIBRATE_EACH=1 for "
-                  "per-run certification)")
-            sys.exit(1)
-        if ratio > 2.0:
-            print(f"SOAK GATE FAIL: host {ratio:.2f}x slower than the "
-                  "quiet reference — too degraded to certify")
-            sys.exit(1)
-        host_factor = max(1.0, ratio)
-        if host_factor > 1.0:
-            print(f"ceilings scaled {host_factor:.2f}x for host speed")
+        # With per-run probes the global health rules are redundant and
+        # point the wrong way: certification happens per query (a number
+        # counts only when its own bracketing probe was quiet, and a
+        # quiet-bracketed run is at most ~quiet_probe/REF inflated —
+        # margin the ceilings already carry), while scaling ceilings UP
+        # by a degraded-host ratio is exactly how a false pass could
+        # slip in. Per-run mode therefore uses UNSCALED ceilings and no
+        # whole-run refusal; only the legacy per-pass mode keeps them.
+        if not per_run:
+            if spread > 1.5:
+                print("SOAK GATE FAIL: host speed changed "
+                      f"{spread:.2f}x DURING the run — not certifiable "
+                      "(re-run with SPARK_GRAFT_CALIBRATE_EACH=1 for "
+                      "per-run certification)")
+                sys.exit(1)
+            if ratio > 2.0:
+                print(f"SOAK GATE FAIL: host {ratio:.2f}x slower than "
+                      "the quiet reference — too degraded to certify")
+                sys.exit(1)
+            host_factor = max(1.0, ratio)
+            if host_factor > 1.0:
+                print(f"ceilings scaled {host_factor:.2f}x for host speed")
     print(f"{'query':32s} {'sec':>8s} {'ceiling':>8s}  verdict")
     for name, (raw_ceil, cal) in sorted(budgets.items()):
         ceil = raw_ceil * host_factor
@@ -153,18 +162,26 @@ def main(json_path, err_path, budgets=None):
             continue
         t = qs[name]
         note = ""
-        if per_run and name in run_times and name in run_probes:
+        # Host inflation can only make a min SLOWER, never faster, so a
+        # within-ceiling number is trustworthy regardless of probes —
+        # the probes matter only to adjudicate an OVER: if every run of
+        # an over-ceiling query sat in a degraded window, the number
+        # blames the host, not the code, and the verdict is
+        # "uncertifiable, re-run" rather than a regression.
+        if t > ceil and per_run \
+                and name in run_times and name in run_probes:
             pairs = list(zip(run_times[name], run_probes[name]))
             quiet = [tt for tt, p in pairs if p <= quiet_probe]
             if not quiet:
                 failures.append(
-                    f"{name}: NO quiet-bracketed run (probes "
+                    f"{name}: {t:.1f}s over ceiling {ceil:.1f}s but NO "
+                    f"quiet-bracketed run (probes "
                     f"{[round(p, 2) for _, p in pairs]} all > "
-                    f"{quiet_probe:.2f}s) — number not certifiable")
+                    f"{quiet_probe:.2f}s) — uncertifiable, re-run")
                 print(f"{name:32s} {t:8.2f} {ceil:8.1f}  NO-QUIET-RUN")
                 continue
             t = min(quiet)
-            note = f" ({len(quiet)}/{len(pairs)} quiet runs)"
+            note = f" (min over {len(quiet)}/{len(pairs)} quiet runs)"
         verdict = "ok" if t <= ceil else "OVER"
         if t > ceil:
             failures.append(

@@ -33,6 +33,7 @@ ONLY='^(x69_|x70_|x44_|x65_|x49_|x89_|x53_|x88_|x42_|x48_|x29_|x75_|x94_|x63_|x4
 echo "[soak] benching $(echo "$ONLY" | tr '|' '\n' | wc -l) queries at $SF1"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPEATS=1 \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
+SPARK_GRAFT_CALIBRATE_EACH=1 \
 SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_BENCH_OUT="$OUT" \
   tools/run.sh graft.Bench 2> "$ERR" > /dev/null || {
     echo "[soak] bench CRASHED (OOM?) — gate FAIL"; tail -5 "$ERR"; exit 1; }
