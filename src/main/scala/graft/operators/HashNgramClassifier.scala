@@ -255,8 +255,13 @@ object HashNgramClassifier {
       numBuckets: Int = 1 << 15, wordNgrams: Int = 2, epochs: Int = 20,
       lr: Double = 2.0, l2: Double = 1e-6, momentum: Double = 0.0,
       minDocFreq: Int = 1, earlyStopTol: Double = 0.0): Map[String, Model] = {
-    val labels = df.select(col(labelCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val raw = df.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    // a null label used to surface as an opaque NPE inside .sorted —
+    // name the actual problem instead
+    require(!raw.contains(null),
+      "fitMulticlass: labelCol contains NULL — labels must be non-null")
+    val labels = raw.sorted
     require(labels.length >= 2, "multiclass needs >= 2 labels")
     labels.map { lbl =>
       val bin = df.withColumn("__y01",
@@ -274,7 +279,11 @@ object HashNgramClassifier {
       struct(score(text, m).as("s"), lit(lbl).as("l"))
     }
     // lexicographic struct sort: by score, then label — the last element is
-    // the max score, ties resolving deterministically to the largest label
-    element_at(array_sort(array(scored: _*)), -1)("l")
+    // the max score, ties resolving deterministically to the largest label.
+    // NULL text gets a NULL prediction: every score is null there, so the
+    // struct sort would otherwise fall through to label order and silently
+    // classify a missing document as the lexicographically-largest class.
+    when(text.isNotNull,
+      element_at(array_sort(array(scored: _*)), -1)("l"))
   }
 }

@@ -187,4 +187,26 @@ class HashNgramClassifierSpec extends SparkSpec {
     assert(withAda > sep(adagrad = false) * 2,
       "adagrad should separate far better than plain GD at equal epochs")
   }
+
+  test("multiclass refuses null labels loudly; NULL text predicts NULL " +
+      "instead of the lexicographically-largest class") {
+    val bad = Seq(("a b c", "x"), ("d e f", null), ("g h i", "y"))
+      .toDF("text", "lang")
+    val err = intercept[IllegalArgumentException] {
+      HashNgramClassifier.fitMulticlass(bad, "text", "lang",
+        numBuckets = 1 << 8, epochs = 1)
+    }
+    assert(err.getMessage.contains("NULL"), err.getMessage)
+    // a NULL document must not silently classify (every per-class score
+    // is null, and the struct sort would fall through to label order)
+    val models = Map(
+      "aa" -> HashNgramClassifier.Model(new Array[Float](1 << 8), 0.0, 2),
+      "zz" -> HashNgramClassifier.Model(new Array[Float](1 << 8), 1.0, 2))
+    val got = Seq(Option.empty[String], Some("some text")).toDF("text")
+      .select(HashNgramClassifier.predictMulticlass($"text", models)
+        .as("pred"))
+      .collect()
+    assert(got(0).isNullAt(0), s"NULL text predicted ${got(0)}")
+    assert(got(1).getString(0) == "zz") // higher bias wins, not null path
+  }
 }
