@@ -84,13 +84,21 @@ BUDGETS = {
 #                       n grows 3x, comparisons 9x, plus ~17 label-
 #                       propagation passes; the production LSH path is
 #                       what 100 TB runs)
+#   x26 ~1.1s at sf0.1 -> 20.5s (the distributed CC regime: the 30-copy
+#                       clusters push candidate edges past the driver
+#                       union-find bound, so this is the pointer-doubled
+#                       label-propagation loop's budget)
+#   x94 23.2s at sf1 -> 84.2s (3.6x: best-quality representative over
+#                       the same K^2-growing candidate stream as x115)
 SF3_BUDGETS = {
     "x115_prefix_filter_pairs": (200, 47.5),
     "x127_guarded_fuzzy": (10, 1.7),
+    "x26_minhash_dedup_cc": (85, 20.5),
     "x36_semdedup": (300, 72.6),
     "x42_incremental_dedup": (20, 4.2),
     "x63_cross_neardup": (80, 18.6),
     "x74_fuzzy_match": (190, 46.6),
+    "x94_dedup_best_quality": (340, 84.2),
 }
 
 

@@ -20,7 +20,7 @@ fi
 OUT="${1:-target/soak_sf3.json}"
 ERR="${OUT%.json}.err"
 mkdir -p "$(dirname "$OUT")"
-ONLY='^(x42_|x74_|x115_|x127_|x63_|x36_)'
+ONLY='^(x42_|x74_|x115_|x127_|x63_|x36_|x26_|x94_)'
 echo "[soak-sf3] benching the stateful-tier subset at $SF3"
 SPARK_GRAFT_SF_DIR="$SF3" SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_REPEATS="${SPARK_GRAFT_REPEATS:-2}" \
