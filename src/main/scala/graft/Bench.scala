@@ -19,6 +19,15 @@ object Bench {
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
       .foreach(_.resetPeakUsage())
 
+  /** Explicit-ROOT-locale decimal formatting for every numeric field of
+    * the emitted artifact: the f-interpolator formats via the DEFAULT
+    * locale, so on a comma-decimal-separator JVM it would emit invalid
+    * JSON. main() also sets the default to ROOT, but the artifact's
+    * validity must not depend on no library resetting it mid-run. */
+  private def num(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(d))
+
   def main(args: Array[String]): Unit = {
     // the emitted artifact must be valid JSON under any host locale: the
     // f-interpolator formats via the default locale, and a comma decimal
@@ -239,29 +248,29 @@ object Bench {
     val gcSec = (gcMillis - gc0all) / 1000.0
     val qs = results.map { case (k, dts, _) => "\"" + k + "\":" + dts.min }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + num(s, 2) }
       .mkString("{", ",", "}")
     val atts = results.map { case (k, dts, _) => "\"" + k + "\":" + dts.length }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, dts, _) =>
-      "\"" + k + "\":" + dts.map(d => f"$d%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + dts.map(d => num(d, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val probesJson =
       if (!calibrateEach) ""
       else results.map { case (k, _, _) =>
         "\"" + k + "\":" + probesByQuery.getOrElse(k, Vector.empty)
-          .map(p => f"$p%.3f").mkString("[", ",", "]")
+          .map(p => num(p, 3)).mkString("[", ",", "]")
       }.mkString(""","calibration_runs":{""", ",", "}")
     val total = results.map(_._2.min).sum
     val viol = spreadViolations.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contaminated = spreadViolations.nonEmpty
     val failed = failedQueries.toSeq.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val calib = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calib = calibrations.map(c => num(c, 3)).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      f""","wall_sec":$wallSec%.1f,"gc_sec":$gcSec%.1f,"heap_max_mb":$heapMax""" +
-      s""","max_spread":${f"$maxSpread%.2f"},"spread_violations":$viol""" +
+      s""","wall_sec":${num(wallSec, 1)},"gc_sec":${num(gcSec, 1)},"heap_max_mb":$heapMax""" +
+      s""","max_spread":${num(maxSpread, 2)},"spread_violations":$viol""" +
       s""","failed":$failed""" +
       s""","calibration_sec":$calib""" +
       s""","head_commit":"$headCommit","git_dirty":$gitDirty""" +

@@ -632,9 +632,13 @@ object Dedup {
     * batches) and that contract is ENFORCED: each fold holds a writer
     * token naming its Spark application, so a concurrent fold from a
     * second application is refused loudly instead of having its
-    * in-flight appends swept as crash orphans; a token stranded by a
-    * dead driver is released explicitly via
-    * [[breakIncrementalDedupWriterLock]]. Compaction gives concurrent
+    * in-flight appends swept as crash orphans. The token carries a
+    * LEASE: the holder refreshes its mtime at every fold phase, and a
+    * token stranded by a dead driver becomes claimable (loudly logged)
+    * once [[WriterLeaseMissesForTakeover]] leases pass without a
+    * heartbeat — unattended pipelines self-heal; the manual
+    * [[breakIncrementalDedupWriterLock]] override remains for operators
+    * who cannot wait out the lease. Compaction gives concurrent
     * READERS a one-generation retention window: superseded delta files
     * flip to "retired" in the manifest and stay on disk until the next
     * fold's sweep, so a scan planned before the flip finishes cleanly
@@ -685,6 +689,9 @@ object Dedup {
     // restore the directory-equals-manifest invariant (reclaim any
     // crashed fold's unlisted files) BEFORE the first state read
     val hasState = syncStateToManifest(spark, statePrefix)
+    // each fold phase re-arms the writer lease (and aborts loudly if a
+    // contender claimed the lock after the lease lapsed mid-fold)
+    heartbeatStateWriter(spark, statePrefix)
     // AFTER the sweep: its legacy-layout check must run before the marker
     // exists, or an upgrade's first fold would stamp the marker and then
     // reclaim the legacy tables as a "crashed first fold"
@@ -749,6 +756,7 @@ object Dedup {
     val loserPath = new org.apache.hadoop.fs.Path(
       loserVerdictRoot(spark, statePrefix), loserName).toString
     losers.coalesce(1).write.mode("overwrite").parquet(loserPath)
+    heartbeatStateWriter(spark, statePrefix)
 
     // Ownership: the returned frame is handed to the caller PERSISTED and
     // already materialized (its plan — batch anti-join a tiny loser file —
@@ -803,7 +811,11 @@ object Dedup {
         s"injected crash after $crashAfterWrites state write(s)")
     }
     // THE commit: one atomic manifest flip publishing all three appends
-    // (and naming this attempt's loser dataset as the fold's verdict)
+    // (and naming this attempt's loser dataset as the fold's verdict).
+    // The pre-flip heartbeat doubles as the lost-lock tripwire: a fold
+    // whose lease lapsed during the append jobs must NOT flip a manifest
+    // over a new holder's state
+    heartbeatStateWriter(spark, statePrefix)
     val folded = writes.map { case (t, _) =>
       t -> (committed.getOrElse(t, Set.empty) ++
         (listStatePartFiles(spark, t) -- preFiles(t)))
@@ -814,8 +826,10 @@ object Dedup {
     // amortized upkeep: once the delta generations pile up, fold them
     // back to one row per key so the guard's read stays bounded by the
     // live bucket-key universe, not by fold count
-    if (hasState && stateFileCount(spark, countsT) > buckets * 8)
+    if (hasState && stateFileCount(spark, countsT) > buckets * 8) {
+      heartbeatStateWriter(spark, statePrefix)
       compactBucketCounts(spark, statePrefix, buckets)
+    }
     batchSigs.unpersist()
     releaseStateWriter(spark, statePrefix)
     survivors
@@ -1210,6 +1224,23 @@ object Dedup {
       spark.conf.get("spark.sql.warehouse.dir"),
       s"${statePrefix}_state_writer")
 
+  /** Lease duration of the writer token (seconds). The holder refreshes
+    * the token's mtime at every fold phase ([[heartbeatStateWriter]]);
+    * a contender may take the lock over only once the token has gone
+    * [[WriterLeaseMissesForTakeover]] full leases without a refresh —
+    * i.e. the holder is not merely slow inside one phase, it has missed
+    * the heartbeat several times over. SIZE the lease ABOVE the longest
+    * single fold phase (the state-append jobs at the deployment's batch
+    * size): a too-short lease lets a live-but-busy writer be usurped,
+    * which is exactly the torn-state hazard the token exists to prevent.
+    */
+  private def writerLeaseSec(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.incrementalDedup.writerLeaseSec")
+      .map(_.toLong).getOrElse(600L)
+
+  /** Missed-lease multiplier before a stranded token is claimable. */
+  private val WriterLeaseMissesForTakeover = 3L
+
   /** Enforce the protocol's single-writer contract: atomically create a
     * writer token naming this Spark application before the fold touches
     * anything. A second concurrent writer from a DIFFERENT application
@@ -1217,11 +1248,19 @@ object Dedup {
     * fold-start sweep would silently reclaim the first writer's in-flight
     * (unlisted) appends as crash orphans. A token from the SAME
     * application is a previous attempt of this serial caller (the fold
-    * crashed or threw after acquiring), so the retry proceeds. A token
-    * left by a CRASHED application cannot be distinguished from a live
-    * one by the filesystem alone; recovery from a different process is an
-    * explicit operator decision — [[breakIncrementalDedupWriterLock]] —
-    * made once the old driver is known dead, not a silent takeover.
+    * crashed or threw after acquiring), so the retry proceeds.
+    *
+    * LIVENESS: a token stranded by a crashed application no longer wedges
+    * the prefix until a human intervenes. The holder heartbeats the
+    * token's mtime at each fold phase; a token whose mtime is older than
+    * [[WriterLeaseMissesForTakeover]] x the lease is evidence the holder
+    * missed every heartbeat for several leases running, and a contender
+    * may then claim it — LOUDLY logged, via an atomic rename to a
+    * contender-unique tombstone so exactly one of several simultaneous
+    * claimants wins (rename-as-CAS; a plain delete+create would let a
+    * second claimant delete the FIRST claimant's fresh token).
+    * [[breakIncrementalDedupWriterLock]] remains the manual override for
+    * operators who know the holder is dead and cannot wait out the lease.
     */
   private[graft] def acquireStateWriter(spark: SparkSession,
       statePrefix: String): Unit = {
@@ -1238,25 +1277,104 @@ object Dedup {
       s"incremental-dedup state '$statePrefix' is locked by writer " +
         s"application '$h' (this is '$me'). Folds on one prefix are " +
         "single-writer: a concurrent fold's sweep would reclaim the " +
-        "lock holder's in-flight state appends. If the holding " +
-        "application is known dead, call " +
+        "lock holder's in-flight state appends. The lock expires " +
+        s"${WriterLeaseMissesForTakeover}x the lease " +
+        s"(spark.graft.incrementalDedup.writerLeaseSec = " +
+        s"${writerLeaseSec(spark)}s) after the holder's last heartbeat; " +
+        "if the holding application is known dead and the wait is " +
+        "unacceptable, call " +
         s"Dedup.breakIncrementalDedupWriterLock(spark, \"$statePrefix\") " +
         "and retry")
-    if (fs.exists(p)) {
-      val h = holder()
-      if (h != me) refuse(h)
-    } else {
+    def create(): Boolean =
       try {
         val out = fs.create(p, false) // no overwrite: loses any race
         try out.write(s"$me\t${java.util.UUID.randomUUID()}"
           .getBytes("UTF-8"))
         finally out.close()
+        true
       } catch {
-        case _: java.io.IOException if fs.exists(p) =>
-          val h = holder()
-          if (h != me) refuse(h)
+        case _: java.io.IOException if fs.exists(p) => false
+      }
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      if (!fs.exists(p)) {
+        if (create()) return
+        // lost the create race: loop re-reads the new holder
+      } else {
+        val h = try holder() catch {
+          // token vanished between exists() and open(): released/claimed
+          // under us — retry the loop from scratch
+          case _: java.io.FileNotFoundException => null
+        }
+        if (h == null) ()
+        else if (h == me) {
+          // our own previous attempt — re-arm the lease for this fold
+          heartbeatStateWriter(spark, statePrefix)
+          return
+        } else {
+          val ageMs =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime
+            catch { case _: java.io.FileNotFoundException => -1L }
+          val expiryMs =
+            writerLeaseSec(spark) * WriterLeaseMissesForTakeover * 1000L
+          if (ageMs < 0) () // vanished: loop retries
+          else if (ageMs <= expiryMs) refuse(h)
+          else {
+            // expired: claim via rename-as-CAS (exactly one claimant's
+            // rename of THIS path can succeed; the loser loops and sees
+            // the winner's fresh token)
+            val tomb = new org.apache.hadoop.fs.Path(p.getParent,
+              s"${p.getName}.expired-${java.util.UUID.randomUUID()}")
+            if (fs.rename(p, tomb)) {
+              fs.delete(tomb, false)
+              System.err.println(
+                s"[graft] TAKING OVER incremental-dedup writer lock " +
+                  s"'$statePrefix' from application '$h': token heartbeat " +
+                  s"is ${ageMs / 1000}s old > ${expiryMs / 1000}s " +
+                  s"(${WriterLeaseMissesForTakeover}x lease of " +
+                  s"${writerLeaseSec(spark)}s) — holder presumed dead. " +
+                  s"New holder: '$me'")
+              if (create()) return
+            }
+          }
+        }
       }
     }
+    // three full races lost back-to-back: livelock among claimants —
+    // surface it rather than spin
+    throw new IllegalStateException(
+      s"could not acquire incremental-dedup writer lock '$statePrefix' " +
+        s"after $attempts attempts — lost every create/claim race; retry")
+  }
+
+  /** Refresh the writer lease: called at each fold phase by the holder.
+    * Verifies the token still names THIS application first — if the
+    * lease lapsed and a contender claimed the lock mid-fold, continuing
+    * to write would produce exactly the torn state the protocol guards
+    * against, so the fold must die loudly instead.
+    */
+  private[graft] def heartbeatStateWriter(spark: SparkSession,
+      statePrefix: String): Unit = {
+    val p = stateWriterTokenPath(spark, statePrefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val me = spark.sparkContext.applicationId
+    val h = try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split("\t").headOption.getOrElse("")
+      finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => ""
+    }
+    if (h != me) throw new IllegalStateException(
+      s"incremental-dedup writer lock '$statePrefix' was lost mid-fold " +
+        s"(holder is now '${if (h.isEmpty) "<none>" else h}', this is " +
+        s"'$me'): the lease expired and a contender took over, or the " +
+        "lock was broken manually. Aborting this fold — its uncommitted " +
+        "appends will be swept by the new holder")
+    fs.setTimes(p, System.currentTimeMillis(), -1)
   }
 
   private def releaseStateWriter(spark: SparkSession,

@@ -755,20 +755,44 @@ object Similarity {
     * `defaultParallelism` partitions so a single-file parquet corpus (one
     * 128MB-split task) still uses the whole machine. Verification-scale
     * only — at 100 TB the LSH path is the only viable pair generator.
+    *
+    * The build side is broadcast only while a one-job size pre-pass says
+    * it fits (`maxBroadcastBytes`, default 512MB — far under Spark's 8GB
+    * broadcast hard limit and a sane driver/executor footprint): an
+    * unconditional `broadcast()` hint bypasses
+    * autoBroadcastJoinThreshold, so a corpus past driver memory would
+    * CRASH the method where the pre-guard behavior merely ran it slowly.
+    * Past the cap both sides are repartitioned to `par` and the hint is
+    * dropped — the cartesian plan then has par x par splits, so the
+    * quadratic work still spreads across every core.
     */
   def exactCosinePairs(corpus: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
       .repartition(par)
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    // broadcast b EXPLICITLY: with no hint the planner may broadcast the
-    // repartitioned side instead and stream b — whose single-row-group
-    // parquet scan is ONE task, so the whole O(n^2) comparison collapses
-    // onto one core (observed: 60k vectors = 1.8B dot products wedged a
-    // soak run serially). Pinning b as the build side makes a's `par`
-    // partitions the streamed side, and the widening actually widens.
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    // size the build side with one cheap aggregate (rows + widest
+    // vector): ~4B per float element on the wire, padded to 8B + 48B
+    // row overhead to stay conservative about UnsafeRow/broadcast form
+    val sized = corpus
+      .agg(count(lit(1)).as("__n"),
+        coalesce(max(size(col(vecCol))), lit(0)).as("__w"))
+      .head()
+    val estBytes = sized.getLong(0) * (sized.getInt(1) * 8L + 48L)
+    // broadcast b EXPLICITLY when it fits: with no hint the planner may
+    // broadcast the repartitioned side instead and stream b — whose
+    // single-row-group parquet scan is ONE task, so the whole O(n^2)
+    // comparison collapses onto one core (observed: 60k vectors = 1.8B
+    // dot products wedged a soak run serially). Pinning b as the build
+    // side makes a's `par` partitions the streamed side, and the
+    // widening actually widens.
+    val joined =
+      if (estBytes <= maxBroadcastBytes)
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+      else a.join(b.repartition(par), col("id_a") < col("id_b"))
+    joined
       .withColumn("cosine", cosineSim(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

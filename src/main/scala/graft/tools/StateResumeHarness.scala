@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   *    token (printed as `REFUSED:true`), then — after the explicit
   *    operator break — fold to exactly the committed pre-crash state
   *    plus batch 2, with the crash's torn appends swept.
+  *  - `leaseresume` — a NEW process resumes WITHOUT any manual lock
+  *    break: it shrinks the writer lease to 1s, waits out the takeover
+  *    threshold against the dead application's stranded token (printed
+  *    as `STRANDED:true` first), and folds — the lease-expiry takeover
+  *    must fire on its own and the refold must match the committed
+  *    history. This is the unattended-pipeline self-heal path.
   *  - `replay`   — another NEW process replays tag `b2`: the manifest
   *    tag match must skip the fold whole (same survivors, zero new
   *    state rows) via the manifest-named loser verdict.
@@ -93,6 +99,26 @@ object StateResumeHarness {
             // the exact interleaving point
             Runtime.getRuntime.halt(137)
         }
+      case "leaseresume" =>
+        // unattended self-heal: NO breakIncrementalDedupWriterLock call
+        // anywhere in this step. The dead application's token must be
+        // present (else the step proves nothing), the lease shrinks to
+        // 1s, and once the token has gone 3 missed leases without a
+        // heartbeat the fold's acquire takes it over by itself.
+        val token = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"${prefix}_state_writer")
+        val fsys = token.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        println(s"STRANDED:${fsys.exists(token)}")
+        spark.conf.set("spark.graft.incrementalDedup.writerLeaseSec", "1")
+        val expiry = 3L * 1000L // WriterLeaseMissesForTakeover x 1s lease
+        def age(): Long = System.currentTimeMillis() -
+          fsys.getFileStatus(token).getModificationTime
+        while (fsys.exists(token) && age() <= expiry + 500L)
+          Thread.sleep(200L)
+        report(fold(batch2, "b2"))
+        spark.stop()
       case "resume" =>
         // the dead application's writer token must refuse us first
         val refused =

@@ -89,4 +89,40 @@ class CrossProcessStateResumeSpec extends AnyFunSuite {
         new java.io.File(workDir))
     }
   }
+
+  test("a fold killed hard mid-write resumes from a NEW process WITHOUT " +
+      "a manual lock break: the writer-lease takeover fires once the " +
+      "dead holder misses its heartbeats, and the refold + tag replay " +
+      "match the committed history") {
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft-xproc-lease").toString
+    val prefix = s"xlease_${System.nanoTime()}"
+    try {
+      val (c1, out1) = runStep("fold1", workDir, prefix)
+      assert(c1 == 0, s"fold1 exited $c1:\n$out1")
+      assert(field(out1, "SURVIVORS") == "0,3", out1)
+
+      val (c2, _) = runStep("crashfold2", workDir, prefix)
+      assert(c2 == 137, s"crashfold2 must die at the injection halt, got $c2")
+
+      // self-heal: no breakIncrementalDedupWriterLock anywhere — the
+      // 1s-lease takeover must claim the dead JVM's stranded token alone
+      val (c3, out3) = runStep("leaseresume", workDir, prefix)
+      assert(c3 == 0, s"leaseresume exited $c3:\n$out3")
+      assert(field(out3, "STRANDED") == "true",
+        "dead process left no token — the step proved nothing")
+      assert(field(out3, "SURVIVORS") == "12", out3)
+      val bandRows = field(out3, "BANDROWS").toLong
+
+      val (c4, out4) = runStep("replay", workDir, prefix)
+      assert(c4 == 0, s"replay exited $c4:\n$out4")
+      assert(field(out4, "SURVIVORS") == "12",
+        "tag-matched replay diverged after a lease takeover")
+      assert(field(out4, "BANDROWS").toLong == bandRows,
+        "replay appended state — the tag match did not skip the fold")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(workDir))
+    }
+  }
 }

@@ -223,6 +223,65 @@ class IncrementalStateCommitSpec extends SparkSpec {
     } finally Dedup.dropIncrementalDedupState(spark, p)
   }
 
+  test("a foreign token whose lease lapsed (no heartbeat for 3 leases) " +
+      "is taken over WITHOUT a manual break, and the fold matches the " +
+      "uninterrupted run; a fresh foreign token is still refused") {
+    val p = s"isclease_${System.nanoTime()}"
+    val leaseKey = "spark.graft.incrementalDedup.writerLeaseSec"
+    try {
+      fold(batch1, p)
+      val token = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_state_writer")
+      val fsys = token.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def plantForeign(): Unit = {
+        val out = fsys.create(token, true)
+        out.write("someone-else\tdeadbeef".getBytes("UTF-8")); out.close()
+      }
+      spark.conf.set(leaseKey, "1")
+      try {
+        // fresh foreign token: age 0 < 3x1s lease — refused, not usurped
+        plantForeign()
+        val ex = intercept[IllegalStateException](fold(batch2, p))
+        assert(ex.getMessage.contains("locked by writer"))
+        assert(fsys.exists(token), "refusal must not touch the token")
+        // age the same token past the takeover threshold: the holder
+        // missed every heartbeat for 3 leases — claimable, no human
+        fsys.setTimes(token, System.currentTimeMillis() - 4000L, -1)
+        val ref = s"iscleaseref_${System.nanoTime()}"
+        try {
+          fold(batch1, ref)
+          assert(fold(batch2, p) == fold(batch2, ref),
+            "post-takeover fold diverged from the uninterrupted run")
+          // the completed fold released the (taken-over) token
+          assert(!fsys.exists(token))
+        } finally Dedup.dropIncrementalDedupState(spark, ref)
+      } finally spark.conf.unset(leaseKey)
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("the mid-fold heartbeat dies loudly when the lock was lost: a " +
+      "holder whose lease lapsed and was usurped must abort, not keep " +
+      "writing over the new holder's state") {
+    val p = s"ischb_${System.nanoTime()}"
+    try {
+      fold(batch1, p)
+      val token = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${p}_state_writer")
+      val fsys = token.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a contender holds the lock now (we were usurped mid-fold)
+      val out = fsys.create(token, true)
+      out.write("usurper-app\tcafe".getBytes("UTF-8")); out.close()
+      val ex = intercept[IllegalStateException](
+        Dedup.heartbeatStateWriter(spark, p))
+      assert(ex.getMessage.contains("lost mid-fold"))
+      // the vanished-token case is equally fatal (manual break mid-fold)
+      fsys.delete(token, false)
+      val ex2 = intercept[IllegalStateException](
+        Dedup.heartbeatStateWriter(spark, p))
+      assert(ex2.getMessage.contains("lost mid-fold"))
+    } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
   test("an injected crash strands the writer token, and the SAME " +
       "application's retry proceeds without an explicit break (serial " +
       "caller contract)") {

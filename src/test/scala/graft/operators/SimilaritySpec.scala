@@ -372,6 +372,32 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.forall(_ < 100000L), "a planted copy displaced its source")
   }
 
+  test("exactCosinePairs: over-budget corpus drops the hint, same edges") {
+    // the size guard (maxBroadcastBytes) must change the PLAN, never the
+    // answer: force the no-hint fallback with a zero budget and require
+    // edge-for-edge equality with the broadcast path, and require the
+    // forced-broadcast operator to be gone from the fallback plan
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").limit(300)
+    def edges(budget: Long): Set[(Long, Long)] =
+      Similarity.exactCosinePairs(emb, 0.5, maxBroadcastBytes = budget)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(edges(0L) == edges(Long.MaxValue),
+      "broadcast guard changed the pair set")
+    // autoBroadcastJoinThreshold off => the fallback must genuinely plan
+    // without ANY broadcast (the guard exists for corpora past driver
+    // memory, where a planner-chosen broadcast is equally fatal)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = Similarity.exactCosinePairs(emb, 0.5, maxBroadcastBytes = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"zero-budget fallback still broadcasts:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("ANN training sample spans a cluster-sorted corpus layout") {
     // Two well-separated clusters written in vec_id order across many
     // files: head-of-corpus sampling (the old limit().collect()) would see
