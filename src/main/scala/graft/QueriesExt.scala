@@ -524,6 +524,40 @@ object QueriesExt {
       .select("vec_id")
       .orderBy("vec_id")
 
+  /** SemDeDup via the PRODUCTION pair generator (x131): the OR-amplified
+    * hyperplane-LSH arm of [[Similarity.semanticDedup]] (`exact = false`)
+    * — the path that runs at 100 TB, where x36's exact O(n^2) arm is the
+    * verification baseline only — over a corpus with two planted
+    * pure-scaled copies of every embedding (x1.001 and x0.999, offset
+    * ids). Pure positive scaling preserves every hyperplane sign
+    * pattern, so each copy lands in its source's bucket in EVERY LSH
+    * table and the planted pairs (cosine exactly 1) are found with
+    * certainty, not merely w.h.p.; and the base table's max pairwise
+    * cosine sits far below the 0.95 threshold at every correctness SF
+    * (measured: 0.48 at sf0.001, 0.51 at sf0.01, 0.60 at sf0.1), so the
+    * duplicate graph is EXACTLY the planted {src, src*1.001, src*0.999}
+    * triangles and keep-min leaves precisely the base vec_ids — a
+    * deterministic, DuckDB-checkable survivor set through a
+    * probabilistic pair generator. nPlanes = 8 keeps the bucket geometry
+    * inside the hot-bucket guard rail (2^8 buckets x 1000 cap covers the
+    * 180k-row sf3 rung corpus).
+    */
+  def semDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // offsets clear of every SF's id space (sf3 tops out near 29M)
+    val c1 = emb.select((col("vec_id") + lit(100000000L)).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(1.001f)).cast("float"))
+        .as("embedding"))
+    val c2 = emb.select((col("vec_id") + lit(200000000L)).as("vec_id"),
+      transform(col("embedding"), x => (x * lit(0.999f)).cast("float"))
+        .as("embedding"))
+    Similarity.semanticDedup(emb.unionByName(c1).unionByName(c2),
+      threshold = 0.95, exact = false, nPlanes = 8, nTables = 4)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   /** Fixed-size token-window chunking with overlap — training context
     * packing. Row-local (tokenize + HOF slices + posexplode): no shuffle.
     */
@@ -3226,7 +3260,8 @@ object QueriesExt {
     "x127_guarded_fuzzy" -> guardedFuzzyQ _,
     "x128_guard_accounting" -> guardAccountingQ _,
     "x129_qgram_recall" -> qgramRecallQ _,
-    "x130_rangejoin_overlap_router" -> rangeJoinDecimalOverlap _)
+    "x130_rangejoin_overlap_router" -> rangeJoinDecimalOverlap _,
+    "x131_semdedup_lsh" -> semDedupLsh _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -3490,6 +3525,41 @@ object QueriesExt {
         |  ) SELECT * FROM r
         |)
         |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT dst FROM reach WHERE src < dst)
+        |ORDER BY vec_id""".stripMargin,
+    // the LSH-arm oracle does NOT assume the planted structure: it
+    // rebuilds the same corpus (base + two pure-scaled copies) and
+    // computes the exact >=0.95 cosine graph + reachability itself —
+    // the LSH path must reproduce the exact graph's survivor set
+    "x131_semdedup_lsh" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000000,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT))
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 200000000,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(0.999 AS FLOAT) AS FLOAT))
+        |  FROM embeddings
+        |), edges AS MATERIALIZED (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  WITH RECURSIVE r(src, dst) AS (
+        |    SELECT src, dst FROM sym
+        |    UNION
+        |    SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src
+        |    WHERE r.src <> s.dst
+        |  ) SELECT * FROM r
+        |)
+        |SELECT vec_id FROM corpus
         |WHERE vec_id NOT IN (SELECT dst FROM reach WHERE src < dst)
         |ORDER BY vec_id""".stripMargin,
     "x13_knn_lsh" -> annRecallOracle,

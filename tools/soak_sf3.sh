@@ -1,8 +1,12 @@
 #!/bin/bash
-# sf3 scale-rung soak gate (round 17): the guarded stateful tiers
-# (incremental dedup, blocked ER, prefix-filter similarity, cross-corpus
-# near-dup, SemDeDup) at 30x sf0.1 — one rung past the round-loop sf1
-# soak, probing the budgets/bucket caps/manifest growth that sf1 cannot.
+# sf3 scale-rung soak gate (round 17, widened round 18): the guarded
+# stateful tiers (incremental dedup, blocked ER, prefix-filter
+# similarity, cross-corpus near-dup, SemDeDup — now BOTH arms: x36's
+# exact verification baseline and x131's production LSH path) plus the
+# remaining superlinear-risk tiers (interval-overlap join x91, quantile/
+# grouped profiles x109/x122, rangejoin rewrites x100/x103, textrank
+# x75) at 30x sf0.1 — one rung past the round-loop sf1 soak, probing the
+# budgets/bucket caps/manifest growth that sf1 cannot.
 #
 # Generates the deterministic sf3 data if absent (tools/gen_sf1.py with
 # K=30), runs the subset once at 32 threads / 48 GB heap, and judges the
@@ -20,7 +24,7 @@ fi
 OUT="${1:-target/soak_sf3.json}"
 ERR="${OUT%.json}.err"
 mkdir -p "$(dirname "$OUT")"
-ONLY='^(x42_|x74_|x115_|x127_|x63_|x36_|x26_|x94_)'
+ONLY='^(x42_|x74_|x115_|x127_|x63_|x36_|x26_|x94_|x131_|x91_|x109_|x122_|x100_|x103_|x75_)'
 echo "[soak-sf3] benching the stateful-tier subset at $SF3"
 SPARK_GRAFT_SF_DIR="$SF3" SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_REPEATS="${SPARK_GRAFT_REPEATS:-2}" \
