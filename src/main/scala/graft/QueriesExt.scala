@@ -538,9 +538,17 @@ object QueriesExt {
     * duplicate graph is EXACTLY the planted {src, src*1.001, src*0.999}
     * triangles and keep-min leaves precisely the base vec_ids — a
     * deterministic, DuckDB-checkable survivor set through a
-    * probabilistic pair generator. nPlanes = 8 keeps the bucket geometry
-    * inside the hot-bucket guard rail (2^8 buckets x 1000 cap covers the
-    * 180k-row sf3 rung corpus).
+    * probabilistic pair generator.
+    *
+    * Plane count is SIZED FROM THE CORPUS ([[Similarity.recommendedPlanes]]
+    * — one cheap count job), the pattern a 100 TB deployment must follow:
+    * the first sf3 rung run proved that a fixed nPlanes = 8 (256 buckets
+    * for 180k rows, comfortably inside the hot-bucket CAP rail) still
+    * collapses — ~700-row buckets generate candidate pairs quadratically,
+    * 813 s with 57 GB of spill — while sizing to ~32-row expected buckets
+    * keeps the band exchange id-only. Plane count does not perturb the
+    * oracle: the planted cosine-1 pairs agree with their source on EVERY
+    * hyperplane, so their recall is exact at any geometry.
     */
   def semDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -552,8 +560,9 @@ object QueriesExt {
     val c2 = emb.select((col("vec_id") + lit(200000000L)).as("vec_id"),
       transform(col("embedding"), x => (x * lit(0.999f)).cast("float"))
         .as("embedding"))
+    val planes = Similarity.recommendedPlanes(emb.count() * 3)
     Similarity.semanticDedup(emb.unionByName(c1).unionByName(c2),
-      threshold = 0.95, exact = false, nPlanes = 8, nTables = 4)
+      threshold = 0.95, exact = false, nPlanes = planes, nTables = 4)
       .select("vec_id")
       .orderBy("vec_id")
   }

@@ -827,6 +827,33 @@ object Similarity {
     * driver union-find when the duplicate graph is small (the usual case —
     * dup rate bounds edges), distributed hash-to-min beyond.
     */
+  /** Hyperplane count sizing for the LSH dedup family: enough planes
+    * that the EXPECTED bucket occupancy is ~`targetBucket` rows
+    * (`2^planes >= rows / targetBucket`), floored at `floor` so small
+    * corpora keep today's geometry and capped at `cap` (65k buckets —
+    * past that, per-bucket occupancy is dominated by true duplicate
+    * clusters, which more planes cannot split). This is the guard the
+    * sf3 rung made concrete: candidate-pair volume inside a bucket is
+    * QUADRATIC in its occupancy, so a fixed plane count that merely
+    * clears the hot-bucket cap rail (`2^planes >= rows / maxBucketSize`,
+    * cap 1000) still admits ~rows x cap / 2 candidate pairs — measured
+    * as a 813 s / 57 GB-spill collapse of a 180k-row semantic dedup that
+    * sizing to ~32-row buckets turns into routine id-only shuffles.
+    * Recall of TRUE duplicate pairs is unaffected by plane count when
+    * duplicates are near-colinear (their sign patterns agree on every
+    * plane); borderline-threshold pairs follow the OR-of-AND s-curve,
+    * so callers needing high recall near the threshold should raise
+    * `nTables` alongside planes, not lower the plane count.
+    */
+  def recommendedPlanes(rows: Long, targetBucket: Int = 32,
+      floor: Int = 8, cap: Int = 16): Int = {
+    require(rows >= 0 && targetBucket > 0)
+    val needed = math.ceil(
+      math.log(math.max(rows, 1L).toDouble / targetBucket) /
+        math.log(2.0)).toInt
+    math.min(cap, math.max(floor, needed))
+  }
+
   def semanticDedup(corpus: DataFrame, threshold: Double,
       exact: Boolean = false, nPlanes: Int = 3, nTables: Int = 12,
       dim: Int = 64, seed: Long = 42L, idCol: String = "vec_id",

@@ -372,6 +372,19 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.forall(_ < 100000L), "a planted copy displaced its source")
   }
 
+  test("recommendedPlanes sizes buckets to ~targetBucket rows, clamped") {
+    // floor: tiny corpora keep the default geometry
+    assert(Similarity.recommendedPlanes(0L) == 8)
+    assert(Similarity.recommendedPlanes(600L) == 8)
+    // the sf3 collapse case: 180k rows must leave the 8-plane floor
+    val p = Similarity.recommendedPlanes(180000L)
+    assert(p >= 13, s"180k rows sized to only $p planes")
+    // the sizing law: expected occupancy <= targetBucket
+    assert(180000.0 / (1L << p) <= 32.0)
+    // cap: a trillion rows cannot demand unbounded geometry
+    assert(Similarity.recommendedPlanes(1000000000000L) == 16)
+  }
+
   test("exactCosinePairs: over-budget corpus drops the hint, same edges") {
     // the size guard (maxBroadcastBytes) must change the PLAN, never the
     // answer: force the no-hint fallback with a zero budget and require
