@@ -29,7 +29,7 @@ mkdir -p "$(dirname "$OUT")"
 #    n_blocks*budget work of the diagnostic, not a production operator
 #    path — the guarded production paths it certifies (x74, x127) ARE
 #    soaked, within budget.
-ONLY='^(x69_|x70_|x44_|x65_|x49_|x89_|x53_|x88_|x42_|x48_|x29_|x75_|x94_|x63_|x43_|x117_|x100_|x91_|x103_|x74_|x115_|x109_|x118_|x119_|x120_|x121_|x122_|x123_|x124_|x125_|x126_|x127_|x128_|x130_)'
+ONLY='^(x69_|x70_|x44_|x65_|x49_|x89_|x53_|x88_|x42_|x48_|x29_|x75_|x94_|x63_|x43_|x117_|x100_|x91_|x103_|x74_|x115_|x109_|x118_|x119_|x120_|x121_|x122_|x123_|x124_|x125_|x126_|x127_|x128_|x130_|x131_)'
 echo "[soak] benching $(echo "$ONLY" | tr '|' '\n' | wc -l) queries at $SF1"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPEATS=1 \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
