@@ -76,59 +76,61 @@ BUDGETS = {
 # drift. The sf1 -> sf3 growth of each
 # calibration is EXPLAINED, not just observed — the gate exists to
 # catch a growth whose explanation is missing:
-#   x42   4.9s  (vs 4.3 sf1: near-linear — state-commit is
+#   x42   3.9s  (vs 4.3 sf1: near-linear — state-commit is
 #                metadata-only, one history scan per fold)
-#   x74  51.6s  (vs 21.5 sf1, 2.4x: block sizes grow with the copy
+#   x74  53.9s  (vs 21.5 sf1, 2.5x: block sizes grow with the copy
 #                count K; the budget guard bounds within-block pairs)
-#   x115 32.1s  (vs 30.8 sf1: the TRUE pair output grows ~K^2 = 9x
+#   x115 28.7s  (vs 30.8 sf1: the TRUE pair output grows ~K^2 = 9x
 #                from sf1's K=10 — real answer rows — but the guarded
 #                prefix filter absorbs it; r17 measured 53.4s on a
 #                noisier host, the ceiling covers both)
 #   x127  1.8s  (guard-bounded by the pair budget: flat)
-#   x63  18.4s  (vs 9.2 sf1, 2x: bucketed cross-corpus join,
+#   x63  16.8s  (vs 9.2 sf1, 1.8x: bucketed cross-corpus join,
 #                sublinear in the candidate cap)
-#   x36  69.9s  (the EXACT O(n^2) verification arm by design — n grows
+#   x36  66.8s  (the EXACT O(n^2) verification arm by design — n grows
 #                3x, comparisons 9x; the production LSH path is x131)
-#   x131 94.3s  (first gated measurement of the production LSH arm:
+#   x131 80.5s  (first gated measurement of the production LSH arm:
 #                8.2GB shuffle, zero spill. The cost IS the corpus's
 #                true near-dup mass — 2000 clusters of 90 near-copies
 #                = ~8M real pairs to cosine-verify + CC, the same K^2
 #                answer-row law as x115. The 813s/57GB-spill collapse
 #                this rung caught (fixed nPlanes=8) is what
 #                recommendedPlanes sizing now prevents)
-#   x26  26.7s  (distributed-CC regime: 30-copy clusters push edges
+#   x26  20.6s  (distributed-CC regime: 30-copy clusters push edges
 #                past the driver union-find bound; pointer-doubled
 #                label propagation)
-#   x94  54.6s  (best-quality representative over the same
-#                K^2-growing candidate stream as x115)
-#   x100 39.8s  (vs 14.9 sf1, 2.7x for 3x data: the rewrite keeps the
+#   x94  84.2s  (best-quality representative over the same
+#                K^2-growing candidate stream as x115; spans 54.6-84.2
+#                across quiet-bracketed runs — min-of-2 variance on a
+#                CC-iteration query, the 220s ceiling covers the span)
+#   x100 37.7s  (vs 14.9 sf1, 2.5x for 3x data: the rewrite keeps the
 #                bucketed band join — linear)
-#   x103 47.9s  (vs 15.4 sf1, 3.1x: linear, same rewrite family)
-#   x109 51.9s  (vs 17.3 sf1, 3.0x: linear — quantile value-map state
+#   x103 38.6s  (vs 15.4 sf1, 2.5x: linear, same rewrite family)
+#   x109 44.8s  (vs 17.3 sf1, 2.6x: linear — quantile value-map state
 #                is bounded by distinct counts, proven at 30x)
-#   x122  4.7s  (vs 1.1 sf1, 4.2x: grouped-quantile state grows with
+#   x122  5.9s  (vs 1.1 sf1, 5.3x: grouped-quantile state grows with
 #                group count x distinct values per group; bounded)
-#   x75  13.9s  (vs 6.1 sf1, 2.3x: vocab-bounded PageRank state,
+#   x75  10.6s  (vs 6.1 sf1, 1.7x: vocab-bounded PageRank state,
 #                edges grow linearly with the corpus)
-#   x91   4.0s  (interval-overlap join: the time axis grows with the
+#   x91   3.9s  (interval-overlap join: the time axis grows with the
 #                copy count, so per-bucket session density is
 #                SF-invariant and cost is ~linear in session count)
 SF3_BUDGETS = {
-    "x100_rangejoin_rewrite": (160, 39.8),
-    "x103_rangejoin_time": (190, 47.9),
-    "x109_quantile_profile": (210, 51.9),
-    "x115_prefix_filter_pairs": (200, 32.1),
-    "x122_grouped_quantiles": (20, 4.7),
+    "x100_rangejoin_rewrite": (160, 37.7),
+    "x103_rangejoin_time": (190, 38.6),
+    "x109_quantile_profile": (210, 44.8),
+    "x115_prefix_filter_pairs": (200, 28.7),
+    "x122_grouped_quantiles": (20, 5.9),
     "x127_guarded_fuzzy": (10, 1.8),
-    "x131_semdedup_lsh": (380, 94.3),
-    "x26_minhash_dedup_cc": (107, 26.7),
-    "x36_semdedup": (280, 69.9),
-    "x42_incremental_dedup": (20, 4.9),
-    "x63_cross_neardup": (75, 18.4),
-    "x74_fuzzy_match": (210, 51.6),
-    "x75_textrank": (56, 13.9),
-    "x91_concurrent_sessions": (16, 4.0),
-    "x94_dedup_best_quality": (220, 54.6),
+    "x131_semdedup_lsh": (380, 80.5),
+    "x26_minhash_dedup_cc": (107, 20.6),
+    "x36_semdedup": (280, 66.8),
+    "x42_incremental_dedup": (20, 3.9),
+    "x63_cross_neardup": (75, 16.8),
+    "x74_fuzzy_match": (210, 53.9),
+    "x75_textrank": (56, 10.6),
+    "x91_concurrent_sessions": (16, 3.9),
+    "x94_dedup_best_quality": (220, 84.2),
 }
 
 
