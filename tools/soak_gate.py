@@ -44,6 +44,10 @@ BUDGETS = {
     "x127_guarded_fuzzy": (15, 1.57),
     "x128_guard_accounting": (15, 1.26),
     "x130_rangejoin_overlap_router": (15, 0.29),
+    # quiet-bracketed sf1 min from SOAK_SF1_r18.json (probe 0.62s): the
+    # LSH semdedup arm over base + 2 planted copies; the cost is the
+    # K-copy corpus's true near-dup mass (clusters of 30 at K=10)
+    "x131_semdedup_lsh": (230, 57.54),
     "x29_quality_classifier": (24, 4.86),
     "x42_incremental_dedup": (22, 4.30),
     "x43_corpus_funnel": (29, 5.74),
