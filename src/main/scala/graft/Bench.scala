@@ -97,10 +97,31 @@ object Bench {
         .groupBy("k").agg(sum("h").as("s")).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // two untimed runs: the probe's own JIT/codegen-cache warmup must not
-    // pollute the series' first sample (a spuriously slow start sample
-    // reads as an in-run degraded phase to the gates)
-    calibrate(); calibrate()
+    // untimed warmup runs until the probe STABILIZES: a fixed two-run
+    // warmup demonstrably under-drains a cold JVM's C2 compile queue
+    // (observed: the third consecutive probe still ran 2.5-3.5 s, the
+    // fourth 0.6 s — a host pothole cannot recover 6x between adjacent
+    // probes, so that slow sample is JVM-local), and a polluted first
+    // sample reads as an in-run degraded phase to BenchDiff's spread
+    // gate. Warm until two consecutive runs agree within 15% (the
+    // steady-state probe's observed run-to-run jitter), capped at 10 —
+    // on a genuinely degraded host the cap keeps the (still slow, still
+    // honest) first sample in the series rather than masking it.
+    def warmProbe(): Unit = {
+      var prev = calibrate()
+      var tries = 1
+      var stable = false
+      while (tries < 10 && !stable) {
+        val c = calibrate()
+        stable = c / math.max(prev, 1e-9) > 0.85 &&
+          c / math.max(prev, 1e-9) < 1.15
+        prev = c
+        tries += 1
+      }
+      System.err.println(f"[bench] probe warmup: $tries runs to " +
+        f"stabilize at $prev%.2fs")
+    }
+    warmProbe()
     val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
     calibrations += calibrate()
     // provenance: the commit the bench actually measured (r15/r16 both
