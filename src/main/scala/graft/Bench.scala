@@ -97,6 +97,14 @@ object Bench {
         .groupBy("k").agg(sum("h").as("s")).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // a SERIES point is the min of 3 consecutive probe runs — the same
+    // estimator the query timings use (min over repeats): one ~1s probe
+    // sample carries scheduler/GC-timing noise of its own (measured ±40%
+    // pass-to-pass on a host whose query minima were flat), which the
+    // spread gate would read as a host phase. A real sustained phase
+    // keeps all three samples slow, so the min still records it.
+    def calibratePoint(): Double =
+      Seq(calibrate(), calibrate(), calibrate()).min
     // untimed warmup runs until the probe STABILIZES: a fixed two-run
     // warmup demonstrably under-drains a cold JVM's C2 compile queue
     // (observed: the third consecutive probe still ran 2.5-3.5 s, the
@@ -123,7 +131,7 @@ object Bench {
     }
     warmProbe()
     val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
-    calibrations += calibrate()
+    calibrations += calibratePoint()
     // provenance: the commit the bench actually measured (r15/r16 both
     // spent judge time on artifact-staleness archaeology)
     def sh(cmd: Seq[String]): Option[String] =
@@ -240,7 +248,7 @@ object Bench {
       for ((name, fn) <- selected)
         timings(name) = timings.getOrElse(name, Vector.empty) :+
           timedRun(name, fn, r)
-      calibrations += calibrate()
+      calibrations += calibratePoint()
       System.err.println(f"[bench] calibration after pass $r: " +
         f"${calibrations.last}%.2fs (series ${calibrations.map(c => f"$c%.2f").mkString(",")})")
     }

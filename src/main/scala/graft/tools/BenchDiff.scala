@@ -32,21 +32,40 @@ object BenchDiff {
       spreadViolations: Set[String],
       contaminated: Boolean,
       calibration: Seq[Double] = Nil) {
-    /** Median of the fixed synthetic calibration probe series the bench
-      * times at suite start and after each pass — the in-artifact record
-      * of how fast the HOST was during this run. Empty for pre-r17
-      * artifacts.
+    /** The per-pass (IN-SUITE) probe samples: everything after the
+      * pre-suite sample. Probe samples are position-sensitive — the
+      * pre-suite sample rides a cold-ish JVM while in-suite samples pay
+      * the code-cache/profile pollution of a hot one (measured: a QUIET
+      * host probes 0.5-0.6s pre-suite and 0.8-1.1s between passes of the
+      * full registry, a structural ~1.8x step that is JVM heat, not host
+      * drift) — so spread and cross-artifact medians compare only
+      * like-positioned samples. A one-sample series (no passes recorded)
+      * is used as-is.
       */
-    def calibrationMedian: Option[Double] =
-      if (calibration.isEmpty) None
-      else Some(calibration.sorted.apply(calibration.size / 2))
-    /** max/min of the probe series: >1.5 means the host changed speed
-      * DURING the run (a degraded phase), so per-query numbers are not
-      * comparable even to each other.
+    def inSuiteCalibration: Seq[Double] =
+      if (calibration.size >= 2) calibration.drop(1) else calibration
+    /** Median of the in-suite probe samples — the in-artifact record of
+      * how fast the HOST was while the queries actually ran. Empty for
+      * pre-r17 artifacts.
       */
-    def calibrationSpread: Option[Double] =
-      if (calibration.size < 2) None
-      else Some(calibration.max / calibration.min.max(1e-9))
+    def calibrationMedian: Option[Double] = {
+      val s = inSuiteCalibration
+      if (s.isEmpty) None else Some(s.sorted.apply(s.size / 2))
+    }
+    /** max/min of the in-suite probe series: >1.5 means the host changed
+      * speed DURING the run (a degraded phase), so per-query numbers are
+      * not comparable even to each other. The pre-suite sample is
+      * excluded (see [[inSuiteCalibration]]): on a quiet host it is
+      * structurally ~1.8x BELOW the in-suite plateau, which would read
+      * as a phantom in-run phase on exactly the runs this gate exists to
+      * certify — while a genuinely degraded pass still shows in its own
+      * bracketing per-pass sample.
+      */
+    def calibrationSpread: Option[Double] = {
+      val s = inSuiteCalibration
+      if (s.size < 2) None
+      else Some(s.max / s.min.max(1e-9))
+    }
   }
 
   // whitespace-tolerant around ':' — Bench emits compact JSON, but a

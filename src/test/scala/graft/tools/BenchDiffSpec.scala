@@ -94,12 +94,35 @@ class BenchDiffSpec extends AnyFunSuite with Matchers {
     val a = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(),
       Seq(0.50, 0.62, 0.55, 0.54)))
     a.calibration shouldBe Seq(0.50, 0.62, 0.55, 0.54)
+    // median and spread are over the IN-SUITE samples (0.62, 0.55, 0.54):
+    // the pre-suite 0.50 rides a colder JVM and is not like-positioned
     a.calibrationMedian shouldBe Some(0.55)
-    a.calibrationSpread.get shouldBe (0.62 / 0.50) +- 1e-9
+    a.calibrationSpread.get shouldBe (0.62 / 0.54) +- 1e-9
     val old = BenchDiff.parse(art("q01" -> 1.0)()())
     old.calibration shouldBe empty
     old.calibrationMedian shouldBe None
     old.calibrationSpread shouldBe None
+  }
+
+  test("quiet-host shape: the structural pre-suite-to-in-suite JVM-heat " +
+      "step does not read as an in-run degraded phase") {
+    // measured quiet-host full-registry shape: pre-suite ~0.55, in-suite
+    // plateau ~1.0 (JVM heat). Spread must be computed in-suite only —
+    // the old whole-series max/min read 1.0/0.55 = 1.9x and refused to
+    // certify exactly the quiet runs the gate exists to certify.
+    val a = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(),
+      Seq(0.55, 1.00, 0.95, 1.05)))
+    a.inSuiteCalibration shouldBe Seq(1.00, 0.95, 1.05)
+    a.calibrationSpread.get shouldBe (1.05 / 0.95) +- 1e-9
+    a.calibrationSpread.get should be < 1.5
+    // a REAL degraded pass still trips the gate via its own sample
+    val b = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(),
+      Seq(0.55, 1.00, 1.90, 1.05)))
+    b.calibrationSpread.get should be > 1.5
+    // one-sample series (no passes): used as-is, no spread
+    val c = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(), Seq(0.7)))
+    c.calibrationMedian shouldBe Some(0.7)
+    c.calibrationSpread shouldBe None
   }
 
   test("host factor normalizes gating: a uniformly 1.4x-slower host does " +
