@@ -1354,7 +1354,20 @@ object Dedup {
     * lease lapsed and a contender claimed the lock mid-fold, continuing
     * to write would produce exactly the torn state the protocol guards
     * against, so the fold must die loudly instead.
+    *
+    * PORTABILITY: the refresh is `fs.setTimes`, which some object-store
+    * filesystems implement as a no-op or refuse outright. Refusal is
+    * caught and warned ONCE (not thrown — a heartbeat that kills every
+    * fold on such a store would be worse than no lease), and a silent
+    * no-op degrades only LIVENESS, never safety: the token's mtime then
+    * never refreshes, so a fold outliving the full takeover window can
+    * be usurped while alive — at which point its own next heartbeat's
+    * holder check (above the refresh, and always supported) aborts it
+    * BEFORE it can flip a manifest over the new holder's state. On
+    * stores without setTimes, size `writerLeaseSec` above the whole
+    * fold, not the longest phase.
     */
+  @volatile private var warnedSetTimesUnsupported = false
   private[graft] def heartbeatStateWriter(spark: SparkSession,
       statePrefix: String): Unit = {
     val p = stateWriterTokenPath(spark, statePrefix)
@@ -1374,7 +1387,20 @@ object Dedup {
         s"'$me'): the lease expired and a contender took over, or the " +
         "lock was broken manually. Aborting this fold — its uncommitted " +
         "appends will be swept by the new holder")
-    fs.setTimes(p, System.currentTimeMillis(), -1)
+    try fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch {
+      case e: UnsupportedOperationException =>
+        if (!warnedSetTimesUnsupported) {
+          warnedSetTimesUnsupported = true
+          System.err.println(
+            s"[graft] WARNING: ${fs.getClass.getSimpleName} does not " +
+              "support setTimes — the writer lease cannot refresh, so a " +
+              "fold outliving the takeover window may be usurped while " +
+              "alive (it will abort safely at its next heartbeat). Size " +
+              "spark.graft.incrementalDedup.writerLeaseSec above the " +
+              s"WHOLE fold on this store ($e)")
+        }
+    }
   }
 
   private def releaseStateWriter(spark: SparkSession,
