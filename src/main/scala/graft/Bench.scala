@@ -237,7 +237,13 @@ object Bench {
           String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
       val dt = runOnce(name, fn, r)
       if (calibrateEach) {
-        val p = calibrate()
+        // min-of-2: one ~1s probe sample carries ±40% scheduler noise
+        // (see calibratePoint), and a noisy-high per-run probe either
+        // voids a quiet run's certification or forces a solo re-run to
+        // clear an adjacent slow reading (the r18 x36 case: quiet
+        // singles beside a reading only a solo run could adjudicate).
+        // A real pothole spanning the query keeps both samples slow.
+        val p = math.min(calibrate(), calibrate())
         probesByQuery(name) =
           probesByQuery.getOrElse(name, Vector.empty) :+ p
         System.err.println(f"[bench] probe after $name run$r: $p%.2fs")
