@@ -338,12 +338,21 @@ object RangeJoinOverlapFuzzExec
     c
   }
 
+  // cap fuzzing matters MOST here: the overlap shape's salted matrix
+  // (left-long indexes kind 1 only; right-long indexes kind 2 AND
+  // probes kind 1 so long x long lands exactly once; short sides probe
+  // the opposite kind) is unreachable by the generated spans at the 256
+  // default — cap=1/2 routes both sides long and exercises the full
+  // emit-once rendezvous, including inverted intervals down the salts.
+  private val genCap = org.scalacheck.Gen.oneOf(1, 2, 8, 256)
+
   property("overlap rule-on multiset equals the naive semantics, all " +
       "six join types") =
     forAll(RangeJoinOverlapFuzz.genShape, RangeJoinFuzz.genIvs,
-        RangeJoinFuzz.genIvs) { (shape, ls, rs) =>
+        RangeJoinFuzz.genIvs, genCap) { (shape, ls, rs, cap) =>
       child.conf.set("spark.graft.rangeJoin.binSize",
         RangeJoinFuzz.binSizeFor(shape.axis).toString)
+      child.conf.set("spark.graft.rangeJoin.maxSpanBuckets", cap.toString)
       try {
         val (df, _) = RangeJoinOverlapFuzz.buildJoin(child, shape, ls, rs)
         val got = df.collect()
@@ -352,7 +361,10 @@ object RangeJoinOverlapFuzzExec
             if (r.isNullAt(1)) None else Some(r.getLong(1))))
           .toList.sortBy(p => (p._1, p._2))
         got == RangeJoinOverlapFuzz.oracle(shape, ls, rs)
-      } finally child.conf.unset("spark.graft.rangeJoin.binSize")
+      } finally {
+        child.conf.unset("spark.graft.rangeJoin.binSize")
+        child.conf.unset("spark.graft.rangeJoin.maxSpanBuckets")
+      }
     }
 }
 
@@ -407,11 +419,20 @@ object RangeJoinRewriteFuzzExec
     c
   }
 
+  // the cap is fuzzed too: at the 256 default the generated intervals
+  // (spans <= ~9 buckets at width 7) NEVER take the salted long-tail
+  // arm, so without cap variation the fuzz exec-covers only the tiled
+  // kind-0 path. cap=1 routes nearly every interval down the salts,
+  // cap=2/8 mixes short and long in one join — exercising the
+  // point-probe x all-salts rendezvous for every join type.
+  private val genCap = org.scalacheck.Gen.oneOf(1, 2, 8, 256)
+
   property("rule-on multiset equals the naive semantics") =
     forAll(RangeJoinFuzz.genShape, RangeJoinFuzz.genPoints,
-        RangeJoinFuzz.genIvs) { (shape, ps, is) =>
+        RangeJoinFuzz.genIvs, genCap) { (shape, ps, is, cap) =>
       child.conf.set("spark.graft.rangeJoin.binSize",
         RangeJoinFuzz.binSizeFor(shape.axis).toString)
+      child.conf.set("spark.graft.rangeJoin.maxSpanBuckets", cap.toString)
       try {
         val (df, _) = RangeJoinFuzz.buildJoin(child, shape, ps, is)
         val got = df.collect()
@@ -420,6 +441,9 @@ object RangeJoinRewriteFuzzExec
             if (r.isNullAt(1)) None else Some(r.getLong(1))))
           .toList.sortBy(r => (r._1, r._2))
         got == RangeJoinFuzz.oracle(shape, ps, is)
-      } finally child.conf.unset("spark.graft.rangeJoin.binSize")
+      } finally {
+        child.conf.unset("spark.graft.rangeJoin.binSize")
+        child.conf.unset("spark.graft.rangeJoin.maxSpanBuckets")
+      }
     }
 }

@@ -133,6 +133,44 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("overlap salted matrix: spanning intervals on BOTH sides — " +
+      "long x long, long x short, short x long each land exactly once") {
+    // left: tiled short rows + an inverted row + TWO axis-spanning rows
+    // (long x long pairs must rendezvous in exactly one salt: left-long
+    // indexes kind 1 only, right-long probes kind 1 once); right: short
+    // rows + its own spanning rows + an inverted row. A small cap (3)
+    // additionally routes the WIDEST finite rows long, mixing all four
+    // kind combinations in one join.
+    val l = ((0L until 40L).map(i => (i, i * 5 - 50, i * 5 - 20)) ++
+      Seq((500L, 40L, 10L), (998L, -1000000000000L, 1000000000000L),
+        (999L, -900000000000L, 900000000000L)))
+      .toDF("lid", "lst", "len")
+    val r = ((0L until 40L).map(i => (i, i * 7 - 80, i * 7 - 30)) ++
+      Seq((600L, 90L, 60L), (888L, -800000000000L, 800000000000L),
+        (889L, -700000000000L, 700000000000L)))
+      .toDF("rid", "rst", "ren")
+    val cond = col("lst") < col("ren") && col("rst") < col("len")
+    val want = l.join(r, cond)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    for (cap <- Seq(3, 256)) {
+      withRule(8L) {
+        spark.conf.set("spark.graft.rangeJoin.maxSpanBuckets", cap.toString)
+        try {
+          val df = l.join(r, cond)
+          val p = df.queryExecution.executedPlan.toString
+          assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+          assert(!p.contains("CartesianProduct"), p.take(3000))
+          val got = df.select("lid", "rid")
+            .as[(Long, Long)].collect().toSeq.sorted
+          assert(got == want, s"cap=$cap")
+          // the long x long pairs are present exactly once
+          assert(got.count(p => p._1 == 998L && p._2 == 888L) == 1)
+          assert(got.count(p => p._1 == 999L && p._2 == 889L) == 1)
+        } finally spark.conf.unset("spark.graft.rangeJoin.maxSpanBuckets")
+      }
+    }
+  }
+
   test("non-strict overlap (touching intervals) stays exact under the " +
       "closed-hull tiling") {
     val l = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("lid", "lst", "len")
