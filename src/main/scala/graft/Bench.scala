@@ -115,14 +115,26 @@ object Bench {
     // steady-state probe's observed run-to-run jitter), capped at 10 —
     // on a genuinely degraded host the cap keeps the (still slow, still
     // honest) first sample in the series rather than masking it.
+    // Stability needs TWO consecutive agreeing pairs AND the last sample
+    // within 15% of the running minimum: a slow monotonic ramp keeps
+    // every adjacent pair inside tolerance while drifting far overall,
+    // and a plateau that is still 15%+ above the best sample seen is a
+    // shelf inside the ramp, not steady state. On a genuinely degraded
+    // host the cap keeps the (still slow, still honest) samples.
     def warmProbe(): Unit = {
       var prev = calibrate()
+      var minSeen = prev
+      var stablePairs = 0
       var tries = 1
-      var stable = false
-      while (tries < 10 && !stable) {
+      while (tries < 10 && stablePairs < 2) {
         val c = calibrate()
-        stable = c / math.max(prev, 1e-9) > 0.85 &&
+        val adjacent = c / math.max(prev, 1e-9) > 0.85 &&
           c / math.max(prev, 1e-9) < 1.15
+        minSeen = math.min(minSeen, c)
+        stablePairs =
+          if (adjacent && c / math.max(minSeen, 1e-9) < 1.15)
+            stablePairs + 1
+          else 0
         prev = c
         tries += 1
       }
@@ -307,7 +319,7 @@ object Bench {
       s""","wall_sec":${num(wallSec, 1)},"gc_sec":${num(gcSec, 1)},"heap_max_mb":$heapMax""" +
       s""","max_spread":${num(maxSpread, 2)},"spread_violations":$viol""" +
       s""","failed":$failed""" +
-      s""","calibration_sec":$calib""" +
+      s""","calibration_sec":$calib,"calibration_estimator":"min3"""" +
       s""","head_commit":"$headCommit","git_dirty":$gitDirty""" +
       s""","runs":$runsJson$probesJson""" +
       s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}"""

@@ -1217,15 +1217,29 @@ object Dedup {
       spark.conf.get("spark.sql.warehouse.dir"),
       s"${statePrefix}_state_protocol")
 
+  /** Root directory of the single-writer token and its heartbeat
+    * sidecars. Defaults to the warehouse; override with
+    * `spark.graft.incrementalDedup.lockRoot` when the warehouse lives on
+    * a store whose create/rename are not atomic (S3-class object stores
+    * rename by copy+delete): the lock's create-no-overwrite acquire and
+    * rename-as-CAS takeover are only as exclusive as the store under
+    * them, so point the lock at HDFS-class storage even when the state
+    * tables themselves stay on the object store.
+    */
+  private def stateLockRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.incrementalDedup.lockRoot")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+
   /** Path of the single-writer token — see [[acquireStateWriter]]. */
   private def stateWriterTokenPath(spark: SparkSession,
       statePrefix: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
+    new org.apache.hadoop.fs.Path(stateLockRoot(spark),
       s"${statePrefix}_state_writer")
 
-  /** Lease duration of the writer token (seconds). The holder refreshes
-    * the token's mtime at every fold phase ([[heartbeatStateWriter]]);
+  /** Lease duration of the writer token (seconds). The holder records a
+    * heartbeat at every fold phase ([[heartbeatStateWriter]] — a fresh
+    * sidecar file next to the token, so the refresh needs only
+    * create+list+delete, never `setTimes`);
     * a contender may take the lock over only once the token has gone
     * [[WriterLeaseMissesForTakeover]] full leases without a refresh —
     * i.e. the holder is not merely slow inside one phase, it has missed
@@ -1241,6 +1255,54 @@ object Dedup {
   /** Missed-lease multiplier before a stranded token is claimable. */
   private val WriterLeaseMissesForTakeover = 3L
 
+  /** Name prefix of the heartbeat sidecar files of a writer token. */
+  private def writerHbPrefix(p: org.apache.hadoop.fs.Path): String =
+    p.getName + ".hb-"
+
+  /** Holder application recorded in a token or sidecar file; "" when the
+    * file is unreadable (vanished under us, or a torn write). */
+  private def readWriterHolder(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split("\t").headOption.getOrElse("")
+      finally in.close()
+    } catch { case _: java.io.IOException => "" }
+
+  /** Newest heartbeat instant of the token's CURRENT holder: the token's
+    * own mtime (recorded at create on every store) or any heartbeat
+    * sidecar naming the same holder. Sidecars stranded by a PREVIOUS
+    * holder name a different application and are inert — they can never
+    * keep a dead writer's lease alive past its own last beat. Returns -1
+    * when the token itself vanished (released or claimed under us).
+    */
+  private def lastWriterHeartbeatMs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, holder: String): Long = {
+    val tokenMtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return -1L }
+    val sidecars =
+      try fs.listStatus(p.getParent)
+        .filter(_.getPath.getName.startsWith(writerHbPrefix(p)))
+      catch { case _: java.io.IOException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
+    (tokenMtime +: sidecars.toSeq
+      .filter(st => readWriterHolder(fs, st.getPath) == holder)
+      .map(_.getModificationTime)).max
+  }
+
+  /** Reclaim every heartbeat sidecar of a token (takeover, release,
+    * drop). Best-effort: a leaked sidecar is liveness litter, not a
+    * safety hazard — [[lastWriterHeartbeatMs]] matches on holder. */
+  private def deleteWriterSidecars(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    try fs.listStatus(p.getParent)
+      .filter(_.getPath.getName.startsWith(writerHbPrefix(p)))
+      .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.IOException => }
+
   /** Enforce the protocol's single-writer contract: atomically create a
     * writer token naming this Spark application before the fold touches
     * anything. A second concurrent writer from a DIFFERENT application
@@ -1251,8 +1313,9 @@ object Dedup {
     * crashed or threw after acquiring), so the retry proceeds.
     *
     * LIVENESS: a token stranded by a crashed application no longer wedges
-    * the prefix until a human intervenes. The holder heartbeats the
-    * token's mtime at each fold phase; a token whose mtime is older than
+    * the prefix until a human intervenes. The holder heartbeats at each
+    * fold phase (a fresh sidecar file — [[heartbeatStateWriter]]); a
+    * token whose newest holder heartbeat is older than
     * [[WriterLeaseMissesForTakeover]] x the lease is evidence the holder
     * missed every heartbeat for several leases running, and a contender
     * may then claim it — LOUDLY logged, via an atomic rename to a
@@ -1313,10 +1376,10 @@ object Dedup {
           heartbeatStateWriter(spark, statePrefix)
           return
         } else {
+          val lastBeat = lastWriterHeartbeatMs(fs, p, h)
           val ageMs =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(p).getModificationTime
-            catch { case _: java.io.FileNotFoundException => -1L }
+            if (lastBeat < 0) -1L
+            else System.currentTimeMillis() - lastBeat
           val expiryMs =
             writerLeaseSec(spark) * WriterLeaseMissesForTakeover * 1000L
           if (ageMs < 0) () // vanished: loop retries
@@ -1329,6 +1392,7 @@ object Dedup {
               s"${p.getName}.expired-${java.util.UUID.randomUUID()}")
             if (fs.rename(p, tomb)) {
               fs.delete(tomb, false)
+              deleteWriterSidecars(fs, p) // the dead holder's last beats
               System.err.println(
                 s"[graft] TAKING OVER incremental-dedup writer lock " +
                   s"'$statePrefix' from application '$h': token heartbeat " +
@@ -1355,51 +1419,50 @@ object Dedup {
     * to write would produce exactly the torn state the protocol guards
     * against, so the fold must die loudly instead.
     *
-    * PORTABILITY: the refresh is `fs.setTimes`, which some object-store
-    * filesystems implement as a no-op or refuse outright. Refusal is
-    * caught and warned ONCE (not thrown — a heartbeat that kills every
-    * fold on such a store would be worse than no lease), and a silent
-    * no-op degrades only LIVENESS, never safety: the token's mtime then
-    * never refreshes, so a fold outliving the full takeover window can
-    * be usurped while alive — at which point its own next heartbeat's
-    * holder check (above the refresh, and always supported) aborts it
-    * BEFORE it can flip a manifest over the new holder's state. On
-    * stores without setTimes, size `writerLeaseSec` above the whole
-    * fold, not the longest phase.
+    * PORTABILITY: the refresh is a CONTENT heartbeat — create a fresh
+    * sidecar file (`<token>.hb-<uuid>`, content = this holder) and
+    * reclaim the superseded ones — never `fs.setTimes`, which several
+    * object-store filesystems refuse (UnsupportedOperationException OR a
+    * plain IOException, store-dependent) or silently no-op; either way a
+    * mtime-refresh lease could not beat there and a fold outliving the
+    * takeover window would be usurped while alive. The sidecar route
+    * needs only create+list+delete with create-time mtimes, which every
+    * store the protocol already requires provides. A sidecar write
+    * failure is non-fatal (liveness-only, warned): safety rests on the
+    * holder check above, which aborts a usurped fold at its next
+    * heartbeat BEFORE it can flip a manifest over the new holder's
+    * state.
     */
-  @volatile private var warnedSetTimesUnsupported = false
   private[graft] def heartbeatStateWriter(spark: SparkSession,
       statePrefix: String): Unit = {
     val p = stateWriterTokenPath(spark, statePrefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val me = spark.sparkContext.applicationId
-    val h = try {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        .split("\t").headOption.getOrElse("")
-      finally in.close()
-    } catch {
-      case _: java.io.FileNotFoundException => ""
-    }
+    val h = readWriterHolder(fs, p)
     if (h != me) throw new IllegalStateException(
       s"incremental-dedup writer lock '$statePrefix' was lost mid-fold " +
         s"(holder is now '${if (h.isEmpty) "<none>" else h}', this is " +
         s"'$me'): the lease expired and a contender took over, or the " +
         "lock was broken manually. Aborting this fold — its uncommitted " +
         "appends will be swept by the new holder")
-    try fs.setTimes(p, System.currentTimeMillis(), -1)
-    catch {
-      case e: UnsupportedOperationException =>
-        if (!warnedSetTimesUnsupported) {
-          warnedSetTimesUnsupported = true
-          System.err.println(
-            s"[graft] WARNING: ${fs.getClass.getSimpleName} does not " +
-              "support setTimes — the writer lease cannot refresh, so a " +
-              "fold outliving the takeover window may be usurped while " +
-              "alive (it will abort safely at its next heartbeat). Size " +
-              "spark.graft.incrementalDedup.writerLeaseSec above the " +
-              s"WHOLE fold on this store ($e)")
-        }
+    val hb = new org.apache.hadoop.fs.Path(p.getParent,
+      s"${writerHbPrefix(p)}${java.util.UUID.randomUUID()}")
+    try {
+      val out = fs.create(hb, false) // unique name: cannot collide
+      try out.write(me.getBytes("UTF-8")) finally out.close()
+      // reclaim the superseded beats AFTER the fresh one exists, so a
+      // contender listing mid-heartbeat always sees at least one
+      fs.listStatus(p.getParent)
+        .filter(st => st.getPath.getName.startsWith(writerHbPrefix(p)) &&
+          st.getPath.getName != hb.getName)
+        .foreach(st => fs.delete(st.getPath, false))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft] WARNING: writer-lease heartbeat on '$statePrefix' " +
+            s"could not write its sidecar (${e.getMessage}) — liveness " +
+            "only: the lease ages toward takeover, and a usurped holder " +
+            "still aborts safely at its next heartbeat's holder check")
     }
   }
 
@@ -1408,6 +1471,7 @@ object Dedup {
     val p = stateWriterTokenPath(spark, statePrefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, false)
+    deleteWriterSidecars(fs, p)
   }
 
   /** Operator override for a writer token stranded by a dead application:
@@ -1504,12 +1568,19 @@ object Dedup {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"${statePrefix}_state_manifest", s"${statePrefix}_losers",
-      s"${statePrefix}_state_writer")
+    Seq(s"${statePrefix}_state_manifest", s"${statePrefix}_losers")
       .foreach { n =>
         val p = new org.apache.hadoop.fs.Path(warehouse, n)
         if (fs.exists(p)) fs.delete(p, true)
       }
+    // the token may live on a different store (lockRoot): resolve its
+    // own filesystem rather than assuming the warehouse's
+    locally {
+      val tok = stateWriterTokenPath(spark, statePrefix)
+      val tfs = tok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (tfs.exists(tok)) tfs.delete(tok, false)
+      deleteWriterSidecars(tfs, tok)
+    }
     Seq(s"${statePrefix}_bands", s"${statePrefix}_shingles",
       s"${statePrefix}_bucket_counts", s"${statePrefix}_bucket_counts_compact")
       .foreach(dropStateTable(spark, _))

@@ -31,7 +31,8 @@ object BenchDiff {
       queries: Map[String, Double],
       spreadViolations: Set[String],
       contaminated: Boolean,
-      calibration: Seq[Double] = Nil) {
+      calibration: Seq[Double] = Nil,
+      calibrationEstimator: String = "") {
     /** The per-pass (IN-SUITE) probe samples: everything after the
       * pre-suite sample. Probe samples are position-sensitive — the
       * pre-suite sample rides a cold-ish JVM while in-suite samples pay
@@ -39,11 +40,14 @@ object BenchDiff {
       * host probes 0.5-0.6s pre-suite and 0.8-1.1s between passes of the
       * full registry, a structural ~1.8x step that is JVM heat, not host
       * drift) — so spread and cross-artifact medians compare only
-      * like-positioned samples. A one-sample series (no passes recorded)
-      * is used as-is.
+      * like-positioned samples. A one-sample series holds ONLY the
+      * cold-position pre-suite sample, so it is dropped (empty — treated
+      * like a pre-probe artifact): using it would compare an
+      * unlike-positioned sample against another artifact's in-suite
+      * median, the exact ~1.8x skew this split exists to remove.
       */
     def inSuiteCalibration: Seq[Double] =
-      if (calibration.size >= 2) calibration.drop(1) else calibration
+      if (calibration.size >= 2) calibration.drop(1) else Nil
     /** Median of the in-suite probe samples — the in-artifact record of
       * how fast the HOST was while the queries actually ran. Empty for
       * pre-r17 artifacts.
@@ -113,8 +117,12 @@ object BenchDiff {
           .findAllIn(json.substring(open + 1, close)).map(_.toDouble).toSeq
       }
     }
+    val estimator =
+      """"calibration_estimator"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     BenchArtifact(qs, viol,
-      """"contaminated"\s*:\s*true""".r.findFirstIn(json).isDefined, calib)
+      """"contaminated"\s*:\s*true""".r.findFirstIn(json).isDefined, calib,
+      estimator)
   }
 
   final case class Row(name: String, prev: Double, curr: Double,
@@ -190,6 +198,21 @@ object BenchDiff {
         "artifact not certifiable, re-run on a quieter host")
       sys.exit(3)
     }
+    // estimator provenance: a min-of-3 series point sits systematically
+    // BELOW a single-sample point (by up to the probe's ±40% noise), so
+    // a host factor across mixed-estimator artifacts is biased toward
+    // 1.0 — stricter gate, phantom regressions possible. Warn, don't
+    // fail: the per-query gate still holds, only the normalization is
+    // conservative.
+    if (prev.calibrationEstimator != curr.calibrationEstimator &&
+        prev.calibrationMedian.nonEmpty && curr.calibrationMedian.nonEmpty)
+      println("NOTE: calibration estimators differ (prev '" +
+        s"${if (prev.calibrationEstimator.isEmpty) "single"
+            else prev.calibrationEstimator}' vs curr '" +
+        s"${if (curr.calibrationEstimator.isEmpty) "single"
+            else curr.calibrationEstimator}') — host-factor " +
+        "normalization is biased toward 1.0 (stricter gate); prefer a " +
+        "same-estimator baseline")
     val hf = hostFactor(prev, curr)
     if (hf > 1.0)
       println(f"host calibration: current run ${hf}%.2fx slower " +

@@ -31,8 +31,13 @@ import org.apache.spark.sql.streaming.OutputMode
   *     grow linearly with every committed batch.
   *
   * Flatness is judged on MEDIANS (robust to host potholes): the last
-  * window's median per-batch wall time may be at most 3x the
-  * post-warmup early window's. Emits one JSON artifact (arg 1, default
+  * window's median per-batch wall time may be at most 2x the
+  * post-warmup early window's, per phase. (Tightened from the original
+  * 3x after the round-18 run recorded the windowed phase drifting
+  * 1.37x — 449.9 -> 615.9 ms — over 2000 batches with state rows dead
+  * flat: a bound the observed drift could never trip is not a trend
+  * assertion. The same run also motivated capping checkpoint metadata
+  * retention below.) Emits one JSON artifact (arg 1, default
   * target/soak_stream.json) with per-100-batch state-row and median-
   * latency series per phase, head commit + dirty flag; exits non-zero
   * on any violated bound.
@@ -58,6 +63,16 @@ object StreamLongevitySoak {
       // fixed cost representative of a small keyed stream, not 32 empty
       // partitions of overhead
       .config("spark.sql.shuffle.partitions", "4")
+      // checkpoint metadata retention: the offsets/commits logs keep
+      // minBatchesToRetain entries and the state store keeps as many
+      // delta generations — at the default 100 the per-batch purge and
+      // maintenance walk 5x more files than 20 buys nothing for a soak
+      // (or for any pipeline that never time-travels its checkpoint
+      // 100 batches back). This is the retention cap the round-18 soak's
+      // windowed-phase median drift (1.37x over 2000 batches, state
+      // flat) pointed at; a long-running production stream should size
+      // it to its replay needs, not leave the default.
+      .config("spark.sql.streaming.minBatchesToRetain", "20")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -128,10 +143,10 @@ object StreamLongevitySoak {
       val win = math.max(10, math.min(500, (n - warmup) / 3))
       val early = median(wall.slice(warmup, warmup + win).toSeq)
       val late = median(wall.takeRight(win).toSeq)
-      if (late > early * 3.0)
+      if (late > early * 2.0)
         violations += f"$name: median per-batch latency grew " +
-          f"${late / early}%.2fx (${early}%.0f -> ${late}%.0fms: " +
-          "per-batch cost is scaling with stream age)"
+          f"${late / early}%.2fx > 2.0x bound (${early}%.0f -> " +
+          f"${late}%.0fms: per-batch cost is scaling with stream age)"
       val snaps = (0 until n by 100).map { i =>
         val w = wall.slice(i, math.min(i + 100, n))
         s"""{"batch":${i + 100},"state_rows":${state(
@@ -193,10 +208,11 @@ object StreamLongevitySoak {
       val win = math.max(10, n / 4)
       val early = median(wall.slice(n / 8, n / 8 + win).toSeq)
       val late = median(wall.takeRight(win).toSeq)
-      if (late > early * 3.0)
+      if (late > early * 2.0)
         violations += f"foreach_batch_parquet: median per-batch latency " +
-          f"grew ${late / early}%.2fx with output age (${early}%.0f -> " +
-          f"${late}%.0fms: something lists the growing root per batch)"
+          f"grew ${late / early}%.2fx > 2.0x bound with output age " +
+          f"(${early}%.0f -> ${late}%.0fms: something lists the growing " +
+          "root per batch)"
       val snaps = (0 until n by 100).map { i =>
         val w = wall.slice(i, math.min(i + 100, n))
         s"""{"batch":${i + 100},"median_ms":${String.format(

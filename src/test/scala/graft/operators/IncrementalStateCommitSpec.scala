@@ -4,6 +4,21 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** RawLocalFileSystem whose setTimes throws, under scheme `notimes://`:
+  * models the object-store filesystems that refuse mtime updates —
+  * several surface the refusal as a plain IOException, not
+  * UnsupportedOperationException, so a setTimes-based lease refresh
+  * would kill every fold there. The writer lease must stay live through
+  * create+list+delete alone.
+  */
+class NoSetTimesFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("notimes:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long,
+      atime: Long): Unit =
+    throw new java.io.IOException(
+      "setTimes is not supported by the notimes:// store")
+}
+
 /** Atomicity laws of the incremental-dedup three-table state commit
   * (the manifest-flip protocol): a fold that crashes at ANY point
   * between its state writes leaves readers exactly the pre-fold state,
@@ -257,6 +272,91 @@ class IncrementalStateCommitSpec extends SparkSpec {
         } finally Dedup.dropIncrementalDedupState(spark, ref)
       } finally spark.conf.unset(leaseKey)
     } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("the writer lease heartbeats, refuses, and takes over on a store " +
+      "whose setTimes THROWS (content heartbeat — no mtime refresh " +
+      "anywhere in the protocol), with the lock rooted off-warehouse " +
+      "via lockRoot") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.notimes.impl", classOf[NoSetTimesFileSystem].getName)
+    val lockDir = java.nio.file.Files
+      .createTempDirectory("graft-notimes").toString
+    val lockKey = "spark.graft.incrementalDedup.lockRoot"
+    val leaseKey = "spark.graft.incrementalDedup.writerLeaseSec"
+    val p = s"iscnst_${System.nanoTime()}"
+    spark.conf.set(lockKey, s"notimes://$lockDir")
+    spark.conf.set(leaseKey, "1")
+    try {
+      val token = new org.apache.hadoop.fs.Path(
+        s"notimes://$lockDir", s"${p}_state_writer")
+      val fsys = token.getFileSystem(hconf)
+      // the stub really is the store this spec models
+      intercept[java.io.IOException](
+        fsys.setTimes(token, System.currentTimeMillis(), -1))
+      def sidecars() = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"notimes://$lockDir"))
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"${p}_state_writer.hb-")).toSeq
+      // a full fold heartbeats at every phase on this store and completes
+      val s1 = fold(batch1, p)
+      // completed fold released token AND sidecars
+      assert(!fsys.exists(token), "fold left its token behind")
+      assert(sidecars().isEmpty, "fold leaked heartbeat sidecars")
+      // direct heartbeat law: never throws here, and supersession keeps
+      // exactly one sidecar alive
+      Dedup.acquireStateWriter(spark, p)
+      Dedup.heartbeatStateWriter(spark, p)
+      Dedup.heartbeatStateWriter(spark, p)
+      assert(sidecars().size == 1,
+        s"expected one live sidecar after two beats, got ${sidecars()}")
+      Dedup.breakIncrementalDedupWriterLock(spark, p)
+      assert(sidecars().isEmpty, "release leaked sidecars")
+      // liveness without setTimes: a foreign holder's fresh token refuses
+      def plantForeign(): Unit = {
+        val out = fsys.create(token, true)
+        out.write("someone-else\tdeadbeef".getBytes("UTF-8")); out.close()
+      }
+      plantForeign()
+      val ex = intercept[IllegalStateException](fold(batch2, p))
+      assert(ex.getMessage.contains("locked by writer"))
+      // ... and a fresh SIDEcar naming that holder keeps the lease alive
+      // past the token's own age (this is the content heartbeat a live
+      // remote writer would be recording on a setTimes-less store)
+      Thread.sleep(3300) // token mtime now stale past 3x the 1s lease
+      val hb = new org.apache.hadoop.fs.Path(s"notimes://$lockDir",
+        s"${p}_state_writer.hb-test")
+      val out = fsys.create(hb, true)
+      out.write("someone-else".getBytes("UTF-8")); out.close()
+      val ex2 = intercept[IllegalStateException](fold(batch2, p))
+      assert(ex2.getMessage.contains("locked by writer"),
+        "a fresh holder-matching sidecar must keep the foreign lease alive")
+      // once the sidecar goes stale too, the takeover claims the lock
+      // and the fold matches an uninterrupted run
+      Thread.sleep(3300)
+      val ref = s"iscnstref_${System.nanoTime()}"
+      try {
+        spark.conf.unset(lockKey) // ref prefix locks in the warehouse
+        fold(batch1, ref)
+        val want = fold(batch2, ref)
+        spark.conf.set(lockKey, s"notimes://$lockDir")
+        assert(fold(batch2, p) == want,
+          "post-takeover fold diverged from the uninterrupted run")
+        assert(!fsys.exists(token) && sidecars().isEmpty,
+          "takeover fold left lock litter behind")
+      } finally {
+        spark.conf.unset(lockKey)
+        Dedup.dropIncrementalDedupState(spark, ref)
+        spark.conf.set(lockKey, s"notimes://$lockDir")
+      }
+      assert(s1 == Set(0L, 3L))
+    } finally {
+      spark.conf.unset(leaseKey)
+      try Dedup.dropIncrementalDedupState(spark, p)
+      finally spark.conf.unset(lockKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(lockDir))
+    }
   }
 
   test("the mid-fold heartbeat dies loudly when the lock was lost: a " +

@@ -119,9 +119,13 @@ class BenchDiffSpec extends AnyFunSuite with Matchers {
     val b = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(),
       Seq(0.55, 1.00, 1.90, 1.05)))
     b.calibrationSpread.get should be > 1.5
-    // one-sample series (no passes): used as-is, no spread
+    // one-sample series holds ONLY the cold-position pre-suite sample:
+    // dropped whole (no median, no spread, no host factor) — using it
+    // would compare an unlike-positioned sample against another
+    // artifact's in-suite median, the exact ~1.8x skew the split removes
     val c = BenchDiff.parse(withCalib(art("q01" -> 1.0)()(), Seq(0.7)))
-    c.calibrationMedian shouldBe Some(0.7)
+    c.inSuiteCalibration shouldBe empty
+    c.calibrationMedian shouldBe None
     c.calibrationSpread shouldBe None
   }
 
@@ -141,8 +145,10 @@ class BenchDiffSpec extends AnyFunSuite with Matchers {
 
   test("host factor only excuses, never tightens (clamped at 1.0 below), " +
       "and caps at 2.0 (past that the caller refuses to certify)") {
-    val slow = BenchDiff.parse(withCalib(art("a" -> 1.0)()(), Seq(1.0)))
-    val fast = BenchDiff.parse(withCalib(art("a" -> 1.0)()(), Seq(0.4)))
+    val slow = BenchDiff.parse(withCalib(art("a" -> 1.0)()(),
+      Seq(0.8, 1.0, 1.0)))
+    val fast = BenchDiff.parse(withCalib(art("a" -> 1.0)()(),
+      Seq(0.3, 0.4, 0.4)))
     // current host FASTER than baseline: factor stays 1.0 — a real
     // regression must not hide behind a fast host
     BenchDiff.hostFactor(slow, fast) shouldBe 1.0
@@ -151,5 +157,17 @@ class BenchDiffSpec extends AnyFunSuite with Matchers {
     val old = BenchDiff.parse(art("a" -> 1.0)()())
     BenchDiff.hostFactor(old, fast) shouldBe 1.0
     BenchDiff.hostFactor(fast, old) shouldBe 1.0
+    // a one-sample series is a cold-position pre-suite sample, not an
+    // in-suite median: no normalization off it in either direction
+    val one = BenchDiff.parse(withCalib(art("a" -> 1.0)()(), Seq(0.4)))
+    BenchDiff.hostFactor(one, slow) shouldBe 1.0
+    BenchDiff.hostFactor(slow, one) shouldBe 1.0
+  }
+
+  test("calibration_estimator parses and defaults empty on older artifacts") {
+    val tagged = BenchDiff.parse(art("a" -> 1.0)()().dropRight(1) +
+      ""","calibration_estimator":"min3"}""")
+    tagged.calibrationEstimator shouldBe "min3"
+    BenchDiff.parse(art("a" -> 1.0)()()).calibrationEstimator shouldBe ""
   }
 }

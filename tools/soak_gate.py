@@ -206,31 +206,36 @@ def main(json_path, err_path, budgets=None):
             continue
         t = qs[name]
         note = ""
-        # Host inflation can only make a min SLOWER, never faster, so a
-        # within-ceiling number is trustworthy regardless of probes —
-        # the probes matter only to adjudicate an OVER. The adjudication
-        # is binary, not a re-min: qs[name] is already the min over ALL
+        # Certify-or-refuse, PER QUERY (the live-proven bench-gate rule,
+        # adopted for the soaks after SOAK_SF3_r18b recorded x115
+        # swinging 187.9 -> 59.0s between runs with max_spread 2.39
+        # unenforced): a query whose EVERY bracketing probe was degraded
+        # is uncertifiable regardless of its ceiling verdict — a
+        # within-ceiling pass on an all-degraded phase would launder a
+        # contended reading into the artifact (and the rung artifacts
+        # are where future calibrations/ceilings are quoted from; x117's
+        # contended-provenance 516s ceiling is how a 10x regression
+        # could have passed silently). With at least one quiet run:
+        # host inflation can only make a min SLOWER, never faster, so a
+        # within-ceiling min is trustworthy, and an OVER stands
+        # certified on the quiet run's own probe. The adjudication is
+        # binary, not a re-min: qs[name] is already the min over ALL
         # runs, so a min over any quiet SUBSET can never come in lower
-        # and flip the verdict. What the probes genuinely decide is
-        # whether the OVER is evidence of the code or of the host: with
-        # no quiet-bracketed run at all, every sample sat in a degraded
-        # window and the verdict is "uncertifiable, re-run"; with at
-        # least one quiet run that is still over, the regression is
-        # certified by that run's own probe and the OVER stands.
-        if t > ceil and per_run \
-                and name in run_times and name in run_probes:
+        # and flip the verdict.
+        if per_run and name in run_times and name in run_probes:
             pairs = list(zip(run_times[name], run_probes[name]))
             quiet = [tt for tt, p in pairs if p <= quiet_probe]
             if not quiet:
                 failures.append(
-                    f"{name}: {t:.1f}s over ceiling {ceil:.1f}s but NO "
+                    f"{name}: {t:.1f}s (ceiling {ceil:.1f}s) has NO "
                     f"quiet-bracketed run (probes "
                     f"{[round(p, 2) for _, p in pairs]} all > "
                     f"{quiet_probe:.2f}s) — uncertifiable, re-run")
                 print(f"{name:32s} {t:8.2f} {ceil:8.1f}  NO-QUIET-RUN")
                 continue
-            note = (f" (certified: best quiet run {min(quiet):.2f}s over "
-                    f"{len(quiet)}/{len(pairs)} quiet runs)")
+            if t > ceil:
+                note = (f" (certified: best quiet run {min(quiet):.2f}s "
+                        f"over {len(quiet)}/{len(pairs)} quiet runs)")
         verdict = "ok" if t <= ceil else "OVER"
         if t > ceil:
             failures.append(
