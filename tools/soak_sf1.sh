@@ -31,7 +31,16 @@ mkdir -p "$(dirname "$OUT")"
 #    soaked, within budget.
 ONLY='^(x69_|x70_|x44_|x65_|x49_|x89_|x53_|x88_|x42_|x48_|x29_|x75_|x94_|x63_|x43_|x117_|x100_|x91_|x103_|x74_|x115_|x109_|x118_|x119_|x120_|x121_|x122_|x123_|x124_|x125_|x126_|x127_|x128_|x130_|x131_)'
 echo "[soak] benching $(echo "$ONLY" | tr '|' '\n' | wc -l) queries at $SF1"
-SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPEATS=1 \
+# min-of-2, not single-shot: the round-19 x117 adjudication showed a
+# query's FIRST run in a loaded JVM carries a nondeterministic 2-13x
+# transient (x117: solo min-of-5 10.2s, spread 1.07; first-run-after-
+# prefix 21-130s across identical quiet-probe runs; repeat runs 10-15s;
+# not GC/spill/host/code-cache/compiler-threads — kernel counters clean,
+# probes mostly quiet). A REPEATS=1 artifact records that transient as
+# the query's cost; min-of-2 records steady state, which is what the
+# ceilings are calibrated against.
+SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_REPEATS="${SPARK_GRAFT_REPEATS:-2}" \
 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
 SPARK_GRAFT_CALIBRATE_EACH=1 \
 SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_BENCH_OUT="$OUT" \

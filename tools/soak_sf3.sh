@@ -24,7 +24,13 @@ fi
 OUT="${1:-target/soak_sf3.json}"
 ERR="${OUT%.json}.err"
 mkdir -p "$(dirname "$OUT")"
-ONLY='^(x42_|x74_|x115_|x127_|x63_|x36_|x26_|x94_|x131_|x91_|x109_|x122_|x100_|x103_|x75_)'
+# x36 (the exact O(n^2) SemDeDup verification arm) is DELIBERATELY not
+# in the rung: it cost 65-99s of every run to exercise a
+# contract-documented verification-only plan. Its exact-vs-LSH parity
+# law is asserted by tools/run.sh graft.tools.SemDedupParitySf1 (sf1,
+# once per round) + SimilaritySpec's planted-cluster spec; x131 carries
+# the production LSH path's sf3 budget.
+ONLY='^(x42_|x74_|x115_|x127_|x63_|x26_|x94_|x131_|x91_|x109_|x122_|x100_|x103_|x75_)'
 echo "[soak-sf3] benching the stateful-tier subset at $SF3"
 SPARK_GRAFT_SF_DIR="$SF3" SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_REPEATS="${SPARK_GRAFT_REPEATS:-2}" \
