@@ -15,70 +15,74 @@ Fails (exit 1) when:
   - any query exceeds its wall-clock ceiling (seconds);
   - any run line reports disk spill above SPILL_MB (default 1 MB).
 
-Ceilings are ~5x the quiet-host sf1 measurements from the round-15
-calibration run: generous enough to ride the documented 1.5-2x degraded
-host phases, tight enough that a quadratic blowup (the x74 178x / x115
-60x class this gate exists for) cannot pass. Recalibrate deliberately —
-a ceiling bump must cite a measurement, not silence a failure.
+Ceilings are 5x the quiet steady-state (min-of-2) sf1 measurements of
+SOAK_SF1_r19.json — see the BUDGETS header for the round-19 whole-table
+recalibration rationale. Recalibrate deliberately — a ceiling bump must
+cite a measurement, not silence a failure.
 """
 import json
 import re
 import sys
 
-# query -> (ceiling_sec, calibration_sec at round 15)
+# query -> (ceiling_sec, calibration_sec). Recalibrated WHOLE-TABLE in
+# round 19 from SOAK_SF1_r19.json — a min-of-2, per-run-probe,
+# every-query-quiet-bracketed clean-tree run — after the x117
+# adjudication showed the r15-era single-shot calibrations carried the
+# first-run JVM transient (X117_TRANSIENT_r19.json: first runs 2-13x
+# their steady state; e.g. x115's old 30.79 vs 8.00 steady, x131's
+# 57.54 vs 14.24, and x117's 103.27 was additionally CONTENDED — 26.4s
+# solo that same r15 round). One rule, one provenance: calibration =
+# the artifact's min-of-2, ceiling = max(15, 5 x calibration) — wide
+# enough for quiet-run variance and the residual transient risk on
+# both runs, tight enough that a quadratic blowup (the x74 178x / x115
+# 60x class this gate exists for) cannot pass. The gate refuses any
+# query with no quiet-bracketed run, so a degraded-phase number can
+# neither pass nor become a future calibration. Recalibrate
+# deliberately — a ceiling bump must cite a measurement, not silence a
+# failure.
 BUDGETS = {
-    "x100_rangejoin_rewrite": (74, 14.89),
-    "x103_rangejoin_time": (77, 15.36),
-    "x109_quantile_profile": (86, 17.27),
-    "x115_prefix_filter_pairs": (154, 30.79),
-    # round-19 adjudication (SOLO_X117_SF1_r19.json, min-of-5, every
-    # probe 0.34-0.40s quiet): solo steady state 10.15s, conf spread
-    # 1.07 — the r15 103.27s provenance was a contended mid-suite
-    # reading (26.4s solo that same round) and the r18 136-159s soak
-    # readings were the first-run-in-context JVM transient
-    # (X117_TRANSIENT_r19.json: 21-130s first runs, 9.7-14.8s repeats,
-    # identical shuffle, no GC/spill). Ceiling ~5x the steady-state
-    # in-context repeat (~15s) now that the soak records min-of-2.
-    "x117_dedup_sweep": (75, 10.15),
-    "x118_rangejoin_decimal": (15, 1.33),
-    "x119_rangejoin_semi": (15, 2.53),
-    "x120_rangejoin_anti": (15, 2.18),
-    "x121_reconcile_examples": (20, 3.98),
-    "x122_grouped_quantiles": (15, 1.11),
-    "x123_block_profile": (15, 0.43),
-    "x124_cross_prefix_pairs": (52, 10.44),
-    "x125_rangejoin_anti_overlap": (84, 16.87),
-    "x126_embedding_checksums": (15, 0.19),
-    "x127_guarded_fuzzy": (15, 1.57),
-    "x128_guard_accounting": (15, 1.26),
-    "x130_rangejoin_overlap_router": (15, 0.29),
-    # quiet-bracketed sf1 min from SOAK_SF1_r18.json (probe 0.62s): the
-    # LSH semdedup arm over base + 2 planted copies; the cost is the
-    # K-copy corpus's true near-dup mass (clusters of 30 at K=10)
-    "x131_semdedup_lsh": (230, 57.54),
-    "x29_quality_classifier": (24, 4.86),
-    "x42_incremental_dedup": (22, 4.30),
-    "x43_corpus_funnel": (29, 5.74),
-    "x44_merge_upsert": (15, 1.77),
-    "x48_packing": (23, 4.67),
-    "x49_stats_skipping": (24, 4.87),
-    "x53_partitioned_skipping": (15, 2.29),
-    "x63_cross_neardup": (46, 9.17),
-    "x65_cosine_pairs": (15, 2.54),
-    "x69_bpe_train": (15, 2.01),
-    "x70_bpe_encode": (15, 1.71),
-    "x74_fuzzy_match": (108, 21.53),
-    "x75_textrank": (31, 6.11),
-    "x88_change_feed": (21, 4.22),
-    "x89_bloom_skipping": (18, 3.55),
-    "x91_concurrent_sessions": (87, 17.48),
-    "x94_dedup_best_quality": (45, 8.95),
+    "x100_rangejoin_rewrite": (51, 10.08),
+    "x103_rangejoin_time": (64, 12.60),
+    "x109_quantile_profile": (93, 18.58),
+    "x115_prefix_filter_pairs": (41, 8.00),
+    "x117_dedup_sweep": (46, 9.14),
+    "x118_rangejoin_decimal": (15, 0.73),
+    "x119_rangejoin_semi": (15, 1.93),
+    "x120_rangejoin_anti": (15, 2.01),
+    "x121_reconcile_examples": (16, 3.05),
+    "x122_grouped_quantiles": (15, 1.01),
+    "x123_block_profile": (15, 0.34),
+    "x124_cross_prefix_pairs": (41, 8.15),
+    "x125_rangejoin_anti_overlap": (90, 17.91),
+    "x126_embedding_checksums": (15, 0.16),
+    "x127_guarded_fuzzy": (15, 1.17),
+    "x128_guard_accounting": (15, 0.86),
+    "x130_rangejoin_overlap_router": (15, 0.23),
+    "x131_semdedup_lsh": (72, 14.24),
+    "x29_quality_classifier": (29, 5.72),
+    "x42_incremental_dedup": (16, 3.10),
+    "x43_corpus_funnel": (26, 5.00),
+    "x44_merge_upsert": (15, 1.25),
+    "x48_packing": (19, 3.79),
+    "x49_stats_skipping": (19, 3.73),
+    "x53_partitioned_skipping": (15, 2.00),
+    "x63_cross_neardup": (42, 8.29),
+    "x65_cosine_pairs": (15, 1.87),
+    "x69_bpe_train": (15, 1.68),
+    "x70_bpe_encode": (15, 1.42),
+    "x74_fuzzy_match": (46, 9.20),
+    "x75_textrank": (28, 5.40),
+    "x88_change_feed": (16, 3.13),
+    "x89_bloom_skipping": (15, 2.68),
+    "x91_concurrent_sessions": (72, 14.30),
+    "x94_dedup_best_quality": (44, 8.64),
 }
 
 # The sf3 scale rung (tools/gen_sf1.py <dir> 30 = 30x sf0.1): the
 # guarded stateful dedup/ER/ANN subset plus the superlinear-risk tiers
 # the round-17 verdict listed (overlap join, profiles, rangejoin
-# rewrites, textrank) and BOTH semdedup arms. Every calibration below
+# rewrites, textrank) and the production LSH semdedup arm (x36's exact
+# verification arm left the rung in round 19). Every calibration below
 # is the quiet-bracketed min of the round-18 rung artifact
 # (SOAK_SF3_r18.json, per-run probes; one number per query, quoted
 # verbatim in the tuple), and every ceiling is ~4x its calibration
