@@ -199,11 +199,38 @@ object Bench {
     // stderr AND land in the artifact's "failed" list.
     val failedQueries =
       scala.collection.mutable.LinkedHashSet.empty[String]
+    // Stall sampler: the round-19 transient adjudication found host/JVM
+    // compute stalls that inflate a query 2-13x while the BRACKETING
+    // probes stay quiet (the stall starts and ends inside the query's
+    // own window — X117_TRANSIENT_r19.json). Probes can never see
+    // inside a run; this daemon thread can: it sleeps 100ms in a loop
+    // and accumulates every oversleep beyond 150ms — a sleeping thread
+    // cannot be late unless the scheduler starved it or the JVM paused
+    // (GC, safepoint, host steal), so the accumulated oversleep IS the
+    // stall time of the window, measured from inside it. Per-run stall
+    // seconds land in the run line and the artifact ("stall" map, min-
+    // run-aligned), so a future inflated reading carries its own
+    // adjudication: high stall = environment, low stall = the code.
+    val stallNanos = new java.util.concurrent.atomic.AtomicLong
+    locally {
+      val t = new Thread(() => {
+        while (true) {
+          val t0 = System.nanoTime()
+          try Thread.sleep(100) catch { case _: InterruptedException => }
+          val over = System.nanoTime() - t0 - 150000000L
+          if (over > 0) stallNanos.addAndGet(over)
+        }
+      }, "graft-stall-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+    val stallByQuery =
+      scala.collection.mutable.Map[String, Vector[Double]]()
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
       resetPeakHeap()
       val t0 = System.nanoTime()
-      val s0 = (shuffleBytes.get, spillBytes.get, gcMillis)
+      val s0 = (shuffleBytes.get, spillBytes.get, gcMillis, stallNanos.get)
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           failedQueries += name
@@ -212,10 +239,14 @@ object Bench {
             String.valueOf(e.getMessage).replace('\n', ' ').take(300))
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val stallSec = (stallNanos.get - s0._4) / 1e9
+      stallByQuery(name) = stallByQuery.getOrElse(name, Vector.empty) :+
+        stallSec
       System.err.println(f"[bench] $name%-28s run$r ${dt}%6.2fs " +
         f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
         f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB " +
         f"gc=${(gcMillis - s0._3) / 1000.0}%5.2fs " +
+        f"stall=${stallSec}%5.2fs " +
         f"peakHeap=${peakHeapBytes / 1048576}%6dMB")
       dt
     }
@@ -297,6 +328,14 @@ object Bench {
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + num(s, 2) }
       .mkString("{", ",", "}")
+    // the min-run-aligned stall: the in-window starvation seconds of
+    // exactly the run whose wall time the artifact records — runOnce
+    // appends to stallByQuery in the same order as dts, retries included
+    val stalls = results.map { case (k, dts, _) =>
+      val ss = stallByQuery.getOrElse(k, Vector.empty)
+      val i = dts.indexOf(dts.min)
+      "\"" + k + "\":" + num(if (i >= 0 && i < ss.length) ss(i) else 0.0, 2)
+    }.mkString("{", ",", "}")
     val atts = results.map { case (k, dts, _) => "\"" + k + "\":" + dts.length }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, dts, _) =>
@@ -322,7 +361,8 @@ object Bench {
       s""","calibration_sec":$calib,"calibration_estimator":"min3"""" +
       s""","head_commit":"$headCommit","git_dirty":$gitDirty""" +
       s""","runs":$runsJson$probesJson""" +
-      s""","spread":$spreads,"attempts":$atts,"contaminated":$contaminated}"""
+      s""","spread":$spreads,"stall":$stalls,"attempts":$atts""" +
+      s""","contaminated":$contaminated}"""
     println(json)
     // stdout can be tail-truncated by the harness (r07 lost the timings
     // map that way) — also land the artifact on disk so per-query numbers
