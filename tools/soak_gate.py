@@ -251,10 +251,20 @@ def main(json_path, err_path, budgets=None):
                 note = (f" (certified: best quiet run {min(quiet):.2f}s "
                         f"over {len(quiet)}/{len(pairs)} quiet runs)")
         verdict = "ok" if t <= ceil else "OVER"
+        # in-window stall (r19+ artifacts): starvation seconds of the
+        # exact run whose wall time the artifact records. On an OVER it
+        # is the first adjudication to read — a stall near the excess is
+        # the probe-invisible environment class (re-run), a ~0 stall
+        # points at the code.
+        stall = art.get("stall", {}).get(name)
         if t > ceil:
+            stall_note = (f"; min-run stall {stall:.1f}s"
+                          if stall is not None else "")
             failures.append(
                 f"{name}: {t:.1f}s exceeds ceiling {ceil:.1f}s "
-                f"(calibration {cal:.1f}s)")
+                f"(calibration {cal:.1f}s{stall_note})")
+        elif stall is not None and stall > 1.0:
+            note += f" (stall {stall:.1f}s in recorded run)"
         print(f"{name:32s} {t:8.2f} {ceil:8.1f}  {verdict}{note}")
     for q in art.get("failed", []):
         failures.append(f"{q}: query FAILED during the bench run "
