@@ -199,71 +199,12 @@ object Bench {
     // stderr AND land in the artifact's "failed" list.
     val failedQueries =
       scala.collection.mutable.LinkedHashSet.empty[String]
-    // Stall sampler: the round-19 transient adjudication found host/JVM
-    // compute stalls that inflate a query 2-13x while the BRACKETING
-    // probes stay quiet (the stall starts and ends inside the query's
-    // own window — X117_TRANSIENT_r19.json). Probes can never see
-    // inside a run; this daemon thread can. Two complementary meters,
-    // both accumulated into the same counter:
-    //  - SLEEP OVERSLEEP (suspension meter): sleep 100ms, accumulate
-    //    lateness beyond 150ms. Catches whole-JVM/vCPU pauses (GC,
-    //    safepoint, host freeze) — but NOT fair-share CPU contention:
-    //    validated by experiment, 64 spinning processes inflated
-    //    queries 2-7x while a sleeper woke on time every round (CFS
-    //    boosts sleeper wakeups).
-    //  - SPIN STARVATION (contention meter): after each sleep, spin a
-    //    fixed integer loop sized to ~25ms and accumulate the spin's
-    //    WALL minus THREAD-CPU time — exactly the nanoseconds the
-    //    runnable sampler was preempted or paused, by direct
-    //    measurement. The length matters and was validated by
-    //    experiment: CFS wakeup-placement credit lets a freshly-woken
-    //    thread run UNPREEMPTED for roughly a scheduling latency, so a
-    //    short (~3ms) post-sleep spin measured ZERO under an induced
-    //    3x starvation that inflated the benched queries 2x — both a
-    //    2x-of-minimum test and wall-minus-cpu on the short spin are
-    //    blind. A ~25ms spin outlives the credit and its tail takes
-    //    the preemption. The spin samples ~20% of the timeline, so the
-    //    map reads as an INDICATOR (~0 vs clearly positive), not a
-    //    wall-clock decomposition. Cost: ~24% of ONE thread = ~0.75%
-    //    of a 32-core box (sub-noise for the gates; constant across
-    //    rounds from here on).
-    // Per-run stall seconds land in the run line and the artifact
-    // ("stall" map, min-run-aligned), so a future inflated reading
-    // carries its own adjudication: stall clearly positive =
-    // environment, ~0 = the code.
-    val stallNanos = new java.util.concurrent.atomic.AtomicLong
-    locally {
-      val tmx = java.lang.management.ManagementFactory.getThreadMXBean
-      val cpuTimeWorks = tmx.isCurrentThreadCpuTimeSupported
-      val t = new Thread(() => {
-        var sink = 0L
-        while (true) {
-          val t0 = System.nanoTime()
-          try Thread.sleep(100) catch { case _: InterruptedException => }
-          val afterSleep = System.nanoTime()
-          val over = afterSleep - t0 - 150000000L
-          if (over > 0) stallNanos.addAndGet(over)
-          if (cpuTimeWorks) {
-            val c0 = tmx.getCurrentThreadCpuTime
-            var i = 0
-            var x = afterSleep | 1L
-            while (i < 8000000) {
-              x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-              i += 1
-            }
-            sink += x
-            val starved = (System.nanoTime() - afterSleep) -
-              (tmx.getCurrentThreadCpuTime - c0)
-            // 3ms floor: clock-granularity jitter between the two
-            // clocks reads as sub-ms phantom starvation on a quiet host
-            if (starved > 3000000L && sink != 1L)
-              stallNanos.addAndGet(starved)
-          }
-        }
-      }, "graft-stall-sampler")
-      t.setDaemon(true)
-      t.start()
-    }
+    // In-window stall meter (see graft.tools.StallSampler for the
+    // design and its validation history). Per-run stall seconds land in
+    // the run line and the artifact ("stall" map, min-run-aligned), so
+    // a future inflated reading carries its own adjudication: stall
+    // clearly positive = environment, ~0 = the code.
+    val stallNanos = graft.tools.StallSampler.start()
     val stallByQuery =
       scala.collection.mutable.Map[String, Vector[Double]]()
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession,

@@ -95,7 +95,11 @@ object StateGrowthSoak {
       s"[state-soak] $total docs, $nFolds folds, warehouse=$warehouse")
 
     graft.operators.Dedup.dropIncrementalDedupState(spark, prefix)
+    // in-window stall meter (graft.tools.StallSampler): per-fold stall
+    // adjudicates a slow fold from inside its own window
+    val stallNanos = StallSampler.start()
     val foldSec = Array.ofDim[Double](nFolds)
+    val foldStall = Array.ofDim[Double](nFolds)
     val probes = Array.ofDim[Double](nFolds)
     val survivors = Array.ofDim[Long](nFolds)
     val fBands = Array.ofDim[Int](nFolds)
@@ -105,6 +109,7 @@ object StateGrowthSoak {
       val lo = cuts(i)
       val hi = if (i == nFolds - 1) cuts(i + 1) + 1 else cuts(i + 1)
       val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val st0 = stallNanos.get
       val t0 = System.nanoTime()
       val surv = graft.operators.Dedup.incrementalMinhashDedup(batch,
         prefix, "text", "doc_id", threshold = 0.8, buckets = buckets,
@@ -112,12 +117,14 @@ object StateGrowthSoak {
       survivors(i) = surv.count()
       surv.unpersist()
       foldSec(i) = (System.nanoTime() - t0) / 1e9
+      foldStall(i) = (stallNanos.get - st0) / 1e9
       probes(i) = calibrate()
       fBands(i) = partFiles(s"${prefix}_bands")
       fShingles(i) = partFiles(s"${prefix}_shingles")
       fCounts(i) = partFiles(s"${prefix}_bucket_counts")
       System.err.println(f"[state-soak] fold $i%2d [$lo%8d,$hi%8d): " +
-        f"${foldSec(i)}%6.2fs probe=${probes(i)}%5.2fs " +
+        f"${foldSec(i)}%6.2fs stall=${foldStall(i)}%5.2fs " +
+        f"probe=${probes(i)}%5.2fs " +
         f"surv=${survivors(i)}%6d files b/s/c=" +
         s"${fBands(i)}/${fShingles(i)}/${fCounts(i)}")
     }
@@ -172,6 +179,7 @@ object StateGrowthSoak {
     val json =
       s"""{"metric":"state_growth_soak","folds":$nFolds,"sf":"$sfDir"""" +
       s""","per_fold_sec":${arr(foldSec.toSeq)}""" +
+      s""","per_fold_stall_sec":${arr(foldStall.toSeq)}""" +
       s""","calibration_runs":${arr(probes.toSeq)}""" +
       s""","survivors":${survivors.mkString("[", ",", "]")}""" +
       s""","files_bands":${fBands.mkString("[", ",", "]")}""" +

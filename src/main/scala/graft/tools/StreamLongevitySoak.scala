@@ -91,6 +91,9 @@ object StreamLongevitySoak {
     val gitDirty = sh(Seq("git", "status", "--porcelain"))
       .map(_.nonEmpty).getOrElse(false)
 
+    // in-window stall meter (graft.tools.StallSampler): per-phase stall
+    // separates "the stream slowed" from "the host/JVM starved it"
+    val stallNanos = StallSampler.start()
     val baseMs = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val types = (0 until 8).map(i => s"type_$i")
     val violations = scala.collection.mutable.ArrayBuffer[String]()
@@ -98,9 +101,11 @@ object StreamLongevitySoak {
 
     /** Drive `build(stream)` for `nBatches` micro-batches; returns
       * (per-batch wall ms, per-batch committed state rows). */
+    val phaseStall = scala.collection.mutable.Map[String, Double]()
     def drive(name: String, nBatches: Int,
         build: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
         : (Vector[Double], Vector[Long]) = {
+      val st0 = stallNanos.get
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val input = MemoryStream[(Timestamp, Long, String, Double)]
       val q = build(input.toDF()
@@ -129,6 +134,9 @@ object StreamLongevitySoak {
         }
       }
       q.stop()
+      phaseStall(name) = (stallNanos.get - st0) / 1e9
+      System.err.println(f"[stream-soak] $name phase stall: " +
+        f"${phaseStall(name)}%.2fs over $nBatches batches")
       (wall.result(), stateRows.result())
     }
 
@@ -155,6 +163,8 @@ object StreamLongevitySoak {
           java.lang.Double.valueOf(median(w.toSeq)))}}"""
       }
       phaseJson += s""""$name":{"batches":$n,"state_bound":$stateBound""" +
+        s""","stall_sec":${String.format(java.util.Locale.ROOT, "%.2f",
+          java.lang.Double.valueOf(phaseStall.getOrElse(name, 0.0)))}""" +
         s""","early_median_ms":${String.format(java.util.Locale.ROOT,
           "%.1f", java.lang.Double.valueOf(early))}""" +
         s""","late_median_ms":${String.format(java.util.Locale.ROOT,
@@ -220,6 +230,9 @@ object StreamLongevitySoak {
           java.lang.Double.valueOf(median(w.toSeq)))}}"""
       }
       phaseJson += s""""foreach_batch_parquet":{"batches":$n""" +
+        s""","stall_sec":${String.format(java.util.Locale.ROOT, "%.2f",
+          java.lang.Double.valueOf(
+            phaseStall.getOrElse("foreach_batch_parquet", 0.0)))}""" +
         s""","early_median_ms":${String.format(java.util.Locale.ROOT,
           "%.1f", java.lang.Double.valueOf(early))}""" +
         s""","late_median_ms":${String.format(java.util.Locale.ROOT,

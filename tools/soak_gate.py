@@ -82,73 +82,43 @@ BUDGETS = {
 # guarded stateful dedup/ER/ANN subset plus the superlinear-risk tiers
 # the round-17 verdict listed (overlap join, profiles, rangejoin
 # rewrites, textrank) and the production LSH semdedup arm (x36's exact
-# verification arm left the rung in round 19). Every calibration below
-# is the quiet-bracketed min of the round-18 rung artifact
-# (SOAK_SF3_r18.json, per-run probes; one number per query, quoted
-# verbatim in the tuple), and every ceiling is ~4x its calibration
-# (two stated exceptions: sub-5s queries keep a 10s-class floor since
-# fixed costs dominate their variance, and x115's ceiling also covers
-# r17's noisier 53.4s measurement) — one rule, no narrative/table
-# drift. The sf1 -> sf3 growth of each
-# calibration is EXPLAINED, not just observed — the gate exists to
-# catch a growth whose explanation is missing:
-#   x42   3.9s  (vs 4.3 sf1: near-linear — state-commit is
-#                metadata-only, one history scan per fold)
-#   x74  53.9s  (vs 21.5 sf1, 2.5x: block sizes grow with the copy
-#                count K; the budget guard bounds within-block pairs)
-#   x115 28.7s  (vs 30.8 sf1: the TRUE pair output grows ~K^2 = 9x
-#                from sf1's K=10 — real answer rows — but the guarded
-#                prefix filter absorbs it; r17 measured 53.4s on a
-#                noisier host, the ceiling covers both)
-#   x127  1.8s  (guard-bounded by the pair budget: flat)
-#   x63  16.8s  (vs 9.2 sf1, 1.8x: bucketed cross-corpus join,
-#                sublinear in the candidate cap)
-#   x36  66.8s  (the EXACT O(n^2) verification arm by design — n grows
-#                3x, comparisons 9x; the production LSH path is x131)
-#   x131 80.5s  (first gated measurement of the production LSH arm:
-#                8.2GB shuffle, zero spill. The cost IS the corpus's
-#                true near-dup mass — 2000 clusters of 90 near-copies
-#                = ~8M real pairs to cosine-verify + CC, the same K^2
-#                answer-row law as x115. The 813s/57GB-spill collapse
-#                this rung caught (fixed nPlanes=8) is what
-#                recommendedPlanes sizing now prevents)
-#   x26  20.6s  (distributed-CC regime: 30-copy clusters push edges
-#                past the driver union-find bound; pointer-doubled
-#                label propagation)
-#   x94  84.2s  (best-quality representative over the same
-#                K^2-growing candidate stream as x115; spans 54.6-84.2
-#                across quiet-bracketed runs — min-of-2 variance on a
-#                CC-iteration query, the 220s ceiling covers the span)
-#   x100 37.7s  (vs 14.9 sf1, 2.5x for 3x data: the rewrite keeps the
-#                bucketed band join — linear)
-#   x103 38.6s  (vs 15.4 sf1, 2.5x: linear, same rewrite family)
-#   x109 44.8s  (vs 17.3 sf1, 2.6x: linear — quantile value-map state
-#                is bounded by distinct counts, proven at 30x)
-#   x122  5.9s  (vs 1.1 sf1, 5.3x: grouped-quantile state grows with
-#                group count x distinct values per group; bounded)
-#   x75  10.6s  (vs 6.1 sf1, 1.7x: vocab-bounded PageRank state,
-#                edges grow linearly with the corpus)
-#   x91   3.9s  (interval-overlap join: the time axis grows with the
-#                copy count, so per-bucket session density is
-#                SF-invariant and cost is ~linear in session count)
+# verification arm left the rung in round 19). Recalibrated to the
+# SAME rule as the sf1 table in round 19: calibration = the MIN over
+# the committed quiet min-of-2 rung artifacts (SOAK_SF3_r18.json and
+# the stall-instrumented SOAK_SF3_r19b.json, host ratio 0.77x — the
+# min-of-k estimator the query timings themselves use, across runs we
+# can certify), ceiling = max(15, 5 x calibration). The r19b run
+# materially LOWERED several calibrations the r18-era numbers had
+# carried inflated (x94 84.2 -> 34.3, x131 80.5 -> 58.1, x122 5.9 ->
+# 2.8 — the first-run-transient/stall class the round adjudicated),
+# and its per-query stall annotations mark what residue remains
+# (x109's recorded run carried 7.3s of sampled stall). The sf1 -> sf3
+# growth story per query is unchanged from the r18 analysis: state
+# commits are metadata-only (x42 flat), guarded tiers are
+# budget-bounded (x127/x74), true-pair output grows ~K^2 as real
+# answer rows absorbed by the prefix filter (x115) and the LSH
+# near-dup mass (x131), CC is pointer-doubled past the driver bound
+# (x26), profiles are distinct-count-bounded (x109/x122), PageRank is
+# vocab-bounded (x75), and the overlap join's per-bucket density is
+# SF-invariant (x91).
 SF3_BUDGETS = {
-    "x100_rangejoin_rewrite": (160, 37.7),
-    "x103_rangejoin_time": (190, 38.6),
-    "x109_quantile_profile": (210, 44.8),
-    "x115_prefix_filter_pairs": (200, 28.7),
-    "x122_grouped_quantiles": (20, 5.9),
-    "x127_guarded_fuzzy": (10, 1.8),
-    "x131_semdedup_lsh": (380, 80.5),
-    "x26_minhash_dedup_cc": (107, 20.6),
-    # x36 left the rung in round 19 (its 66.8s exact arm is a
+    "x100_rangejoin_rewrite": (189, 37.70),
+    "x103_rangejoin_time": (193, 38.60),
+    "x109_quantile_profile": (213, 42.53),
+    "x115_prefix_filter_pairs": (144, 28.70),
+    "x122_grouped_quantiles": (15, 2.80),
+    "x127_guarded_fuzzy": (15, 1.62),
+    "x131_semdedup_lsh": (291, 58.09),
+    "x26_minhash_dedup_cc": (103, 20.60),
+    # x36 left the rung in round 19 (its exact arm is a
     # verification-only plan; parity vs the LSH arm is asserted by
     # graft.tools.SemDedupParitySf1 once per round instead)
-    "x42_incremental_dedup": (20, 3.9),
-    "x63_cross_neardup": (75, 16.8),
-    "x74_fuzzy_match": (210, 53.9),
-    "x75_textrank": (56, 10.6),
-    "x91_concurrent_sessions": (16, 3.9),
-    "x94_dedup_best_quality": (220, 84.2),
+    "x42_incremental_dedup": (20, 3.90),
+    "x63_cross_neardup": (84, 16.80),
+    "x74_fuzzy_match": (254, 50.73),
+    "x75_textrank": (53, 10.60),
+    "x91_concurrent_sessions": (19, 3.76),
+    "x94_dedup_best_quality": (172, 34.31),
 }
 
 
