@@ -141,9 +141,17 @@ object Bench {
       System.err.println(f"[bench] probe warmup: $tries runs to " +
         f"stabilize at $prev%.2fs")
     }
-    warmProbe()
+    // SPARK_GRAFT_NO_PROBES=1: strip the probe machinery entirely
+    // (warmProbe, the initial and per-pass calibratePoints) while
+    // keeping the JIT/codegen warmup — the A/B arm for quantifying the
+    // r17+ harness constant (probe/warmup JVM pollution) on the full
+    // suite. Artifacts from this mode carry an empty calibration series
+    // and are NOT certifiable by the gates; measurement-methodology
+    // experiments only.
+    val noProbes = sys.env.get("SPARK_GRAFT_NO_PROBES").contains("1")
+    if (!noProbes) warmProbe()
     val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
-    calibrations += calibratePoint()
+    if (!noProbes) calibrations += calibratePoint()
     // provenance: the commit the bench actually measured (r15/r16 both
     // spent judge time on artifact-staleness archaeology)
     def sh(cmd: Seq[String]): Option[String] =
@@ -207,6 +215,13 @@ object Bench {
     val stallNanos = graft.tools.StallSampler.start()
     val stallByQuery =
       scala.collection.mutable.Map[String, Vector[Double]]()
+    // per-run GC seconds, recorded beside stall: the sampler's oversleep
+    // meter counts this JVM's own GC/safepoint pauses as stall, so a
+    // positive stall is only attributable to the HOST net of the same
+    // run's gc — the artifact carries both so the gate can make that
+    // cross-check without stderr archaeology
+    val gcByQuery =
+      scala.collection.mutable.Map[String, Vector[Double]]()
     def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
       resetPeakHeap()
@@ -223,6 +238,8 @@ object Bench {
       val stallSec = (stallNanos.get - s0._4) / 1e9
       stallByQuery(name) = stallByQuery.getOrElse(name, Vector.empty) :+
         stallSec
+      gcByQuery(name) = gcByQuery.getOrElse(name, Vector.empty) :+
+        ((gcMillis - s0._3) / 1000.0)
       System.err.println(f"[bench] $name%-28s run$r ${dt}%6.2fs " +
         f"shuffle=${(shuffleBytes.get - s0._1) / 1048576.0}%8.1fMB " +
         f"spill=${(spillBytes.get - s0._2) / 1048576.0}%6.1fMB " +
@@ -260,7 +277,7 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession,
           String) => org.apache.spark.sql.DataFrame, r: Int): Double = {
       val dt = runOnce(name, fn, r)
-      if (calibrateEach) {
+      if (calibrateEach && !noProbes) {
         // min-of-2: one ~1s probe sample carries ±40% scheduler noise
         // (see calibratePoint), and a noisy-high per-run probe either
         // voids a quiet run's certification or forces a solo re-run to
@@ -278,9 +295,11 @@ object Bench {
       for ((name, fn) <- selected)
         timings(name) = timings.getOrElse(name, Vector.empty) :+
           timedRun(name, fn, r)
-      calibrations += calibratePoint()
-      System.err.println(f"[bench] calibration after pass $r: " +
-        f"${calibrations.last}%.2fs (series ${calibrations.map(c => f"$c%.2f").mkString(",")})")
+      if (!noProbes) {
+        calibrations += calibratePoint()
+        System.err.println(f"[bench] calibration after pass $r: " +
+          f"${calibrations.last}%.2fs (series ${calibrations.map(c => f"$c%.2f").mkString(",")})")
+      }
     }
     val results = selected.map { case (name, fn) =>
       var dts = timings(name)
@@ -317,6 +336,11 @@ object Bench {
       val i = dts.indexOf(dts.min)
       "\"" + k + "\":" + num(if (i >= 0 && i < ss.length) ss(i) else 0.0, 2)
     }.mkString("{", ",", "}")
+    val gcs = results.map { case (k, dts, _) =>
+      val gs = gcByQuery.getOrElse(k, Vector.empty)
+      val i = dts.indexOf(dts.min)
+      "\"" + k + "\":" + num(if (i >= 0 && i < gs.length) gs(i) else 0.0, 2)
+    }.mkString("{", ",", "}")
     val atts = results.map { case (k, dts, _) => "\"" + k + "\":" + dts.length }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, dts, _) =>
@@ -342,7 +366,7 @@ object Bench {
       s""","calibration_sec":$calib,"calibration_estimator":"min3"""" +
       s""","head_commit":"$headCommit","git_dirty":$gitDirty""" +
       s""","runs":$runsJson$probesJson""" +
-      s""","spread":$spreads,"stall":$stalls,"attempts":$atts""" +
+      s""","spread":$spreads,"stall":$stalls,"gc":$gcs,"attempts":$atts""" +
       s""","contaminated":$contaminated}"""
     println(json)
     // stdout can be tail-truncated by the harness (r07 lost the timings

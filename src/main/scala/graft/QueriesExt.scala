@@ -2234,6 +2234,56 @@ object QueriesExt {
     }
   }
 
+  /** CDC → SCD2 composition (x133): the same three-version orders table
+    * as [[changeFeedQ]] (init → merge upserts+inserts → delete),
+    * materialized whole through [[graft.sources.VersionedTable
+    * .scd2History]] — per-key version-interval rows with deletes
+    * closing runs — then folded to one row per (ver_from, ver_to)
+    * lifecycle class with exact counts, key sums, and decimal-exact
+    * price sums the oracle re-derives from raw orders with the same
+    * edit arithmetic. Expected classes: [0,null] untouched keys,
+    * [0,0]+[1,null] updated keys (old and new image), [0,1] deleted
+    * keys, with the v1 inserts sharing [1,null]. The collect is
+    * bounded by (versions+1)^2 lifecycle classes, never corpus size.
+    */
+  def cdcScd2Q(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-x133")
+      .toString + "/tbl"
+    try {
+      val base = t(spark, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      VersionedTable.init(base, root)
+      val ups = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      val ins = base.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+      VersionedTable.merge(spark, root, ups.unionByName(ins),
+        Seq("o_orderkey"))
+      VersionedTable.delete(spark, root,
+        base.filter(col("o_orderkey") % 10 === 4).select("o_orderkey"),
+        Seq("o_orderkey"))
+      val rows = VersionedTable.scd2History(spark, root, Seq("o_orderkey"))
+        .groupBy("ver_from", "ver_to")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("price_sum"))
+        .orderBy("ver_from", "ver_to")
+        .collect() // bounded: <= (versions+1)^2 lifecycle classes
+      import spark.implicits._
+      rows.map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+        .toDF("ver_from", "ver_to", "n", "key_sum", "price_sum")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+    }
+  }
+
   /** Bloom point-lookup skipping ([[graft.sources.VersionedTable
     * .readPoint]]): a lineitem slice clustered by l_orderkey keeps a
     * per-file Bloom index on l_partkey — a column UNCORRELATED with the
@@ -2488,6 +2538,32 @@ object QueriesExt {
       .crossJoin(qg.agg(count(lit(1)).as("n_qgram")))
       .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
       .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+  }
+
+  /** Budget-capped q-gram guarded ER, production arm ONLY (x132): the
+    * sf1-soakable twin of [[qgramRecallQ]]. x129 is a recall LAW — it
+    * must also run the lossless key-set baseline, which is the suite's
+    * most expensive plan by design and was therefore the one documented
+    * omission from the sf1 scale gates. This query runs exactly the
+    * guarded q-gram path a production pipeline would run (same blocking
+    * keys, same split keys, same 5995-pair budget as x129's q-gram
+    * arm), aggregated to a single row whose id sums pin the found pair
+    * multiset; the RECALL of this path stays certified by x129 at the
+    * oracle SFs, while this entry rides the soak so a degenerate-block
+    * blowup in the guarded path itself cannot land unnoticed at sf1.
+    */
+  def qgramGuardedQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    graft.operators.EntityResolution.fuzzyMatchesGuarded(
+      c, "c_name", "c_custkey",
+      blockKeys = Seq(
+        graft.operators.EntityResolution.qgramKeys(col("c_name"), 4)),
+      splitKeys = Seq(substring(col("c_name"), 15, 2),
+        substring(col("c_name"), 17, 1)),
+      maxDistance = 1, maxBlockPairs = 5995L)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_id_a"),
+        sum(col("id_b")).as("sum_id_b"))
   }
 
   /** Exact cross-corpus similarity join (x124): every (corpus, ref)
@@ -3270,7 +3346,9 @@ object QueriesExt {
     "x128_guard_accounting" -> guardAccountingQ _,
     "x129_qgram_recall" -> qgramRecallQ _,
     "x130_rangejoin_overlap_router" -> rangeJoinDecimalOverlap _,
-    "x131_semdedup_lsh" -> semDedupLsh _)
+    "x131_semdedup_lsh" -> semDedupLsh _,
+    "x132_qgram_guarded" -> qgramGuardedQ _,
+    "x133_cdc_scd2" -> cdcScd2Q _)
 
   /** DuckDB oracles for the exactly-reproducible subset. */
   val oracles: Map[String, String] = Map(
@@ -4167,6 +4245,44 @@ object QueriesExt {
         |  CAST(sum(CAST(p + 1.0 AS DECIMAL(18,2))) AS DOUBLE)
         | FROM base WHERE k % 10 = 3
         |) ORDER BY _change_type""".stripMargin,
+    // CDC -> SCD2: the three versions rebuilt from raw orders with the
+    // same edits, then the run detection (image change / presence gap
+    // opens a run) replayed with window functions; ver_to NULL = image
+    // still current at the latest version
+    "x133_cdc_scd2" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+        |  o_totalprice AS p
+        | FROM orders WHERE o_orderkey % 3 = 0
+        |),
+        |v1 AS (
+        | SELECT k, c, s, CASE WHEN k % 10 = 3 THEN p + 1.0 ELSE p END AS p
+        | FROM base
+        | UNION ALL SELECT -k, c, s, p FROM base WHERE k % 100 = 7
+        |),
+        |v2 AS (SELECT * FROM v1
+        |       WHERE k NOT IN (SELECT k FROM base WHERE k % 10 = 4)),
+        |allv AS (
+        | SELECT 0 AS v, k, c, s, p FROM base
+        | UNION ALL SELECT 1, k, c, s, p FROM v1
+        | UNION ALL SELECT 2, k, c, s, p FROM v2
+        |),
+        |m AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL
+        |        OR lag(v) OVER w <> v - 1
+        |        OR lag(c) OVER w IS DISTINCT FROM c
+        |        OR lag(s) OVER w IS DISTINCT FROM s
+        |        OR lag(p) OVER w IS DISTINCT FROM p
+        |       THEN 1 ELSE 0 END AS st
+        |      FROM allv WINDOW w AS (PARTITION BY k ORDER BY v)),
+        |r AS (SELECT *, SUM(st) OVER
+        |       (PARTITION BY k ORDER BY v) AS run FROM m),
+        |runs AS (SELECT k, p, MIN(v) AS ver_from,
+        |          CASE WHEN MAX(v) = 2 THEN NULL ELSE MAX(v) END AS ver_to
+        |         FROM r GROUP BY k, c, s, p, run)
+        |SELECT ver_from, ver_to, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(k) AS BIGINT) AS key_sum,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
     // association rules: distinct baskets, pair counts, both rule
     // directions, single exact-ratio divisions (no rounding needed)
     "x85_assoc_rules" ->
@@ -5208,6 +5324,42 @@ object QueriesExt {
         | CAST((SELECT COUNT(*) FROM qgram) AS BIGINT) AS n_qgram,
         | CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed,
         | CAST((SELECT COUNT(*) FROM extra) AS BIGINT) AS n_extra""".stripMargin,
+    // guarded q-gram production arm alone (the x129 qgram CTEs without
+    // the lossless baseline); id sums pin the found pair multiset
+    "x132_qgram_guarded" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+        |qb AS (SELECT CAST(0 AS BIGINT) AS pass,
+        |        unnest(list_distinct([substr(n, g, 4)
+        |          for g in range(1, greatest(length(n)-3,1)+1)])) AS bk,
+        |        id, coalesce(substr(n,15,2), chr(2)) AS s0,
+        |        coalesce(substr(n,17,1), chr(2)) AS s1
+        |       FROM c),
+        |qbn AS (SELECT * FROM qb WHERE bk IS NOT NULL),
+        |c0 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM qbn),
+        |k0 AS (SELECT pass, 0 AS lvl, bk, id FROM c0 WHERE cnt <= 110),
+        |b1 AS (SELECT pass, bk || chr(1) || s0 AS bk, id, s1 FROM c0
+        |       WHERE cnt > 110),
+        |c1 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b1),
+        |k1 AS (SELECT pass, 1 AS lvl, bk, id FROM c1 WHERE cnt <= 110),
+        |b2 AS (SELECT pass, bk || chr(1) || s1 AS bk, id FROM c1
+        |       WHERE cnt > 110),
+        |c2 AS (SELECT *, COUNT(*) OVER (PARTITION BY pass, bk) AS cnt
+        |       FROM b2),
+        |k2 AS (SELECT pass, 2 AS lvl, bk, id FROM c2 WHERE cnt <= 110),
+        |kept AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |         UNION ALL SELECT * FROM k2),
+        |qpr AS (SELECT DISTINCT least(a.id,b.id) AS ia,
+        |         greatest(a.id,b.id) AS ib
+        |        FROM kept a JOIN kept b ON a.pass=b.pass AND a.lvl=b.lvl
+        |         AND a.bk=b.bk AND a.id<b.id),
+        |qgram AS (SELECT ia, ib FROM qpr
+        |          JOIN c ca ON ca.id=ia JOIN c cb ON cb.id=ib
+        |          WHERE levenshtein(ca.n, cb.n) <= 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(SUM(ia) AS BIGINT) AS sum_id_a,
+        | CAST(SUM(ib) AS BIGINT) AS sum_id_b FROM qgram""".stripMargin,
     // quantile profile: both engines interpolate lo + (hi-lo)*frac at
     // rank p*(n-1) — verified bit-identical, full-double comparison;
     // DuckDB's parallel unnest zips the p-list with the quantile array

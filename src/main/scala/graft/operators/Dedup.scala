@@ -1236,6 +1236,56 @@ object Dedup {
     new org.apache.hadoop.fs.Path(stateLockRoot(spark),
       s"${statePrefix}_state_writer")
 
+  /** URI schemes whose stores rename by copy+delete and create by
+    * check-then-write — neither the lock's create-no-overwrite acquire
+    * nor its rename-as-CAS takeover is exclusive there, so two writers
+    * racing on such a store can BOTH believe they hold the lock
+    * (split-brain: exactly the torn state the token exists to prevent).
+    * Hadoop 3.4 exposes no atomic-rename path capability to probe, so
+    * the guard is by scheme, the same approach Delta Lake's LogStore
+    * takes for its S3 commit problem. The lock is tiny and unrelated to
+    * where the state TABLES live — point
+    * `spark.graft.incrementalDedup.lockRoot` at any HDFS-class path.
+    */
+  private val CopyRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "swift")
+
+  /** Refuse a writer lock rooted on a copy-rename object store (see
+    * [[CopyRenameSchemes]]) — loudly, at acquire time, instead of
+    * letting a non-exclusive lock split-brain silently under a race.
+    * `spark.graft.incrementalDedup.allowNonAtomicLockStore=true` is the
+    * documented escape hatch for deployments whose writers are
+    * serialized by construction (one scheduler, one fold at a time);
+    * it logs the residual risk rather than hiding it.
+    */
+  private def refuseNonAtomicLockStore(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(p.toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    if (!CopyRenameSchemes.contains(scheme)) return
+    val allowKey = "spark.graft.incrementalDedup.allowNonAtomicLockStore"
+    if (spark.conf.getOption(allowKey).contains("true")) {
+      System.err.println(
+        s"[graft] WARNING: incremental-dedup writer lock '$p' lives on " +
+          s"'$scheme://', whose rename is copy+delete — the lock is NOT " +
+          s"exclusive under concurrent writers ($allowKey=true: caller " +
+          "asserts folds are externally serialized)")
+      return
+    }
+    throw new IllegalStateException(
+      s"incremental-dedup writer lock would live on '$scheme://' " +
+        s"('$p'), whose rename is a non-atomic copy+delete and whose " +
+        "create is check-then-write: two racing writers could BOTH " +
+        "acquire it (split-brain), which is the exact torn-state " +
+        "hazard the lock exists to prevent. Set " +
+        "spark.graft.incrementalDedup.lockRoot to an HDFS-class path " +
+        "(atomic rename; the lock is tiny — the state tables may stay " +
+        "where they are), or set " +
+        "spark.graft.incrementalDedup.allowNonAtomicLockStore=true " +
+        "if folds on this prefix are serialized by construction")
+  }
+
   /** Lease duration of the writer token (seconds). The holder records a
     * heartbeat at every fold phase ([[heartbeatStateWriter]] — a fresh
     * sidecar file next to the token, so the refresh needs only
@@ -1328,6 +1378,7 @@ object Dedup {
   private[graft] def acquireStateWriter(spark: SparkSession,
       statePrefix: String): Unit = {
     val p = stateWriterTokenPath(spark, statePrefix)
+    refuseNonAtomicLockStore(spark, p)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val me = spark.sparkContext.applicationId
     def holder(): String = {
@@ -1451,10 +1502,18 @@ object Dedup {
       val out = fs.create(hb, false) // unique name: cannot collide
       try out.write(me.getBytes("UTF-8")) finally out.close()
       // reclaim the superseded beats AFTER the fresh one exists, so a
-      // contender listing mid-heartbeat always sees at least one
+      // contender listing mid-heartbeat always sees at least one. Only
+      // OUR OWN superseded beats: a usurped-but-not-yet-aware holder
+      // that slipped past the holder check above (TOCTOU window) must
+      // not delete the NEW live holder's fresh sidecars — that would
+      // regress the new holder's recorded lease to the token's create
+      // time and invite a premature takeover of a live writer.
+      // Foreign-holder sidecars are inert (lastWriterHeartbeatMs matches
+      // on holder) and are swept at takeover/release.
       fs.listStatus(p.getParent)
         .filter(st => st.getPath.getName.startsWith(writerHbPrefix(p)) &&
-          st.getPath.getName != hb.getName)
+          st.getPath.getName != hb.getName &&
+          readWriterHolder(fs, st.getPath) == me)
         .foreach(st => fs.delete(st.getPath, false))
     } catch {
       case e: java.io.IOException =>

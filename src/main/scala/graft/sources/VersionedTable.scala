@@ -672,6 +672,76 @@ object VersionedTable {
       (keyCols ++ dataCols).map(c => col(s"__c.__row.$c").as(c)): _*)
   }
 
+  /** SCD Type-2 history materialization over the table's surviving
+    * version range: one row per maximal run of consecutive versions in
+    * which a key held the SAME image — `(keyCols*, dataCols*,
+    * ver_from, ver_to)` with `ver_from` the first and `ver_to` the last
+    * version of the run, both inclusive; `ver_to` is NULL while the
+    * image is still current at the latest version. A version where the
+    * key is ABSENT closes its run (delete), and a later reappearance
+    * opens a new one (re-insert) — presence gaps split runs, so the
+    * full lifecycle (insert → updates → delete → re-insert) reads off
+    * the intervals directly. This is the batch CDC→SCD2 backfill path:
+    * [[changeFeed]] maintains a downstream dimension incrementally per
+    * commit; this reconstructs the whole dimension from the retained
+    * versions in one pass (Delta's CDF + MERGE-driven SCD2 pattern,
+    * jar-free).
+    *
+    * Scale shape: one scan per retained version (inherent — the history
+    * IS those snapshots) into a union, then ONE shuffle on the record
+    * key for the run-detection window; the run-end window partitions on
+    * (key, run), which the key partitioning already clusters, so
+    * Catalyst adds no second exchange. Output volume is change volume
+    * (distinct images per key), not table-x-versions volume. Bound the
+    * scan side with [[vacuum]]'s retention before backfilling a
+    * long-lived table.
+    *
+    * Refuses a NON-consecutive surviving range loudly: vacuum reclaims
+    * a prefix horizon, so a hole means a concurrent vacuum raced the
+    * listing — silently treating the hole as a delete epoch would
+    * fabricate history.
+    */
+  def scd2History(spark: SparkSession, root: String,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val latest = latestVersion(spark, root)
+    require(latest >= 0, s"no such table: $root")
+    val f = fs(spark, root)
+    val versions = (0 to latest)
+      .filter(v => f.exists(new Path(root, s"v=$v")))
+    require(versions == (versions.head to latest),
+      s"scd2History needs a consecutive surviving version range, got " +
+        s"${versions.mkString(",")} — a hole means a vacuum raced this " +
+        "listing; retry")
+    val frames = versions.map(v => read(spark, root, Some(v)))
+    require(frames.forall(_.columns.sameElements(frames.head.columns)),
+      "scd2History across schema evolution is not supported; read the " +
+        "versions and diff explicitly")
+    val dataCols = frames.head.columns.filterNot(keyCols.contains).toSeq
+    val all = frames.zip(versions).map { case (df, v) =>
+      df.withColumn("_v", lit(v)) }.reduce(_.unionByName(_))
+    val img = struct(dataCols.map(col): _*)
+    val wk = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_v"))
+    // a run STARTS where the previous version had no row for the key
+    // (first appearance or re-insert after delete) or a different image
+    val marked = all
+      .withColumn("__start",
+        when(lag(col("_v"), 1).over(wk).isNull
+          .or(lag(col("_v"), 1).over(wk) =!= col("_v") - 1)
+          .or(!(lag(img, 1).over(wk) <=> img)), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__start")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wr = Window.partitionBy((keyCols.map(col) :+ col("__run")): _*)
+    marked
+      .withColumn("__end_v", max(col("_v")).over(wr))
+      .filter(col("__start") === 1L)
+      .select((keyCols ++ dataCols).map(col) ++ Seq(
+        col("_v").as("ver_from"),
+        when(col("__end_v") === latest, lit(null).cast("int"))
+          .otherwise(col("__end_v")).as("ver_to")): _*)
+  }
+
   /** One row per SURVIVING version: (version, n_rows). Versions behind
     * the vacuum horizon are simply absent — listing what exists instead
     * of assuming 0..latest, so history after a vacuum reports the

@@ -19,6 +19,25 @@ class NoSetTimesFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
       "setTimes is not supported by the notimes:// store")
 }
 
+/** RawLocalFileSystem registered under scheme `s3a://` whose rename is a
+  * FAITHFUL copy+delete (a window where src and dst both exist): models
+  * the object-store class where neither create-no-overwrite nor
+  * rename-as-CAS is exclusive, so the writer lock's acquire/takeover
+  * primitives could split-brain under a race. The protocol must refuse
+  * a lock root on such a scheme, not gamble on it.
+  */
+class CopyRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (!exists(src)) return false
+    org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+      false, getConf)
+    delete(src, true)
+    true
+  }
+}
+
 /** Atomicity laws of the incremental-dedup three-table state commit
   * (the manifest-flip protocol): a fold that crashes at ANY point
   * between its state writes leaves readers exactly the pre-fold state,
@@ -497,5 +516,108 @@ class IncrementalStateCommitSpec extends SparkSpec {
         assert(stateSnapshot(p) == stateSnapshot(ref))
       } finally Dedup.dropIncrementalDedupState(spark, ref)
     } finally Dedup.dropIncrementalDedupState(spark, p)
+  }
+
+  test("the heartbeat's supersession sweep reclaims ONLY this holder's " +
+      "sidecars: a usurped-but-unaware holder in the TOCTOU window " +
+      "between its holder check and its sweep cannot delete the new " +
+      "live holder's fresh beats") {
+    val p = s"ischfil_${System.nanoTime()}"
+    try {
+      Dedup.acquireStateWriter(spark, p)
+      val dir = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def plant(name: String, holder: String): Unit = {
+        val out = fsys.create(
+          new org.apache.hadoop.fs.Path(dir, name), true)
+        out.write(holder.getBytes("UTF-8")); out.close()
+      }
+      // the state of the TOCTOU hazard: WE still pass the holder check
+      // (token names us), but a new holder's fresh sidecar is already on
+      // disk (in the real interleaving the token flips right after our
+      // check; the sweep must be safe regardless of token state). Plus
+      // one stale sidecar of our own that SHOULD be reclaimed.
+      val me = spark.sparkContext.applicationId
+      plant(s"${p}_state_writer.hb-new-holder", "new-live-holder-app")
+      plant(s"${p}_state_writer.hb-own-stale", me)
+      Dedup.heartbeatStateWriter(spark, p)
+      val names = fsys.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(s"${p}_state_writer.hb-")).toSet
+      assert(names.contains(s"${p}_state_writer.hb-new-holder"),
+        "the sweep deleted a FOREIGN holder's sidecar — a usurped " +
+          "holder could regress the new live holder's recorded lease")
+      assert(!names.contains(s"${p}_state_writer.hb-own-stale"),
+        "the sweep must still reclaim this holder's superseded beats")
+      assert(names.size == 2,
+        s"expected the foreign beat plus exactly one fresh own beat, " +
+          s"got $names")
+    } finally {
+      Dedup.breakIncrementalDedupWriterLock(spark, p)
+      Dedup.dropIncrementalDedupState(spark, p)
+    }
+  }
+
+  test("a writer lock rooted on a copy-rename object store is refused " +
+      "at acquire — not silently split-brained — while the lockRoot " +
+      "redirect and the explicit serialized-writers escape hatch both " +
+      "engage") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.s3a.impl", classOf[CopyRenameFileSystem].getName)
+    val objDir = java.nio.file.Files
+      .createTempDirectory("graft-copyrename").toString
+    val lockKey = "spark.graft.incrementalDedup.lockRoot"
+    val allowKey = "spark.graft.incrementalDedup.allowNonAtomicLockStore"
+    val p = s"iscobj_${System.nanoTime()}"
+    try {
+      // the stub really renames by copy+delete (models the store class)
+      val fsys = new org.apache.hadoop.fs.Path(s"s3a://$objDir")
+        .getFileSystem(hconf)
+      val a = new org.apache.hadoop.fs.Path(s"s3a://$objDir/a")
+      val out = fsys.create(a, true)
+      out.write("x".getBytes("UTF-8")); out.close()
+      assert(fsys.rename(a, new org.apache.hadoop.fs.Path(
+        s"s3a://$objDir/b")) && !fsys.exists(a))
+      // lock rooted on the object store: refused loudly at acquire,
+      // before any state write, with the remedies in the message
+      spark.conf.set(lockKey, s"s3a://$objDir")
+      val ex = intercept[IllegalStateException](fold(batch1, p))
+      assert(ex.getMessage.contains("copy+delete"))
+      assert(ex.getMessage.contains("lockRoot"))
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(
+        s"s3a://$objDir", s"${p}_state_writer")),
+        "a refused acquire must leave no lock litter on the store")
+      // remedy 1: redirect the lock (alone) to an atomic-rename store —
+      // the fold proceeds with its state tables untouched elsewhere
+      val safeLockDir = java.nio.file.Files
+        .createTempDirectory("graft-safelock").toString
+      spark.conf.set(lockKey, safeLockDir)
+      assert(fold(batch1, p) == Set(0L, 3L))
+      // remedy 2: the documented escape hatch for externally-serialized
+      // writers — folds proceed on the object-store lock, loudly
+      spark.conf.set(lockKey, s"s3a://$objDir")
+      spark.conf.set(allowKey, "true")
+      val ref = s"iscobjref_${System.nanoTime()}"
+      try {
+        spark.conf.unset(lockKey)
+        spark.conf.unset(allowKey)
+        fold(batch1, ref)
+        val want = fold(batch2, ref)
+        spark.conf.set(lockKey, s"s3a://$objDir")
+        spark.conf.set(allowKey, "true")
+        assert(fold(batch2, p) == want,
+          "escape-hatch fold diverged from the uninterrupted run")
+      } finally {
+        spark.conf.unset(lockKey)
+        spark.conf.unset(allowKey)
+        Dedup.dropIncrementalDedupState(spark, ref)
+      }
+    } finally {
+      spark.conf.unset(allowKey)
+      try Dedup.dropIncrementalDedupState(spark, p)
+      finally spark.conf.unset(lockKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(objDir))
+    }
   }
 }

@@ -496,4 +496,48 @@ class VersionedTableSpec extends SparkSpec {
       === 4L)
     assert(feed.count() === 4L)
   }
+
+  test("scd2History: per-key version intervals — updates split runs, " +
+      "deletes close them, re-inserts open new ones, an unchanged key " +
+      "spans the whole range with ver_to null") {
+    val root = freshRoot()
+    // id 1: unchanged throughout; id 2: updated at v2; id 3: deleted at
+    // v1, re-inserted at v3 with a new image; id 4: inserted at v2
+    VersionedTable.init(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), root)
+    VersionedTable.delete(spark, root,
+      Seq(Tuple1(3L)).toDF("id"), Seq("id")) // v1
+    VersionedTable.merge(spark, root,
+      Seq((2L, "b2"), (4L, "d")).toDF("id", "name"), Seq("id")) // v2
+    VersionedTable.merge(spark, root,
+      Seq((3L, "c3")).toDF("id", "name"), Seq("id")) // v3
+    val got = VersionedTable.scd2History(spark, root, Seq("id"))
+      .orderBy("id", "ver_from")
+      .select("id", "name", "ver_from", "ver_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, "a", 0, -1),   // never touched: current since v0
+      (2L, "b", 0, 1),    // old image held v0..v1
+      (2L, "b2", 2, -1),  // new image current since v2
+      (3L, "c", 0, 0),    // deleted at v1: run closes at v0
+      (3L, "c3", 3, -1),  // re-insert opens a NEW run
+      (4L, "d", 2, -1)),  // late insert
+      s"unexpected intervals: $got")
+    // composition law: the asOf slice at each version equals that
+    // version's snapshot — intervals ARE the version history
+    val latest = VersionedTable.latestVersion(spark, root)
+    val hist = VersionedTable.scd2History(spark, root, Seq("id"))
+    (0 to latest).foreach { v =>
+      val slice = hist.filter(col("ver_from") <= v &&
+          (col("ver_to").isNull || col("ver_to") >= v))
+        .select("id", "name").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      val snap = VersionedTable.read(spark, root, Some(v))
+        .select("id", "name").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+      assert(slice == snap, s"asOf slice at v$v diverged from snapshot")
+    }
+  }
 }

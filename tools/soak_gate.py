@@ -32,7 +32,14 @@ import sys
 # their steady state; e.g. x115's old 30.79 vs 8.00 steady, x131's
 # 57.54 vs 14.24, and x117's 103.27 was additionally CONTENDED — 26.4s
 # solo that same r15 round). One rule, one provenance: calibration =
-# the artifact's min-of-2, ceiling = max(15, 5 x calibration) — wide
+# the artifact's min-of-2 (printed here rounded to 2dp for the table;
+# the RULE applies to the UNROUNDED artifact value), ceiling =
+# max(15, ceil(5 x unrounded calibration)) with ceil always rounding
+# UP — which is why a few printed pairs look one second off the
+# rounded column (e.g. x103: artifact min 12.603398 -> 63.02 ->
+# ceiling 64, not 5 x 12.60 = 63). Any future recalibration must
+# apply the rule to the artifact's raw minima, never to the rounded
+# calibration column, or ceilings silently shift. Ceilings are wide
 # enough for quiet-run variance and the residual transient risk on
 # both runs, tight enough that a quadratic blowup (the x74 178x / x115
 # 60x class this gate exists for) cannot pass. The gate refuses any
@@ -122,12 +129,21 @@ SF3_BUDGETS = {
 }
 
 
-# Quiet-host median of the bench's fixed synthetic calibration probe
-# (20M-row hash + shuffle agg at 32 threads) — measured r17. Ceilings
-# scale by the artifact's own calibration ratio against this, so a
-# uniformly slow host no longer needs post-hoc "host phase" narratives;
-# past 2x the artifact is refused outright (no factor can certify it).
-REF_CALIBRATION_SEC = 0.55
+# Quiet-host reference of the bench's fixed synthetic calibration probe
+# (50M-row hash + shuffle agg at 32 threads), measured with the SAME
+# estimator the artifacts record (r19 ADVICE fix: the r17-era 0.55 was
+# a single-sample figure, systematically above the min-of-k points the
+# artifacts now carry — a silent bias toward stricter gating).
+# Re-measured r20 via graft.tools.ProbeRef on two quiet sessions:
+# min-of-3 medians 0.463 / 0.433, min-of-2 medians 0.479 / 0.455, raw
+# spreads 1.28 / 1.38. Reference = 0.45 (between the two min-of-3
+# medians; the min-of-2 per-run probes sit ~5% above it, well inside
+# the 2.0x quiet threshold). Ceilings scale by the artifact's own
+# calibration ratio against this, so a uniformly slow host no longer
+# needs post-hoc "host phase" narratives; past 2x the artifact is
+# refused outright (no factor can certify it).
+REF_CALIBRATION_SEC = 0.45
+REF_CALIBRATION_ESTIMATOR = "min3"
 
 
 def main(json_path, err_path, budgets=None):
@@ -146,6 +162,11 @@ def main(json_path, err_path, budgets=None):
     per_run = bool(run_times) and bool(run_probes)
     quiet_probe = 2.0 * REF_CALIBRATION_SEC
     failures = []
+    est = art.get("calibration_estimator")
+    if est is not None and est != REF_CALIBRATION_ESTIMATOR:
+        print(f"WARNING: artifact calibration_estimator '{est}' != "
+              f"reference '{REF_CALIBRATION_ESTIMATOR}' — host-ratio and "
+              f"quiet-probe comparisons are estimator-mismatched")
     calib = sorted(art.get("calibration_sec", []) +
                    [p for ps in run_probes.values() for p in ps])
     host_factor = 1.0
@@ -225,11 +246,21 @@ def main(json_path, err_path, budgets=None):
         # exact run whose wall time the artifact records. On an OVER it
         # is the first adjudication to read — a stall near the excess is
         # the probe-invisible environment class (re-run), a ~0 stall
-        # points at the code.
+        # points at the code. CAVEAT: the sampler's oversleep meter
+        # counts the benched JVM's OWN GC/safepoint pauses as stall, so
+        # a positive stall must be cross-checked against the run line's
+        # gc= seconds in stderr before being attributed to the host — a
+        # code change that introduces heavy GC would otherwise read as
+        # an environment problem. The failure line carries the recorded
+        # run's gc when the artifact has it, for exactly that check.
         stall = art.get("stall", {}).get(name)
+        gc = art.get("gc", {}).get(name)
         if t > ceil:
             stall_note = (f"; min-run stall {stall:.1f}s"
                           if stall is not None else "")
+            if stall is not None and gc is not None:
+                stall_note += (f", gc {gc:.1f}s — attribute stall to the "
+                               f"host only net of gc")
             failures.append(
                 f"{name}: {t:.1f}s exceeds ceiling {ceil:.1f}s "
                 f"(calibration {cal:.1f}s{stall_note})")

@@ -25,11 +25,13 @@ mkdir -p "$(dirname "$OUT")"
 # DELIBERATELY not soaked (no silent caps — the omission and why):
 #  - x129_qgram_recall: a recall-LAW query that by design runs BOTH the
 #    exact-baseline arm and an exhaustive q-gram-union arm (17 blocks
-#    per record); its sf1 cost (~250 s, spills) is the documented
-#    n_blocks*budget work of the diagnostic, not a production operator
-#    path — the guarded production paths it certifies (x74, x127) ARE
-#    soaked, within budget.
-ONLY='^(x69_|x70_|x44_|x65_|x49_|x89_|x53_|x88_|x42_|x48_|x29_|x75_|x94_|x63_|x43_|x117_|x100_|x91_|x103_|x74_|x115_|x109_|x118_|x119_|x120_|x121_|x122_|x123_|x124_|x125_|x126_|x127_|x128_|x130_|x131_)'
+#    per record); its sf1 cost is the documented n_blocks*budget work
+#    of the diagnostic, not a production operator path. As of round 20
+#    its PRODUCTION arm rides the soak as x132_qgram_guarded (same
+#    blocking/split keys, same 5995-pair budget, no baseline arm), so
+#    a degenerate-block blowup in the guarded q-gram path is gated at
+#    sf1 while the recall law stays certified at the oracle SFs.
+ONLY='^(x69_|x70_|x44_|x65_|x49_|x89_|x53_|x88_|x42_|x48_|x29_|x75_|x94_|x63_|x43_|x117_|x100_|x91_|x103_|x74_|x115_|x109_|x118_|x119_|x120_|x121_|x122_|x123_|x124_|x125_|x126_|x127_|x128_|x130_|x131_|x132_)'
 echo "[soak] benching $(echo "$ONLY" | tr '|' '\n' | wc -l) queries at $SF1"
 # min-of-2, not single-shot: the round-19 x117 adjudication showed a
 # query's FIRST run in a loaded JVM carries a nondeterministic 2-13x
