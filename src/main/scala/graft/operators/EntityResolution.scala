@@ -333,9 +333,14 @@ object EntityResolution {
         col(nameCol).as("name_a")), Seq("id_a"))
       .join(names.select(col(idCol).as("id_b"),
         col(nameCol).as("name_b")), Seq("id_b"))
+      // thresholded form: O(len*maxDistance) with early exit instead of
+      // the full O(len^2) matrix, and identical values for every pair
+      // the filter keeps (above-threshold pairs return -1, excluded by
+      // the between) — per-pair verify is the candidate stream's hot loop
       .withColumn("distance",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("distance") <= maxDistance)
+        levenshtein(col("name_a"), col("name_b"), maxDistance)
+          .cast("long"))
+      .filter(col("distance").between(0, maxDistance))
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("distance"))
   }
@@ -354,9 +359,11 @@ object EntityResolution {
         col(nameCol).as("name_a")), Seq("id_a"))
       .join(names.select(col(idCol).as("id_b"),
         col(nameCol).as("name_b")), Seq("id_b"))
+      // thresholded verify — see [[fuzzyMatchesGuarded]]
       .withColumn("distance",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("distance") <= maxDistance)
+        levenshtein(col("name_a"), col("name_b"), maxDistance)
+          .cast("long"))
+      .filter(col("distance").between(0, maxDistance))
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("distance"))
   }
