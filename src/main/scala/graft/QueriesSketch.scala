@@ -31,7 +31,7 @@ import graft.functions.TextFunctions
 object QueriesSketch {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.load(spark, dir, name)
 
   /** x59: HLL cardinality with the sketch-merge law.
     *

@@ -5,8 +5,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 /** Parquet table loading + kernel-stage parallelism helpers. */
 object Tables {
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schemas, cached per (session, path). Every
+    * schema-less `spark.read.parquet` runs a one-task schema-inference
+    * job (a distributed footer read) before the query proper — measured
+    * as 0.1-0.2s of pure fixed cost per table reference at bench scale,
+    * and a redundant driver round-trip at any scale, since a table's
+    * footer schema never changes mid-run. This caches METADATA only (the
+    * role a catalog/metastore plays in production); row data is always
+    * re-read from parquet. Keyed by session identity because session
+    * confs (e.g. parquet nanosAsLong) legitimately change what schema
+    * the same footer infers to.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(
+      (System.identityHashCode(spark), path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The events table with `ts` normalized to a session-zone microsecond
     * TIMESTAMP regardless of how the parquet encodes it. Generators have

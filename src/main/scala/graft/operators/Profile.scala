@@ -218,10 +218,19 @@ object Profile {
     require(cols.nonEmpty, "profile at least one column")
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0,1]")
+    // the percentile partials (value→count maps per column) build at
+    // SCAN width; on a one-row-group input the whole profile runs in a
+    // single task (x109 measured at parallelism ≈ 1: 2.8s taskSum over
+    // 2.9s wall). Project to just the profiled/grouping columns, then
+    // widen — the widening shuffle carries only those columns, and on a
+    // many-row-group production scan it is a no-op (Tables.widenForKernel)
+    val slim = graft.Tables.widenForKernel(
+      df.select((keep ++ cols).map(col): _*),
+      struct(cols.map(col): _*))
     val aggs = cols.map(c => agg(col(c).cast(DoubleType)).as(s"__$c"))
     val wide =
-      if (keep.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(keep.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (keep.isEmpty) slim.agg(aggs.head, aggs.tail: _*)
+      else slim.groupBy(keep.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // an all-null column's percentile aggregate is NULL, and exploding a
     // NULL array yields zero rows — the column would silently VANISH
     // from the report, hiding exactly the broken-column signal a profiler
