@@ -219,14 +219,19 @@ object Profile {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0,1]")
     // the percentile partials (value→count maps per column) build at
-    // SCAN width; on a one-row-group input the whole profile runs in a
+    // SCAN width; on a one-row-group input a GLOBAL profile runs in a
     // single task (x109 measured at parallelism ≈ 1: 2.8s taskSum over
     // 2.9s wall). Project to just the profiled/grouping columns, then
     // widen — the widening shuffle carries only those columns, and on a
-    // many-row-group production scan it is a no-op (Tables.widenForKernel)
-    val slim = graft.Tables.widenForKernel(
-      df.select((keep ++ cols).map(col): _*),
-      struct(cols.map(col): _*))
+    // many-row-group production scan it is a no-op (Tables.widenForKernel).
+    // GROUPED profiles skip the widen: their finals already parallelize
+    // by group, and 32x the per-group partial sketches measured as a net
+    // regression (x122 +28% in the r20 interim bench).
+    val projected = df.select((keep ++ cols).map(col): _*)
+    val slim =
+      if (keep.isEmpty)
+        graft.Tables.widenForKernel(projected, struct(cols.map(col): _*))
+      else projected
     val aggs = cols.map(c => agg(col(c).cast(DoubleType)).as(s"__$c"))
     val wide =
       if (keep.isEmpty) slim.agg(aggs.head, aggs.tail: _*)
