@@ -712,21 +712,20 @@ object Similarity {
       VectorFunctions.hyperplaneBucket(col(vecCol),
         VectorFunctions.randomPlanes(nPlanes, dim, seed + t * 7919L))
     }: _*)
+    // key column named apart from bucketPairs' internal __bucket
+    // collect alias — AMBIGUOUS_REFERENCE otherwise
     val banded = vecs
-      .select(col(idCol), posexplode(tableBuckets).as(Seq("__table", "__bucket")))
-    val inBuckets = banded
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy("__table", "__bucket")))
-      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val a = inBuckets.select(col("__table"), col("__bucket"),
-      col(idCol).as("id_a"))
-    val b = inBuckets.select(col("__table"), col("__bucket"),
-      col(idCol).as("id_b"))
-    val pairIds = a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"), Seq("__table", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select(col(idCol), posexplode(tableBuckets).as(Seq("__table", "__bkt")))
+    // capped-collect bucket guard + LOCAL pair expansion (the MinHash
+    // tier's [[Dedup.bucketPairs]] design): one aggregation replaces the
+    // former window-count (full sort of the banded stream) + band
+    // self-join (two more shuffles) — identical pair SET: buckets of
+    // size in (1, maxBucketSize] expand i<j locally, oversized buckets
+    // drop via the cap+1 overflow signal exactly as the window filter
+    // dropped them.
+    val pairIds = Dedup.bucketPairs(banded, Seq("__table", "__bkt"),
+        col(idCol), maxBucketSize)
+      .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // one corpus probe, not two: unpivot each pair into (pair, side, id),
     // join the vector frame once, regroup — the regroup shuffle carries
