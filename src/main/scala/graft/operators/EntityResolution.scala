@@ -273,8 +273,30 @@ object EntityResolution {
     val cap = sizeCapFor(maxBlockPairs)
     val kept = refineLedger(df, idCol, blockKeys, splitKeys, cap)
       .filter(col("__fate") === "kept" && col("__c") >= 2)
+    // Compute-density fix (guide §2.5/§2.6): AQE sizes post-shuffle
+    // partitions by BYTES, but a candidate-pair row is 16 bytes that
+    // costs a Levenshtein verify downstream — the dedup+verify stages
+    // measured running at 6-10 of 32 tasks (r21 profile: they carried
+    // most of x129's 32 CPU·s). The pair-dedup exchange is made explicit
+    // on its own (id_a, id_b) key at the session's shuffle width — the
+    // same partitioning EnsureRequirements would insert, so no extra
+    // shuffle, but REPARTITION_BY_NUM is exempt from AQE coalescing, so
+    // the verify stage keeps the configured width instead of being
+    // byte-coalesced. Trade-off, accepted with numbers: the user
+    // repartition sits below the dedup aggregate, so the partial
+    // (map-side) pair dedup moves above the exchange and the shuffle
+    // carries cross-pass duplicates — bounded by the pass count
+    // (positional keys) or the shared-q-gram count, of 16-byte rows.
+    // Two shapes that preserved the partial dedup were A/B'd and not
+    // kept: a round-robin or id_a-hash repartition AFTER dropDuplicates
+    // (one extra exchange + stage per consumer: equal-or-worse wall,
+    // more summed task time), and a round-robin spread of the LEDGER
+    // before expansion (no additional win — the expansion is cheap
+    // relative to the verify).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     Dedup.expandBucketPairs(kept)
       .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))
+      .repartition(n, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
