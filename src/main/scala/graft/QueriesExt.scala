@@ -2797,31 +2797,55 @@ object QueriesExt {
     val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
     val kept5 = Sampling.mixtureSample(kept4, "text", "doc_id", "source",
       weights, tokenBudget = 500L,
-      tokenCountCol = Some("n_tokens")).persist()
-    val chunks = TextPipeline.chunkByTokens(kept5, "text", "doc_id",
-      chunkSize = 16, overlap = 4)
-    // eager counts, in funnel order: each count materializes its stage's
-    // persisted survivor set exactly once before the next stage builds on
-    // it — a 7-branch union would race the caches and recompute the chain.
-    // Stages 3 and 4 fuse into ONE job: stage 4 is a row-local predicate
-    // on cached stage-3 survivors, so a conditional count rides the same
-    // aggregation that materializes kept3 (one job round-trip saved; the
-    // emitted counts are bit-identical to two separate counts)
+      tokenCountCol = Some("n_tokens"))
+    // Eager counts, CONCURRENT (guide §2.6 "2-3 jobs in flight"): the
+    // mixture-rate collect inside mixtureSample above already ran the
+    // whole chain and materialized the kept1-kept3 caches at query
+    // construction, so every count below is an independent read — one
+    // parquet scan, three hot-cache scans, one sampled-survivor pass —
+    // and serial submission would pay ~6 job round-trips of pure driver
+    // latency (profiled: ~2.1s of x43's 3.4s wall sat between stages).
+    // A pool of 3 overlaps them; were a cache ever cold here, concurrent
+    // scans would at worst duplicate a partition's compute, never change
+    // a count. Stages 3+4 fuse into ONE job as before (stage 4 is a
+    // row-local predicate on stage-3 survivors), and stages 5+6 fuse the
+    // same way: the chunk volume is the row-local [[TextPipeline
+    // .chunkCount]] (the chunker's own window-count expression) summed
+    // over the sampled survivors, so the count needs no window explode
+    // and kept5 needs no cache — the emitted counts are bit-identical.
     import spark.implicits._
-    val r34 = kept3.agg(count(lit(1)).as("n3"),
-      count(when(col("__clean"), lit(1))).as("n4")).head()
-    val counts = Seq(
-      "0_all" -> docs.count(),
-      "1_quality_lang" -> kept1.count(),
-      "2_exact_dedup" -> kept2.count(),
-      "3_near_dedup" -> r34.getLong(0),
-      "4_decontaminated" -> r34.getLong(1),
-      "5_sampled" -> kept5.count(),
-      "6_chunks" -> chunks.count())
-    // the eager counts above materialized every stage; the caches are dead
-    // the moment the last count returns — release them here or they squat
-    // executor storage memory for the rest of the process
-    Seq(kept1, kept2, kept3, kept5).foreach(_.unpersist())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val counts = try {
+      def sub[T](desc: String)(f: => T): java.util.concurrent.Future[T] =
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = {
+            spark.sparkContext.setJobDescription(s"funnel: $desc")
+            f
+          }
+        })
+      val f0 = sub("all docs")(docs.count())
+      val f1 = sub("quality survivors")(kept1.count())
+      val f2 = sub("exact-dedup survivors")(kept2.count())
+      val f34 = sub("near-dedup + decontam")(
+        kept3.agg(count(lit(1)).as("n3"),
+          count(when(col("__clean"), lit(1))).as("n4")).head())
+      val f56 = sub("sampled + chunk volume")(
+        kept5.agg(count(lit(1)).as("n5"),
+          coalesce(sum(TextPipeline.chunkCount(col("n_tokens"),
+            chunkSize = 16, overlap = 4)), lit(0L)).as("n6")).head())
+      val r34 = f34.get(); val r56 = f56.get()
+      Seq(
+        "0_all" -> f0.get(),
+        "1_quality_lang" -> f1.get(),
+        "2_exact_dedup" -> f2.get(),
+        "3_near_dedup" -> r34.getLong(0),
+        "4_decontaminated" -> r34.getLong(1),
+        "5_sampled" -> r56.getLong(0),
+        "6_chunks" -> r56.getLong(1))
+    } finally pool.shutdown()
+    // the counts above were the caches' last readers — release them or
+    // they squat executor storage memory for the rest of the process
+    Seq(kept1, kept2, kept3).foreach(_.unpersist())
     counts
       .toDF("stage", "n")
       .orderBy("stage")

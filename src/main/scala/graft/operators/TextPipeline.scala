@@ -24,6 +24,33 @@ object TextPipeline {
     * shuffle, fully codegen-compatible, output rows ≈ input tokens /
     * stride.
     */
+  /** Window count for a doc of `nTokens` tokens under
+    * [[chunkByTokens]]'s layout — THE shared expression both the chunker
+    * and [[chunkCount]] evaluate, so the two can never drift: starts
+    * advance by `chunkSize - overlap` and a doc of <= `chunkSize` tokens
+    * (including an empty one) yields exactly one window.
+    */
+  private def nChunksExpr(nTokens: Column, chunkSize: Int,
+      overlap: Int): Column = {
+    val stride = chunkSize - overlap
+    when(nTokens <= chunkSize, lit(1))
+      .otherwise(floor((nTokens - chunkSize + stride - 1)
+        .cast("double") / stride).cast("int") + 1)
+  }
+
+  /** Row-local chunk count: how many windows [[chunkByTokens]] emits for
+    * a doc whose token count is `nTokens` — `sum(chunkCount(...))` over a
+    * corpus equals `chunkByTokens(...).count()` by construction (the
+    * chunker posexplodes an array of exactly this length), for the price
+    * of an arithmetic projection instead of the full window explode.
+    * For funnels that need the chunk VOLUME, not the chunks.
+    */
+  def chunkCount(nTokens: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    nChunksExpr(nTokens, chunkSize, overlap).cast("long")
+  }
+
   def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
@@ -33,9 +60,7 @@ object TextPipeline {
     val toks = TextFunctions.tokensOf(df, textCol)
     val n = size(toks)
     // windows: starts 1, 1+stride, ... ; count = 1 + ceil((n-chunkSize)/stride)
-    val nChunks = when(n <= chunkSize, lit(1))
-      .otherwise(floor((n - chunkSize + stride - 1)
-        .cast("double") / stride).cast("int") + 1)
+    val nChunks = nChunksExpr(n, chunkSize, overlap)
     df.select(col(idCol), toks.as("__t"), nChunks.as("__k"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), col("__k") - 1),

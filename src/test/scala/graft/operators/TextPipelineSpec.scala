@@ -31,6 +31,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.length == 1 && got.head._4 == "a b c d")
   }
 
+  test("chunkCount law: sum over docs equals chunkByTokens row count") {
+    // token counts chosen to hit every branch of the window-count
+    // expression: empty doc, below / exactly at / one over chunkSize,
+    // an exact stride multiple, one past it, and a long tail
+    val docs = Seq(0, 1, 3, 4, 5, 7, 10, 11, 12, 13, 25).zipWithIndex
+      .map { case (n, i) =>
+        (i.toLong, (1 to n).map(k => s"t$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+    for ((cs, ov) <- Seq((4, 1), (4, 2), (4, 0), (6, 3))) {
+      val exploded =
+        TextPipeline.chunkByTokens(docs, "text", "doc_id", cs, ov).count()
+      val summed = docs
+        .agg(sum(TextPipeline.chunkCount(
+          size(graft.functions.TextFunctions.tokens($"text")), cs, ov)))
+        .head().getLong(0)
+      assert(summed == exploded,
+        s"chunkCount diverged from chunkByTokens at ($cs, $ov)")
+    }
+  }
+
   test("decontamination flags benchmark members, copies, and nothing else") {
     val corpus = Seq(
       (0L, "one two three four five six"), // benchmark member
