@@ -5,27 +5,44 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 /** Parquet table loading + kernel-stage parallelism helpers. */
 object Tables {
 
-  /** Inferred parquet schemas, cached per (session, path). Every
+  /** Inferred parquet schemas, cached per (session UUID, path). Every
     * schema-less `spark.read.parquet` runs a one-task schema-inference
     * job (a distributed footer read) before the query proper — measured
     * as 0.1-0.2s of pure fixed cost per table reference at bench scale,
     * and a redundant driver round-trip at any scale, since a table's
     * footer schema never changes mid-run. This caches METADATA only (the
     * role a catalog/metastore plays in production); row data is always
-    * re-read from parquet. Keyed by session identity because session
-    * confs (e.g. parquet nanosAsLong) legitimately change what schema
-    * the same footer infers to.
+    * re-read from parquet. WEAK-keyed on the session object itself
+    * (nested path map): a dead session's entries evict with the session
+    * instead of accumulating for the JVM's life, and — unlike the old
+    * identityHashCode key — a post-GC identity-hash reuse can never hand
+    * a new session a schema inferred under different confs (confs like
+    * parquet nanosAsLong legitimately change what schema the same footer
+    * infers to).
     */
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.types.StructType]()
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.types.StructType]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(
-      (System.identityHashCode(spark), path),
+  /** Read a parquet location whose CONTRACT is immutability for the
+    * session's life (the generated testdata tables; committed
+    * VersionedTable version dirs and their index sidecars): first read
+    * infers and caches the schema, later reads skip the inference job.
+    * A location rewritten mid-session (out of contract) would be read
+    * with the stale schema — callers own that guarantee.
+    */
+  def readImmutable(spark: SparkSession, path: String): DataFrame = {
+    val perSession = schemaCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.types.StructType]())
+    val schema = perSession.computeIfAbsent(path,
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    readImmutable(spark, s"$dir/$name.parquet")
 
   /** The events table with `ts` normalized to a session-zone microsecond
     * TIMESTAMP regardless of how the parquet encodes it. Generators have

@@ -147,8 +147,13 @@ object VersionedTable {
     * the columns actually present in this version's schema.
     */
   private def writeIndexes(spark: SparkSession, dataDir: String,
-      statCols: Seq[String], bloomCols: Seq[String]): Unit = {
-    val df = spark.read.parquet(dataDir)
+      statCols: Seq[String], bloomCols: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    // the caller just WROTE dataDir from a frame of this schema, so the
+    // read-back supplies it and skips the footer-inference job every
+    // commit otherwise pays (partition columns parse from the hive dirs
+    // and cast to their declared types, same as inference)
+    val df = spark.read.schema(dataSchema).parquet(dataDir)
     val sPresent = statCols.filter(df.columns.contains)
     val bPresent = bloomCols.filter(df.columns.contains)
     if (sPresent.isEmpty && bPresent.isEmpty) return
@@ -207,7 +212,7 @@ object VersionedTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     require(v >= 0, s"no such table: $root")
-    spark.read.parquet(s"$root/v=$v/_stats")
+    graft.Tables.readImmutable(spark, s"$root/v=$v/_stats")
   }
 
   /** Stats of a version usable for pruning on `column`: Some(stats) only
@@ -222,7 +227,8 @@ object VersionedTable {
       column: String): Option[DataFrame] = {
     val statsPath = new Path(s"$root/v=$v/_stats")
     if (!fs(spark, root).exists(statsPath)) return None
-    val st = spark.read.parquet(statsPath.toString)
+    // the sidecar is committed with (and as immutable as) its version dir
+    val st = graft.Tables.readImmutable(spark, statsPath.toString)
     if (st.columns.contains(s"min_$column") &&
       st.columns.contains(s"max_$column")) Some(st) else None
   }
@@ -292,8 +298,11 @@ object VersionedTable {
       read(spark, root, Some(v)).filter(lit(false))
     else
       // basePath keeps partition-directory columns derivable when reading
-      // leaf files of a partitioned layout; harmless otherwise
+      // leaf files of a partitioned layout; harmless otherwise. The
+      // version's cached schema rides along so the pruned read skips
+      // re-inferring footers it is about to open anyway.
       spark.read.option("basePath", s"$root/v=$v")
+        .schema(read(spark, root, Some(v)).schema)
         .parquet(files.map(f =>
           s"$root/v=$v/${diskRelativeName(f)}").toSeq: _*)
         .filter(pred)
@@ -313,7 +322,7 @@ object VersionedTable {
     if (!bloomColumns(spark, root).contains(column)) return None
     val bloomPath = new Path(s"$root/v=$v/_bloom")
     if (!fs(spark, root).exists(bloomPath)) return None
-    val bl = spark.read.parquet(bloomPath.toString)
+    val bl = graft.Tables.readImmutable(spark, bloomPath.toString)
     if (!bl.columns.contains(s"bloom_$column")) return None
     // hash the probe AT THE COLUMN'S TYPE: xxhash64 is type-sensitive
     // (an Int literal against a bigint column hashes differently), and a
@@ -361,6 +370,7 @@ object VersionedTable {
     }
     if (files.isEmpty) read(spark, root, Some(v)).filter(lit(false))
     else spark.read.option("basePath", s"$root/v=$v")
+      .schema(read(spark, root, Some(v)).schema)
       .parquet(files.map(f => s"$root/v=$v/${diskRelativeName(f)}"): _*)
       .filter(pred)
   }
@@ -471,7 +481,7 @@ object VersionedTable {
     // stats + blooms ride the stage directory into the commit rename:
     // they are published atomically with the data files they index
     writeIndexes(spark, stage.toString,
-      statsColumns(spark, root), bloomColumns(spark, root))
+      statsColumns(spark, root), bloomColumns(spark, root), df.schema)
     def conflict(now: Int): Nothing = {
       f.delete(stage, true)
       throw new ConcurrentCommitException(
@@ -540,17 +550,22 @@ object VersionedTable {
     if (bloomColumns.nonEmpty)
       writeConfig(spark, bloomColsPath(root), bloomColumns)
     writeData(df, s"$root/v=0", partitionBy)
-    writeIndexes(spark, s"$root/v=0", statsColumns, bloomColumns)
+    writeIndexes(spark, s"$root/v=0", statsColumns, bloomColumns, df.schema)
     commitPointer(spark, root, 0)
     0
   }
 
-  /** Read a specific version, or the latest. */
+  /** Read a specific version, or the latest. A committed version
+    * directory is immutable by the commit protocol (mutation = a new
+    * version; vacuum deletes, never rewrites), so the read goes through
+    * the session schema cache — repeat reads of a version skip the
+    * footer-inference job.
+    */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
     require(v >= 0, s"no such table: $root")
-    spark.read.parquet(s"$root/v=$v")
+    graft.Tables.readImmutable(spark, s"$root/v=$v")
   }
 
   /** Keyed MERGE upsert: rows of `updates` replace base rows with the same
@@ -755,7 +770,7 @@ object VersionedTable {
     (0 to latest)
       .filter(v => f.exists(new Path(root, s"v=$v")))
       .map { v =>
-        (v, spark.read.parquet(s"$root/v=$v").count())
+        (v, read(spark, root, Some(v)).count())
       }.toDF("version", "n_rows")
   }
 
