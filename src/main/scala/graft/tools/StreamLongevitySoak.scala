@@ -162,6 +162,14 @@ object StreamLongevitySoak {
           java.util.Locale.ROOT, "%.1f",
           java.lang.Double.valueOf(median(w.toSeq)))}}"""
       }
+      // throughput at the fixed 50-events/batch input rate — THE summary
+      // number an optimization round moves (median_ms is its inverse
+      // lens); computed over post-warmup batches so JIT/state-store
+      // bootstrap doesn't dilute it
+      val postWall = wall.drop(warmup)
+      val bps =
+        if (postWall.isEmpty || postWall.sum <= 0) 0.0
+        else postWall.length / (postWall.sum / 1000.0)
       phaseJson += s""""$name":{"batches":$n,"state_bound":$stateBound""" +
         s""","stall_sec":${String.format(java.util.Locale.ROOT, "%.2f",
           java.lang.Double.valueOf(phaseStall.getOrElse(name, 0.0)))}""" +
@@ -169,6 +177,10 @@ object StreamLongevitySoak {
           "%.1f", java.lang.Double.valueOf(early))}""" +
         s""","late_median_ms":${String.format(java.util.Locale.ROOT,
           "%.1f", java.lang.Double.valueOf(late))}""" +
+        s""","batches_per_sec":${String.format(java.util.Locale.ROOT,
+          "%.2f", java.lang.Double.valueOf(bps))}""" +
+        s""","events_per_sec":${String.format(java.util.Locale.ROOT,
+          "%.0f", java.lang.Double.valueOf(bps * 50))}""" +
         s""","per_100":${snaps.mkString("[", ",", "]")}}"""
       System.err.println(f"[stream-soak] $name: early median $early%.0fms" +
         f" late $late%.0fms state max post-warmup ${state.drop(warmup).max}")
@@ -229,10 +241,18 @@ object StreamLongevitySoak {
           java.util.Locale.ROOT, "%.1f",
           java.lang.Double.valueOf(median(w.toSeq)))}}"""
       }
+      val postWall = wall.drop(n / 8)
+      val bps =
+        if (postWall.isEmpty || postWall.sum <= 0) 0.0
+        else postWall.length / (postWall.sum / 1000.0)
       phaseJson += s""""foreach_batch_parquet":{"batches":$n""" +
         s""","stall_sec":${String.format(java.util.Locale.ROOT, "%.2f",
           java.lang.Double.valueOf(
             phaseStall.getOrElse("foreach_batch_parquet", 0.0)))}""" +
+        s""","batches_per_sec":${String.format(java.util.Locale.ROOT,
+          "%.2f", java.lang.Double.valueOf(bps))}""" +
+        s""","events_per_sec":${String.format(java.util.Locale.ROOT,
+          "%.0f", java.lang.Double.valueOf(bps * 50))}""" +
         s""","early_median_ms":${String.format(java.util.Locale.ROOT,
           "%.1f", java.lang.Double.valueOf(early))}""" +
         s""","late_median_ms":${String.format(java.util.Locale.ROOT,
