@@ -84,7 +84,26 @@ object Tables {
     * relational queries pay an exchange for kernels they don't have) vs
     * -2s concentrated in the kernel operators that this helper targets.
     */
-  def widenForKernel(df: DataFrame, key: Column): DataFrame = {
+  /** [[widenForKernel]] with a ROUND-ROBIN spread instead of a hash key —
+    * for kernels whose natural key can be value-degenerate (e.g. a
+    * profiler widening on the profiled columns themselves: a constant or
+    * all-null column — the exact broken-column case a profiler exists to
+    * surface — hashes every row to one partition, paying the shuffle yet
+    * still building serially). Round-robin pays the
+    * sort-before-repartition local sort, which is bounded here because
+    * the widen only ever fires on an undersplit (single-digit-row-group)
+    * input; production-width scans skip it entirely.
+    */
+  def widenForKernelEven(df: DataFrame): DataFrame =
+    widenForKernelWith(df, _.repartition(
+      df.sparkSession.sparkContext.defaultParallelism))
+
+  def widenForKernel(df: DataFrame, key: Column): DataFrame =
+    widenForKernelWith(df, d => d.repartition(
+      d.sparkSession.sparkContext.defaultParallelism, key))
+
+  private def widenForKernelWith(df: DataFrame,
+      spread: DataFrame => DataFrame): DataFrame = {
     // Only a bare scan pipeline (project/filter over a relation) can be
     // undersplit: anything downstream of a shuffle already runs at
     // spark.sql.shuffle.partitions, and anything cached at its cache
@@ -114,7 +133,7 @@ object Tables {
     }
     if (!scanOnly) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    if (df.rdd.getNumPartitions < target) spread(df) else df
   }
 
   /** [[widenForKernel]] for kernels that sit UNDER a filter: widening alone

@@ -164,6 +164,14 @@ object Profile {
     */
   def quantileProfile(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    // Scale posture, explicit: exact `percentile` merges its value→count
+    // map partials in ONE final task by construction (a single global
+    // group) — safe precisely where this entry point is documented for
+    // (verification-scale inputs / bounded domains, where the map is
+    // distinct-count-bounded). The production path at 100 TB is
+    // [[approxQuantileProfile]] via [[profileQuantiles]]'s default:
+    // fixed-size sketch partials, same single final task but
+    // sketch-merge cost, not value-map cost.
     quantiles(df, cols, ps,
       c => percentile(c, array(ps.map(lit): _*)))
 
@@ -227,10 +235,13 @@ object Profile {
     // GROUPED profiles skip the widen: their finals already parallelize
     // by group, and 32x the per-group partial sketches measured as a net
     // regression (x122 +28% in the r20 interim bench).
+    // round-robin, not hashed on the profiled values: a constant or
+    // all-null profiled column — the exact broken-column case a profiler
+    // exists to surface — would hash every row to one partition and pay
+    // the shuffle while still building the partials serially
     val projected = df.select((keep ++ cols).map(col): _*)
     val slim =
-      if (keep.isEmpty)
-        graft.Tables.widenForKernel(projected, struct(cols.map(col): _*))
+      if (keep.isEmpty) graft.Tables.widenForKernelEven(projected)
       else projected
     val aggs = cols.map(c => agg(col(c).cast(DoubleType)).as(s"__$c"))
     val wide =

@@ -694,14 +694,22 @@ object Similarity {
     * table/bucket stream carries ONLY (table, bucket, id) — never vectors —
     * vectors equi-join back in once per unique surviving pair for exact
     * verification. `maxBucketSize` caps pathological buckets before the
-    * self-join goes quadratic (clustered LLM embedding corpora put whole
-    * near-dup shards in one bucket: 1% of 10^9 vectors is 10^14 pairs);
-    * the window count rides the SAME (table, bucket) exchange the
-    * self-join needs, so both sides reuse one shuffle.
+    * pair expansion goes quadratic (clustered LLM embedding corpora put
+    * whole near-dup shards in one bucket: 1% of 10^9 vectors is 10^14
+    * pairs); the guard is the capped-collect aggregation of
+    * [[Dedup.bucketPairs]] — ONE bucket-keyed aggregation whose partial
+    * state never exceeds cap+1 ids, with pairs expanding LOCALLY from
+    * each surviving bucket array — replacing the former window count
+    * (full sort of the banded stream) + band self-join (two more
+    * shuffles).
     *
-    * Precondition: `idCol` is unique per row (the verify tail reassembles
-    * each pair's two sides by id — see the [[graft.operators.Dedup]]
-    * family contract).
+    * Preconditions: `idCol` is unique per row (the verify tail
+    * reassembles each pair's two sides by id — see the
+    * [[graft.operators.Dedup]] family contract) and NON-NULL (the
+    * capped collect skips null payloads, where the former window count
+    * counted null-id rows toward bucket size — a bucket pushed over
+    * `maxBucketSize` only by null ids would now expand instead of
+    * dropping whole).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       nPlanes: Int = 10, dim: Int = 64, seed: Long = 42L,
@@ -719,10 +727,11 @@ object Similarity {
     // capped-collect bucket guard + LOCAL pair expansion (the MinHash
     // tier's [[Dedup.bucketPairs]] design): one aggregation replaces the
     // former window-count (full sort of the banded stream) + band
-    // self-join (two more shuffles) — identical pair SET: buckets of
-    // size in (1, maxBucketSize] expand i<j locally, oversized buckets
-    // drop via the cap+1 overflow signal exactly as the window filter
-    // dropped them.
+    // self-join (two more shuffles) — the identical pair SET for
+    // non-null ids (the scaladoc precondition): buckets of size in
+    // (1, maxBucketSize] expand i<j locally, oversized buckets drop via
+    // the cap+1 overflow signal exactly as the window filter dropped
+    // them.
     val pairIds = Dedup.bucketPairs(banded, Seq("__table", "__bkt"),
         col(idCol), maxBucketSize)
       .select(col("__pair_a").as("id_a"), col("__pair_b").as("id_b"))

@@ -20,6 +20,10 @@ object ProfBuildRun {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's AQE env override so dumped plans/profiles match
+      // what the bench actually executes under SPARK_GRAFT_AQE
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.files.maxPartitionBytes",
