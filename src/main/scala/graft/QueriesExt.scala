@@ -2532,12 +2532,25 @@ object QueriesExt {
         substring(col("c_name"), 17, 1)),
       maxDistance = 1, maxBlockPairs = 5995L)
       .select("id_a", "id_b")
-    val missed = lossless.join(qg, Seq("id_a", "id_b"), "left_anti")
-    val extra = qg.join(lossless, Seq("id_a", "id_b"), "left_anti")
-    lossless.agg(count(lit(1)).as("n_lossless"))
-      .crossJoin(qg.agg(count(lit(1)).as("n_qgram")))
-      .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
-      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+    // ONE full-outer join + ONE aggregation computes all four counts.
+    // Equivalent to the former two anti-joins + four crossJoined
+    // aggregates because both pair streams are DEDUPED on (id_a, id_b)
+    // (guardedCandidatePairs ends in dropDuplicates), so the full-outer
+    // join emits exactly one row per pair of the union and
+    // count(l)/count(q)/count(l where q null)/count(q where l null) ARE
+    // |lossless| / |qgram| / |missed| / |extra| — the oracle pins all
+    // four. The point is consumer count: each arm's verify tail
+    // (dedup + name joins + levenshtein) sits ABOVE its exchange, so
+    // every consumer re-executes it — the old shape consumed each
+    // stream three times (own count + both anti-joins), this one
+    // exactly once.
+    lossless.withColumn("__l", lit(1))
+      .join(qg.withColumn("__q", lit(1)),
+        Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("__l")).as("n_lossless"),
+        count(col("__q")).as("n_qgram"),
+        count(when(col("__q").isNull, col("__l"))).as("n_missed"),
+        count(when(col("__l").isNull, col("__q"))).as("n_extra"))
   }
 
   /** Budget-capped q-gram guarded ER, production arm ONLY (x132): the
